@@ -1,13 +1,83 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Functions, Relational, Windows}
+import graft.oracle.OracleSql
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory)
+  * and §7 (build plan). Every operator is a pure
+  * `(SparkSession, sfDir) => DataFrame`; oracle-gated entries carry a
+  * DuckDB SQL twin in [[OracleSql]] with identical column names, rounding,
+  * and total row order (§5.3 determinism contract).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans
+    "scan_parquet" -> (Relational.scanParquet _),
+    "scan_pruned" -> (Relational.scanPruned _),
+    // §2.2 projection / filter
+    "project_compute" -> (Relational.projectCompute _),
+    "filter_pred" -> (Relational.filterPred _),
+    "filter_regex" -> (Relational.filterRegex _),
+    // §2.3 joins
+    "join_broadcast" -> (Relational.joinBroadcast _),
+    "join_sortmerge" -> (Relational.joinSortmerge _),
+    "join_shuffledhash" -> (Relational.joinShuffledhash _),
+    "join_left" -> (Relational.joinLeft _),
+    "join_full" -> (Relational.joinFull _),
+    "join_semi" -> (Relational.joinSemi _),
+    "join_anti" -> (Relational.joinAnti _),
+    "join_theta_range" -> (Relational.joinThetaRange _),
+    "join_asof" -> (Relational.joinAsof _),
+    // §2.4 aggregations
+    "agg_pricing_summary" -> (Relational.aggPricingSummary _),
+    "agg_global" -> (Relational.aggGlobal _),
+    "agg_distinct" -> (Relational.aggDistinct _),
+    "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
+    "agg_rollup" -> (Relational.aggRollup _),
+    "agg_cube" -> (Relational.aggCube _),
+    "agg_groupingsets" -> (Relational.aggGroupingSets _),
+    "agg_stats" -> (Relational.aggStats _),
+    "agg_percentile" -> (Relational.aggPercentile _),
+    "agg_collect" -> (Relational.aggCollect _),
+    "agg_pivot" -> (Relational.aggPivot _),
+    // §2.5 windows
+    "win_rank" -> (Windows.winRank _),
+    "win_lag_lead" -> (Windows.winLagLead _),
+    "win_running" -> (Windows.winRunning _),
+    "win_moving_range" -> (Windows.winMovingRange _),
+    "win_topk_per_group" -> (Windows.winTopkPerGroup _),
+    "win_first_last" -> (Windows.winFirstLast _),
+    // §2.6 sorts / limits
+    "sort_multi" -> (Relational.sortMulti _),
+    "topk_global" -> (Relational.topkGlobal _),
+    "limit_offset" -> (Relational.limitOffset _),
+    // §2.7 set ops / dedup
+    "set_union" -> (Relational.setUnion _),
+    "set_intersect" -> (Relational.setIntersect _),
+    "set_except" -> (Relational.setExcept _),
+    "dedup_exact_rows" -> (Relational.dedupExactRows _),
+    // §2.8 scalar function families
+    "fn_string" -> (Functions.fnString _),
+    "fn_date" -> (Functions.fnDate _),
+    "fn_math" -> (Functions.fnMath _),
+    "fn_cond" -> (Functions.fnCond _),
+    "fn_array" -> (Functions.fnArray _),
+    "fn_map_json" -> (Functions.fnMapJson _),
+    "fn_hash" -> (Functions.fnHash _),
+    "fn_hash_seeded" -> (Functions.fnHashSeeded _),
+    // §2.11 UDF / UDTF surface
+    "udf_scalar" -> (Functions.udfScalar _),
+    "udtf_explode" -> (Functions.udtfExplode _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+/** Parquet table readers for the driver-generated star schema
+  * (TESTDATA.md:13-16). One file per table per scale factor; schema is
+  * embedded in the parquet footer, so plain `spark.read.parquet` gives the
+  * correct types (FIXTURES.md "Schemas"). At 100 TB these would be
+  * partitioned directories; the reader API is path-shaped so swapping a
+  * single file for a partitioned dataset is transparent to every operator.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL). Sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true so the column arrives as
+    * LongType nanos; this reader truncates to µs (integer div — never
+    * double division, ns since epoch exceeds 2^53) and restores
+    * TimestampType, matching DuckDB's µs TIMESTAMP read of the same file
+    * (SURVEY.md §1.2 µs-or-coarser rule). */
+  def events(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det.round
+import graft.io.Tables
+
+/** Scalar-function families (SURVEY.md §2.8): one query per family, each a
+  * single SELECT exercising the whole family so the oracle hash pins every
+  * function at once. All built-in `org.apache.spark.sql.functions` — fully
+  * codegen'd Catalyst expressions, no UDFs, so each query stays inside one
+  * WholeStageCodegen span over the scan.
+  */
+object Functions {
+
+  /** String family on part names. */
+  def fnString(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        trim(concat(lit("  "), col("p_type"), lit("  "))).as("trimmed"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        length(col("p_name")).as("len"),
+        element_at(split(col("p_type"), " "), 1).as("first_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        initcap(lower(col("p_name"))).as("title"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time family on orders + lineitem dates (UTC pinned). */
+  def fnDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+        // DATE-typed outputs are normalized to TIMESTAMP: parquet date32 vs
+        // DuckDB DATE compare unreliably across readers; midnight
+        // timestamps carry identical information.
+        date_add(col("o_orderdate").cast("date"), 30).cast("timestamp").as("plus30"),
+        unix_timestamp(col("o_orderdate")).as("epoch"),
+        to_date(col("o_orderdate")).cast("timestamp").as("as_date"),
+        quarter(col("o_orderdate")).as("q"),
+        last_day(col("o_orderdate")).cast("timestamp").as("eom"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math family on lineitem numerics. */
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("r1"),
+        abs(col("l_quantity") - lit(25.0)).as("absdev"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        floor(col("l_tax") * 100).as("tax_pct_floor"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        round(exp(col("l_discount")), 4).as("exp_disc"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(log10(col("l_extendedprice")), 4).as("log10_price"),
+        signum(col("l_quantity") - lit(25.0)).as("sign_dev"),
+        round(greatest(col("l_quantity"), col("l_discount") * 100), 2).as("gr"),
+        round(least(col("l_quantity"), col("l_tax") * 100), 2).as("le"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Conditional family: CASE ladders, coalesce, nullif, nvl. */
+  def fnCond(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 150000.0, "big")
+          .when(col("o_totalprice") > 50000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_or_pending"),
+        when(col("o_orderpriority").startsWith("1"), 1)
+          .when(col("o_orderpriority").startsWith("2"), 2)
+          .otherwise(9).as("prio_class"),
+        nvl(nullif(col("o_orderstatus"), lit("O")), lit("-")).as("nvl_demo"))
+      .orderBy(col("o_orderkey"))
+
+  /** Array family incl. higher-order functions on embedding + split text.
+    * HOFs (transform/filter/aggregate/zip_with) are Catalyst lambda
+    * expressions — no UDF, evaluated per-row without serialization. */
+  def fnArray(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dims"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first"),
+        round(
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")),
+          4).as("norm_sq"),
+        round(
+          aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+            lit(0.0), (acc, x) => acc + x),
+          4).as("l1"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        round(
+          aggregate(
+            zip_with(col("embedding"), reverse(col("embedding")),
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x),
+          4).as("dot_rev"),
+        sort_array(slice(col("embedding"), 1, 4)).cast("array<double>").as("sorted4"))
+      .orderBy(col("vec_id"))
+
+  /** Map/JSON family over events.props (always `{"k": <int>}`, FIXTURES.md). */
+  def fnMapJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_struct"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        map_keys(map(lit("k"), get_json_object(col("props"), "$.k").cast("int")))
+          .as("mkeys"),
+        map_values(map(lit("k"), get_json_object(col("props"), "$.k").cast("int")))
+          .as("mvals"),
+        element_at(map(lit("k"), get_json_object(col("props"), "$.k").cast("int")), "k")
+          .as("k_map"))
+      .orderBy(col("event_id"))
+
+  /** Hash family on document text (dedup keys for §2.10) — the
+    * oracle-matched half: sha256/md5 are algorithm-identical in DuckDB. */
+  def fnHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        sha2(col("text"), 256).as("sha256"),
+        md5(col("text")).as("md5"))
+      .orderBy(col("doc_id"))
+
+  /** Seeded/engine-specific hashes (xxhash64, crc32): DuckDB has no
+    * equivalent, so this entry is oracle-exempt; ScalaTest pins literal
+    * golden values instead (SURVEY.md §2.8 fn_hash note). */
+  def fnHashSeeded(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("xx64"),
+        crc32(col("text")).as("crc"))
+      .orderBy(col("doc_id"))
+
+  /** Scala UDF surface (§2.11): effective price. Registered + used; kept
+    * deliberately tiny — everything else in the engine is codegen'd
+    * built-ins, a UDF is the escape hatch, not the default. */
+  def udfScalar(s: SparkSession, d: String): DataFrame = {
+    val eff = udf((price: Double, disc: Double) => price * (1.0 - disc))
+    s.udf.register("effective_price", eff)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(eff(col("l_extendedprice"), col("l_discount")), 2).as("eff_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Generator/UDTF surface (§2.11): explode a computed array — one input
+    * row → N rows (words of the doc text). */
+  def udtfExplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+      .orderBy(col("doc_id"), col("pos"))
+}

@@ -1,0 +1,378 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det.round
+import graft.io.Tables
+
+/** Relational operators: scans, projection/filter, joins, aggregations,
+  * sorts/limits, set ops (SURVEY.md §2.1-2.7).
+  *
+  * Every query is a pure (SparkSession, sfDir) => DataFrame, declarative
+  * DataFrame API only, so Catalyst does pushdown/pruning/join-selection.
+  * Determinism contract (SURVEY.md §5.3): total ORDER BY with unique
+  * tiebreakers, round(,2) money / round(,4) stats, UTC session.
+  *
+  * Scale notes are inline per operator: the fixtures are single files, but
+  * each plan is written for the 1000-executor case — broadcast for dims
+  * bounded by catalog size, shuffle joins keyed on high-cardinality int64,
+  * partial aggregation always available (HashAggregateExec).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- §2.1 scans
+
+  /** Full scan shape: projection of every column plus a stable sort for the
+    * oracle. Count-shape work happens in Bench via .count(). */
+  def scanParquet(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Projection + predicate pushdown: the physical plan must show
+    * PushedFilters for l_shipdate and ReadSchema with only 3 columns. */
+  def scanPruned(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ------------------------------------------------------- §2.2 project/filter
+
+  /** Derived-column projection: revenue = extendedprice * (1 - discount). */
+  def projectCompute(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2)
+          .as("charged"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** One query exercising comparison, AND/OR/NOT, BETWEEN, IN, LIKE. All
+    * predicates are pushdown-eligible Catalyst filters. */
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .where(
+        col("o_orderstatus").isin("F", "O") &&
+        col("o_totalprice").between(1000.0, 200000.0) &&
+        (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")) &&
+        !(col("o_custkey") % 7 === 0))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  /** Regex predicate on the events stream table. */
+  def filterRegex(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("event_type").rlike("^(click|view)$") && col("value") > 100.0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+
+  // ----------------------------------------------------------------- §2.3 joins
+
+  /** Fact ⋈ small dims: customer ⋈ nation ⋈ region with explicit broadcast.
+    * nation (25 rows) and region (5 rows) are catalog-bounded at any data
+    * scale, so BroadcastHashJoin is the permanently correct choice — no
+    * shuffle of the fact side at 100 TB. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Large ⋈ large on int64 equi-key: both sides shuffle-partitioned on the
+    * key, SortMergeJoin at scale (neither fits a broadcast at 100 TB). */
+  def joinSortmerge(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Same semantics via shuffled-hash join hint: avoids the sort when one
+    * side per-partition fits memory — often faster for skew-free int keys. */
+  def joinShuffledhash(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).hint("SHUFFLE_HASH")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Left outer join manufacturing nulls: all customers, their order counts;
+    * customers without orders keep null-safe zero counts. */
+  def joinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).where(col("c_custkey") < 100)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 150000.0),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("sum_big"))
+      .orderBy(col("c_custkey"))
+
+  /** Full outer join over two deliberately partial key sets. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val left = Tables.orders(s, d).where(col("o_orderkey") % 2 === 0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_even"))
+    val right = Tables.orders(s, d).where(col("o_totalprice") > 180000.0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+    // USING-style join coalesces the key into one column on full outer.
+    left.join(right, Seq("o_custkey"), "full")
+      .select(
+        col("o_custkey").as("custkey"),
+        coalesce(col("n_even"), lit(0L)).as("n_even"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Customers having at least one urgent order (left-semi ≡ EXISTS): no
+    * duplication of the left side, right side reduced to its join keys. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Customers with no orders at all (left-anti ≡ NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Non-equi range join: pairs of events from the same user within 60 s.
+    * The equi-conjunct on user_id makes this a hash join with a range
+    * residual — NOT a nested-loop cross product. At 100 TB you additionally
+    * bucketize ts into 60 s bins and join on (user_id, bin±1) so state per
+    * key stays bounded; with per-user event counts in the tens this plan
+    * already scales linearly in users. */
+  def joinThetaRange(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val a = e.toDF("a_id", "user_id", "a_ts", "a_type")
+    val b = e.toDF("b_id", "b_user", "b_ts", "b_type")
+    a.join(b,
+        a("user_id") === b("b_user") &&
+        b("b_ts") > a("a_ts") &&
+        b("b_ts") <= a("a_ts") + expr("INTERVAL 60 SECONDS") &&
+        a("a_id") =!= b("b_id"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_type"), col("b_type"))
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+
+  /** As-of join: for each purchase event, the latest click by the same user
+    * at/before the purchase time. No native as-of in Spark 4.1; equi-join on
+    * user + time filter + row_number()=1 compiles to ONE shuffle on the equi
+    * key — the same internal shape DuckDB/Flink use for ASOF. At 100 TB the
+    * per-user fan-out is bounded by per-user activity, not table size, so
+    * this stays linear; for heavy hitters, bucket ts and join (user, bucket)
+    * ranges instead. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("c_ts").desc, col("click_id").desc)
+    p.join(c, p("user_id") === c("c_user") && col("c_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  // ---------------------------------------------------------------- §2.4 aggs
+
+  /** Flagship: TPC-H Q1 shape over lineitem (FIXTURES.md template). */
+  def aggPricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Grand totals, no grouping keys: single-row global aggregate (partial
+    * per partition, final on one reducer — constant shuffle volume). */
+  def aggGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(min(col("l_quantity")), 2).as("min_qty"),
+        round(max(col("l_quantity")), 2).as("max_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+
+  /** Exact COUNT(DISTINCT user_id) per event type — expands to a two-phase
+    * distinct aggregate (shuffle on (type,user) then on type). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** HLL++ approximate distinct — mergeable sketch, single shuffle of
+    * constant-size state per key; THE scale answer for distinct counts.
+    * Oracle-exempt (sketch): ScalaTest asserts ±2% of exact. */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** ROLLUP over (n_name within r_name): hierarchy totals + grouping ids. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("r_name"), col("n_name"))
+
+  /** CUBE over (mktsegment, orderstatus). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment"), col("o_orderstatus"))
+
+  /** Explicit GROUPING SETS: ((mktsegment), (orderstatus), ()). gid is a
+    * portable CASE over the null pattern (valid because fixtures carry no
+    * real NULLs, FIXTURES.md) — identical SQL shape runs on DuckDB. */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .createOrReplaceTempView("ord_cust")
+    s.sql(
+      """SELECT c_mktsegment, o_orderstatus, count(1) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       (CASE WHEN c_mktsegment IS NULL THEN 2 ELSE 0 END) +
+        |       (CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS gid
+        |FROM ord_cust
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        |ORDER BY gid, c_mktsegment, o_orderstatus""".stripMargin)
+  }
+
+  /** Statistical aggregates at 4 dp. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact median & p90 per event type. Exact percentile (not the sketch)
+    * so the oracle hash-matches; at 100 TB swap to approx_percentile and an
+    * ε-bound check — noted here as the scale path. */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy(col("event_type"))
+
+  /** Deterministic collect: sorted list of event types per user. */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_type"))).as("types"))
+      .orderBy(col("user_id"))
+
+  /** Pivot on the 5 fixed event types (explicit value list → no extra
+    * distinct-values job; required at scale). */
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  // ------------------------------------------------------- §2.6 sort/limit
+
+  /** Multi-key ORDER BY with mixed direction: RangePartitioning sort. */
+  def sortMulti(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        round(col("p_retailprice"), 2).as("p_retailprice"))
+      .orderBy(col("p_brand").asc, col("p_size").desc, col("p_partkey").asc)
+
+  /** Global top-10 by totalprice: TakeOrderedAndProject — per-partition
+    * top-k then driver merge, never a full sort at scale. */
+  def topkGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** LIMIT/OFFSET page (Spark 3.4+ offset). */
+  def limitOffset(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+      .offset(100)
+      .limit(25)
+
+  // ---------------------------------------------------------- §2.7 set ops
+
+  /** UNION ALL then UNION-distinct of two event slices. */
+  def setUnion(s: SparkSession, d: String): DataFrame = {
+    val clicks = Tables.events(s, d).where(col("event_type") === "click")
+      .select(col("user_id"))
+    val purchases = Tables.events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"))
+    clicks.unionByName(purchases).distinct()
+      .orderBy(col("user_id"))
+  }
+
+  /** Clickers ∩ purchasers (INTERSECT = distinct semantics). */
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val clicks = Tables.events(s, d).where(col("event_type") === "click")
+      .select(col("user_id"))
+    val purchases = Tables.events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"))
+    clicks.intersect(purchases).orderBy(col("user_id"))
+  }
+
+  /** Clickers ∖ purchasers (EXCEPT = distinct semantics). */
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    val clicks = Tables.events(s, d).where(col("event_type") === "click")
+      .select(col("user_id"))
+    val purchases = Tables.events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"))
+    clicks.except(purchases).orderBy(col("user_id"))
+  }
+
+  /** Exact row dedup on documents.text with a DETERMINISTIC survivor:
+    * keep min(doc_id) per text (raw dropDuplicates keeps an arbitrary row —
+    * never acceptable in a hash-matched query, SURVEY.md §2.7). */
+  def dedupExactRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det.round
+import graft.io.Tables
+
+/** Window functions (SURVEY.md §2.5). Every window orderBy carries a unique
+  * tiebreaker (event_id) — hash-match determinism demands it (§5.3.5).
+  *
+  * Scale note: all windows partition by user_id (1.5 k users at sf0.1,
+  * millions at 100 TB) — high-cardinality partition keys distribute evenly;
+  * no global-window (empty partitionBy) patterns anywhere, which would
+  * funnel 100 TB through one task.
+  */
+object Windows {
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+
+  /** row_number / rank / dense_rank / ntile over users by value. */
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Per-user inter-event gap in seconds via lag(ts). */
+  def winLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_s"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Running sum of value per user (rows frame). */
+  def winRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("running_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** 1-hour moving average per user (range frame over epoch seconds). */
+  def winMovingRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600L, 0L)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(avg(col("value")).over(w), 4).as("avg_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Top-3 events per user by value (classic top-k-per-group). */
+  def winTopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** First/last event_type per user by time, with an explicit full frame
+    * (first/last without a full frame silently read the default frame and
+    * give order-dependent garbage). */
+  def winFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+}

@@ -1,0 +1,350 @@
+package graft.oracle
+
+/** DuckDB oracle SQL, one entry per oracle-gated `SparkEntry.queries` key.
+  *
+  * Contract (SURVEY.md §5.3 + FIXTURES.md): identical column NAMES (the
+  * driver sorts columns by name before hashing), identical values after the
+  * rounding contract (2 dp money, 4 dp stats), identical row order (total
+  * ORDER BY with unique tiebreakers), UTC.
+  *
+  * Type discipline: DuckDB defaults differ from Spark in integer widths —
+  * every place Spark emits IntegerType the SQL casts ::INT (year, length,
+  * levenshtein, rank...), Spark LongType stays BIGINT (floor(epoch())
+  * ::BIGINT, ceil ::BIGINT). DuckDB-only spellings used on purpose:
+  * round_even ≡ bround, ln ≡ log, sign ≡ signum, (dayofweek+1) ≡ Spark's
+  * 1-based dayofweek, list_* ≡ array HOFs, initcap emulated via
+  * list_transform over words.
+  */
+object OracleSql {
+
+  val sql: Map[String, String] = Map(
+
+    // ------------------------------------------------------------ §2.1 scans
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "scan_pruned" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    // -------------------------------------------------- §2.2 project/filter
+    "project_compute" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS revenue, " +
+        "floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100.0 AS charged " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "filter_pred" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "floor((o_totalprice) * 100 + 0.5) / 100.0 AS o_totalprice, o_orderpriority FROM orders " +
+        "WHERE o_orderstatus IN ('F','O') " +
+        "AND o_totalprice BETWEEN 1000.0 AND 200000.0 " +
+        "AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%') " +
+        "AND NOT (o_custkey % 7 = 0) ORDER BY o_orderkey"),
+
+    "filter_regex" ->
+      ("SELECT event_id, user_id, event_type, floor((value) * 100 + 0.5) / 100.0 AS value " +
+        "FROM events WHERE regexp_matches(event_type, '^(click|view)$') " +
+        "AND value > 100.0 ORDER BY event_id"),
+
+    // ------------------------------------------------------------ §2.3 joins
+    "join_broadcast" ->
+      ("SELECT r_name, n_name, count(*) AS n_cust, " +
+        "floor((sum(c_acctbal)) * 100 + 0.5) / 100.0 AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+
+    "join_sortmerge" ->
+      ("SELECT o_orderstatus, count(*) AS n_items, " +
+        "floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "join_shuffledhash" ->
+      ("SELECT o_orderstatus, count(*) AS n_items, " +
+        "floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "join_left" ->
+      ("SELECT c_custkey, c_name, count(o_orderkey) AS n_big_orders, " +
+        "floor((coalesce(sum(o_totalprice), 0)) * 100 + 0.5) / 100.0 AS sum_big " +
+        "FROM (SELECT * FROM customer WHERE c_custkey < 100) c " +
+        "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000.0) o " +
+        "ON c_custkey = o_custkey GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+
+    "join_full" ->
+      ("SELECT coalesce(l.o_custkey, r.o_custkey) AS custkey, " +
+        "coalesce(l.n_even, 0) AS n_even, coalesce(r.n_big, 0) AS n_big FROM " +
+        "(SELECT o_custkey, count(*) AS n_even FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey) l " +
+        "FULL JOIN " +
+        "(SELECT o_custkey, count(*) AS n_big FROM orders WHERE o_totalprice > 180000.0 GROUP BY o_custkey) r " +
+        "ON l.o_custkey = r.o_custkey ORDER BY custkey"),
+
+    "join_semi" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"),
+
+    "join_theta_range" ->
+      ("SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id, " +
+        "a.event_type AS a_type, b.event_type AS b_type " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND date_trunc('microseconds', b.ts) > date_trunc('microseconds', a.ts) " +
+        "AND date_trunc('microseconds', b.ts) <= date_trunc('microseconds', a.ts) + INTERVAL 60 SECOND " +
+        "AND a.event_id <> b.event_id " +
+        "ORDER BY a.user_id, a_id, b_id"),
+
+    "join_asof" ->
+      ("SELECT purchase_id, user_id, click_id FROM (" +
+        "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY date_trunc('microseconds', c.ts) DESC, c.event_id DESC) AS rn " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND date_trunc('microseconds', c.ts) <= date_trunc('microseconds', p.ts)" +
+        ") WHERE rn = 1 ORDER BY purchase_id"),
+
+    // ------------------------------------------------------------- §2.4 aggs
+    "agg_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty, " +
+        "floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_base_price, " +
+        "floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS sum_disc_price, " +
+        "floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100.0 AS sum_charge, " +
+        "floor((avg(l_quantity)) * 10000 + 0.5) / 10000.0 AS avg_qty, " +
+        "floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000.0 AS avg_price, " +
+        "floor((avg(l_discount)) * 10000 + 0.5) / 10000.0 AS avg_disc, count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "agg_global" ->
+      ("SELECT count(*) AS n_rows, floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_price, " +
+        "floor((min(l_quantity)) * 100 + 0.5) / 100.0 AS min_qty, floor((max(l_quantity)) * 100 + 0.5) / 100.0 AS max_qty, " +
+        "floor((avg(l_discount)) * 10000 + 0.5) / 10000.0 AS avg_disc FROM lineitem"),
+
+    "agg_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+        "count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "agg_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS n_cust, " +
+        "floor((sum(c_acctbal)) * 100 + 0.5) / 100.0 AS sum_bal, " +
+        "((CASE WHEN r_name IS NULL THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END))::INT AS gid " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) ORDER BY gid, r_name, n_name"),
+
+    "agg_cube" ->
+      ("SELECT c_mktsegment, o_orderstatus, count(*) AS n, " +
+        "floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price, " +
+        "((CASE WHEN c_mktsegment IS NULL THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END))::INT AS gid " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY CUBE (c_mktsegment, o_orderstatus) " +
+        "ORDER BY gid, c_mktsegment, o_orderstatus"),
+
+    "agg_groupingsets" ->
+      ("SELECT c_mktsegment, o_orderstatus, count(1) AS n, " +
+        "floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price, " +
+        "((CASE WHEN c_mktsegment IS NULL THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END))::INT AS gid " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ()) " +
+        "ORDER BY gid, c_mktsegment, o_orderstatus"),
+
+    "agg_stats" ->
+      ("SELECT l_returnflag, floor((stddev_samp(l_quantity)) * 10000 + 0.5) / 10000.0 AS sd_qty, " +
+        "floor((var_samp(l_quantity)) * 10000 + 0.5) / 10000.0 AS var_qty, " +
+        "floor((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000.0 AS corr_qty_price, " +
+        "floor((covar_samp(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000.0 AS cov_qty_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "agg_percentile" ->
+      ("SELECT event_type, floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000.0 AS p50, " +
+        "floor((quantile_cont(value, 0.9)) * 10000 + 0.5) / 10000.0 AS p90 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "agg_collect" ->
+      ("SELECT user_id, list_sort(list(event_type)) AS types " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "agg_pivot" ->
+      ("SELECT user_id, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // ------------------------------------------------------ §2.6 sort/limit
+    "sort_multi" ->
+      ("SELECT p_partkey, p_brand, p_size, floor((p_retailprice) * 100 + 0.5) / 100.0 AS p_retailprice " +
+        "FROM part ORDER BY p_brand ASC, p_size DESC, p_partkey ASC"),
+
+    "topk_global" ->
+      ("SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS o_totalprice " +
+        "FROM orders ORDER BY floor((o_totalprice) * 100 + 0.5) / 100.0 DESC, o_orderkey ASC LIMIT 10"),
+
+    "limit_offset" ->
+      ("SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey " +
+        "LIMIT 25 OFFSET 100"),
+
+    // -------------------------------------------------------- §2.7 set ops
+    "set_union" ->
+      ("SELECT DISTINCT user_id FROM (" +
+        "SELECT user_id FROM events WHERE event_type = 'click' " +
+        "UNION ALL SELECT user_id FROM events WHERE event_type = 'purchase') " +
+        "ORDER BY user_id"),
+
+    "set_intersect" ->
+      ("SELECT user_id FROM events WHERE event_type = 'click' " +
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' " +
+        "ORDER BY user_id"),
+
+    "set_except" ->
+      ("SELECT user_id FROM events WHERE event_type = 'click' " +
+        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' " +
+        "ORDER BY user_id"),
+
+    "dedup_exact_rows" ->
+      ("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text " +
+        "ORDER BY doc_id"),
+
+    // ------------------------------------------------------- §2.5 windows
+    "win_rank" ->
+      ("SELECT user_id, event_id, floor((value) * 100 + 0.5) / 100.0 AS value, " +
+        "(row_number() OVER w)::INT AS rn, (rank() OVER w)::INT AS rk, " +
+        "(dense_rank() OVER w)::INT AS drk, (ntile(4) OVER w)::INT AS quartile " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC) " +
+        "ORDER BY user_id, rn"),
+
+    "win_lag_lead" ->
+      ("SELECT user_id, event_id, " +
+        "floor(epoch(ts))::BIGINT - (lag(floor(epoch(ts))::BIGINT) OVER w) AS gap_s, " +
+        "lead(event_type) OVER w AS next_type " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) " +
+        "ORDER BY user_id, event_id"),
+
+    "win_running" ->
+      ("SELECT user_id, event_id, floor((sum(value) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100.0 AS running_sum " +
+        "FROM events ORDER BY user_id, event_id"),
+
+    "win_moving_range" ->
+      ("SELECT user_id, event_id, floor((avg(value) OVER w) * 10000 + 0.5) / 10000.0 AS avg_1h, " +
+        "count(*) OVER w AS n_1h FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
+
+    "win_topk_per_group" ->
+      ("SELECT user_id, rn, event_id, value FROM (" +
+        "SELECT user_id, event_id, floor((value) * 100 + 0.5) / 100.0 AS value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC)::INT AS rn " +
+        "FROM events) WHERE rn <= 3 ORDER BY user_id, rn"),
+
+    "win_first_last" ->
+      ("SELECT DISTINCT user_id, first_value(event_type) OVER w AS first_type, " +
+        "last_value(event_type) OVER w AS last_type FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id"),
+
+    // ---------------------------------------------------- §2.8 fn families
+    "fn_string" ->
+      ("SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up, " +
+        "trim('  ' || p_type || '  ') AS trimmed, " +
+        "substring(p_name, 1, 5) AS sub5, " +
+        "concat_ws('|', p_brand, p_type) AS joined, " +
+        "length(p_name)::INT AS len, " +
+        "string_split(p_type, ' ')[1] AS first_word, " +
+        "regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num, " +
+        "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled, " +
+        "lpad(p_partkey::VARCHAR, 8, '0') AS padded, " +
+        "levenshtein(p_brand, p_type)::INT AS lev, " +
+        "array_to_string(list_transform(string_split(lower(p_name), ' '), " +
+        "w -> upper(w[1]) || w[2:]), ' ') AS title " +
+        "FROM part ORDER BY p_partkey"),
+
+    "fn_date" ->
+      ("SELECT o_orderkey, year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m, " +
+        "dayofmonth(o_orderdate)::INT AS dom, (dayofweek(o_orderdate) + 1)::INT AS dow, " +
+        "date_trunc('month', o_orderdate)::TIMESTAMP AS month_start, " +
+        "date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::INT AS days_to_2002, " +
+        "(o_orderdate::DATE + 30)::TIMESTAMP AS plus30, " +
+        "floor(epoch(o_orderdate))::BIGINT AS epoch, " +
+        "o_orderdate::DATE::TIMESTAMP AS as_date, quarter(o_orderdate)::INT AS q, " +
+        "last_day(o_orderdate::DATE)::TIMESTAMP AS eom " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "fn_math" ->
+      ("SELECT l_orderkey, l_linenumber, floor((l_extendedprice) * 10 + 0.5) / 10.0 AS r1, " +
+        "abs(l_quantity - 25.0) AS absdev, " +
+        "ceil(l_discount * 100)::BIGINT AS disc_pct_ceil, " +
+        "floor(l_tax * 100)::BIGINT AS tax_pct_floor, " +
+        "floor((pow(l_quantity, 2)) * 100 + 0.5) / 100.0 AS qty_sq, " +
+        "floor((sqrt(l_extendedprice)) * 10000 + 0.5) / 10000.0 AS sqrt_price, " +
+        "floor((exp(l_discount)) * 10000 + 0.5) / 10000.0 AS exp_disc, " +
+        "floor((ln(l_extendedprice)) * 10000 + 0.5) / 10000.0 AS ln_price, " +
+        "floor((log10(l_extendedprice)) * 10000 + 0.5) / 10000.0 AS log10_price, " +
+        "sign(l_quantity - 25.0)::DOUBLE AS sign_dev, " +
+        "floor((greatest(l_quantity, l_discount * 100)) * 100 + 0.5) / 100.0 AS gr, " +
+        "floor((least(l_quantity, l_tax * 100)) * 100 + 0.5) / 100.0 AS le, " +
+        "l_orderkey % 7 AS pm " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "fn_cond" ->
+      ("SELECT o_orderkey, " +
+        "CASE WHEN o_totalprice > 150000.0 THEN 'big' " +
+        "WHEN o_totalprice > 50000.0 THEN 'mid' ELSE 'small' END AS bucket, " +
+        "coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending, " +
+        "CASE WHEN o_orderpriority LIKE '1%' THEN 1 " +
+        "WHEN o_orderpriority LIKE '2%' THEN 2 ELSE 9 END AS prio_class, " +
+        "coalesce(nullif(o_orderstatus, 'O'), '-') AS nvl_demo " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "fn_array" ->
+      ("SELECT vec_id, length(embedding)::INT AS dims, " +
+        "floor((embedding[1]::DOUBLE) * 10000 + 0.5) / 10000.0 AS first, " +
+        "floor((list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) * 10000 + 0.5) / 10000.0 AS norm_sq, " +
+        "floor((list_sum(list_transform(embedding, x -> abs(x::DOUBLE)))) * 10000 + 0.5) / 10000.0 AS l1, " +
+        "length(list_filter(embedding, x -> x > 0))::INT AS n_pos, " +
+        "floor((list_sum(list_transform(range(1, 65), " +
+        "i -> embedding[i]::DOUBLE * embedding[65 - i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS dot_rev, " +
+        "list_sort(embedding[1:4])::DOUBLE[] AS sorted4 " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    "fn_map_json" ->
+      ("SELECT event_id, json_extract_string(props, '$.k')::INT AS k_struct, " +
+        "json_extract_string(props, '$.k')::INT AS k_path, " +
+        "['k'] AS mkeys, " +
+        "[json_extract_string(props, '$.k')::INT] AS mvals, " +
+        "json_extract_string(props, '$.k')::INT AS k_map " +
+        "FROM events ORDER BY event_id"),
+
+    "fn_hash" ->
+      ("SELECT doc_id, sha256(text) AS sha256, md5(text) AS md5 " +
+        "FROM documents ORDER BY doc_id"),
+
+    "udf_scalar" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS eff_price " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "udtf_explode" ->
+      ("SELECT doc_id, unnest(generate_series(1, len(string_split(text, ' '))))::INT - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS word " +
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos")
+  )
+}
