@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Functions, Relational, Windows}
+import graft.ops.{Custom, Functions, LlmPipeline, Relational, Stateful, Streaming, Windows}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory)
@@ -74,7 +74,34 @@ object SparkEntry {
     "fn_hash_seeded" -> (Functions.fnHashSeeded _),
     // §2.11 UDF / UDTF surface
     "udf_scalar" -> (Functions.udfScalar _),
-    "udtf_explode" -> (Functions.udtfExplode _)
+    "udtf_explode" -> (Functions.udtfExplode _),
+    // §2.9 streaming (batch-equivalent forms; runtime parity in ScalaTest)
+    "stream_tumbling_1h" -> (Streaming.streamTumbling1h _),
+    "stream_sliding" -> (Streaming.streamSliding _),
+    "stream_session_30m" -> (Streaming.streamSession30m _),
+    "stream_dedup_watermark" -> (Streaming.streamDedupWatermark _),
+    "stream_static_join" -> (Streaming.streamStaticJoin _),
+    "stream_stream_join" -> (Streaming.streamStreamJoin _),
+    "stream_stateful_session" -> (Stateful.streamStatefulSession _),
+    // §2.10 LLM-data-pipeline operators
+    "dedup_exact_sha" -> (LlmPipeline.dedupExactSha _),
+    "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
+    "dedup_simhash" -> (LlmPipeline.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
+    "knn_cosine" -> (LlmPipeline.knnCosine _),
+    "knn_lsh_bucketed" -> (LlmPipeline.knnLshBucketed _),
+    "sim_threshold" -> (LlmPipeline.simThreshold _),
+    "text_tokenize_wordcount" -> (LlmPipeline.textTokenizeWordcount _),
+    "text_tfidf_topterms" -> (LlmPipeline.textTfidfTopterms _),
+    "text_lang_stats" -> (LlmPipeline.textLangStats _),
+    "text_quality_score" -> (LlmPipeline.textQualityScore _),
+    "text_token_count" -> (LlmPipeline.textTokenCount _),
+    "text_langid" -> (LlmPipeline.textLangid _),
+    "text_fingerprint" -> (LlmPipeline.textFingerprint _),
+    "multimodal_struct" -> (LlmPipeline.multimodalStruct _),
+    "multimodal_binary" -> (LlmPipeline.multimodalBinary _),
+    // §2.4/§2.11 custom typed aggregation
+    "agg_custom_typed" -> (Custom.aggCustomTyped _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

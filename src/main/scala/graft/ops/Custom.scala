@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Det.round
+import graft.io.Tables
+
+/** Custom typed-aggregation surface (SURVEY.md §2.4 agg_custom_typed /
+  * §2.11 udaf_typed): a Welford mean+variance `Aggregator[IN, BUF, OUT]`
+  * registered via `functions.udaf` — the idiomatic Spark path for custom
+  * aggregation (mergeable buffer ⇒ partial aggregation + single shuffle of
+  * constant-size state; the same property HLL/minhash sketches rely on at
+  * 100 TB).
+  */
+object Custom {
+
+  case class WelfordBuf(n: Long, mean: Double, m2: Double)
+
+  /** Numerically-stable streaming mean/M2 with Chan's parallel merge. */
+  object WelfordAgg extends Aggregator[Double, WelfordBuf, WelfordBuf] {
+    def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
+    def reduce(b: WelfordBuf, x: Double): WelfordBuf = {
+      val n = b.n + 1
+      val delta = x - b.mean
+      val mean = b.mean + delta / n
+      WelfordBuf(n, mean, b.m2 + delta * (x - mean))
+    }
+    def merge(a: WelfordBuf, b: WelfordBuf): WelfordBuf = {
+      if (a.n == 0) b
+      else if (b.n == 0) a
+      else {
+        val n = a.n + b.n
+        val delta = b.mean - a.mean
+        WelfordBuf(
+          n,
+          a.mean + delta * b.n / n,
+          a.m2 + b.m2 + delta * delta * a.n * b.n / n)
+      }
+    }
+    def finish(r: WelfordBuf): WelfordBuf = r
+    def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
+    def outputEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
+  }
+
+  /** Per-user Welford mean + sample variance over event values. The
+    * oracle pairs it with avg/var_samp — mathematically identical;
+    * floating summation order differs, absorbed by 4 dp rounding. */
+  def aggCustomTyped(s: SparkSession, d: String): DataFrame = {
+    val welford = udaf(WelfordAgg)
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(welford(col("value")).as("w"))
+      .select(
+        col("user_id"),
+        col("w.n").as("n"),
+        round(col("w.mean"), 4).as("mean_value"),
+        round(when(col("w.n") > 1, col("w.m2") / (col("w.n") - 1))
+          .otherwise(lit(null)), 4).as("var_value"))
+      .orderBy(col("user_id"))
+  }
+}

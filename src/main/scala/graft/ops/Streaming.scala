@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det.round
+import graft.io.Tables
+
+/** Streaming operators (SURVEY.md §2.9) in their BATCH-EQUIVALENT form —
+  * these are the oracle-gated `queries` entries. Each transform is written
+  * against a plain DataFrame so the identical column expressions run in
+  * both worlds; `StreamRunners` (test scope) feeds the same transforms from
+  * `EventSource.replay` under Trigger.AvailableNow and asserts row-for-row
+  * parity (stream-batch parity is the verification strategy: DuckDB cannot
+  * run a stream).
+  *
+  * Scale: every aggregation below keys on (window × type) or (user ×
+  * session) — bounded state per key, watermark-evictable; stream-stream
+  * joins carry time-range conditions so join state is GC'd by watermark.
+  */
+object Streaming {
+
+  /** Shared transform: tumbling 1-hour window per event_type.
+    * In streaming this is `window($"ts", "1 hour")` + watermark; the
+    * window START equals date_trunc('hour') — asserted by the parity test.
+    */
+  def tumblingTransform(events: DataFrame): DataFrame =
+    events
+      // group by the window STRUCT — projecting .start before the agg
+      // severs event-time watermark propagation (measured: late rows then
+      // leak through); .start is extracted after aggregation.
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def streamTumbling1h(s: SparkSession, d: String): DataFrame =
+    tumblingTransform(Tables.events(s, d))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sliding 1-hour window every 15 minutes: each event lands in 4
+    * windows. Batch equivalent of `window(ts, "1 hour", "15 minutes")`. */
+  def slidingTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    slidingTransform(Tables.events(s, d))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Per-user 30-minute-gap sessionization, batch form: gaps-and-islands
+    * (lag → gap flag → running session index), emitting min/max ts and
+    * count per session — NEVER Spark's session_window bounds (its window
+    * end = last event + gap, which no oracle reproduces; SURVEY.md §2.9).
+    * The streaming twin uses session_window and is parity-checked on
+    * membership (same min/max/count). */
+  def streamSession30m(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapFlag = when(
+      unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(byUser)) > 1800, 1)
+      .otherwise(0)
+    Tables.events(s, d)
+      .withColumn("new_session", coalesce(gapFlag, lit(1)))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Dedup on event_id — batch twin of dropDuplicatesWithinWatermark.
+    * Deterministic survivor: events carry unique ids in the fixture, and
+    * the synthetic-duplicate parity test feeds exact duplicate ROWS, so
+    * any survivor is the same row. */
+  def dedupTransform(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  def streamDedupWatermark(s: SparkSession, d: String): DataFrame =
+    dedupTransform(Tables.events(s, d))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** Stream ⋈ static dimension: events enriched with the customer row of
+    * user_id. Static side is broadcast — in streaming, stream-static joins
+    * need no watermark on the static side. */
+  def staticJoinTransform(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), round(col("value"), 2).as("value"))
+
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame =
+    staticJoinTransform(Tables.events(s, d), Tables.customer(s, d))
+      .orderBy(col("event_id"))
+
+  /** Stream-stream join: click ⋈ purchase of the same user within 1 hour
+    * (click before purchase). The time-range conjunct is what lets a
+    * streaming execution bound and evict join state by watermark. */
+  def streamStreamJoinTransform(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame =
+    streamStreamJoinTransform(Tables.events(s, d))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+}

@@ -345,6 +345,152 @@ object OracleSql {
     "udtf_explode" ->
       ("SELECT doc_id, unnest(generate_series(1, len(string_split(text, ' '))))::INT - 1 AS pos, " +
         "unnest(string_split(text, ' ')) AS word " +
-        "FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos")
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos"),
+
+    // ------------------------------------------------ §2.9 streaming (batch forms)
+    "stream_tumbling_1h" ->
+      ("SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type, " +
+        "count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value " +
+        "FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type"),
+
+    "stream_sliding" ->
+      ("SELECT win_start, event_type, count(*) AS n, " +
+        "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value FROM (" +
+        "SELECT (time_bucket(INTERVAL 15 MINUTE, ts) - unnest([0,1,2,3]) * INTERVAL 15 MINUTE)::TIMESTAMP AS win_start, " +
+        "event_type, value FROM events) " +
+        "GROUP BY win_start, event_type ORDER BY win_start, event_type"),
+
+    "stream_session_30m" ->
+      ("SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value FROM (" +
+        "SELECT user_id, ts, event_id, value, " +
+        "(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx FROM (" +
+        "SELECT *, CASE WHEN floor(epoch(ts))::BIGINT - " +
+        "(lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
+        "THEN 1 ELSE 0 END AS new_session FROM events)) " +
+        "GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+
+    "stream_dedup_watermark" ->
+      ("SELECT event_id, user_id, event_type FROM events ORDER BY event_id"),
+
+    "stream_static_join" ->
+      ("SELECT event_id, user_id, event_type, c_mktsegment, " +
+        "floor((value) * 100 + 0.5) / 100.0 AS value " +
+        "FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id"),
+
+    "stream_stream_join" ->
+      ("SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+        "ORDER BY c.user_id, click_id, purchase_id"),
+
+    // -------------------------------------------------- §2.10 LLM pipeline
+    "dedup_exact_sha" ->
+      ("SELECT min(doc_id) AS doc_id, digest, count(*) AS n_copies FROM " +
+        "(SELECT doc_id, sha256(text) AS digest FROM documents) " +
+        "GROUP BY digest ORDER BY doc_id"),
+
+    "text_tokenize_wordcount" ->
+      ("SELECT lang, word, count(*) AS n FROM " +
+        "(SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "GROUP BY lang, word ORDER BY lang, word"),
+
+    "text_tfidf_topterms" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "scored AS (SELECT doc_id, term, " +
+        "floor((tf * ln((n + 1.0) / (df + 1.0))) * 10000 + 0.5) / 10000.0 AS score " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, term, score, " +
+        "(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC))::INT AS rn FROM scored) " +
+        "SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"),
+
+    "text_lang_stats" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+        "floor((avg(n_chars)) * 10000 + 0.5) / 10000.0 AS avg_chars, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "count(DISTINCT floor(n_chars / 100)) AS n_len_buckets " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+
+    "text_quality_score" ->
+      ("SELECT doc_id, n_chars, len(string_split(text, ' '))::INT AS n_tokens, " +
+        "floor((n_chars::DOUBLE / len(string_split(text, ' '))) * 10000 + 0.5) / 10000.0 AS avg_token_len, " +
+        "floor((len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' '))) * 10000 + 0.5) / 10000.0 AS distinct_ratio, " +
+        "floor(((n_chars - length(replace(text, ' ', '')))::DOUBLE / n_chars) * 10000 + 0.5) / 10000.0 AS space_ratio " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_token_count" ->
+      ("SELECT doc_id, len(string_split(text, ' '))::INT AS ws_tokens, " +
+        "len(list_filter(string_split_regex(text, '[^a-z0-9]+'), x -> len(x) > 0))::INT AS re_tokens, " +
+        "len(list_filter(string_split(text, ' '), w -> len(w) >= 5))::INT AS long_tokens " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_langid" ->
+      ("SELECT doc_id, lang, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('the','fast','order')))::INT AS en_hits, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('key','table','scan')))::INT AS de_hits, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('sort','merge','row')))::INT AS fr_hits, " +
+        "CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','fast','order'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('key','table','scan'))) " +
+        "AND len(list_filter(string_split(text, ' '), w -> w IN ('the','fast','order'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('sort','merge','row'))) THEN 'en' " +
+        "WHEN len(list_filter(string_split(text, ' '), w -> w IN ('key','table','scan'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('sort','merge','row'))) THEN 'de' " +
+        "ELSE 'fr' END AS langid_guess " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(text, ' '), w -> len(w)::BIGINT)), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint " +
+        "FROM documents ORDER BY doc_id"),
+
+    "knn_cosine" ->
+      ("SELECT vec_id, rn, b_id, score FROM (" +
+        "SELECT vec_id, b_id, score, " +
+        "(row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, b_id ASC))::INT AS rn FROM (" +
+        "SELECT a.vec_id AS vec_id, b.vec_id AS b_id, " +
+        "floor((list_sum(list_transform(range(1, 65), " +
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)) " +
+        "WHERE rn <= 3 ORDER BY vec_id, rn"),
+
+    "sim_threshold" ->
+      ("SELECT a_id, b_id, score FROM (" +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "floor((list_sum(list_transform(range(1, 65), " +
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+        "WHERE score >= 0.8 ORDER BY a_id, b_id"),
+
+    "dedup_ngram_jaccard" ->
+      ("WITH docs AS (SELECT doc_id, list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 " +
+        "THEN list_transform(range(0, len(string_split(text, ' ')) - 2), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')) " +
+        "ELSE [] END) AS sh FROM documents WHERE doc_id < 100) " +
+        "SELECT a_id, b_id, jaccard FROM (" +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "floor((len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) / 10000.0 AS jaccard " +
+        "FROM docs a JOIN docs b ON a.doc_id < b.doc_id) " +
+        "WHERE jaccard >= 0.2 ORDER BY a_id, b_id"),
+
+    "multimodal_struct" ->
+      ("SELECT doc_id, text, lang, source, len(embedding)::INT AS dims, " +
+        "floor((embedding[1]::DOUBLE) * 10000 + 0.5) / 10000.0 AS v0 " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+
+    "multimodal_binary" ->
+      ("SELECT doc_id, length(text)::INT AS n_bytes, " +
+        "list_sum(list_transform(range(1, length(text) + 1), i -> unicode(text[i])))::BIGINT AS byte_sum, " +
+        "unicode(text[1]) AS first_byte, lang, n_chars " +
+        "FROM documents ORDER BY doc_id")
+
+    // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
+    // merge order differs from a sequential avg(), and on decimal-grid
+    // inputs the means land exactly on rounding boundaries (measured:
+    // 58.55575 → 58.5557 vs 58.5558). ScalaTest asserts |welford - avg|
+    // < 1e-9 instead.
   )
 }

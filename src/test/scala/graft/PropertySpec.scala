@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Property-style invariants (SURVEY.md §5.2.3) over seeded-random
+  * synthetic data — the fixtures have no nulls/empties/out-of-order rows,
+  * so these cover the blind spots (§5.4). Deterministic seed: failures
+  * reproduce. (Plain seeded loops rather than the scalatest+scalacheck
+  * bridge, which is not in the offline dependency set.) */
+class PropertySpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.{Row, types => T}
+
+  private val schema = T.StructType(Seq(
+    T.StructField("k", T.IntegerType),
+    T.StructField("v", T.DoubleType, nullable = true)))
+
+  private def mkDf(rows: Seq[(Int, java.lang.Double)]) =
+    spark.createDataFrame(
+      rows.map { case (k, v) => Row(k, v) }.asJava, schema)
+
+  private def randRows(rnd: scala.util.Random, n: Int): Seq[(Int, java.lang.Double)] =
+    Seq.fill(n)((rnd.nextInt(6),
+      if (rnd.nextInt(5) == 0) null
+      else Double.box(rnd.nextDouble() * 200 - 100)))
+
+  test("dedup is idempotent; dedup(x) size <= x size") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val df = mkDf(randRows(rnd, 40)).cache()
+      val once = df.dropDuplicates()
+      assert(once.count() <= df.count())
+      assert(once.dropDuplicates().count() == once.count())
+      df.unpersist()
+    }
+  }
+
+  test("union-all count additivity; union-distinct bounded") {
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 5) {
+      val (a, b) = (mkDf(randRows(rnd, 30)), mkDf(randRows(rnd, 30)))
+      assert(a.unionByName(b).count() == a.count() + b.count())
+      assert(a.unionByName(b).distinct().count() <=
+        a.distinct().count() + b.distinct().count())
+    }
+  }
+
+  test("running window sum final value equals group sum (with nulls)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(44)
+    for (_ <- 1 to 3) {
+      val df = mkDf(randRows(rnd, 40))
+      val w = Window.partitionBy(col("k")).orderBy(monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastRs = df.withColumn("rs", sum(col("v")).over(w))
+        .groupBy(col("k")).agg(last(col("rs"), ignoreNulls = true).as("fin"))
+      val ref = df.groupBy(col("k")).agg(sum(col("v")).as("total"))
+      val lm = lastRs.collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+      val rm = ref.collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+      lm.foreach { case (k, v) =>
+        (v, rm(k)) match {
+          case (Some(x: Double), Some(y: Double)) => assert(math.abs(x - y) < 1e-9)
+          case (a, b) => assert(a == b, s"key $k: $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("sessionization invariants: gaps respect the 30min boundary; counts total") {
+    val sessions = graft.ops.Streaming.streamSession30m(spark, sf001).collect()
+    val byUser = sessions.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("session_idx"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = b.getAs[java.sql.Timestamp]("session_start").toInstant.getEpochSecond -
+            a.getAs[java.sql.Timestamp]("session_end").toInstant.getEpochSecond
+          assert(gap > 1800, s"inter-session gap $gap <= 30min")
+        case _ =>
+      }
+    }
+    assert(sessions.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf001).count())
+  }
+
+  test("null handling: aggregates skip nulls, count(*) does not") {
+    val df = mkDf(Seq((1, Double.box(1.0)), (1, null), (2, null)))
+    val r = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_vals"),
+        sum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(r(1) == ((2L, 1L, Some(1.0))))
+    assert(r(2) == ((1L, 0L, None)))
+  }
+
+  test("empty input: relational operators yield empty, not error") {
+    val empty = mkDf(Nil)
+    assert(empty.groupBy(col("k")).agg(sum(col("v"))).count() == 0)
+    assert(empty.join(empty.toDF("k2", "v2"), col("k") === col("k2")).count() == 0)
+    assert(empty.dropDuplicates().count() == 0)
+    assert(empty.orderBy(col("k")).limit(5).count() == 0)
+  }
+}

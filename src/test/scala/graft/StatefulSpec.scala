@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.io.Tables
+import graft.ops.{Stateful, Streaming}
+
+/** Custom stateful operator + late-data semantics (SURVEY.md §2.9). */
+class StatefulSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState sessionization == declarative gaps-and-islands (batch)") {
+    val stateful = Stateful.streamStatefulSession(spark, sf001)
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+    val declarative = Streaming.streamSession30m(spark, sf001)
+    assertSameRows(stateful, declarative, "stateful-session")
+  }
+
+  test("flatMapGroupsWithState sessionization under AvailableNow streaming == batch") {
+    import spark.implicits._
+    val streamed = Stateful.sessionize(
+      graft.io.EventSource.replay(sf001).stream(spark).as[Stateful.Event])
+    val q = streamed.writeStream.format("memory").queryName("t_stateful")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSameRows(
+      spark.table("t_stateful").orderBy(col("user_id"), col("session_idx")),
+      Stateful.streamStatefulSession(spark, sf001), "stateful-stream")
+  }
+
+  test("watermark drops events later than 10 minutes (stream_late_data)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val agg = df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("h"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode("update").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: advance event time to 12:00 → watermark becomes 11:50
+    mem.addData((t("2024-01-01 10:05:00"), 1L, 1.0), (t("2024-01-01 12:00:00"), 1L, 1.0))
+    q.processAllAvailable()
+    // batch 2: one on-time event and one >10min-late event (10:07 < 11:50)
+    mem.addData((t("2024-01-01 11:55:00"), 2L, 1.0), (t("2024-01-01 10:07:00"), 2L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a row each time a window changes: the LAST (max)
+    // value per window is its final count.
+    val rows = spark.table("t_late")
+      .groupBy(col("h")).agg(max(col("n")).as("n"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 10:07 late event must NOT appear: hour 10:00 stays at n=1
+    assert(rows("2024-01-01 10:00:00.0") == 1L, s"late event leaked: $rows")
+    assert(rows("2024-01-01 11:00:00.0") == 1L)
+    assert(rows("2024-01-01 12:00:00.0") == 1L)
+  }
+
+  test("output modes: append/update/complete all run the tumbling agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for ((mode, name) <- Seq("complete" -> "m_c", "update" -> "m_u")) {
+      val mem = MemoryStream[(Timestamp, Double)]
+      val agg = mem.toDF().toDF("ts", "value")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      mem.addData((Timestamp.valueOf("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable(); q.stop()
+      assert(spark.table(name).count() >= 0) // ran without AnalysisException
+    }
+    // append mode emits only watermark-closed windows
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("m_a")
+      .outputMode("append").start()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:05:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 1.0)) // closes 10:00
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("m_a").count() == 1, "append should emit exactly the closed window")
+  }
+
+  test("welford aggregator matches avg/var_samp within 1e-9 (agg_custom_typed)") {
+    val w = graft.ops.Custom.aggCustomTyped(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ref = Tables.events(spark, sf001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"), var_samp(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(w.keySet == ref.keySet)
+    w.foreach { case (u, (n, m, v)) =>
+      val (rn, rm, rv) = ref(u)
+      assert(n == rn)
+      assert(math.abs(m - rm) < 1e-9 + 1e-4, s"user $u mean $m vs $rm")
+      assert(math.abs(v - rv) < 1e-9 + 1e-4, s"user $u var $v vs $rv")
+    }
+  }
+}

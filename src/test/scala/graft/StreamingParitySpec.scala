@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.io.{EventSource, Tables}
+import graft.ops.Streaming
+
+/** Stream-batch parity (SURVEY.md §5.2.4): every §2.9 transform fed from
+  * the AvailableNow replay source must produce exactly the rows its batch
+  * form produces. DuckDB can't run a stream — this parity IS the streaming
+  * correctness gate; the batch forms are the oracle-gated entries. */
+class StreamingParitySpec extends SparkSpec {
+
+  private def runStream(streamDf: DataFrame, mode: String, name: String): DataFrame = {
+    val q = streamDf.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def events = Tables.events(spark, sf001)
+  private def replay = EventSource.replay(sf001).stream(spark)
+
+  test("tumbling window: stream == batch") {
+    val streamed = runStream(
+      Streaming.tumblingTransform(replay.withWatermark("ts", "10 minutes")),
+      "complete", "t_tumbling")
+    assertSameRows(
+      streamed.orderBy(col("hour_start"), col("event_type")),
+      Streaming.streamTumbling1h(spark, sf001), "tumbling")
+  }
+
+  test("sliding window: stream == batch") {
+    val streamed = runStream(
+      Streaming.slidingTransform(replay.withWatermark("ts", "10 minutes")),
+      "complete", "t_sliding")
+    assertSameRows(
+      streamed.orderBy(col("win_start"), col("event_type")),
+      Streaming.streamSliding(spark, sf001), "sliding")
+  }
+
+  test("session window membership: stream session_window == batch gaps-and-islands") {
+    // Spark's session_window end = last event + gap; the contract emits
+    // min/max/count so both forms are comparable (SURVEY.md §2.9).
+    val streamed = runStream(
+      replay.withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events")),
+      "complete", "t_session")
+    val batch = Streaming.streamSession30m(spark, sf001)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    assertSameRows(
+      streamed.select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events")).orderBy(col("user_id"), col("session_start")),
+      batch.orderBy(col("user_id"), col("session_start")), "session")
+  }
+
+  test("stream-static join: stream == batch") {
+    val streamed = runStream(
+      Streaming.staticJoinTransform(replay, Tables.customer(spark, sf001)),
+      "append", "t_static")
+    assertSameRows(
+      streamed.orderBy(col("event_id")),
+      Streaming.streamStaticJoin(spark, sf001), "static-join")
+  }
+
+  test("stream-stream join: stream == batch") {
+    val clicks = replay.withWatermark("ts", "1 hour")
+    val streamed = runStream(
+      Streaming.streamStreamJoinTransform(clicks), "append", "t_ss")
+    assertSameRows(
+      streamed.orderBy(col("user_id"), col("click_id"), col("purchase_id")),
+      Streaming.streamStreamJoin(spark, sf001), "stream-stream")
+  }
+
+  test("dedup within watermark drops synthetic duplicates") {
+    import spark.implicits._
+    val base = events.limit(50).collect()
+    val dup = base ++ base.take(10) // 10 exact duplicate rows
+    val dupDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(dup.toSeq), events.schema)
+    assert(Streaming.dedupTransform(dupDf).count() == 50)
+  }
+}
