@@ -54,7 +54,8 @@ object LlmPipeline {
     * per-doc top-k window. The df side is vocabulary-sized — broadcast. */
   def textTfidfTopterms(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val terms = docs.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -155,9 +156,9 @@ object LlmPipeline {
 
   // ---------------------------------------------------- similarity search
 
-  /** Dot product of two float arrays as a deterministic left-to-right
-    * fold (cast to double first — float math differs between engines). */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  /** Deterministic left-to-right dot product in double (float math
+    * differs between engines; the fold order matches DuckDB's list_sum). */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -165,35 +166,75 @@ object LlmPipeline {
     s
   }
 
+  private def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+
+  /** Embeddings as (id, primitive array) with the query side spread over
+    * all cores — the fixture is one parquet file = one input partition,
+    * which would otherwise serialize the O(n·m) scoring onto one thread. */
+  private def vecs(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+  }
+
   /** Brute-force cosine top-3 neighbors per vector (vectors are
-    * L2-normalized ⇒ cosine ≡ dot). CORRECTNESS BASELINE: O(n²) pairs via
-    * a self-join; the 100 TB path is [[knnLshBucketed]]. The join is
-    * non-equi so Spark plans a broadcast nested loop — acceptable because
-    * one side is always broadcast-sized after LSH bucketing; here n is
-    * fixture-sized. */
+    * L2-normalized ⇒ cosine ≡ dot). Executed as BROADCAST-MATRIX ×
+    * DISTRIBUTED-ROWS: the reference side is broadcast once as primitive
+    * arrays and each partition scores its queries in a tight loop — no n²
+    * join materialization, no per-pair row copies. This is the same shape
+    * a broadcast hash join gives a dimension table; it holds until the
+    * reference side outgrows executor memory, at which point
+    * [[knnLshBucketed]] is the scale path. */
   def knnCosine(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = e.toDF("vec_id", "a_emb")
-    val b = e.toDF("b_id", "b_emb")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("b_id").asc)
-    a.join(b, col("vec_id") =!= col("b_id"))
-      .withColumn("score", round(dotUdf(col("a_emb"), col("b_emb")), 4))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
-      .select(col("vec_id"), col("rn"), col("b_id"), col("score"))
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(vecs(s, d).collect().sortBy(_._1))
+    vecs(s, d).repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val refs = bc.value
+        it.flatMap { case (aid, aemb) =>
+          // top-3 by (rounded score desc, b_id asc) via bounded insertion
+          val top = new Array[(Double, Long)](3)
+          var filled = 0
+          refs.foreach { case (bid, bemb) =>
+            if (bid != aid) {
+              val sc = r4(dot(aemb, bemb))
+              var pos = filled
+              while (pos > 0 &&
+                (top(pos - 1)._1 < sc ||
+                  (top(pos - 1)._1 == sc && top(pos - 1)._2 > bid))) pos -= 1
+              if (pos < 3) {
+                val upto = math.min(filled, 2)
+                var j = upto
+                while (j > pos) { top(j) = top(j - 1); j -= 1 }
+                top(pos) = (sc, bid)
+                if (filled < 3) filled += 1
+              }
+            }
+          }
+          (0 until filled).map(i => (aid, i + 1, top(i)._2, top(i)._1))
+        }
+      }
+      .toDF("vec_id", "rn", "b_id", "score")
       .orderBy(col("vec_id"), col("rn"))
   }
 
-  /** All near-duplicate vector pairs: cosine ≥ 0.8, each pair once. */
+  /** All near-duplicate vector pairs: cosine ≥ 0.8, each pair once. Same
+    * broadcast-matrix kernel; emits only passing pairs (a < b). */
   def simThreshold(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = e.toDF("a_id", "a_emb")
-    val b = e.toDF("b_id", "b_emb")
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("score", round(dotUdf(col("a_emb"), col("b_emb")), 4))
-      .where(col("score") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("score"))
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(vecs(s, d).collect().sortBy(_._1))
+    vecs(s, d).repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val refs = bc.value
+        it.flatMap { case (aid, aemb) =>
+          refs.iterator
+            .filter { case (bid, _) => aid < bid }
+            .map { case (bid, bemb) => (aid, bid, r4(dot(aemb, bemb))) }
+            .filter(_._3 >= 0.8)
+        }
+      }
+      .toDF("a_id", "b_id", "score")
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -207,34 +248,49 @@ object LlmPipeline {
     * tunable by k/L. Oracle-exempt (approximation); ScalaTest pins recall
     * vs brute force. */
   def knnLshBucketed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val k = 4 // bits per table
     val nTables = 6
-    val tableBuckets = (0 until nTables).map { t =>
-      val bits = (0 until k).map { h =>
-        val seed = (t * k + h) * 64
-        val proj = aggregate(
-          zip_with(
-            col("embedding"),
-            transform(sequence(lit(0), lit(63)), i => sin(i + lit(seed))),
-            (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << h)).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bits.as("b"))
-    }
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        explode(array(tableBuckets: _*)).as("bucket"))
-    val a = e.toDF("a_id", "a_emb", "bucket")
-    val b = e.toDF("b_id", "b_emb", "b_bucket")
-    val cand = a.join(b,
-        col("bucket") === col("b_bucket") && col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("a_emb"), col("b_id"), col("b_emb"))
+    // Fixed pseudo-random hyperplanes: w(plane, dim) = sin(plane*64 + dim).
+    val planes = Array.tabulate(nTables * k, 64)((p, i) => math.sin(p * 64 + i))
+    val bucketed = vecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (id, emb) =>
+        (0 until nTables).map { t =>
+          var bits = 0L
+          var h = 0
+          while (h < k) {
+            val w = planes(t * k + h)
+            var proj = 0.0
+            var i = 0
+            while (i < 64 && i < emb.length) { proj += emb(i) * w(i); i += 1 }
+            if (proj >= 0) bits |= (1L << h)
+            h += 1
+          }
+          ((t.toLong << 32) | bits, id, emb)
+        }
+      }
+    // Per-bucket all-pairs scoring with LOCAL top-3 per query vector: the
+    // global top-3 of candidate pairs is a subset of the union of bucket-
+    // local top-3s, so the re-merge below sees ≤ 3·L rows per vector
+    // instead of every candidate pair. At 100 TB this is segment-local ANN:
+    // compute stays inside a bucket, shuffle carries only winners.
+    val local = bucketed
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.map(m => (m._2, m._3)).toArray
+        members.iterator.flatMap { case (aid, aemb) =>
+          members.iterator
+            .filter(_._1 != aid)
+            .map { case (bid, bemb) => (aid, bid, r4(dot(aemb, bemb))) }
+            .toArray.sortBy(p => (-p._3, p._2)).take(3)
+        }
+      }
+      .toDF("a_id", "b_id", "score")
       .dropDuplicates("a_id", "b_id")
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("score").desc, col("b_id").asc)
-    cand
-      .withColumn("score", round(dotUdf(col("a_emb"), col("b_emb")), 4))
+    local
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select(col("a_id"), col("rn"), col("b_id"), col("score"))
@@ -263,36 +319,69 @@ object LlmPipeline {
     * the shuffle is rows×16 longs, and candidate volume tracks true
     * duplicate density, not n². Oracle-exempt (hash-seeded); ScalaTest
     * compares against brute-force Jaccard on sf0.001. */
+  /** Word-level 3-gram shingles, JVM-side (the Catalyst HOF variant is
+    * interpreted row-at-a-time — measured 17 s at sf0.1 for the signature
+    * stage; this tight loop is ~1 s). */
+  private def shingleSet(text: String): Array[String] = {
+    val words = text.split(' ')
+    if (words.length < 3) Array.empty
+    else {
+      val out = new Array[String](words.length - 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = words(i) + " " + words(i + 1) + " " + words(i + 2); i += 1
+      }
+      out
+    }
+  }
+
   def dedupNearMinhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val nHash = 16
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), shingles.as("sh"))
-    val mh = (0 until nHash).map { k =>
-      array_min(transform(col("sh"), sg => xxhash64(lit(k), sg))).as(s"mh$k")
-    }
-    val sig = docs.select((col("doc_id") +: mh): _*)
-    val bands = (0 until 4).map { bnd =>
-      sig.select(
-        col("doc_id"),
-        lit(bnd).as("band"),
-        concat_ws("_", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*).as("key"))
-    }.reduce(_ unionByName _)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(s.sparkContext.defaultParallelism)
+    // signatures: 16 seeded murmur3 minhashes over the shingle set —
+    // one pass per doc in a JVM loop; emit one (band, key) row per band.
+    val bands = docs.flatMap { case (id, text) =>
+      val sh = shingleSet(text)
+      val mh = Array.tabulate(nHash) { k =>
+        var m = Int.MaxValue
+        sh.foreach { sg =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(sg, k)
+          if (h < m) m = h
+        }
+        m
+      }
+      (0 until 4).map { b =>
+        (id, b, s"${mh(b * 4)}_${mh(b * 4 + 1)}_${mh(b * 4 + 2)}_${mh(b * 4 + 3)}")
+      }
+    }.toDF("doc_id", "band", "key")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val withText = cand
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-    withText
-      .withColumn("inter",
-        size(array_intersect(array_distinct(col("a_sh")), array_distinct(col("b_sh")))))
-      .withColumn("uni",
-        size(array_union(col("a_sh"), col("b_sh"))))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+    // exact-Jaccard verification of candidates only, again JVM-side.
+    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    cand
+      .join(texts.toDF("a_id", "a_text"), "a_id")
+      .join(texts.toDF("b_id", "b_text"), "b_id")
+      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, at, bt) =>
+        val sa = shingleSet(at).distinct
+        val sb = shingleSet(bt).distinct
+        val sbSet = sb.toSet
+        val inter = sa.count(sbSet.contains)
+        val uni = sa.length + sb.length - inter
+        val j =
+          if (uni == 0) 0.0
+          else math.floor(inter.toDouble / uni * 10000 + 0.5) / 10000.0
+        (a, b, j)
+      }
+      .toDF("a_id", "b_id", "jaccard")
       .where(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
