@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import graft.ops.{LlmPipeline, Relational}
+
+/** Physical-plan assertions (the 100 TB story, SURVEY.md §4): these pin
+  * the plan SHAPE — pushdown reached the scan, small dims broadcast, the
+  * global top-k never runs a full sort, codegen fused the hot path. A
+  * regression here is a silent 100× at scale even while answers stay
+  * correct, so it's tested like correctness. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe: QueryExecution = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("scan_pruned pushes the shipdate filter and prunes to 3 columns") {
+    val plan = formatted(Relational.scanPruned(spark, sf001))
+    assert(plan.contains("PushedFilters:") &&
+      plan.matches("(?s).*PushedFilters: \\[IsNotNull\\(l_shipdate\\), GreaterThanOrEqual\\(l_shipdate.*"),
+      s"no pushed filter in:\n$plan")
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && !readSchema.contains("l_extendedprice"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("join_broadcast plans BroadcastHashJoin for both dims, no shuffle of the fact side") {
+    val plan = physical(Relational.joinBroadcast(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$plan")
+  }
+
+  test("join_shuffledhash honors the SHUFFLE_HASH hint") {
+    val plan = physical(Relational.joinShuffledhash(spark, sf001))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("topk_global uses TakeOrderedAndProject (no global sort)") {
+    val plan = physical(Relational.topkGlobal(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("join_theta_range keeps the user_id equi-conjunct as the join key (hash, not NL)") {
+    val plan = physical(Relational.joinThetaRange(spark, sf001))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"range join fell back to nested loop:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n$plan")
+  }
+
+  test("agg_pricing_summary runs inside WholeStageCodegen with partial aggregation") {
+    val pre = physical(Relational.aggPricingSummary(spark, sf001))
+    // partial + final: two HashAggregate nodes around the key exchange
+    assert("HashAggregate".r.findAllIn(pre).length >= 2, pre)
+    assert(pre.contains("partial_sum"), pre)
+    // codegen spans print as "*(n)" stage markers in treeString; AQE only
+    // renders them in the final plan, so execute first.
+    val df = Relational.aggPricingSummary(spark, sf001)
+    df.collect()
+    val post = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(post).isDefined,
+      s"no WholeStageCodegen stage markers in:\n$post")
+  }
+
+  test("join_semi / join_anti plan as semi/anti joins, not row-multiplying inner joins") {
+    assert(physical(Relational.joinSemi(spark, sf001)).contains("LeftSemi"))
+    assert(physical(Relational.joinAnti(spark, sf001)).contains("LeftAnti"))
+  }
+
+  test("dedup_exact_sha shuffles digests, not documents (pre-shuffle partial agg)") {
+    val plan = physical(LlmPipeline.dedupExactSha(spark, sf001))
+    // partial HashAggregate before the exchange keyed on the digest
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Exchange hashpartitioning(digest"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(text"), plan)
+  }
+}

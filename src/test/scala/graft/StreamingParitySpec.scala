@@ -79,6 +79,22 @@ class StreamingParitySpec extends SparkSpec {
       Streaming.streamStreamJoin(spark, sf001), "stream-stream")
   }
 
+  test("foreachBatch bridges the stream to a batch parquet sink (sink_foreachbatch)") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val q = replay
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(s"$outDir/events")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val written = spark.read.parquet(s"$outDir/events")
+    assert(written.count() == events.count(), "foreachBatch lost rows")
+    assert(written.columns.contains("batch_id"))
+  }
+
   test("dedup within watermark drops synthetic duplicates") {
     import spark.implicits._
     val base = events.limit(50).collect()
