@@ -100,8 +100,11 @@ object SparkEntry {
     "text_fingerprint" -> (LlmPipeline.textFingerprint _),
     "multimodal_struct" -> (LlmPipeline.multimodalStruct _),
     "multimodal_binary" -> (LlmPipeline.multimodalBinary _),
-    // §2.4/§2.11 custom typed aggregation
-    "agg_custom_typed" -> (Custom.aggCustomTyped _)
+    // §2.4/§2.11 custom typed aggregation + custom Catalyst surface
+    "agg_custom_typed" -> (Custom.aggCustomTyped _),
+    "agg_hll_custom" -> (Custom.aggHllCustom _),
+    "fn_vector_native" -> (Functions.fnVectorNative _),
+    "join_skew_salted" -> (Relational.joinSkewSalted _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

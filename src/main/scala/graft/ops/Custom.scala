@@ -43,6 +43,16 @@ object Custom {
     def outputEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
   }
 
+  /** Custom HLL sketch (TypedImperativeAggregate) per event_type —
+    * oracle-exempt (sketch); ScalaTest asserts ±5% of exact. */
+  def aggHllCustom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HllSketch.register(s)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_hll", col("user_id")).as("hll_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-user Welford mean + sample variance over event values. The
     * oracle pairs it with avg/var_samp — mathematically identical;
     * floating summation order differs, absorbed by 4 dp rounding. */

@@ -164,6 +164,23 @@ object Functions {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Native-Expression surface: the same vector math as fn_array's
+    * norm_sq/dot_rev but through [[graft.functions.DotProduct]] — a
+    * codegen'd Catalyst expression (SQL name graft_dot), demonstrating the
+    * custom-operator rung above UDFs. Oracle-gated: identical fold order
+    * to DuckDB list_sum. */
+  def fnVectorNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        round(call_function("graft_dot", col("embedding"), col("embedding")), 4)
+          .as("norm_sq"),
+        round(call_function("graft_dot", col("embedding"), reverse(col("embedding"))), 4)
+          .as("dot_rev"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Generator/UDTF surface (§2.11): explode a computed array — one input
     * row → N rows (words of the doc text). */
   def udtfExplode(s: SparkSession, d: String): DataFrame =

@@ -188,6 +188,31 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** Skew-mitigated join (salting): the fact side keys on event_type — 5
+    * values, maximal skew; a plain shuffle join lands 1/5 of the table on
+    * single reducers. The dim side is replicated ×16 with an explicit salt
+    * and the fact salts deterministically, so partitioning becomes
+    * (key, salt) — 80 evenly-loaded partitions instead of 5 hot ones.
+    * Results are identical to the unsalted join (the oracle runs the plain
+    * form). At 100 TB this is the manual fallback when AQE skew-join
+    * splitting can't apply (e.g. aggregations keyed on the skewed column).
+    */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val salts = 16
+    val e = Tables.events(s, d)
+    val dim = e.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("avg_value"))
+    val saltedDim = dim.withColumn(
+      "salt", explode(array((0 until salts).map(lit): _*)))
+    val saltedFact = e.withColumn(
+      "salt", pmod(col("event_id"), lit(salts.toLong)).cast("int"))
+    saltedFact.hint("SHUFFLE_HASH")
+      .join(saltedDim, Seq("event_type", "salt"))
+      .select(col("event_id"), col("event_type"),
+        round(col("avg_value"), 4).as("type_avg"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- §2.4 aggs
 
   /** Flagship: TPC-H Q1 shape over lineitem (FIXTURES.md template). */

@@ -481,6 +481,20 @@ object OracleSql {
         "floor((embedding[1]::DOUBLE) * 10000 + 0.5) / 10000.0 AS v0 " +
         "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
 
+    "fn_vector_native" ->
+      ("SELECT vec_id, " +
+        "floor((list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) * 10000 + 0.5) / 10000.0 AS norm_sq, " +
+        "floor((list_sum(list_transform(range(1, 65), " +
+        "i -> embedding[i]::DOUBLE * embedding[65 - i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS dot_rev " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    "join_skew_salted" ->
+      ("SELECT e.event_id, e.event_type, " +
+        "floor((t.avg_value) * 10000 + 0.5) / 10000.0 AS type_avg " +
+        "FROM events e JOIN (SELECT event_type, avg(value) AS avg_value " +
+        "FROM events GROUP BY event_type) t ON e.event_type = t.event_type " +
+        "ORDER BY e.event_id"),
+
     "multimodal_binary" ->
       ("SELECT doc_id, length(text)::INT AS n_bytes, " +
         "list_sum(list_transform(range(1, length(text) + 1), i -> unicode(text[i])))::BIGINT AS byte_sum, " +

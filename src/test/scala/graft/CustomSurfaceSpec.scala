@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Custom, Functions, Relational}
+
+/** Custom Catalyst surface (codegen Expression, TypedImperativeAggregate)
+  * and cluster-layout techniques (bucketing, partition pruning, salting). */
+class CustomSurfaceSpec extends SparkSpec {
+
+  test("graft_hll (TypedImperativeAggregate) within 5% of exact distinct") {
+    val approx = Custom.aggHllCustom(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf01).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"$k: hll ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("graft_dot native expression equals the HOF fold bit-for-bit") {
+    graft.functions.DotProduct.register(spark)
+    val native = Functions.fnVectorNative(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val hof = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("n2"),
+        aggregate(zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("dr"))
+      .collect()
+      .map { r =>
+        def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+        r.getLong(0) -> ((r4(r.getDouble(1)), r4(r.getDouble(2))))
+      }.toMap
+    assert(native == hof)
+  }
+
+  test("graft_dot runs inside codegen (no UDF nodes in plan)") {
+    val df = Functions.fnVectorNative(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"native expression degraded to UDF:\n$plan")
+  }
+
+  test("join_skew_salted shuffles on (event_type, salt), not event_type alone") {
+    val plan = Relational.joinSkewSalted(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(event_type") && plan.contains("salt"),
+      s"salted partitioning missing:\n$plan")
+  }
+
+  test("bucketed tables join without a shuffle (co-located storage join)") {
+    // A fresh metastore doesn't know about tables from a prior JVM, so
+    // mode("overwrite") can't clear their leftover warehouse dirs — drop
+    // both namespaces explicitly.
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Tables.lineitem(spark, sf001)
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf001)
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    // MERGE hint pins SortMergeJoin (fixture dims would auto-broadcast and
+    // hide the layout effect); bucket co-location must then satisfy the
+    // join's distribution requirement with NO exchange on either side.
+    val joined = spark.table("li_bucketed").hint("MERGE")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true") &&
+      plan.contains("SelectedBucketsCount: 8 out of 8"),
+      s"scan not bucket-aware:\n$plan")
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+      && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles:\n$plan")
+    val unbucketed = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+    // sanity: identical results either way
+    assertSameRows(joined.orderBy(col("o_orderstatus")),
+      unbucketed.orderBy(col("o_orderstatus")), "bucketed-vs-plain")
+  }
+
+  test("partitioned writes prune partitions at scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf001)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val oneDay = spark.read.parquet(dir)
+      .where(col("day") === lit("2024-01-03").cast("date"))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"no partition filter pushed:\n$plan")
+    val total = spark.read.parquet(dir).count()
+    assert(oneDay.count() < total)
+  }
+}
