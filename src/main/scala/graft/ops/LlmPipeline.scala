@@ -49,16 +49,19 @@ object LlmPipeline {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("word"))
 
-  /** TF-IDF with top-5 terms per document. Two aggregations + a join:
-    * tf per (doc, term), df per term, idf = ln((N+1)/(df+1)), then a
-    * per-doc top-k window. The df side is vocabulary-sized — broadcast. */
+  /** TF-IDF with top-5 terms per document. One exploded aggregation feeds
+    * both sides: tf per (doc, term); df per term is derived FROM tf
+    * (count of docs per term), so the expensive explode+shuffle happens
+    * once and Catalyst reuses the tf exchange for the df branch
+    * (ReusedExchange) instead of re-exploding and running a separate
+    * distinct. idf = ln((N+1)/(df+1)), then a per-doc top-k window. The
+    * df side is vocabulary-sized — broadcast. */
   def textTfidfTopterms(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.count() // table row count: one cheap job, constant result
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
@@ -287,13 +290,23 @@ object LlmPipeline {
         }
       }
       .toDF("a_id", "b_id", "score")
-      .dropDuplicates("a_id", "b_id")
-    val w = Window.partitionBy(col("a_id"))
-      .orderBy(col("score").desc, col("b_id").asc)
+    // Merge bucket-local winners in ONE shuffle: per query vector, collect
+    // the ≤3·L candidates, dedup pairs seen in several tables (same pair ⇒
+    // identical rounded score ⇒ exact struct duplicate), sort by
+    // (score desc, b_id asc) via a negated sort key, keep 3. Replaces the
+    // dropDuplicates + window pair of shuffles — at 100 TB the merge state
+    // is O(L·k) per vector, independent of bucket occupancy.
     local
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
-      .select(col("a_id"), col("rn"), col("b_id"), col("score"))
+      .groupBy(col("a_id"))
+      .agg(slice(array_sort(array_distinct(collect_list(
+        struct(negate(col("score")).as("nscore"), col("b_id"))))), 1, 3)
+        .as("top"))
+      .select(col("a_id"), posexplode(col("top")))
+      .select(
+        col("a_id"),
+        (col("pos") + 1).as("rn"),
+        col("col.b_id").as("b_id"),
+        negate(col("col.nscore")).as("score"))
       .orderBy(col("a_id"), col("rn"))
   }
 
