@@ -103,6 +103,7 @@ object SparkEntry {
     // §2.4/§2.11 custom typed aggregation + custom Catalyst surface
     "agg_custom_typed" -> (Custom.aggCustomTyped _),
     "agg_hll_custom" -> (Custom.aggHllCustom _),
+    "join_asof_native" -> (Relational.joinAsofNative _),
     "fn_vector_native" -> (Functions.fnVectorNative _),
     "join_skew_salted" -> (Relational.joinSkewSalted _)
   )

@@ -188,6 +188,24 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** Same as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]] — custom LogicalPlan/Strategy/SparkPlan):
+    * one shuffle per side and an O(n+m) per-partition merge with one
+    * buffered row, instead of the join+window form's materialized
+    * (purchase × earlier-click) candidate set. Oracle-gated with the same
+    * SQL as join_asof — a hash-matched custom physical operator. */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asof(p, c,
+        by = ("user_id", "c_user"), on = ("p_ts", "c_ts"), tie = ("purchase_id", "click_id"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Skew-mitigated join (salting): the fact side keys on event_type — 5
     * values, maximal skew; a plain shuffle join lands 1/5 of the table on
     * single reducers. The dim side is replicated ×16 with an explicit salt

@@ -97,6 +97,19 @@ class CustomSurfaceSpec extends SparkSpec {
       unbucketed.orderBy(col("o_orderstatus")), "bucketed-vs-plain")
   }
 
+  test("native as-of join: AsOfJoinExec in plan, rows equal the window form") {
+    val native = Relational.joinAsofNative(spark, sf001)
+    val plan = native.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix when printing
+    assert(plan.contains("AsOfJoin"), s"strategy not applied:\n$plan")
+    // the declarative form materializes candidates then windows; the native
+    // operator must produce the identical row set
+    assertSameRows(native, Relational.joinAsof(spark, sf001), "asof-native-vs-window")
+    // and again at sf0.01 (more users per partition exercise merge resets)
+    assertSameRows(Relational.joinAsofNative(spark, sf01),
+      Relational.joinAsof(spark, sf01), "asof-native-vs-window-sf01")
+  }
+
   test("partitioned writes prune partitions at scan (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf001)
