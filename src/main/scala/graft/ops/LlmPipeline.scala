@@ -49,23 +49,23 @@ object LlmPipeline {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("word"))
 
-  /** TF-IDF with top-5 terms per document. One exploded aggregation feeds
-    * both sides: tf per (doc, term); df per term is derived FROM tf
-    * (count of docs per term), so the expensive explode+shuffle happens
-    * once and Catalyst reuses the tf exchange for the df branch
-    * (ReusedExchange) instead of re-exploding and running a separate
-    * distinct. idf = ln((N+1)/(df+1)), then a per-doc top-k window. The
-    * df side is vocabulary-sized — broadcast. */
+  /** TF-IDF with top-3 terms per document, single-pass: tf per (doc, term)
+    * by one exploded aggregation; df per term as a window count OVER the tf
+    * rows (tf is unique per (doc, term), so count-per-term ≡ document
+    * frequency) — no second scan, no self-join, no broadcast. Plan: scan →
+    * explode → tf agg (shuffle on (doc,term)) → df window (shuffle on term)
+    * → score + top-k window (shuffle on doc) → sort. Each shuffle carries
+    * the tf rows (∝ distinct (doc, term)), never the raw token stream —
+    * the 100 TB shape. idf = ln((N+1)/(df+1)). */
   def textTfidfTopterms(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.count() // table row count: one cheap job, constant result
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("score",
         round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4))
       .withColumn("rn", row_number().over(w))
