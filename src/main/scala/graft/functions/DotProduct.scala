@@ -78,13 +78,21 @@ object DotProduct {
 
 /** Production-style registration through SparkSessionExtensions:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
-  * `graft_dot` a first-class SQL function on every session of the
-  * cluster. */
+  * every graft custom component first-class on each session of the
+  * cluster — the scalar expression (`graft_dot`), the sketch aggregate
+  * (`graft_hll`), and the as-of join planner strategy. The query builders
+  * also self-register per session, so a plain SparkSession works too. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+      (children: Seq[Expression]) =>
+        HllSketch(children.head).toAggregateExpression()))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

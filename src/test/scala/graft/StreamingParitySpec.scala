@@ -26,6 +26,37 @@ class StreamingParitySpec extends SparkSpec {
   private def events = Tables.events(spark, sf001)
   private def replay = EventSource.replay(sf001).stream(spark)
 
+  test("checkpoint recovery: restarted query resumes at the stored offset, no reprocessing") {
+    // Kinesis-resume semantics on the file-replay source: drain batch 1,
+    // stop, add data, restart with the SAME checkpoint — the second run
+    // must process only the new file and the sink must hold each event
+    // exactly once.
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    raw.where(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$in/batch1")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(EventSource.storedSchema)
+        .option("recursiveFileLookup", "true").parquet(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == raw.where(col("event_id") % 2 === 0).count())
+    raw.where(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$in/batch2")
+    runOnce()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == raw.count(), "restart reprocessed or lost rows")
+    assert(sunk.select(col("event_id")).distinct().count() == raw.count(),
+      "duplicate event_ids after checkpoint restart")
+  }
+
   test("tumbling window: stream == batch") {
     val streamed = runStream(
       Streaming.tumblingTransform(replay.withWatermark("ts", "10 minutes")),
