@@ -104,6 +104,8 @@ object SparkEntry {
     "agg_custom_typed" -> (Custom.aggCustomTyped _),
     "agg_hll_custom" -> (Custom.aggHllCustom _),
     "join_asof_native" -> (Relational.joinAsofNative _),
+    "join_range_bucketed" -> (Relational.joinRangeBucketed _),
+    "knn_ivf" -> (LlmPipeline.knnIvf _),
     "fn_vector_native" -> (Functions.fnVectorNative _),
     "join_skew_salted" -> (Relational.joinSkewSalted _)
   )

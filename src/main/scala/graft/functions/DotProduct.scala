@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Reverse}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -67,13 +69,29 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
 
-  /** Idempotent per-session registration (temp function): usable on any
-    * already-built session — the query builders call this so the driver's
-    * session needs no special construction. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent per-session registration (temp function + optimizer rule):
+    * usable on any already-built session — the query builders call this so
+    * the driver's session needs no special construction. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", (children: Seq[Expression]) => DotProduct(children(0), children(1)),
       "built-in")
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[DotReverseElimination.type]))
+      spark.experimental.extraOptimizations = cur :+ DotReverseElimination
+  }
+}
+
+/** Domain optimizer rule (the `Rule[LogicalPlan]` rung): a dot product is
+  * invariant under simultaneous reversal of both operands, so
+  * `graft_dot(reverse(a), reverse(b))` → `graft_dot(a, b)` — eliminating
+  * two per-row array materializations. Inert unless the pattern occurs;
+  * sound for any operand lengths (both folds pair index i with index i). */
+object DotReverseElimination extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProduct(Reverse(l), Reverse(r)) => DotProduct(l, r)
+    }
 }
 
 /** Production-style registration through SparkSessionExtensions:
@@ -94,5 +112,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         HllSketch(children.head).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => DotReverseElimination)
   }
 }

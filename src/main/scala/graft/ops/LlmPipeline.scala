@@ -310,6 +310,59 @@ object LlmPipeline {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside sign-LSH.
+    * A coarse quantizer of 8 centroids (deterministic: the 8 lowest
+    * vec_id vectors, broadcast) partitions the collection into cells;
+    * each vector is INDEXED in its nearest cell and each query PROBES its
+    * 3 nearest cells. Scoring happens inside a cell (flatMapGroups), so
+    * pair work drops from n² to nProbe·Σ cell², and the candidate merge is
+    * the same one-shuffle array-sort top-k as the LSH path. At 100 TB the
+    * centroids come from a sampled k-means fit and cells map to partition
+    * files — probes read only nProbe/nCells of the data. Oracle-exempt;
+    * ScalaTest pins recall vs brute force. */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nProbe = 3
+    val cents: Array[(Long, Array[Float])] =
+      vecs(s, d).filter(_._1 < 8).collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    // tag: home rows (indexed members) vs probe rows (queries)
+    val tagged = vecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (id, emb) =>
+        val cs = bc.value
+        val byDist = cs.map { case (cid, c) => (cid, dot(emb, c)) }
+          .sortBy { case (cid, sim) => (-sim, cid) }
+        (byDist.head._1, false, id, emb) +:
+          byDist.take(nProbe).map { case (cid, _) => (cid, true, id, emb) }.toSeq
+      }
+    val local = tagged
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val members = rows.filter(!_._2).map(r => (r._3, r._4))
+        rows.iterator.filter(_._2).flatMap { case (_, _, aid, aemb) =>
+          members.iterator
+            .filter(_._1 != aid)
+            .map { case (bid, bemb) => (aid, bid, r4(dot(aemb, bemb))) }
+            .toArray.sortBy(p => (-p._3, p._2)).take(3)
+        }
+      }
+      .toDF("a_id", "b_id", "score")
+    local
+      .groupBy(col("a_id"))
+      .agg(slice(array_sort(array_distinct(collect_list(
+        struct(negate(col("score")).as("nscore"), col("b_id"))))), 1, 3)
+        .as("top"))
+      .select(col("a_id"), posexplode(col("top")))
+      .select(
+        col("a_id"),
+        (col("pos") + 1).as("rn"),
+        col("col.b_id").as("b_id"),
+        negate(col("col.nscore")).as("score"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   // -------------------------------------------------------- near-dup text
 
   /** Word-level 3-gram shingles of a document (empty for <3 words —

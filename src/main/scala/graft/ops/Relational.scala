@@ -165,6 +165,34 @@ object Relational {
       .orderBy(col("user_id"), col("a_id"), col("b_id"))
   }
 
+  /** The 100 TB twin of [[joinThetaRange]]: bucketize event time into 60 s
+    * bins and make the bin part of the JOIN KEY. The probe side explodes
+    * into its two candidate bins (range (a_ts, a_ts+60] spans at most
+    * bucket(a_ts) and bucket(a_ts)+1; each b row carries one bin, so no
+    * pair can match twice), the join hashes on (user, bin), and the exact
+    * range predicate runs as a cheap residual filter. Per-key join state
+    * is one user's events inside one minute — bounded regardless of how
+    * long a user's history grows, which is what lets the same plan run as
+    * a watermarked stream-stream join. Output (and oracle) identical to
+    * joinThetaRange. */
+  def joinRangeBucketed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    def bucket(c: Column): Column = floor(unix_timestamp(c) / 60)
+    val a = e.toDF("a_id", "user_id", "a_ts", "a_type")
+      .withColumn("bin",
+        explode(array(bucket(col("a_ts")), bucket(col("a_ts")) + 1)))
+    val b = e.toDF("b_id", "b_user", "b_ts", "b_type")
+      .withColumn("b_bin", bucket(col("b_ts")))
+    a.join(b,
+        col("user_id") === col("b_user") && col("bin") === col("b_bin") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 60 SECONDS") &&
+        col("a_id") =!= col("b_id"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_type"), col("b_type"))
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+
   /** As-of join: for each purchase event, the latest click by the same user
     * at/before the purchase time. No native as-of in Spark 4.1; equi-join on
     * user + time filter + row_number()=1 compiles to ONE shuffle on the equi

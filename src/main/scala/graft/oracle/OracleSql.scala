@@ -102,6 +102,16 @@ object OracleSql {
         "AND a.event_id <> b.event_id " +
         "ORDER BY a.user_id, a_id, b_id"),
 
+    // identical semantics through the bucketized (user, time-bin) join key
+    "join_range_bucketed" ->
+      ("SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id, " +
+        "a.event_type AS a_type, b.event_type AS b_type " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND date_trunc('microseconds', b.ts) > date_trunc('microseconds', a.ts) " +
+        "AND date_trunc('microseconds', b.ts) <= date_trunc('microseconds', a.ts) + INTERVAL 60 SECOND " +
+        "AND a.event_id <> b.event_id " +
+        "ORDER BY a.user_id, a_id, b_id"),
+
     "join_asof" ->
       ("SELECT purchase_id, user_id, click_id FROM (" +
         "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, " +

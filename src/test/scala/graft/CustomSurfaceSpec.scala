@@ -110,6 +110,27 @@ class CustomSurfaceSpec extends SparkSpec {
       Relational.joinAsof(spark, sf01), "asof-native-vs-window-sf01")
   }
 
+  test("bucketized range join: equi-key (user, bin) plan, rows equal the theta form") {
+    val bucketed = Relational.joinRangeBucketed(spark, sf001)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // must plan as a hash/merge join keyed on (user, bin) with the range
+    // predicate as residual — never a nested-loop over users
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"degraded to NL join:\n$plan")
+    assertSameRows(bucketed, Relational.joinThetaRange(spark, sf001),
+      "range-bucketed-vs-theta")
+  }
+
+  test("DotReverseElimination rule rewrites dot(reverse,reverse) to dot") {
+    graft.functions.DotProduct.register(spark)
+    val df = Tables.embeddings(spark, sf001)
+      .selectExpr("vec_id", "graft_dot(reverse(embedding), reverse(embedding)) AS v")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("reverse("), s"rule did not fire:\n$optimized")
+    val plain = Tables.embeddings(spark, sf001)
+      .selectExpr("vec_id", "graft_dot(embedding, embedding) AS v")
+    assertSameRows(df, plain, "dot-reverse-elim")
+  }
+
   test("partitioned writes prune partitions at scan (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf001)

@@ -54,6 +54,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF kNN recall vs brute-force top-3 (8 cells, 3 probes)") {
+    val exact = LlmPipeline.knnCosine(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = LlmPipeline.knnIvf(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // 3 of 8 cells probed; label-clustered fixture vectors put most true
+    // neighbors in the home cell — recall should clear 0.5 comfortably.
+    assert(recall >= 0.5, s"IVF recall $recall suspiciously low")
+    // every query vector must still get exactly 3 ranked neighbors
+    val perQuery = LlmPipeline.knnIvf(spark, sf001).collect()
+      .groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery == Set(3), s"ragged neighbor lists: $perQuery")
+  }
+
   test("simhash: identical texts get identical signatures; hamming distance respects similarity") {
     val sig = LlmPipeline.dedupSimhash(spark, sf01).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
