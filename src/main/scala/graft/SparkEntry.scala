@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Custom, Functions, LlmPipeline, Relational, Stateful, Streaming, Windows}
+import graft.ops.{Custom, Functions, LlmPipeline, Relational, SqlApi, Stateful, Streaming, Windows}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory)
@@ -106,6 +106,11 @@ object SparkEntry {
     "join_asof_native" -> (Relational.joinAsofNative _),
     "join_range_bucketed" -> (Relational.joinRangeBucketed _),
     "knn_ivf" -> (LlmPipeline.knnIvf _),
+    // SQL front door (ops/SqlApi.scala): spark.sql over temp views
+    "sql_tpch_q3" -> (SqlApi.sqlTpchQ3 _),
+    "sql_subquery_scalar" -> (SqlApi.sqlSubqueryScalar _),
+    "sql_subquery_exists" -> (SqlApi.sqlSubqueryExists _),
+    "sql_subquery_scalar_corr" -> (SqlApi.sqlSubqueryScalarCorr _),
     "fn_vector_native" -> (Functions.fnVectorNative _),
     "join_skew_salted" -> (Relational.joinSkewSalted _)
   )

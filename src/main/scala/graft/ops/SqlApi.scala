@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.io.Tables
+
+/** The SQL front door (SURVEY.md §3: `spark.sql(...)` is the second entry
+  * point next to the DataFrame API — a user of the reference engine writes
+  * SQL). Tables register as temp views per session (idempotent, cheap:
+  * view = named logical plan, no materialization). Both paths compile to
+  * the same Catalyst plans; these queries pin that equivalence and add the
+  * subquery surface (scalar + correlated), which only SQL expresses
+  * directly and Catalyst decorrelates into joins
+  * (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery).
+  */
+object SqlApi {
+
+  private def ensureViews(s: SparkSession, d: String): Unit =
+    Tables.names.foreach { t =>
+      Tables(s, d, t).createOrReplaceTempView(t)
+    }
+
+  /** TPC-H-Q3-shaped 3-table join + agg + top-k, written as SQL. The plan
+    * must be identical in kind to the DataFrame form: pushed filters,
+    * broadcast of the dimension side under AQE, partial+final agg,
+    * TakeOrderedAndProject. */
+  def sqlTpchQ3(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT o.o_orderkey,
+             floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 1e2 AS revenue,
+             c.c_mktsegment
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey, c.c_mktsegment
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 10
+    """)
+  }
+
+  /** Uncorrelated scalar subquery: orders priced above the global average.
+    * Plans as a one-row subquery broadcast into the filter — no join
+    * explosion, one extra tiny job. */
+  def sqlSubqueryScalar(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 1e2 AS o_totalprice
+      FROM orders
+      WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+      ORDER BY o_orderkey
+    """)
+  }
+
+  /** Correlated EXISTS subquery: customers with at least one order above
+    * their nation's average account balance... kept simple: an EXISTS
+    * correlated on the outer key, which RewritePredicateSubquery turns
+    * into a LEFT SEMI join — the scalable decorrelated form (never a
+    * per-row re-execution). */
+  def sqlSubqueryExists(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > 100000.0
+      )
+      ORDER BY c_custkey
+    """)
+  }
+
+  /** Correlated scalar subquery in the SELECT list: each nation's customer
+    * count — decorrelated into an aggregate + left outer join. */
+  def sqlSubqueryScalarCorr(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT n_nationkey, n_name,
+             (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+               AS n_customers
+      FROM nation n
+      ORDER BY n_nationkey
+    """)
+  }
+}

@@ -102,6 +102,34 @@ object OracleSql {
         "AND a.event_id <> b.event_id " +
         "ORDER BY a.user_id, a_id, b_id"),
 
+    // -------------------------------------------- SQL front door (SqlApi)
+    "sql_tpch_q3" ->
+      ("SELECT o.o_orderkey, " +
+        "floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100.0 AS revenue, " +
+        "c.c_mktsegment " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "WHERE c.c_mktsegment = 'BUILDING' " +
+        "GROUP BY o.o_orderkey, c.c_mktsegment " +
+        "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"),
+
+    "sql_subquery_scalar" ->
+      ("SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100.0 AS o_totalprice " +
+        "FROM orders " +
+        "WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders) " +
+        "ORDER BY o_orderkey"),
+
+    "sql_subquery_exists" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS (" +
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 100000.0) " +
+        "ORDER BY c_custkey"),
+
+    "sql_subquery_scalar_corr" ->
+      ("SELECT n_nationkey, n_name, " +
+        "(SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) " +
+        "AS n_customers FROM nation n ORDER BY n_nationkey"),
+
     // identical semantics through the bucketized (user, time-bin) join key
     "join_range_bucketed" ->
       ("SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id, " +
