@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: replicate sf0.1 N× with id offsets (new users /
+  * docs / vectors — horizontal growth, per-key history unchanged, which is
+  * how a production corpus actually grows) and time the operators whose
+  * complexity class is in question. A healthy operator scales ~linearly in
+  * rows; anything super-linear here would be a 100 TB landmine.
+  *
+  * Usage: runMain graft.ScaleStress [N] [outDir]   (default N=10)
+  * Prints one JSON line: per-query seconds at 1× and N×, and the ratio.
+  */
+object ScaleStress {
+
+  /** Queries with nontrivial complexity stories (candidate-pair growth,
+    * bucket occupancy, window state). Quadratic-by-design baselines
+    * (knn_cosine brute force, dedup_ngram_jaccard) are excluded — their
+    * scale answer is the LSH/IVF/minhash path, not a bigger run. */
+  private val targets = Seq(
+    "dedup_exact_sha", "dedup_near_minhash", "dedup_simhash",
+    "knn_lsh_bucketed", "knn_ivf", "sim_threshold",
+    "join_theta_range", "join_range_bucketed", "join_asof_native",
+    "text_tfidf_topterms", "text_tokenize_wordcount",
+    "stream_session_30m", "agg_pricing_summary", "win_topk_per_group")
+
+  def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    val offsets = Seq(
+      // (table, id columns to offset)
+      ("events", Seq("event_id", "user_id")),
+      ("documents", Seq("doc_id")),
+      ("embeddings", Seq("vec_id")),
+      ("lineitem", Seq("l_orderkey")),
+      ("orders", Seq("o_orderkey", "o_custkey")),
+      ("customer", Seq("c_custkey")))
+    offsets.foreach { case (t, idCols) =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val copies = (0 until n).map { i =>
+        idCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 100000000L))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    // small dims unchanged
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  private def time(fn: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    fn.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val out = args.lift(1).getOrElse("/tmp/graft-scale")
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, src, out, n)
+    // warmup (shuffle machinery + codegen)
+    spark.read.parquet(s"$out/documents.parquet")
+      .groupBy(col("lang")).count().count()
+    val results = targets.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = time(fn(spark, src))
+      val tn = time(fn(spark, out))
+      (name, t1, tn, tn / t1)
+    }
+    val qs = results.map { case (k, t1, tn, r) =>
+      f""""$k":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_stress","n":$n,"queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -100,6 +100,7 @@ object SparkEntry {
     "text_fingerprint" -> (LlmPipeline.textFingerprint _),
     "multimodal_struct" -> (LlmPipeline.multimodalStruct _),
     "multimodal_binary" -> (LlmPipeline.multimodalBinary _),
+    "multimodal_framesample" -> (LlmPipeline.multimodalFrameSample _),
     // §2.4/§2.11 custom typed aggregation + custom Catalyst surface
     "agg_custom_typed" -> (Custom.aggCustomTyped _),
     "agg_hll_custom" -> (Custom.aggHllCustom _),

@@ -252,7 +252,14 @@ object LlmPipeline {
     * vs brute force. */
   def knnLshBucketed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val k = 4 // bits per table
+    // Bits per table sized to the collection: 2^k buckets targets ~64
+    // vectors per bucket, so per-bucket pair work stays bounded as n grows
+    // (fixed k would make occupancy ∝ n and pair work ∝ n² — measured 26×
+    // at a 10× replication before this). Capped: bucket id packs into the
+    // low 32 bits of the (table, bits) key.
+    val nVec = vecs(s, d).count()
+    val k = math.min(24, math.max(4,
+      (math.log(nVec.toDouble / 64) / math.log(2)).ceil.toInt))
     val nTables = 6
     // Fixed pseudo-random hyperplanes: w(plane, dim) = sin(plane*64 + dim).
     val planes = Array.tabulate(nTables * k, 64)((p, i) => math.sin(p * 64 + i))
@@ -311,7 +318,7 @@ object LlmPipeline {
   }
 
   /** IVF (inverted-file) ANN — the second scale path beside sign-LSH.
-    * A coarse quantizer of 8 centroids (deterministic: the 8 lowest
+    * A coarse quantizer of ~√n centroids (deterministic: the lowest
     * vec_id vectors, broadcast) partitions the collection into cells;
     * each vector is INDEXED in its nearest cell and each query PROBES its
     * 3 nearest cells. Scoring happens inside a cell (flatMapGroups), so
@@ -323,8 +330,15 @@ object LlmPipeline {
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nProbe = 3
+    // Cell count ∝ √n keeps occupancy (and per-query scoring) at O(√n) —
+    // the classical IVF sizing; a fixed cell count degrades to quadratic
+    // as the collection grows (measured 18× at a 10× replication before
+    // this). Centroids: lowest-id vectors — deterministic; production
+    // swaps in a sampled k-means fit, same broadcast shape.
+    val nVec = vecs(s, d).count()
+    val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
     val cents: Array[(Long, Array[Float])] =
-      vecs(s, d).filter(_._1 < 8).collect().sortBy(_._1)
+      vecs(s, d).orderBy(col("vec_id")).limit(nCells).collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
     // tag: home rows (indexed members) vs probe rows (queries)
     val tagged = vecs(s, d)
@@ -514,6 +528,36 @@ object LlmPipeline {
         size(col("packed.vec")).as("dims"),
         round(element_at(col("packed.vec"), 1).cast("double"), 4).as("v0"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal frame sampling: the video/audio batch shape — an opaque
+    * binary blob explodes into fixed-stride frames (every 128 bytes, 64-byte
+    * frame), one row per sampled frame with index, length, and digest. In
+    * production the substring is a codec's keyframe extraction; the
+    * sequence→explode→substring plumbing (a generator, no UDF, stays in
+    * codegen) and the per-frame row contract are the real thing. Frame
+    * count ∝ blob bytes, so the explode is linear in input size and
+    * partition-local — no shuffle until the final sort. Oracle: byte and
+    * char offsets coincide (corpus is ASCII; verified sf0.01), so DuckDB
+    * mirrors it with text substrings. */
+  def multimodalFrameSample(s: SparkSession, d: String): DataFrame = {
+    val frame = 64
+    val stride = 128
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .withColumn("n_frames",
+        (floor((length(col("blob")) - frame).cast("double") / stride) + 1).cast("long"))
+      .where(col("n_frames") > 0)
+      .select(col("doc_id"), col("blob"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        length(expr(s"substring(blob, frame_idx * $stride + 1, $frame)"))
+          .as("n_bytes"),
+        md5(expr(s"substring(blob, frame_idx * $stride + 1, $frame)"))
+          .as("digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** Multimodal binary-column plumbing: treat content as an opaque binary

@@ -545,6 +545,15 @@ object OracleSql {
         "FROM events GROUP BY event_type) t ON e.event_type = t.event_type " +
         "ORDER BY e.event_id"),
 
+    "multimodal_framesample" ->
+      ("SELECT doc_id, i AS frame_idx, " +
+        "length(substring(text, (i * 128 + 1)::INT, 64))::INT AS n_bytes, " +
+        "md5(substring(text, (i * 128 + 1)::INT, 64)) AS digest " +
+        "FROM (SELECT doc_id, text, " +
+        "unnest(range(0, (floor((length(text) - 64)::DOUBLE / 128))::BIGINT + 1)) AS i " +
+        "FROM documents WHERE length(text) >= 64) " +
+        "ORDER BY doc_id, frame_idx"),
+
     "multimodal_binary" ->
       ("SELECT doc_id, length(text)::INT AS n_bytes, " +
         "list_sum(list_transform(range(1, length(text) + 1), i -> unicode(text[i])))::BIGINT AS byte_sum, " +
