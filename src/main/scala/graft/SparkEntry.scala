@@ -54,6 +54,7 @@ object SparkEntry {
     "win_moving_range" -> (Windows.winMovingRange _),
     "win_topk_per_group" -> (Windows.winTopkPerGroup _),
     "win_first_last" -> (Windows.winFirstLast _),
+    "win_dist" -> (Windows.winDist _),
     // §2.6 sorts / limits
     "sort_multi" -> (Relational.sortMulti _),
     "topk_global" -> (Relational.topkGlobal _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "fn_map_json" -> (Functions.fnMapJson _),
     "fn_hash" -> (Functions.fnHash _),
     "fn_hash_seeded" -> (Functions.fnHashSeeded _),
+    "fn_bitwise" -> (Functions.fnBitwise _),
     // §2.11 UDF / UDTF surface
     "udf_scalar" -> (Functions.udfScalar _),
     "udtf_explode" -> (Functions.udtfExplode _),

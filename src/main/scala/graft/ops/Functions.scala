@@ -152,6 +152,20 @@ object Functions {
         crc32(col("text")).as("crc"))
       .orderBy(col("doc_id"))
 
+  /** Bitwise family: AND/OR/XOR, shifts, popcount — the key-packing tool
+    * kit (LSH bucket ids, salts, bloom-ish probes all pack bits). */
+  def fnBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("band"),
+        col("event_id").bitwiseOR(lit(4096L)).as("bor"),
+        col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+        shiftleft(col("event_id"), 3).as("shl"),
+        shiftright(col("event_id"), 2).as("shr"),
+        bit_count(col("event_id")).as("popcount"))
+      .orderBy(col("event_id"))
+
   /** Scala UDF surface (§2.11): effective price. Registered + used; kept
     * deliberately tiny — everything else in the engine is codegen'd
     * built-ins, a UDF is the escape hatch, not the default. */

@@ -92,4 +92,22 @@ object Windows {
       .distinct()
       .orderBy(col("user_id"))
   }
+
+  /** Distribution window functions: percent_rank, cume_dist, nth_value —
+    * the remaining ranked-window surface. Unique (value, event_id) order
+    * makes the ratios deterministic; rounded at 6 dp (exact k/n ratios,
+    * rounding only guards float formatting differences). */
+  def winDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        graft.Det.round(percent_rank().over(w), 6).as("pct_rank"),
+        graft.Det.round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("event_id"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

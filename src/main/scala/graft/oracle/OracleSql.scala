@@ -311,6 +311,23 @@ object OracleSql {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY user_id"),
 
+    "win_dist" ->
+      ("SELECT user_id, event_id, " +
+        "floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank, " +
+        "floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cume, " +
+        "nth_value(event_id, 2) OVER (PARTITION BY user_id " +
+        "ORDER BY value ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC) " +
+        "ORDER BY user_id, event_id"),
+
+    "fn_bitwise" ->
+      ("SELECT event_id, event_id & 255 AS band, event_id | 4096 AS bor, " +
+        "xor(event_id, user_id) AS bxor, event_id << 3 AS shl, " +
+        "event_id >> 2 AS shr, bit_count(event_id)::INT AS popcount " +
+        "FROM events ORDER BY event_id"),
+
     // ---------------------------------------------------- §2.8 fn families
     "fn_string" ->
       ("SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up, " +
