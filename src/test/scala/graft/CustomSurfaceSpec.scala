@@ -110,6 +110,43 @@ class CustomSurfaceSpec extends SparkSpec {
       Relational.joinAsof(spark, sf01), "asof-native-vs-window-sf01")
   }
 
+  test("native as-of join: null keys drop, empty sides yield empty, ties break by max id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    def mk(rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Long)],
+           names: (String, String, String)) =
+      rows.toDF(names._1, names._2, names._3)
+        .withColumn(names._3, expr(s"timestamp_micros(${names._3})"))
+    // left: (purchase_id, user, p_ts); right: (click_id, c_user, c_ts)
+    val left = mk(Seq(
+      (100L, 1L, 1000L), (101L, 1L, 2000L), (102L, 2L, 1000L),
+      (103L, null, 1000L), (104L, 3L, null)),
+      ("purchase_id", "user_id", "p_ts"))
+    val right = mk(Seq(
+      (200L, 1L, 500L), (201L, 1L, 500L),   // tie on ts -> max click_id wins
+      (202L, 1L, 1500L),
+      (203L, null, 100L), (204L, 2L, null), // null key / null time: never match
+      (205L, 9L, 100L)),                    // user with no purchases
+      ("click_id", "c_user", "c_ts"))
+    val got = graft.plans.AsOfJoin.asof(left, right,
+        by = ("user_id", "c_user"), on = ("p_ts", "c_ts"),
+        tie = ("purchase_id", "click_id"))
+      .select("purchase_id", "user_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (100L, 1L, 201L),  // ts tie at 500 -> click 201 over 200
+      (101L, 1L, 202L)   // latest click at/before 2000
+      // 102: user 2's only click has null ts -> no match
+      // 103/104: null key or time on the left -> dropped
+    ), s"unexpected: $got")
+    // empty right side -> empty result, not an error
+    val emptyRight = graft.plans.AsOfJoin.asof(
+      left, right.where(expr("false")),
+      by = ("user_id", "c_user"), on = ("p_ts", "c_ts"),
+      tie = ("purchase_id", "click_id"))
+    assert(emptyRight.count() == 0)
+  }
+
   test("bucketized range join: equi-key (user, bin) plan, rows equal the theta form") {
     val bucketed = Relational.joinRangeBucketed(spark, sf001)
     val plan = bucketed.queryExecution.executedPlan.toString
