@@ -85,6 +85,7 @@ object SparkEntry {
     "stream_static_join" -> (Streaming.streamStaticJoin _),
     "stream_stream_join" -> (Streaming.streamStreamJoin _),
     "stream_stateful_session" -> (Stateful.streamStatefulSession _),
+    "stream_stateful_tws" -> (Stateful.streamStatefulTws _),
     // §2.10 LLM-data-pipeline operators
     "dedup_exact_sha" -> (LlmPipeline.dedupExactSha _),
     "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),

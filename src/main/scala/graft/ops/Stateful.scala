@@ -2,9 +2,11 @@ package graft.ops
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import graft.io.Tables
 
 /** Custom stateful processing (SURVEY.md §2.9 stream_stateful_session):
@@ -77,6 +79,58 @@ object Stateful {
   def streamStatefulSession(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     sessionize(Tables.events(s, d).as[Event])
+      .toDF()
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** The same sessionization through `transformWithState` — Spark 4.x's
+    * arbitrary-stateful-processing API (successor to
+    * flatMapGroupsWithState): explicit `StatefulProcessor` lifecycle with
+    * named state variables from the handle. State here is one Long per
+    * user (running session count) — constant-size, the shape the RocksDB
+    * state store scales with active keys, not history. Semantics are
+    * identical to [[sessionize]]; the parity test pins both against the
+    * declarative gaps-and-islands form. */
+  class SessionProcessor extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var nSessions: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      nSessions = getHandle.getValueState[Long](
+        "nSessions", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val prior = if (nSessions.exists()) nSessions.get() else 0L
+      val out = foldSessions(key, rows).toArray
+        .map(so => so.copy(session_idx = so.session_idx + prior))
+      nSessions.update(prior + out.length)
+      out.iterator
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    // transformWithState keeps each named state variable in its own column
+    // family — supported by the RocksDB provider only (the default
+    // HDFS-backed store rejects it). RocksDB is also the store you run at
+    // scale: state spills to local disk instead of executor heap.
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch execution needs the coordinator endpoint a stream would create
+    org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(events.sparkSession)
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Query entry for the transformWithState path (oracle-exempt; parity
+    * with streamStatefulSession asserted in ScalaTest). */
+  def streamStatefulTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sessionizeTws(Tables.events(s, d).as[Event])
       .toDF()
       .orderBy(col("user_id"), col("session_idx"))
   }

@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Force-create the driver's StateStoreCoordinator RPC endpoint. A
+    * streaming query does this on start; BATCH transformWithState also
+    * needs it (its state store loads consult the coordinator) but nothing
+    * creates it on a purely-batch session — tasks then die with
+    * RpcEndpointNotFoundException. Touching the manager's lazy val is the
+    * supported-path equivalent of starting a first stream. */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].streams.stateStoreCoordinator
 }

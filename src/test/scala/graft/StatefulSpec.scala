@@ -31,6 +31,23 @@ class StatefulSpec extends SparkSpec {
       Stateful.streamStatefulSession(spark, sf001), "stateful-stream")
   }
 
+  test("transformWithState sessionization == flatMapGroupsWithState (batch + stream)") {
+    import spark.implicits._
+    // batch parity: both stateful APIs against each other
+    assertSameRows(
+      Stateful.streamStatefulTws(spark, sf001),
+      Stateful.streamStatefulSession(spark, sf001), "tws-batch")
+    // streaming parity under AvailableNow replay
+    val streamed = Stateful.sessionizeTws(
+      graft.io.EventSource.replay(sf001).stream(spark).as[Stateful.Event])
+    val q = streamed.writeStream.format("memory").queryName("t_tws")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSameRows(
+      spark.table("t_tws").orderBy(col("user_id"), col("session_idx")),
+      Stateful.streamStatefulSession(spark, sf001), "tws-stream")
+  }
+
   test("watermark drops events later than 10 minutes (stream_late_data)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
