@@ -26,6 +26,33 @@ class StreamingParitySpec extends SparkSpec {
   private def events = Tables.events(spark, sf001)
   private def replay = EventSource.replay(sf001).stream(spark)
 
+  test("multi-micro-batch replay (maxFilesPerTrigger=1) == single-drain batch agg") {
+    // True incremental execution: 4 source files arrive as 4 micro-batches;
+    // windowed state must carry across batches and the final COMPLETE-mode
+    // table must equal the one-shot batch aggregation.
+    val in = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    (0 until 4).foreach { i =>
+      raw.where(col("event_id") % 4 === i).coalesce(1)
+        .write.parquet(s"$in/part$i")
+    }
+    val stream = spark.readStream.schema(EventSource.storedSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = Streaming.tumblingTransform(stream.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("t_multibatch")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 non-empty micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    assertSameRows(
+      spark.table("t_multibatch").orderBy(col("hour_start"), col("event_type")),
+      Streaming.streamTumbling1h(spark, sf001), "multibatch")
+  }
+
   test("checkpoint recovery: restarted query resumes at the stored offset, no reprocessing") {
     // Kinesis-resume semantics on the file-replay source: drain batch 1,
     // stop, add data, restart with the SAME checkpoint — the second run
