@@ -36,6 +36,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$plan")
   }
 
+  test("sql_tpch_q3 (SQL front door) plans like the DataFrame form") {
+    val df = graft.ops.SqlApi.sqlTpchQ3(spark, sf001)
+    df.collect() // finalize AQE so runtime join selection is visible
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 ran a global sort:\n$plan")
+  }
+
   test("join_shuffledhash honors the SHUFFLE_HASH hint") {
     val plan = physical(Relational.joinShuffledhash(spark, sf001))
     assert(plan.contains("ShuffledHashJoin"), plan)

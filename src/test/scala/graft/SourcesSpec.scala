@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Tables
+
+/** Source/sink format coverage beyond parquet (SURVEY.md §2.1): the engine
+  * reads whatever the lake serves — CSV and JSON with explicit schemas
+  * (schema-on-read, never inference in production paths), ORC as the
+  * columnar alternative. Each round-trips the events table and must
+  * reproduce it exactly; ORC must also push filters like parquet does. */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sf001)
+    .select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-src-$tag").toString
+
+  test("csv round-trip with explicit schema and timestamp format") {
+    val dir = tmp("csv")
+    events.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(dir)
+    val back = spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(dir)
+    assertSameRows(back.orderBy(col("event_id")),
+      events.orderBy(col("event_id")), "csv-roundtrip")
+  }
+
+  test("json lines round-trip with explicit schema") {
+    val dir = tmp("json")
+    events.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(dir)
+    val back = spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(dir)
+    assertSameRows(back.orderBy(col("event_id")),
+      events.orderBy(col("event_id")), "json-roundtrip")
+  }
+
+  test("orc round-trip and predicate pushdown") {
+    val dir = tmp("orc")
+    events.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assertSameRows(back.orderBy(col("event_id")),
+      events.orderBy(col("event_id")), "orc-roundtrip")
+    val filtered = back.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
+      s"ORC scan did not push the filter:\n$plan")
+  }
+
+  test("partitioned csv source prunes partitions like parquet") {
+    val dir = tmp("csvpart")
+    events.withColumn("etype", col("event_type"))
+      .write.mode("overwrite").partitionBy("etype")
+      .option("header", "true").csv(dir)
+    val one = spark.read
+      .schema(schema.add(StructField("etype", StringType)))
+      .option("header", "true").csv(dir)
+      .where(col("etype") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(etype"),
+      s"no partition pruning on csv source:\n$plan")
+  }
+}
