@@ -26,6 +26,31 @@ class PropertySpec extends SparkSpec {
       if (rnd.nextInt(5) == 0) null
       else Double.box(rnd.nextDouble() * 200 - 100)))
 
+  test("graft_dot equals a JVM reference fold on random vectors (incl. ragged lengths)") {
+    graft.functions.DotProduct.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Array[Float], Array[Float])] = Seq.tabulate(200) { i =>
+      // ragged lengths exercise the min-length truncation both paths share
+      val la = 1 + rnd.nextInt(96)
+      val lb = if (i % 3 == 0) la else 1 + rnd.nextInt(96)
+      def vec(n: Int) = Array.fill(n)((rnd.nextFloat() - 0.5f) * 20f)
+      (i.toLong, vec(la), vec(lb))
+    }
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    import spark.implicits._
+    val got = rows.toDF("id", "a", "b")
+      .selectExpr("id", "graft_dot(a, b) AS d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) == ref(a, b), s"row $id: ${got(id)} != ${ref(a, b)}")
+    }
+  }
+
   test("dedup is idempotent; dedup(x) size <= x size") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
