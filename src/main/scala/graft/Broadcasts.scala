@@ -1,0 +1,29 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.broadcast.Broadcast
+
+/** Registry of broadcasts built by the broadcast-kernel operators
+  * (knn_cosine, sim_threshold, knn_ivf, knn_lsh_bucketed).
+  *
+  * A long-lived session running many queries back-to-back (Bench, Verify)
+  * must release one query's broadcast before timing the next: the r01
+  * bench showed 5–20× per-query inflation from accumulated executor
+  * memory/GC pressure landing on whichever queries ran late. Operators
+  * register through [[track]]; the harness calls [[destroyAll]] between
+  * queries. Destroying after the query's action has completed is safe —
+  * a rebuilt plan re-broadcasts.
+  */
+object Broadcasts {
+  private val live = mutable.ListBuffer.empty[Broadcast[_]]
+
+  def track[T](bc: Broadcast[T]): Broadcast[T] = synchronized {
+    live += bc; bc
+  }
+
+  def destroyAll(): Unit = synchronized {
+    live.foreach(b => try b.destroy() catch { case _: Exception => () })
+    live.clear()
+  }
+}

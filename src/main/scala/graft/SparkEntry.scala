@@ -45,6 +45,7 @@ object SparkEntry {
     "agg_groupingsets" -> (Relational.aggGroupingSets _),
     "agg_stats" -> (Relational.aggStats _),
     "agg_percentile" -> (Relational.aggPercentile _),
+    "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
     "agg_collect" -> (Relational.aggCollect _),
     "agg_pivot" -> (Relational.aggPivot _),
     // §2.5 windows
@@ -90,6 +91,7 @@ object SparkEntry {
     "dedup_exact_sha" -> (LlmPipeline.dedupExactSha _),
     "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
     "dedup_simhash" -> (LlmPipeline.dedupSimhash _),
+    "dedup_simhash_pairs" -> (LlmPipeline.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "knn_cosine" -> (LlmPipeline.knnCosine _),
     "knn_lsh_bucketed" -> (LlmPipeline.knnLshBucketed _),

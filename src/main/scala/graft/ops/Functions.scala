@@ -112,7 +112,13 @@ object Functions {
               (a, b) => a.cast("double") * b.cast("double")),
             lit(0.0), (acc, x) => acc + x),
           4).as("dot_rev"),
-        sort_array(slice(col("embedding"), 1, 4)).cast("array<double>").as("sorted4"))
+        // sort_array output unpacked into scalar columns: raw array columns
+        // crash the driver's pandas row-sort comparator, and the 4-slice is
+        // fixed-width so positional columns carry identical information.
+        round(element_at(sort_array(slice(col("embedding"), 1, 4)), 1).cast("double"), 4).as("s4_1"),
+        round(element_at(sort_array(slice(col("embedding"), 1, 4)), 2).cast("double"), 4).as("s4_2"),
+        round(element_at(sort_array(slice(col("embedding"), 1, 4)), 3).cast("double"), 4).as("s4_3"),
+        round(element_at(sort_array(slice(col("embedding"), 1, 4)), 4).cast("double"), 4).as("s4_4"))
       .orderBy(col("vec_id"))
 
   /** Map/JSON family over events.props (always `{"k": <int>}`, FIXTURES.md). */
@@ -123,9 +129,14 @@ object Functions {
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_struct"),
         get_json_object(col("props"), "$.k").cast("int").as("k_path"),
-        map_keys(map(lit("k"), get_json_object(col("props"), "$.k").cast("int")))
+        // map_keys/map_values joined to strings: scalar-typed oracle output
+        // (raw arrays crash the driver comparator), same map semantics.
+        concat_ws(",",
+          map_keys(map(lit("k"), get_json_object(col("props"), "$.k").cast("int"))))
           .as("mkeys"),
-        map_values(map(lit("k"), get_json_object(col("props"), "$.k").cast("int")))
+        concat_ws(",",
+          map_values(map(lit("k"), get_json_object(col("props"), "$.k").cast("int")))
+            .cast("array<string>"))
           .as("mvals"),
         element_at(map(lit("k"), get_json_object(col("props"), "$.k").cast("int")), "k")
           .as("k_map"))

@@ -56,18 +56,21 @@ object LlmPipeline {
     * explode → tf agg (shuffle on (doc,term)) → df window (shuffle on term)
     * → score + top-k window (shuffle on doc) → sort. Each shuffle carries
     * the tf rows (∝ distinct (doc, term)), never the raw token stream —
-    * the 100 TB shape. idf = ln((N+1)/(df+1)). */
+    * the 100 TB shape. idf = ln((N+1)/(df+1)). N (corpus size) is a
+    * broadcast 1-row aggregate joined into the plan — no driver-side
+    * count() action, the whole query is one job. */
   def textTfidfTopterms(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val n = docs.count() // table row count: one cheap job, constant result
+    val n = broadcast(docs.agg(count(lit(1)).as("n_corpus")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    tf.crossJoin(n) // BroadcastNestedLoopJoin against one row: free
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("score",
-        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4))
+        round(col("tf") * log((col("n_corpus") + 1.0) / (col("df") + 1.0)), 4))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("term"), col("score"))
@@ -191,7 +194,8 @@ object LlmPipeline {
     * [[knnLshBucketed]] is the scale path. */
   def knnCosine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(vecs(s, d).collect().sortBy(_._1))
+    val bc = graft.Broadcasts.track(
+      s.sparkContext.broadcast(vecs(s, d).collect().sortBy(_._1)))
     vecs(s, d).repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val refs = bc.value
@@ -222,11 +226,14 @@ object LlmPipeline {
       .orderBy(col("vec_id"), col("rn"))
   }
 
-  /** All near-duplicate vector pairs: cosine ≥ 0.8, each pair once. Same
-    * broadcast-matrix kernel; emits only passing pairs (a < b). */
+  /** All similar vector pairs: cosine ≥ 0.3, each pair once. Same
+    * broadcast-matrix kernel; emits only passing pairs (a < b). The 0.3
+    * threshold yields a non-empty result at every SF (the fixture corpus
+    * has no pairs above 0.8, which made the original verify vacuous). */
   def simThreshold(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(vecs(s, d).collect().sortBy(_._1))
+    val bc = graft.Broadcasts.track(
+      s.sparkContext.broadcast(vecs(s, d).collect().sortBy(_._1)))
     vecs(s, d).repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val refs = bc.value
@@ -234,7 +241,7 @@ object LlmPipeline {
           refs.iterator
             .filter { case (bid, _) => aid < bid }
             .map { case (bid, bemb) => (aid, bid, r4(dot(aemb, bemb))) }
-            .filter(_._3 >= 0.8)
+            .filter(_._3 >= 0.3)
         }
       }
       .toDF("a_id", "b_id", "score")
@@ -242,22 +249,33 @@ object LlmPipeline {
   }
 
   /** The SCALE path for ANN: multi-table random-hyperplane LSH (standard
-    * (k, L) scheme: L=4 tables of k=6 sign bits). Hyperplane weights are
-    * derived deterministically from (table, bit, dim) — no RNG state to
-    * ship. A vector emits one bucket key per table (explode), candidates
-    * are pairs sharing any table's bucket, then exact re-score of
-    * candidates only. Cross-join cost drops from n² to L·Σ bucket²; recall
-    * for cosine≈0.7 neighbors is 1-(1-p^k)^L ≈ 0.5 at these settings and
-    * tunable by k/L. Oracle-exempt (approximation); ScalaTest pins recall
-    * vs brute force. */
+    * (k, L) scheme: L=6 tables, k adaptive in 4..24 sign bits — recall
+    * 1-(1-p^k)^L with p = 1 - θ/π is pinned empirically by LlmOpsSpec
+    * against the brute kernel rather than quoted from fixed constants).
+    * Hyperplane weights are derived deterministically from (table, bit,
+    * dim) — no RNG state to ship. A vector emits one bucket key per table,
+    * candidates are pairs sharing any table's bucket, then exact re-score
+    * of candidates only. Cross-join cost drops from n² to L·Σ bucket².
+    *
+    * Bucket rows carry (key, vec_id) ONLY — 16 bytes/row instead of the
+    * 6×(id + 64-float array) the r01 version shipped through the encoder
+    * (measured 5× slower than brute at sf0.1 on that constant factor).
+    * Embeddings are re-attached inside the bucket from the same broadcast
+    * the brute kernel builds. At 100 TB, when the collection outgrows a
+    * broadcast, the ids-only bucket shuffle stays as-is and the rescore
+    * becomes a second hash join against the vector store — the bucketing
+    * asymptotics (linear in occupancy) are unchanged.
+    * Oracle-exempt (approximation); ScalaTest pins recall vs brute. */
   def knnLshBucketed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val all = vecs(s, d).collect().sortBy(_._1)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(all))
     // Bits per table sized to the collection: 2^k buckets targets ~64
     // vectors per bucket, so per-bucket pair work stays bounded as n grows
     // (fixed k would make occupancy ∝ n and pair work ∝ n² — measured 26×
     // at a 10× replication before this). Capped: bucket id packs into the
     // low 32 bits of the (table, bits) key.
-    val nVec = vecs(s, d).count()
+    val nVec = all.length
     val k = math.min(24, math.max(4,
       (math.log(nVec.toDouble / 64) / math.log(2)).ceil.toInt))
     val nTables = 6
@@ -277,7 +295,7 @@ object LlmPipeline {
             if (proj >= 0) bits |= (1L << h)
             h += 1
           }
-          ((t.toLong << 32) | bits, id, emb)
+          ((t.toLong << 32) | bits, id)
         }
       }
     // Per-bucket all-pairs scoring with LOCAL top-3 per query vector: the
@@ -288,7 +306,19 @@ object LlmPipeline {
     val local = bucketed
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val members = it.map(m => (m._2, m._3)).toArray
+        val refs = bc.value
+        // binary search the sorted broadcast by vec_id
+        def vecOf(id: Long): Array[Float] = {
+          var lo = 0; var hi = refs.length - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (refs(mid)._1 < id) lo = mid + 1
+            else if (refs(mid)._1 > id) hi = mid - 1
+            else return refs(mid)._2
+          }
+          Array.empty
+        }
+        val members = it.map(m => (m._2, vecOf(m._2))).toArray
         members.iterator.flatMap { case (aid, aemb) =>
           members.iterator
             .filter(_._1 != aid)
@@ -339,7 +369,7 @@ object LlmPipeline {
     val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
     val cents: Array[(Long, Array[Float])] =
       vecs(s, d).orderBy(col("vec_id")).limit(nCells).collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(cents)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
     // tag: home rows (indexed members) vs probe rows (queries)
     val tagged = vecs(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -486,6 +516,39 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-duplicate candidate PAIRS — the pairing stage that
+    * completes [[dedupSimhash]] as a dedup operator. Pigeonhole banding:
+    * the 64-bit signature splits into 4 bands of 16 bits; any pair with
+    * hamming distance ≤ 3 agrees on at least one whole band, so an
+    * equi-join on (band_idx, band_bits) finds every such pair while only
+    * comparing documents whose band collides. The exact
+    * XOR + bit_count ≤ 3 residual then filters false candidates. At
+    * 100 TB the shuffle carries 4×(id, 16-bit key) per doc — same banded
+    * shape as minhash-LSH; candidate volume tracks near-dup density, not
+    * n². Oracle-exempt (xxhash-seeded); ScalaTest pins recall against the
+    * minhash near-dup pairs. */
+  def dedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = dedupSimhash(s, d).select(col("doc_id"), col("simhash"))
+    val banded = sig.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("bits"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val a = banded.toDF("a_id", "a_sig", "band", "bits")
+    val b = banded.toDF("b_id", "b_sig", "b_band", "b_bits")
+    a.join(b,
+        col("band") === col("b_band") && col("bits") === col("b_bits") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct() // a pair can collide in several bands
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for all document pairs above a
     * threshold — the exact counterpart the MinHash path approximates;
     * kept on a doc_id slice so the O(n²) stays fixture-bounded (the
@@ -499,7 +562,9 @@ object LlmPipeline {
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
-      .where(col("jaccard") >= 0.2)
+      // 0.02 keeps the result non-empty at every SF (the fixture slice has
+      // no pairs above 0.2 beyond sf0.001 — a 0-row verify proves nothing).
+      .where(col("jaccard") >= 0.02)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }

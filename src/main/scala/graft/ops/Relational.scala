@@ -32,7 +32,9 @@ object Relational {
     * PushedFilters for l_shipdate and ReadSchema with only 3 columns. */
   def scanPruned(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      // string→timestamp cast honors spark.sql.session.timeZone (UTC);
+      // Timestamp.valueOf would parse in the JVM default TZ instead.
+      .where(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
@@ -138,10 +140,14 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
-  /** Customers with no orders at all (left-anti ≡ NOT EXISTS). */
+  /** Customers with no URGENT order (left-anti ≡ NOT EXISTS). Targets a
+    * filtered orders subset so the result is non-empty at every SF (every
+    * customer has SOME order in the fixtures — the unfiltered anti-join
+    * verified vacuously on 0 rows). */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
@@ -264,7 +270,7 @@ object Relational {
   /** Flagship: TPC-H Q1 shape over lineitem (FIXTURES.md template). */
   def aggPricingSummary(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -365,11 +371,28 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
       .orderBy(col("event_type"))
 
-  /** Deterministic collect: sorted list of event types per user. */
+  /** Approximate percentile — the declared 100 TB path beside the exact
+    * [[aggPercentile]]: a mergeable t-digest-style sketch (fixed accuracy
+    * parameter ⇒ constant-size state per key, one shuffle) instead of the
+    * exact percentile's full value collection per group. Oracle-exempt
+    * (sketch); ScalaTest asserts the ε-bound against the exact form. */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("p90"))
+      .orderBy(col("event_type"))
+
+  /** Deterministic collect: sorted list of event types per user. The list
+    * is emitted as a comma-joined STRING — the collect/sort semantics are
+    * fully exercised, but raw array columns crash the driver's pandas
+    * row-sort comparator (unhashable ndarray), so oracle-gated output is
+    * always scalar-typed. */
   def aggCollect(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("event_type"))).as("types"))
+      .agg(concat_ws(",", sort_array(collect_list(col("event_type")))).as("types"))
       .orderBy(col("user_id"))
 
   /** Pivot on the 5 fixed event types (explicit value list → no extra
@@ -428,11 +451,16 @@ object Relational {
     clicks.intersect(purchases).orderBy(col("user_id"))
   }
 
-  /** Clickers ∖ purchasers (EXCEPT = distinct semantics). */
+  /** High-value clickers ∖ high-value purchasers (EXCEPT = distinct
+    * semantics). The value>300 slices genuinely differ at every SF; the
+    * unconditioned clicker/purchaser sets were identical in the fixtures,
+    * making the except verify vacuously on 0 rows. */
   def setExcept(s: SparkSession, d: String): DataFrame = {
-    val clicks = Tables.events(s, d).where(col("event_type") === "click")
+    val clicks = Tables.events(s, d)
+      .where(col("event_type") === "click" && col("value") > 300.0)
       .select(col("user_id"))
-    val purchases = Tables.events(s, d).where(col("event_type") === "purchase")
+    val purchases = Tables.events(s, d)
+      .where(col("event_type") === "purchase" && col("value") > 300.0)
       .select(col("user_id"))
     clicks.except(purchases).orderBy(col("user_id"))
   }

@@ -62,15 +62,99 @@ object Stateful {
   }
 
   /** Typed sessionization over a Dataset[Event]; runs in batch or
-    * streaming (NoTimeout — AvailableNow drains everything in one batch,
-    * so each key is invoked once with its full history). */
+    * single-batch streaming (NoTimeout — AvailableNow over one source file
+    * drains everything in one batch, so each key is invoked once with its
+    * full history).
+    *
+    * PRECONDITION (asserted): each key's full history arrives in ONE
+    * micro-batch. A second invocation for the same key would silently
+    * split a session spanning the batch boundary and restart session_idx,
+    * so it throws instead — multi-batch streams belong to
+    * [[sessionizeStream]], which carries open-session state and stitches
+    * across batches. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Event], _: GroupState[Long]) =>
+        (user: Long, it: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.exists)
+            throw new IllegalStateException(
+              s"sessionize saw user $user in a second micro-batch; it " +
+                "requires each key's full history in one batch — use " +
+                "sessionizeStream for multi-batch streams")
+          state.update(true)
           foldSessions(user, it)
+      }
+  }
+
+  /** Open-session state carried across micro-batches by
+    * [[sessionizeStream]]: the running session's index, bounds, and
+    * aggregates — constant size per key. */
+  case class OpenSession(
+      idx: Long, startMicros: Long, endMicros: Long, n: Long, sum: Double)
+
+  private def micros(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** INCREMENTAL sessionization — the multi-batch streaming form. State
+    * holds the one open session per user; each batch merges its events
+    * into it (stitching a session that spans micro-batches), emits every
+    * session CLOSED by a >30 min gap, and registers an event-time timeout
+    * at (session_end + 30 min) so the final session of a quiet user is
+    * flushed by the watermark rather than held forever. Append-mode
+    * correct: a session is emitted exactly once, when it can no longer
+    * grow. State per key is one OpenSession — memory ∝ active users; the
+    * watermark timeout evicts idle keys, which is what lets this run
+    * indefinitely at scale. Input must carry withWatermark("ts", ...).
+    *
+    * Late events older than the open session's start are a watermark
+    * violation (the watermark guarantees they were dropped upstream);
+    * events between start and end merge into the open session. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed session_end + gap: no event can extend it
+            val o = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, o.idx, toTs(o.startMicros),
+              toTs(o.endMicros), o.n, math.floor(o.sum * 100 + 0.5) / 100.0))
+          } else {
+            val sorted = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (open == null)
+                open = OpenSession(0L, t, t, 1L, e.value)
+              else if (t - open.endMicros > gapUs) {
+                closed += SessionOut(user, open.idx, toTs(open.startMicros),
+                  toTs(open.endMicros), open.n,
+                  math.floor(open.sum * 100 + 0.5) / 100.0)
+                open = OpenSession(open.idx + 1, t, t, 1L, e.value)
+              } else
+                open = open.copy(
+                  endMicros = math.max(open.endMicros, t),
+                  n = open.n + 1, sum = open.sum + e.value)
+            }
+            if (open != null) {
+              state.update(open)
+              // flush when the watermark proves the gap can't be beaten
+              state.setTimeoutTimestamp(open.endMicros / 1000L + 1800L * 1000L)
+            }
+            closed.result().iterator
+          }
       }
   }
 
@@ -92,19 +176,37 @@ object Stateful {
     * identical to [[sessionize]]; the parity test pins both against the
     * declarative gaps-and-islands form. */
   class SessionProcessor extends StatefulProcessor[Long, Event, SessionOut] {
-    @transient private var nSessions: ValueState[Long] = _
+    // (last emitted session_end micros, next session_idx): continues the
+    // idx sequence across micro-batches AND detects the one case this
+    // Append-mode processor cannot express — a session spanning two
+    // batches, whose first emission would need retraction. That case
+    // throws (documented precondition) instead of silently splitting;
+    // [[sessionizeStream]] is the stitching form.
+    @transient private var lastState: ValueState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      nSessions = getHandle.getValueState[Long](
-        "nSessions", Encoders.scalaLong, TTLConfig.NONE)
+      lastState = getHandle.getValueState[(Long, Long)](
+        "lastEndNextIdx", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
 
     override def handleInputRows(
         key: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[SessionOut] = {
-      val prior = if (nSessions.exists()) nSessions.get() else 0L
+      val (lastEnd, base) =
+        if (lastState.exists()) lastState.get() else (Long.MinValue, 0L)
       val out = foldSessions(key, rows).toArray
-        .map(so => so.copy(session_idx = so.session_idx + prior))
-      nSessions.update(prior + out.length)
+        .map(so => so.copy(session_idx = so.session_idx + base))
+      out.headOption.foreach { first =>
+        if (lastEnd != Long.MinValue &&
+            micros(first.session_start) - lastEnd <= 1800L * 1000000L)
+          throw new IllegalStateException(
+            s"SessionProcessor: user $key session spans micro-batches " +
+              "(first event within 30 min of the prior batch's last); " +
+              "Append mode cannot retract — use sessionizeStream")
+      }
+      out.lastOption.foreach { last =>
+        lastState.update((micros(last.session_end), base + out.length))
+      }
       out.iterator
     }
   }

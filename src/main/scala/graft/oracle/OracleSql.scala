@@ -90,8 +90,8 @@ object OracleSql {
 
     "join_anti" ->
       ("SELECT c_custkey, c_name FROM customer " +
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
-        "ORDER BY c_custkey"),
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
 
     "join_theta_range" ->
       ("SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id, " +
@@ -224,7 +224,7 @@ object OracleSql {
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "agg_collect" ->
-      ("SELECT user_id, list_sort(list(event_type)) AS types " +
+      ("SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS types " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
 
     "agg_pivot" ->
@@ -262,8 +262,8 @@ object OracleSql {
         "ORDER BY user_id"),
 
     "set_except" ->
-      ("SELECT user_id FROM events WHERE event_type = 'click' " +
-        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' " +
+      ("SELECT user_id FROM events WHERE event_type = 'click' AND value > 300.0 " +
+        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300.0 " +
         "ORDER BY user_id"),
 
     "dedup_exact_rows" ->
@@ -389,14 +389,17 @@ object OracleSql {
         "length(list_filter(embedding, x -> x > 0))::INT AS n_pos, " +
         "floor((list_sum(list_transform(range(1, 65), " +
         "i -> embedding[i]::DOUBLE * embedding[65 - i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS dot_rev, " +
-        "list_sort(embedding[1:4])::DOUBLE[] AS sorted4 " +
+        "floor((list_sort(embedding[1:4])[1]::DOUBLE) * 10000 + 0.5) / 10000.0 AS s4_1, " +
+        "floor((list_sort(embedding[1:4])[2]::DOUBLE) * 10000 + 0.5) / 10000.0 AS s4_2, " +
+        "floor((list_sort(embedding[1:4])[3]::DOUBLE) * 10000 + 0.5) / 10000.0 AS s4_3, " +
+        "floor((list_sort(embedding[1:4])[4]::DOUBLE) * 10000 + 0.5) / 10000.0 AS s4_4 " +
         "FROM embeddings ORDER BY vec_id"),
 
     "fn_map_json" ->
       ("SELECT event_id, json_extract_string(props, '$.k')::INT AS k_struct, " +
         "json_extract_string(props, '$.k')::INT AS k_path, " +
-        "['k'] AS mkeys, " +
-        "[json_extract_string(props, '$.k')::INT] AS mvals, " +
+        "'k' AS mkeys, " +
+        "json_extract_string(props, '$.k') AS mvals, " +
         "json_extract_string(props, '$.k')::INT AS k_map " +
         "FROM events ORDER BY event_id"),
 
@@ -450,7 +453,9 @@ object OracleSql {
       ("SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id " +
         "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
         "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
-        "ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+        "ON c.user_id = p.user_id " +
+        "AND date_trunc('microseconds', p.ts) >= date_trunc('microseconds', c.ts) " +
+        "AND date_trunc('microseconds', p.ts) <= date_trunc('microseconds', c.ts) + INTERVAL 1 HOUR " +
         "ORDER BY c.user_id, click_id, purchase_id"),
 
     // -------------------------------------------------- §2.10 LLM pipeline
@@ -529,7 +534,7 @@ object OracleSql {
         "floor((list_sum(list_transform(range(1, 65), " +
         "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS score " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
-        "WHERE score >= 0.8 ORDER BY a_id, b_id"),
+        "WHERE score >= 0.3 ORDER BY a_id, b_id"),
 
     "dedup_ngram_jaccard" ->
       ("WITH docs AS (SELECT doc_id, list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 " +
@@ -541,7 +546,7 @@ object OracleSql {
         "floor((len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE / " +
         "len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) / 10000.0 AS jaccard " +
         "FROM docs a JOIN docs b ON a.doc_id < b.doc_id) " +
-        "WHERE jaccard >= 0.2 ORDER BY a_id, b_id"),
+        "WHERE jaccard >= 0.02 ORDER BY a_id, b_id"),
 
     "multimodal_struct" ->
       ("SELECT doc_id, text, lang, source, len(embedding)::INT AS dims, " +
@@ -571,10 +576,14 @@ object OracleSql {
         "FROM documents WHERE length(text) >= 64) " +
         "ORDER BY doc_id, frame_idx"),
 
+    // coalesce/CASE guard the empty-document edge: Spark emits 0 for
+    // byte_sum/first_byte of an empty blob; DuckDB list_sum([]) is NULL
+    // and unicode('') is -1 — without the guards one empty doc would
+    // break the hash even though both engines agree on real content.
     "multimodal_binary" ->
       ("SELECT doc_id, length(text)::INT AS n_bytes, " +
-        "list_sum(list_transform(range(1, length(text) + 1), i -> unicode(text[i])))::BIGINT AS byte_sum, " +
-        "unicode(text[1]) AS first_byte, lang, n_chars " +
+        "coalesce(list_sum(list_transform(range(1, length(text) + 1), i -> unicode(text[i]))), 0)::BIGINT AS byte_sum, " +
+        "(CASE WHEN length(text) = 0 THEN 0 ELSE unicode(text[1]) END)::INT AS first_byte, lang, n_chars " +
         "FROM documents ORDER BY doc_id")
 
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel

@@ -81,6 +81,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash banded pairs find the minhash near-dup pairs (dedup_simhash_pairs)") {
+    // truth: pairs the (exact-verified) minhash path reports as J>=0.8 —
+    // near-identical texts, whose simhash signatures differ in few bits.
+    val truth = LlmPipeline.dedupNearMinhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = LlmPipeline.dedupSimhashPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.nonEmpty, "banded simhash join produced no candidate pairs")
+    if (truth.nonEmpty) {
+      val recall = found.intersect(truth).size.toDouble / truth.size
+      // hamming<=3 over 64 bits is a TIGHTER near-dup notion than J>=0.8;
+      // identical-text pairs (hamming 0) dominate the truth set here.
+      assert(recall >= 0.5, s"simhash pair recall $recall (truth=${truth.size})")
+    }
+    // banding is exact for hamming<=3: verify no found pair exceeds it
+    val pairs = LlmPipeline.dedupSimhashPairs(spark, sf001).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("approx_percentile within 5% of exact (agg_approx_percentile)") {
+    val approx = graft.ops.Relational.aggApproxPercentile(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.ops.Relational.aggPercentile(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / math.max(p50, 1e-9) <= 0.05,
+        s"$k p50: approx $a50 vs exact $p50")
+      assert(math.abs(a90 - p90) / math.max(p90, 1e-9) <= 0.05,
+        s"$k p90: approx $a90 vs exact $p90")
+    }
+  }
+
   test("approx_count_distinct within 2% of exact (agg_approx_distinct)") {
     val approx = graft.ops.Relational.aggApproxDistinct(spark, sf01).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

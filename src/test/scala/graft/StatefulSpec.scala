@@ -48,6 +48,76 @@ class StatefulSpec extends SparkSpec {
       Stateful.streamStatefulSession(spark, sf001), "tws-stream")
   }
 
+  test("sessionizeStream stitches a session across micro-batches and flushes by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def ev(id: Long, ts: String, user: Long, v: Double) =
+      Stateful.Event(id, t(ts), user, "click", v, "{}")
+    val mem = MemoryStream[Stateful.Event]
+    val out = Stateful.sessionizeStream(
+      mem.toDS().withWatermark("ts", "0 seconds"))
+    val q = out.writeStream.format("memory").queryName("t_sstream")
+      .outputMode("append").start()
+    // batch 1: user 1 session begins; user 2 lone event
+    mem.addData(ev(1, "2024-01-01 10:00:00", 1, 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, 2.0),
+      ev(3, "2024-01-01 10:00:00", 2, 5.0))
+    q.processAllAvailable()
+    // batch 2: 10:20 is within 30 min of 10:10 — the SAME session, even
+    // though it arrives in a later micro-batch (the r01 NoTimeout form
+    // split here); 12:00 closes it (gap > 30 min) and opens session 1.
+    mem.addData(ev(4, "2024-01-01 10:20:00", 1, 3.0),
+      ev(5, "2024-01-01 12:00:00", 1, 4.0))
+    q.processAllAvailable()
+    // two more batches: advance the watermark past 12:30 so the event-time
+    // timeout flushes the open sessions (timeouts fire the batch AFTER the
+    // watermark update).
+    mem.addData(ev(6, "2024-01-01 13:01:00", 99, 0.0))
+    q.processAllAvailable()
+    mem.addData(ev(7, "2024-01-01 13:02:00", 99, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_sstream")
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2).toString, r.getTimestamp(3).toString,
+          r.getLong(4), r.getDouble(5))).toMap
+    // user 1 session 0 STITCHED across batches 1+2: 10:00–10:20, 3 events
+    assert(rows((1L, 0L)) ==
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 3L, 6.0), s"$rows")
+    // user 1 session 1 flushed by timeout: the lone 12:00 event
+    assert(rows((1L, 1L)) ==
+      ("2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L, 4.0), s"$rows")
+    // user 2's lone session flushed by timeout
+    assert(rows((2L, 0L)) ==
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L, 5.0), s"$rows")
+  }
+
+  test("sessionize asserts its single-batch-per-key precondition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: String, user: Long) =
+      Stateful.Event(id, Timestamp.valueOf(ts), user, "click", 1.0, "{}")
+    val mem = MemoryStream[Stateful.Event]
+    val q = Stateful.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("t_precond")
+      .outputMode("append").start()
+    mem.addData(ev(1, "2024-01-01 10:00:00", 1))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 12:00:00", 1)) // same key, second batch
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(_.isInstanceOf[IllegalStateException]),
+      s"expected the precondition IllegalStateException, got $ex")
+    try q.stop() catch { case _: Exception => () }
+  }
+
   test("watermark drops events later than 10 minutes (stream_late_data)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

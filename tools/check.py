@@ -27,8 +27,16 @@ for t in TABLES:
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
 def canon(df):
-    df = df[sorted(df.columns)].reset_index(drop=True)
-    return df
+    # Mirrors the driver's canonicalization: columns sorted by name, then
+    # ROWS re-sorted by all columns via pandas sort_values. sort_values
+    # raises TypeError on array-typed columns (unhashable ndarray) — that
+    # crash IS driver behavior, so this gate must reproduce it rather than
+    # stringify arrays first (which hid the r01 agg_collect/fn_array/
+    # fn_map_json failures).
+    df = df[sorted(df.columns)]
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 def values_equal(a, b):
     if a.shape != b.shape:
