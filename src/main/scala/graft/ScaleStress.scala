@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
 object ScaleStress {
 
   /** Queries with nontrivial complexity stories (candidate-pair growth,
-    * bucket occupancy, window state). Quadratic-by-design baselines
-    * (knn_cosine brute force, dedup_ngram_jaccard) are excluded — their
-    * scale answer is the LSH/IVF/minhash path, not a bigger run. */
+    * bucket occupancy, window state). dedup_ngram_jaccard (quadratic by
+    * design, fixture-bounded) is excluded — its scale answer is the
+    * minhash path. knn_cosine IS included, expected ~quadratic: its ratio
+    * against knn_lsh_bucketed/knn_ivf at N× is the brute→ANN crossover
+    * this harness exists to demonstrate. */
   private val targets = Seq(
     "dedup_exact_sha", "dedup_near_minhash", "dedup_simhash",
-    "knn_lsh_bucketed", "knn_ivf", "sim_threshold",
+    "dedup_simhash_pairs",
+    "knn_cosine", "knn_lsh_bucketed", "knn_ivf", "sim_threshold",
     "join_theta_range", "join_range_bucketed", "join_asof_native",
     "text_tfidf_topterms", "text_tokenize_wordcount",
     "stream_session_30m", "agg_pricing_summary", "win_topk_per_group")
@@ -88,7 +91,9 @@ object ScaleStress {
     val results = targets.map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = time(fn(spark, src))
+      Broadcasts.destroyAll() // 1×-run broadcasts must not skew the N× timing
       val tn = time(fn(spark, out))
+      Broadcasts.destroyAll()
       (name, t1, tn, tn / t1)
     }
     val qs = results.map { case (k, t1, tn, r) =>

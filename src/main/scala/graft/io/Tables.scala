@@ -15,8 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, dir, table): spark.read.parquet re-reads the
+  // footer for schema on every call, and an 88-query harness calls these
+  // readers a few hundred times. The fixture files are immutable, and a
+  // DataFrame is just a reusable logical plan — caching it is safe and
+  // shaves the repeated schema-inference latency.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

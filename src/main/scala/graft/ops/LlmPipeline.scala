@@ -281,70 +281,112 @@ object LlmPipeline {
     val nTables = 6
     // Fixed pseudo-random hyperplanes: w(plane, dim) = sin(plane*64 + dim).
     val planes = Array.tabulate(nTables * k, 64)((p, i) => math.sin(p * 64 + i))
-    val bucketed = vecs(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .flatMap { case (id, emb) =>
-        (0 until nTables).map { t =>
-          var bits = 0L
-          var h = 0
-          while (h < k) {
-            val w = planes(t * k + h)
-            var proj = 0.0
-            var i = 0
-            while (i < 64 && i < emb.length) { proj += emb(i) * w(i); i += 1 }
-            if (proj >= 0) bits |= (1L << h)
-            h += 1
-          }
-          ((t.toLong << 32) | bits, id)
-        }
+    // binary search the sorted broadcast by vec_id
+    def vecOf(refs: Array[(Long, Array[Float])], id: Long): Array[Float] = {
+      var lo = 0; var hi = refs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (refs(mid)._1 < id) lo = mid + 1
+        else if (refs(mid)._1 > id) hi = mid - 1
+        else return refs(mid)._2
       }
-    // Per-bucket all-pairs scoring with LOCAL top-3 per query vector: the
-    // global top-3 of candidate pairs is a subset of the union of bucket-
-    // local top-3s, so the re-merge below sees ≤ 3·L rows per vector
-    // instead of every candidate pair. At 100 TB this is segment-local ANN:
-    // compute stays inside a bucket, shuffle carries only winners.
+      Array.empty
+    }
+    // Query ids come from the already-collected broadcast build — re-reading
+    // the table for the same ids would add a scan + repartition shuffle for
+    // nothing. (Beyond the broadcast regime the ids revert to the
+    // distributed scan and the rescore to a hash join, per the doc above.)
+    val ids = s.createDataset(
+      s.sparkContext.parallelize(
+        all.map(_._1).toIndexedSeq, s.sparkContext.defaultParallelism))
+    // Each row carries ALL L bucket keys: a pair sharing several tables is
+    // scored only in the FIRST shared table (emit-once candidate
+    // generation). On a duplicate-heavy corpus near-identical vectors
+    // collide in every table — without the first-collision check the hot
+    // buckets re-score every such pair L times (measured: the bucket stage
+    // was ~6× the dot-product work it needed).
+    val bucketed = ids.flatMap { id =>
+      val emb = vecOf(bc.value, id)
+      val keys = Array.tabulate(nTables) { t =>
+        var bits = 0L
+        var h = 0
+        while (h < k) {
+          val w = planes(t * k + h)
+          var proj = 0.0
+          var i = 0
+          while (i < 64 && i < emb.length) { proj += emb(i) * w(i); i += 1 }
+          if (proj >= 0) bits |= (1L << h)
+          h += 1
+        }
+        (t.toLong << 32) | bits
+      }
+      (0 until nTables).map(t => (keys(t), id, keys))
+    }
+    // Per-bucket scoring with LOCAL top-3 per query vector via bounded
+    // insertion (no per-member sort): the global top-3 of candidate pairs
+    // is a subset of the union of bucket-local top-3s, so the re-merge
+    // below sees ≤ 3·L rows per vector instead of every candidate pair.
+    // At 100 TB this is segment-local ANN: compute stays inside a bucket,
+    // shuffle carries only winners.
     val local = bucketed
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (gk, it) =>
+        val t = (gk >> 32).toInt
         val refs = bc.value
-        // binary search the sorted broadcast by vec_id
-        def vecOf(id: Long): Array[Float] = {
-          var lo = 0; var hi = refs.length - 1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (refs(mid)._1 < id) lo = mid + 1
-            else if (refs(mid)._1 > id) hi = mid - 1
-            else return refs(mid)._2
+        val rows = it.toArray
+        val n = rows.length
+        val embs = rows.map(r => vecOf(refs, r._2))
+        rows.indices.iterator.flatMap { ai =>
+          val (_, aid, akeys) = rows(ai)
+          val aemb = embs(ai)
+          val top = new Array[(Double, Long)](3)
+          var filled = 0
+          var bi = 0
+          while (bi < n) {
+            if (bi != ai) {
+              val bkeys = rows(bi)._3
+              // skip pairs already scored in an earlier shared table
+              var t2 = 0
+              var first = true
+              while (t2 < t && first) {
+                if (akeys(t2) == bkeys(t2)) first = false
+                t2 += 1
+              }
+              if (first) {
+                val bid = rows(bi)._2
+                val sc = r4(dot(aemb, embs(bi)))
+                var pos = filled
+                while (pos > 0 &&
+                  (top(pos - 1)._1 < sc ||
+                    (top(pos - 1)._1 == sc && top(pos - 1)._2 > bid))) pos -= 1
+                if (pos < 3) {
+                  var j = math.min(filled, 2)
+                  while (j > pos) { top(j) = top(j - 1); j -= 1 }
+                  top(pos) = (sc, bid)
+                  if (filled < 3) filled += 1
+                }
+              }
+            }
+            bi += 1
           }
-          Array.empty
-        }
-        val members = it.map(m => (m._2, vecOf(m._2))).toArray
-        members.iterator.flatMap { case (aid, aemb) =>
-          members.iterator
-            .filter(_._1 != aid)
-            .map { case (bid, bemb) => (aid, bid, r4(dot(aemb, bemb))) }
-            .toArray.sortBy(p => (-p._3, p._2)).take(3)
+          (0 until filled).map(i => (aid, top(i)._2, top(i)._1))
         }
       }
-      .toDF("a_id", "b_id", "score")
-    // Merge bucket-local winners in ONE shuffle: per query vector, collect
-    // the ≤3·L candidates, dedup pairs seen in several tables (same pair ⇒
-    // identical rounded score ⇒ exact struct duplicate), sort by
-    // (score desc, b_id asc) via a negated sort key, keep 3. Replaces the
-    // dropDuplicates + window pair of shuffles — at 100 TB the merge state
-    // is O(L·k) per vector, independent of bucket occupancy.
+    // Merge bucket-local winners in ONE shuffle: per query vector, dedup
+    // pairs seen in several tables (same pair ⇒ identical rounded score ⇒
+    // exact tuple duplicate), sort by (score desc, b_id asc), keep 3 — a
+    // typed JVM fold, not interpreted array HOFs. At 100 TB the merge
+    // state is O(L·k) per vector, independent of bucket occupancy.
     local
-      .groupBy(col("a_id"))
-      .agg(slice(array_sort(array_distinct(collect_list(
-        struct(negate(col("score")).as("nscore"), col("b_id"))))), 1, 3)
-        .as("top"))
-      .select(col("a_id"), posexplode(col("top")))
-      .select(
-        col("a_id"),
-        (col("pos") + 1).as("rn"),
-        col("col.b_id").as("b_id"),
-        negate(col("col.nscore")).as("score"))
-      .orderBy(col("a_id"), col("rn"))
+      .groupByKey(_._1)
+      .flatMapGroups { (aid, it) =>
+        val top = it.toArray.distinct.sortBy(p => (-p._3, p._2)).take(3)
+        top.iterator.zipWithIndex.map { case ((_, bid, sc), i) =>
+          (aid, i + 1, bid, sc)
+        }
+      }
+      .toDF("vec_id", "rn", "b_id", "score")
+      .orderBy(col("vec_id"), col("rn"))
   }
 
   /** IVF (inverted-file) ANN — the second scale path beside sign-LSH.
@@ -392,19 +434,18 @@ object LlmPipeline {
             .toArray.sortBy(p => (-p._3, p._2)).take(3)
         }
       }
-      .toDF("a_id", "b_id", "score")
+    // same one-shuffle typed merge as the LSH path: dedup duplicate pairs
+    // (probe cells overlap), keep the global top-3 per query
     local
-      .groupBy(col("a_id"))
-      .agg(slice(array_sort(array_distinct(collect_list(
-        struct(negate(col("score")).as("nscore"), col("b_id"))))), 1, 3)
-        .as("top"))
-      .select(col("a_id"), posexplode(col("top")))
-      .select(
-        col("a_id"),
-        (col("pos") + 1).as("rn"),
-        col("col.b_id").as("b_id"),
-        negate(col("col.nscore")).as("score"))
-      .orderBy(col("a_id"), col("rn"))
+      .groupByKey(_._1)
+      .flatMapGroups { (aid, it) =>
+        val top = it.toArray.distinct.sortBy(p => (-p._3, p._2)).take(3)
+        top.iterator.zipWithIndex.map { case ((_, bid, sc), i) =>
+          (aid, i + 1, bid, sc)
+        }
+      }
+      .toDF("vec_id", "rn", "b_id", "score")
+      .orderBy(col("vec_id"), col("rn"))
   }
 
   // -------------------------------------------------------- near-dup text
@@ -495,23 +536,43 @@ object LlmPipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** 64-bit SimHash of whitespace words, JVM-side: per word the SAME
+    * xxhash64 (seed 42) Spark's `xxhash64` expression computes, +1/-1 per
+    * bit position summed over words, sign → signature bit. A Catalyst
+    * formulation (64 `aggregate` HOFs) is interpreted row-at-a-time —
+    * measured ~30 s per side at sf0.1 once a downstream join actually
+    * forces the columns; this loop is <100 ms. */
+  private def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(' ').foreach { w =>
+      val b = w.getBytes("UTF-8")
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          b.length, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
   /** SimHash near-dup signature: 64-bit sign-aggregated word hashes. Two
     * documents are near-dups when hamming(simhash) is small. Emits the
     * signature plus a bucket (top byte) — the join-key shape used at
-    * scale. Oracle-exempt (xxhash-seeded). */
+    * scale. Oracle-exempt (xxhash-seeded); ScalaTest pins identical-text
+    * signature equality. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val bitCols = (0 until 64).map { bit =>
-      // +1 where bit set, -1 where clear, summed over words; sign → bit
-      val contrib = aggregate(
-        transform(words, w =>
-          when(shiftright(xxhash64(w), bit).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        lit(0), (acc, x) => acc + x)
-      when(contrib > 0, lit(1L << bit)).otherwise(0L)
-    }
+    import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        bitCols.reduce(_ + _).as("simhash"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("doc_id", "simhash")
       .withColumn("bucket", shiftright(col("simhash"), 56))
       .orderBy(col("doc_id"))
   }

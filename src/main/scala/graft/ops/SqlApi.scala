@@ -14,10 +14,17 @@ import graft.io.Tables
   */
 object SqlApi {
 
+  // Re-registering 10 views costs analyzer work per call; remember which
+  // sfDir each session's views currently point at and only re-register on
+  // a change (tests hop between scale factors in one session).
+  private val current =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   private def ensureViews(s: SparkSession, d: String): Unit =
-    Tables.names.foreach { t =>
-      Tables(s, d, t).createOrReplaceTempView(t)
-    }
+    if (current.put(s, d) != d)
+      Tables.names.foreach { t =>
+        Tables(s, d, t).createOrReplaceTempView(t)
+      }
 
   /** TPC-H-Q3-shaped 3-table join + agg + top-k, written as SQL. The plan
     * must be identical in kind to the DataFrame form: pushed filters,
