@@ -103,6 +103,9 @@ object SparkEntry {
     "text_token_count" -> (LlmPipeline.textTokenCount _),
     "text_langid" -> (LlmPipeline.textLangid _),
     "text_fingerprint" -> (LlmPipeline.textFingerprint _),
+    "sample_stratified" -> (LlmPipeline.sampleStratified _),
+    "corpus_shuffle" -> (LlmPipeline.corpusShuffle _),
+    "pack_sequences" -> (LlmPipeline.packSequences _),
     "multimodal_struct" -> (LlmPipeline.multimodalStruct _),
     "multimodal_binary" -> (LlmPipeline.multimodalBinary _),
     "multimodal_framesample" -> (LlmPipeline.multimodalFrameSample _),

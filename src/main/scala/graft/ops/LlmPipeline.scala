@@ -630,6 +630,55 @@ object LlmPipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // ---------------------------------------------- corpus shaping operators
+
+  /** Deterministic stratified sample: every 10th document per language in
+    * doc_id order — the balanced-sampling stage of a training mix (equal
+    * treatment per stratum regardless of stratum size). Rank-mod keeps it
+    * exactly reproducible across engines, unlike RNG-based sampleBy; at
+    * 100 TB the window partitions on the stratum key, so state per
+    * partition is one running counter. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+      .where((col("rn") - 1) % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic corpus shuffle: order by md5 of the doc id — the
+    * reproducible global permutation training runs need (same corpus +
+    * same key ⇒ same order, no RNG state). At scale this is a range
+    * partition on the hash key: uniform output shards by construction,
+    * no skew regardless of input order. */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
+  /** Sequence packing (concat-and-chunk): assign documents to fixed
+    * 4096-token bins per language by running token count — the sample
+    * packing stage of LLM pretraining (documents are concatenated in a
+    * deterministic order and cut into budget-sized training rows). Emits
+    * each doc's bin and offset within the bin. The window partitions on
+    * lang — at 100 TB packing runs per shard (stratum × hash prefix), so
+    * no global single-partition window exists. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 4096L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).as("bin"),
+        ((col("cum") - col("n_tokens")) % budget).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Pack document + embedding + metadata into one nested row

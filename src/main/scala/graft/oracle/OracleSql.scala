@@ -548,6 +548,26 @@ object OracleSql {
         "FROM docs a JOIN docs b ON a.doc_id < b.doc_id) " +
         "WHERE jaccard >= 0.02 ORDER BY a_id, b_id"),
 
+    "sample_stratified" ->
+      ("SELECT doc_id, lang, rn FROM (" +
+        "SELECT doc_id, lang, " +
+        "(row_number() OVER (PARTITION BY lang ORDER BY doc_id))::INT AS rn " +
+        "FROM documents) WHERE (rn - 1) % 10 = 0 ORDER BY doc_id"),
+
+    "corpus_shuffle" ->
+      ("SELECT doc_id, md5(doc_id::VARCHAR) AS shuffle_key FROM documents " +
+        "ORDER BY shuffle_key, doc_id"),
+
+    "pack_sequences" ->
+      ("SELECT doc_id, lang, n_tokens, " +
+        "floor((cum - n_tokens) / 4096)::BIGINT AS bin, " +
+        "((cum - n_tokens) % 4096)::BIGINT AS bin_offset FROM (" +
+        "SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+        "sum(len(string_split(text, ' '))::BIGINT) OVER (" +
+        "PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM documents) ORDER BY doc_id"),
+
     "multimodal_struct" ->
       ("SELECT doc_id, text, lang, source, len(embedding)::INT AS dims, " +
         "floor((embedding[1]::DOUBLE) * 10000 + 0.5) / 10000.0 AS v0 " +
