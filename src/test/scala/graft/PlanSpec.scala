@@ -84,6 +84,30 @@ class PlanSpec extends SparkSpec {
     assert(physical(Relational.joinAnti(spark, sf001)).contains("LeftAnti"))
   }
 
+  test("corpus-shaping windows all partition on a stratum key (no global single-partition window)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((name, df) <- Seq(
+        "pack_sequences" -> LlmPipeline.packSequences(spark, sf001),
+        "sample_stratified" -> LlmPipeline.sampleStratified(spark, sf001),
+        "text_tfidf_topterms" -> LlmPipeline.textTfidfTopterms(spark, sf001))) {
+      // sparkPlan, not executedPlan: the AQE root doesn't expose children
+      // to collect() before execution
+      val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected a WindowExec")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name has a window with empty partitionBy — a single-partition " +
+            s"global window is a 100 TB bottleneck:\n$w")
+      }
+    }
+  }
+
+  test("text_tfidf_topterms folds corpus size in as a broadcast one-row join, not a driver action") {
+    val plan = physical(LlmPipeline.textTfidfTopterms(spark, sf001))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row corpus-size broadcast join:\n$plan")
+  }
+
   test("dedup_exact_sha shuffles digests, not documents (pre-shuffle partial agg)") {
     val plan = physical(LlmPipeline.dedupExactSha(spark, sf001))
     // partial HashAggregate before the exchange keyed on the digest
