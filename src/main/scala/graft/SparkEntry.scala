@@ -54,6 +54,7 @@ object SparkEntry {
     "win_running" -> (Windows.winRunning _),
     "win_moving_range" -> (Windows.winMovingRange _),
     "win_topk_per_group" -> (Windows.winTopkPerGroup _),
+    "win_topk_native" -> (Windows.winTopkNative _),
     "win_first_last" -> (Windows.winFirstLast _),
     "win_dist" -> (Windows.winDist _),
     // §2.6 sorts / limits

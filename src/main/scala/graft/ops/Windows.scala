@@ -78,6 +78,21 @@ object Windows {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** Same top-3-per-user semantics through the NATIVE partial top-k
+    * operator ([[graft.plans.TopKPerGroup]] — custom LogicalPlan/Strategy/
+    * partial+final SparkPlans): the map side keeps a bounded k-buffer per
+    * group and ships ≤ k rows per (group, partition) into the shuffle,
+    * where the window form ships EVERY row. Oracle-gated to the same SQL
+    * as win_topk_per_group — a hash-matched custom physical operator. */
+  def winTopkNative(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup
+      .topK(
+        events(s, d).select(col("user_id"), col("event_id"), col("value")),
+        group = "user_id", order = "value", tie = "event_id", k = 3)
+      .select(col("user_id"), col("rn"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("rn"))
+
   /** First/last event_type per user by time, with an explicit full frame
     * (first/last without a full frame silently read the default frame and
     * give order-dependent garbage). */

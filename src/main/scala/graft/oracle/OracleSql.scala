@@ -304,6 +304,13 @@ object OracleSql {
         "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC)::INT AS rn " +
         "FROM events) WHERE rn <= 3 ORDER BY user_id, rn"),
 
+    // identical semantics through the native partial top-k operator
+    "win_topk_native" ->
+      ("SELECT user_id, rn, event_id, value FROM (" +
+        "SELECT user_id, event_id, floor((value) * 100 + 0.5) / 100.0 AS value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC)::INT AS rn " +
+        "FROM events) WHERE rn <= 3 ORDER BY user_id, rn"),
+
     "win_first_last" ->
       ("SELECT DISTINCT user_id, first_value(event_type) OVER w AS first_type, " +
         "last_value(event_type) OVER w AS last_type FROM events " +
