@@ -32,6 +32,7 @@ object SparkEntry {
     "join_left" -> (Relational.joinLeft _),
     "join_full" -> (Relational.joinFull _),
     "join_semi" -> (Relational.joinSemi _),
+    "join_bloom_prefilter" -> (Relational.joinBloomPrefilter _),
     "join_anti" -> (Relational.joinAnti _),
     "join_theta_range" -> (Relational.joinThetaRange _),
     "join_asof" -> (Relational.joinAsof _),
@@ -46,6 +47,7 @@ object SparkEntry {
     "agg_stats" -> (Relational.aggStats _),
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
+    "agg_heavy_hitters_cms" -> (Relational.aggHeavyHittersCms _),
     "agg_collect" -> (Relational.aggCollect _),
     "agg_pivot" -> (Relational.aggPivot _),
     // §2.5 windows

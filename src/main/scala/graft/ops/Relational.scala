@@ -151,6 +151,29 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** Bloom-prefiltered semi join — the runtime-filter pattern written out
+    * explicitly: build a bloom filter over the (filtered) build side's
+    * join keys, broadcast it, and drop probe rows that cannot match
+    * BEFORE they reach the shuffle. The residual semi join removes the
+    * bloom's false positives, so the result is exactly [[joinSemi]]'s
+    * (same oracle SQL). At 100 TB this is what saves the shuffle when the
+    * build side is selective but too big to broadcast as a hash table —
+    * the bloom is a fixed few MB regardless of build-side row width.
+    * (Spark's own runtime row-level filtering does this automatically
+    * for some shapes; the explicit operator makes it available to any.) */
+  def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT")
+    val bf = urgent.stat.bloomFilter("o_custkey", 100000L, 0.01)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(bf))
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    Tables.customer(s, d)
+      .where(mightContain(col("c_custkey")))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Non-equi range join: pairs of events from the same user within 60 s.
     * The equi-conjunct on user_id makes this a hash join with a range
     * residual — NOT a nested-loop cross product. At 100 TB you additionally
@@ -370,6 +393,28 @@ object Relational {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
       .orderBy(col("event_type"))
+
+  /** Heavy hitters via count-min sketch: one mergeable fixed-size sketch
+    * over the whole stream (eps=0.001, seed pinned), then point estimates
+    * for the known candidate set. CMS is THE streaming heavy-hitter
+    * structure: counters only, commutative merge, estimate = min over
+    * rows — deterministic regardless of partition order. Estimates
+    * overcount by at most eps·N, so the gate is a ScalaTest ε-bound
+    * against exact counts (oracle-exempt, like the HLL family). The
+    * sketch collect to the driver is a few KB — the same bounded-state
+    * boundary as an approx_count_distinct final merge. */
+  def aggHeavyHittersCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bytes = Tables.events(s, d)
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    Seq("click", "view", "purchase", "signup", "error")
+      .map(t => (t, cms.estimateCount(t)))
+      .toDF("event_type", "est_n")
+      .orderBy(col("event_type"))
+  }
 
   /** Approximate percentile — the declared 100 TB path beside the exact
     * [[aggPercentile]]: a mergeable t-digest-style sketch (fixed accuracy

@@ -88,6 +88,12 @@ object OracleSql {
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
 
+    // identical result through the bloom-prefilter + residual semi join
+    "join_bloom_prefilter" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+
     "join_anti" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +

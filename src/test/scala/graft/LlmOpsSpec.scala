@@ -129,6 +129,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("count-min heavy hitters within eps*N of exact (agg_heavy_hitters_cms)") {
+    val est = graft.ops.Relational.aggHeavyHittersCms(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf01).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, c) =>
+      // CMS never undercounts; overcount bounded by eps*N (eps=0.001)
+      assert(est(k) >= c, s"$k: CMS undercounted ${est(k)} < $c")
+      assert(est(k) - c <= (0.001 * n).ceil.toLong + 1,
+        s"$k: CMS estimate ${est(k)} vs exact $c exceeds eps*N")
+    }
+  }
+
   test("approx_count_distinct within 2% of exact (agg_approx_distinct)") {
     val approx = graft.ops.Relational.aggApproxDistinct(spark, sf01).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
