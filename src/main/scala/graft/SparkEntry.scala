@@ -68,6 +68,7 @@ object SparkEntry {
     "set_intersect" -> (Relational.setIntersect _),
     "set_except" -> (Relational.setExcept _),
     "dedup_exact_rows" -> (Relational.dedupExactRows _),
+    "cdc_upsert_latest" -> (Relational.cdcUpsertLatest _),
     // §2.8 scalar function families
     "fn_string" -> (Functions.fnString _),
     "fn_date" -> (Functions.fnDate _),

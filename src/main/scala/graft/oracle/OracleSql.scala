@@ -276,6 +276,11 @@ object OracleSql {
       ("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text " +
         "ORDER BY doc_id"),
 
+    "cdc_upsert_latest" ->
+      ("SELECT user_id, event_type, arg_max(event_id, ts) AS event_id, " +
+        "floor((arg_max(value, ts)) * 100 + 0.5) / 100.0 AS value, max(ts) AS ts " +
+        "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+
     // ------------------------------------------------------- §2.5 windows
     "win_rank" ->
       ("SELECT user_id, event_id, floor((value) * 100 + 0.5) / 100.0 AS value, " +
