@@ -88,7 +88,10 @@ object ScaleStress {
     // warmup (shuffle machinery + codegen)
     spark.read.parquet(s"$out/documents.parquet")
       .groupBy(col("lang")).count().count()
-    val results = targets.map { name =>
+    // Optional filter for focused runs (e.g. the ANN crossover at 30×):
+    // SPARK_GRAFT_ONLY=knn_cosine,knn_lsh_bucketed,knn_ivf
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = targets.filter(t => only.forall(_.contains(t))).map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = time(fn(spark, src))
       Broadcasts.destroyAll() // 1×-run broadcasts must not skew the N× timing

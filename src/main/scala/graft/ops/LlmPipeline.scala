@@ -422,16 +422,37 @@ object LlmPipeline {
         (byDist.head._1, false, id, emb) +:
           byDist.take(nProbe).map { case (cid, _) => (cid, true, id, emb) }.toSeq
       }
+    // cell-local scoring with bounded top-3 insertion per query — no
+    // per-query candidate array or sort (the allocation churn dominated
+    // at 30× replication: 124M boxed tuples for 60k vectors)
     val local = tagged
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val members = rows.filter(!_._2).map(r => (r._3, r._4))
+        val n = members.length
         rows.iterator.filter(_._2).flatMap { case (_, _, aid, aemb) =>
-          members.iterator
-            .filter(_._1 != aid)
-            .map { case (bid, bemb) => (aid, bid, r4(dot(aemb, bemb))) }
-            .toArray.sortBy(p => (-p._3, p._2)).take(3)
+          val top = new Array[(Double, Long)](3)
+          var filled = 0
+          var bi = 0
+          while (bi < n) {
+            val (bid, bemb) = members(bi)
+            if (bid != aid) {
+              val sc = r4(dot(aemb, bemb))
+              var pos = filled
+              while (pos > 0 &&
+                (top(pos - 1)._1 < sc ||
+                  (top(pos - 1)._1 == sc && top(pos - 1)._2 > bid))) pos -= 1
+              if (pos < 3) {
+                var j = math.min(filled, 2)
+                while (j > pos) { top(j) = top(j - 1); j -= 1 }
+                top(pos) = (sc, bid)
+                if (filled < 3) filled += 1
+              }
+            }
+            bi += 1
+          }
+          (0 until filled).map(i => (aid, top(i)._2, top(i)._1))
         }
       }
     // same one-shuffle typed merge as the LSH path: dedup duplicate pairs
