@@ -29,7 +29,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(2))
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }

@@ -16,14 +16,23 @@ import org.apache.spark.broadcast.Broadcast
   * a rebuilt plan re-broadcasts.
   */
 object Broadcasts {
-  private val live = mutable.ListBuffer.empty[Broadcast[_]]
+  // Weak references: in a JVM that never calls destroyAll (the ScalaTest
+  // suite, the external verify driver) an unreferenced broadcast must stay
+  // collectible so Spark's ContextCleaner can unpersist it — a strong
+  // registry would pin every kernel's vector table for the JVM lifetime.
+  private val live =
+    mutable.ListBuffer.empty[java.lang.ref.WeakReference[Broadcast[_]]]
 
   def track[T](bc: Broadcast[T]): Broadcast[T] = synchronized {
-    live += bc; bc
+    live += new java.lang.ref.WeakReference[Broadcast[_]](bc)
+    bc
   }
 
   def destroyAll(): Unit = synchronized {
-    live.foreach(b => try b.destroy() catch { case _: Exception => () })
+    live.foreach { ref =>
+      val b = ref.get()
+      if (b != null) try b.destroy() catch { case _: Exception => () }
+    }
     live.clear()
   }
 }

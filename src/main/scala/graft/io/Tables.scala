@@ -23,9 +23,13 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // bounded: a stop/getOrCreate-cycling process must not pin stopped
+    // sessions' plans forever (10 tables × a few dirs ≪ 256 in normal use)
+    if (cache.size > 256) cache.clear()
     cache.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

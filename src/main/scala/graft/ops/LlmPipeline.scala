@@ -174,6 +174,51 @@ object LlmPipeline {
 
   private def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
 
+  /** Bounded (score desc, id asc) top-3 insertion — THE kNN kernel, shared
+    * by brute/LSH/IVF so the tie-break rule lives in exactly one place. */
+  private final class Top3 {
+    private val sc = new Array[Double](3)
+    private val id = new Array[Long](3)
+    private var filled = 0
+    def offer(score: Double, bid: Long): Unit = {
+      var pos = filled
+      while (pos > 0 &&
+        (sc(pos - 1) < score || (sc(pos - 1) == score && id(pos - 1) > bid)))
+        pos -= 1
+      if (pos < 3) {
+        var j = math.min(filled, 2)
+        while (j > pos) { sc(j) = sc(j - 1); id(j) = id(j - 1); j -= 1 }
+        sc(pos) = score; id(pos) = bid
+        if (filled < 3) filled += 1
+      }
+    }
+    /** (aid, rn, b_id, score) — the ranked output shape. */
+    def ranked(aid: Long): IndexedSeq[(Long, Int, Long, Double)] =
+      (0 until filled).map(i => (aid, i + 1, id(i), sc(i)))
+    /** (aid, b_id, score) — the pre-merge candidate shape. */
+    def triples(aid: Long): IndexedSeq[(Long, Long, Double)] =
+      (0 until filled).map(i => (aid, id(i), sc(i)))
+  }
+
+  /** One-shuffle merge of bucket/cell-local winners shared by the LSH and
+    * IVF paths: per query vector, dedup pairs seen in several tables/cells
+    * (same pair ⇒ identical rounded score ⇒ exact tuple duplicate), keep
+    * the global top-3 in a typed JVM fold. */
+  private def mergeTop3(
+      local: org.apache.spark.sql.Dataset[(Long, Long, Double)]): DataFrame = {
+    val s = local.sparkSession
+    import s.implicits._
+    local
+      .groupByKey(_._1)
+      .flatMapGroups { (aid, it) =>
+        val top = new Top3
+        it.toArray.distinct.foreach { case (_, bid, sc) => top.offer(sc, bid) }
+        top.ranked(aid).iterator
+      }
+      .toDF("vec_id", "rn", "b_id", "score")
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   /** Embeddings as (id, primitive array) with the query side spread over
     * all cores — the fixture is one parquet file = one input partition,
     * which would otherwise serialize the O(n·m) scoring onto one thread. */
@@ -201,25 +246,11 @@ object LlmPipeline {
         val refs = bc.value
         it.flatMap { case (aid, aemb) =>
           // top-3 by (rounded score desc, b_id asc) via bounded insertion
-          val top = new Array[(Double, Long)](3)
-          var filled = 0
+          val top = new Top3
           refs.foreach { case (bid, bemb) =>
-            if (bid != aid) {
-              val sc = r4(dot(aemb, bemb))
-              var pos = filled
-              while (pos > 0 &&
-                (top(pos - 1)._1 < sc ||
-                  (top(pos - 1)._1 == sc && top(pos - 1)._2 > bid))) pos -= 1
-              if (pos < 3) {
-                val upto = math.min(filled, 2)
-                var j = upto
-                while (j > pos) { top(j) = top(j - 1); j -= 1 }
-                top(pos) = (sc, bid)
-                if (filled < 3) filled += 1
-              }
-            }
+            if (bid != aid) top.offer(r4(dot(aemb, bemb)), bid)
           }
-          (0 until filled).map(i => (aid, i + 1, top(i)._2, top(i)._1))
+          top.ranked(aid)
         }
       }
       .toDF("vec_id", "rn", "b_id", "score")
@@ -339,8 +370,7 @@ object LlmPipeline {
         rows.indices.iterator.flatMap { ai =>
           val (_, aid, akeys) = rows(ai)
           val aemb = embs(ai)
-          val top = new Array[(Double, Long)](3)
-          var filled = 0
+          val top = new Top3
           var bi = 0
           while (bi < n) {
             if (bi != ai) {
@@ -352,41 +382,16 @@ object LlmPipeline {
                 if (akeys(t2) == bkeys(t2)) first = false
                 t2 += 1
               }
-              if (first) {
-                val bid = rows(bi)._2
-                val sc = r4(dot(aemb, embs(bi)))
-                var pos = filled
-                while (pos > 0 &&
-                  (top(pos - 1)._1 < sc ||
-                    (top(pos - 1)._1 == sc && top(pos - 1)._2 > bid))) pos -= 1
-                if (pos < 3) {
-                  var j = math.min(filled, 2)
-                  while (j > pos) { top(j) = top(j - 1); j -= 1 }
-                  top(pos) = (sc, bid)
-                  if (filled < 3) filled += 1
-                }
-              }
+              if (first) top.offer(r4(dot(aemb, embs(bi))), rows(bi)._2)
             }
             bi += 1
           }
-          (0 until filled).map(i => (aid, top(i)._2, top(i)._1))
+          top.triples(aid)
         }
       }
-    // Merge bucket-local winners in ONE shuffle: per query vector, dedup
-    // pairs seen in several tables (same pair ⇒ identical rounded score ⇒
-    // exact tuple duplicate), sort by (score desc, b_id asc), keep 3 — a
-    // typed JVM fold, not interpreted array HOFs. At 100 TB the merge
+    // Merge bucket-local winners in ONE shuffle — at 100 TB the merge
     // state is O(L·k) per vector, independent of bucket occupancy.
-    local
-      .groupByKey(_._1)
-      .flatMapGroups { (aid, it) =>
-        val top = it.toArray.distinct.sortBy(p => (-p._3, p._2)).take(3)
-        top.iterator.zipWithIndex.map { case ((_, bid, sc), i) =>
-          (aid, i + 1, bid, sc)
-        }
-      }
-      .toDF("vec_id", "rn", "b_id", "score")
-      .orderBy(col("vec_id"), col("rn"))
+    mergeTop3(local)
   }
 
   /** IVF (inverted-file) ANN — the second scale path beside sign-LSH.
@@ -432,41 +437,19 @@ object LlmPipeline {
         val members = rows.filter(!_._2).map(r => (r._3, r._4))
         val n = members.length
         rows.iterator.filter(_._2).flatMap { case (_, _, aid, aemb) =>
-          val top = new Array[(Double, Long)](3)
-          var filled = 0
+          val top = new Top3
           var bi = 0
           while (bi < n) {
             val (bid, bemb) = members(bi)
-            if (bid != aid) {
-              val sc = r4(dot(aemb, bemb))
-              var pos = filled
-              while (pos > 0 &&
-                (top(pos - 1)._1 < sc ||
-                  (top(pos - 1)._1 == sc && top(pos - 1)._2 > bid))) pos -= 1
-              if (pos < 3) {
-                var j = math.min(filled, 2)
-                while (j > pos) { top(j) = top(j - 1); j -= 1 }
-                top(pos) = (sc, bid)
-                if (filled < 3) filled += 1
-              }
-            }
+            if (bid != aid) top.offer(r4(dot(aemb, bemb)), bid)
             bi += 1
           }
-          (0 until filled).map(i => (aid, top(i)._2, top(i)._1))
+          top.triples(aid)
         }
       }
     // same one-shuffle typed merge as the LSH path: dedup duplicate pairs
     // (probe cells overlap), keep the global top-3 per query
-    local
-      .groupByKey(_._1)
-      .flatMapGroups { (aid, it) =>
-        val top = it.toArray.distinct.sortBy(p => (-p._3, p._2)).take(3)
-        top.iterator.zipWithIndex.map { case ((_, bid, sc), i) =>
-          (aid, i + 1, bid, sc)
-        }
-      }
-      .toDF("vec_id", "rn", "b_id", "score")
-      .orderBy(col("vec_id"), col("rn"))
+    mergeTop3(local)
   }
 
   // -------------------------------------------------------- near-dup text

@@ -21,10 +21,14 @@ object SqlApi {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   private def ensureViews(s: SparkSession, d: String): Unit =
-    if (current.put(s, d) != d)
+    if (current.get(s) != d) {
       Tables.names.foreach { t =>
         Tables(s, d, t).createOrReplaceTempView(t)
       }
+      // record AFTER registration succeeds — a mid-loop failure must not
+      // leave half-stale views that later calls skip repairing
+      current.put(s, d)
+    }
 
   /** TPC-H-Q3-shaped 3-table join + agg + top-k, written as SQL. The plan
     * must be identical in kind to the DataFrame form: pushed filters,

@@ -88,9 +88,16 @@ object Stateful {
       }
   }
 
-  /** Open-session state carried across micro-batches by
-    * [[sessionizeStream]]: the running session's index, bounds, and
-    * aggregates — constant size per key. */
+  /** State carried across micro-batches by [[sessionizeStream]]:
+    * `nextIdx` survives even after the open session is flushed by a
+    * timeout, so a user who returns hours later continues the idx
+    * sequence instead of reusing (user, 0). After a flush the state
+    * shrinks to this counter (16 bytes/key); a production variant that
+    * must evict idle keys entirely would key sessions by session_start
+    * instead of a running index — unique without permanent state. */
+  case class StreamState(nextIdx: Long, open: OpenSession)
+
+  /** The open session's bounds and aggregates — constant size per key. */
   case class OpenSession(
       idx: Long, startMicros: Long, endMicros: Long, n: Long, sum: Double)
 
@@ -123,33 +130,40 @@ object Stateful {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+        (user: Long, it: Iterator[Event], state: GroupState[StreamState]) =>
           if (state.hasTimedOut) {
-            // watermark passed session_end + gap: no event can extend it
-            val o = state.get
-            state.remove()
+            // watermark passed session_end + gap: no event can extend it.
+            // Keep the idx counter — a returning user must continue the
+            // sequence, not reuse (user, 0).
+            val st = state.get
+            val o = st.open
+            state.update(StreamState(st.nextIdx, null))
             Iterator.single(SessionOut(user, o.idx, toTs(o.startMicros),
               toTs(o.endMicros), o.n, math.floor(o.sum * 100 + 0.5) / 100.0))
           } else {
             val sorted = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionOut]
-            var open = state.getOption.orNull
+            val prior = state.getOption
+            var nextIdx = prior.map(_.nextIdx).getOrElse(0L)
+            var open = prior.map(_.open).orNull
             sorted.foreach { e =>
               val t = micros(e.ts)
-              if (open == null)
-                open = OpenSession(0L, t, t, 1L, e.value)
-              else if (t - open.endMicros > gapUs) {
+              if (open == null) {
+                open = OpenSession(nextIdx, t, t, 1L, e.value)
+                nextIdx += 1
+              } else if (t - open.endMicros > gapUs) {
                 closed += SessionOut(user, open.idx, toTs(open.startMicros),
                   toTs(open.endMicros), open.n,
                   math.floor(open.sum * 100 + 0.5) / 100.0)
-                open = OpenSession(open.idx + 1, t, t, 1L, e.value)
+                open = OpenSession(nextIdx, t, t, 1L, e.value)
+                nextIdx += 1
               } else
                 open = open.copy(
                   endMicros = math.max(open.endMicros, t),
                   n = open.n + 1, sum = open.sum + e.value)
             }
             if (open != null) {
-              state.update(open)
+              state.update(StreamState(nextIdx, open))
               // flush when the watermark proves the gap can't be beaten
               state.setTimeoutTimestamp(open.endMicros / 1000L + 1800L * 1000L)
             }

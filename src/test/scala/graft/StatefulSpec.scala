@@ -77,6 +77,14 @@ class StatefulSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData(ev(7, "2024-01-01 13:02:00", 99, 0.0))
     q.processAllAvailable()
+    // user 2 RETURNS after their session 0 was flushed by timeout: the idx
+    // counter must survive eviction — the new session is (2, 1), not (2, 0)
+    mem.addData(ev(8, "2024-01-01 14:00:00", 2, 7.0))
+    q.processAllAvailable()
+    mem.addData(ev(9, "2024-01-01 15:01:00", 99, 0.0))
+    q.processAllAvailable()
+    mem.addData(ev(10, "2024-01-01 15:02:00", 99, 0.0))
+    q.processAllAvailable()
     q.stop()
     val rows = spark.table("t_sstream")
       .select(col("user_id"), col("session_idx"), col("session_start"),
@@ -94,6 +102,9 @@ class StatefulSpec extends SparkSpec {
     // user 2's lone session flushed by timeout
     assert(rows((2L, 0L)) ==
       ("2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L, 5.0), s"$rows")
+    // and their post-eviction return continues the sequence at idx 1
+    assert(rows((2L, 1L)) ==
+      ("2024-01-01 14:00:00.0", "2024-01-01 14:00:00.0", 1L, 7.0), s"$rows")
   }
 
   test("sessionize asserts its single-batch-per-key precondition") {
