@@ -26,7 +26,8 @@ object ScaleStress {
     "knn_cosine", "knn_lsh_bucketed", "knn_ivf", "sim_threshold",
     "join_theta_range", "join_range_bucketed", "join_asof_native",
     "text_tfidf_topterms", "text_tokenize_wordcount",
-    "stream_session_30m", "agg_pricing_summary", "win_topk_per_group")
+    "stream_session_30m", "agg_pricing_summary",
+    "win_topk_per_group", "win_topk_native")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(
