@@ -125,6 +125,7 @@ object SparkEntry {
     "sql_subquery_exists" -> (SqlApi.sqlSubqueryExists _),
     "sql_subquery_scalar_corr" -> (SqlApi.sqlSubqueryScalarCorr _),
     "fn_vector_native" -> (Functions.fnVectorNative _),
+    "layout_zorder" -> (Functions.layoutZorder _),
     "join_skew_salted" -> (Relational.joinSkewSalted _)
   )
 

@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonCode].getName, "graft_morton"),
+      (children: Seq[Expression]) => MortonCode(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       (children: Seq[Expression]) =>

@@ -206,6 +206,24 @@ object Functions {
       .orderBy(col("vec_id"))
   }
 
+  /** Z-order (Morton) layout key through the native codegen'd
+    * [[graft.functions.MortonCode]] expression: sorting a table by the
+    * interleaved (orderkey, partkey) bits makes every output file cover a
+    * small RECTANGLE in both dimensions, so min/max file skipping prunes
+    * on either column — the multi-column data-layout operator behind
+    * lakehouse Z-ORDER BY. Keys are bounded to 16 bits here so the DuckDB
+    * oracle's bit arithmetic stays in signed-64 range; the expression
+    * itself interleaves 32+32. */
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MortonCode.register(s)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        call_function("graft_morton",
+          pmod(col("l_orderkey"), lit(65536L)),
+          pmod(col("l_partkey"), lit(65536L))).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Generator/UDTF surface (§2.11): explode a computed array — one input
     * row → N rows (words of the doc text). */
   def udtfExplode(s: SparkSession, d: String): DataFrame =

@@ -591,6 +591,13 @@ object OracleSql {
         "floor((embedding[1]::DOUBLE) * 10000 + 0.5) / 10000.0 AS v0 " +
         "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
 
+    "layout_zorder" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "list_sum(list_transform(range(0, 16), i -> " +
+        "((((l_orderkey % 65536) >> i) & 1) << (2*i)) + " +
+        "((((l_partkey % 65536) >> i) & 1) << (2*i+1))))::BIGINT AS zkey " +
+        "FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber"),
+
     "fn_vector_native" ->
       ("SELECT vec_id, " +
         "floor((list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) * 10000 + 0.5) / 10000.0 AS norm_sq, " +

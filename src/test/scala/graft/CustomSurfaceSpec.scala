@@ -97,6 +97,49 @@ class CustomSurfaceSpec extends SparkSpec {
       unbucketed.orderBy(col("o_orderstatus")), "bucketed-vs-plain")
   }
 
+  test("graft_morton equals a JVM reference interleave and runs in codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.MortonCode.register(spark)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextLong().abs % 4294967296L,
+      rnd.nextLong().abs % 4294967296L))
+    val got = pairs.toDF("x", "y")
+      .select(call_function("graft_morton", $"x", $"y")).collect().map(_.getLong(0))
+    val ref = pairs.map { case (x, y) =>
+      graft.functions.MortonCode.interleave(x, y)
+    }
+    assert(got.toSeq == ref)
+    // and the codegen path is exercised (no CodegenFallback wrapper)
+    val plan = pairs.toDF("x", "y")
+      .select(call_function("graft_morton", $"x", $"y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Fallback"), plan)
+  }
+
+  test("z-order layout clusters both key dimensions into file-skippable ranges") {
+    import org.apache.spark.sql.functions._
+    // sort 64x64 grid points by morton; cut the output into 16 "files" and
+    // measure each file's (x, y) bounding box: under z-order BOTH sides
+    // stay small (~quadrants), where an x-sort leaves y spanning the full
+    // domain in every file — that span is exactly what min/max skipping
+    // prunes on.
+    import spark.implicits._
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    graft.functions.MortonCode.register(spark)
+    val sorted = grid
+      .select($"x", $"y", call_function("graft_morton", $"x", $"y").as("z"))
+      .orderBy($"z").collect()
+    val files = sorted.grouped(sorted.length / 16).toArray
+    val zSpans = files.map { f =>
+      val xs = f.map(_.getLong(0)); val ys = f.map(_.getLong(1))
+      (xs.max - xs.min) + (ys.max - ys.min)
+    }
+    // each z-ordered file covers a ~16x16 quadrant: combined span ~30, vs
+    // 64+4 for an x-sorted layout whose every file spans all of y
+    assert(zSpans.forall(_ <= 32), s"z-order spans too wide: ${zSpans.toSeq}")
+  }
+
   test("native top-k: partial below the exchange, final above, rows equal the window form") {
     val native = graft.ops.Windows.winTopkNative(spark, sf001)
     val plan = native.queryExecution.executedPlan.toString
