@@ -107,6 +107,51 @@ class StatefulSpec extends SparkSpec {
       ("2024-01-01 14:00:00.0", "2024-01-01 14:00:00.0", 1L, 7.0), s"$rows")
   }
 
+  test("sessionizeStream over 4-batch time-ordered replay == batch sessions (open tails excluded)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // time-ordered file sequence: ntile(4) over ts → each micro-batch
+    // advances event time monotonically, like a live feed would
+    val in = java.nio.file.Files.createTempDirectory("graft-sess-mb").toString
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val tiled = raw.withColumn("tile", ntile(4).over(w)).cache()
+    (1 to 4).foreach { i =>
+      tiled.where(col("tile") === i).drop("tile").coalesce(1)
+        .write.parquet(s"$in/part$i")
+    }
+    tiled.unpersist()
+    val stream = spark.readStream.schema(graft.io.EventSource.storedSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Stateful.sessionizeStream(
+        stream.withWatermark("ts", "0 seconds").as[Stateful.Event])
+      .writeStream.format("memory").queryName("t_sess_mb")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5))
+    val streamed = spark.table("t_sess_mb")
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .collect().map(key).toSet
+    val batchRows = Streaming.streamSession30m(spark, sf001).collect().map(key)
+    val batch = batchRows.toSet
+    val lastIdx = batchRows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val nonLast = batchRows.filter(r => r._2 < lastIdx(r._1)).toSet
+    // every emitted session is a real batch session (stitching across the
+    // 4 batches is exact), and every session provably closed by a later
+    // event was emitted; only the still-open (or not-yet-timed-out) tail
+    // of each user may be withheld at stream end
+    assert(streamed.subsetOf(batch),
+      s"stream emitted sessions the batch form doesn't have: ${streamed.diff(batch).take(3)}")
+    assert(nonLast.subsetOf(streamed),
+      s"closed sessions missing from stream: ${nonLast.diff(streamed).take(3)}")
+  }
+
   test("sessionize asserts its single-batch-per-key precondition") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
