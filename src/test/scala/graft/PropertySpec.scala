@@ -26,6 +26,69 @@ class PropertySpec extends SparkSpec {
       if (rnd.nextInt(5) == 0) null
       else Double.box(rnd.nextDouble() * 200 - 100)))
 
+  test("native topK == window row_number form on random data (ties, varying k)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // duplicate scores on purpose: ties must break by id ascending in both
+    val rows = Seq.tabulate(500) { i =>
+      (rnd.nextInt(20).toLong, i.toLong, (rnd.nextInt(12) - 6).toDouble)
+    }
+    val df = rows.toDF("g", "id", "v").repartition(7)
+    for (k <- Seq(1, 3, 5)) {
+      val native = graft.plans.TopKPerGroup.topK(df, "g", "v", "id", k)
+        .select(col("g"), col("rn"), col("id"), col("v"))
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+      val windowed = df
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .select(col("g"), col("rn"), col("id"), col("v"))
+      assertSameRows(native.orderBy(col("g"), col("rn")),
+        windowed.orderBy(col("g"), col("rn")), s"topk-k$k")
+    }
+  }
+
+  test("pack_sequences invariants: offsets inside the budget, bins contiguous per stratum") {
+    val out = graft.ops.LlmPipeline.packSequences(spark, sf001).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.foreach { case (_, doc, _, _, off) =>
+      assert(off >= 0 && off < 4096, s"doc $doc offset $off outside budget")
+    }
+    // within a language, bins are non-decreasing in doc order and start at 0
+    out.groupBy(_._1).values.foreach { grp =>
+      val byDoc = grp.sortBy(_._2)
+      assert(byDoc.head._4 == 0L, s"first bin of ${byDoc.head._1} not 0")
+      byDoc.sliding(2).foreach {
+        case Array((_, _, _, b1, _), (_, d2, n2, b2, o2)) =>
+          assert(b2 >= b1 && b2 <= b1 + 1 + n2 / 4096,
+            s"bin jump at doc $d2: $b1 -> $b2")
+          // offset is consistent with the bin boundary definition
+          assert(o2 < 4096)
+        case _ => ()
+      }
+    }
+  }
+
+  test("morton interleave round-trips: even/odd bit extraction recovers both keys") {
+    val rnd = new scala.util.Random(13)
+    def compact(z: Long): Long = {
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+      x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+      x = (x | (x >> 16)) & 0x00000000ffffffffL
+      x
+    }
+    (0 until 1000).foreach { _ =>
+      val x = rnd.nextLong() & 0xffffffffL
+      val y = rnd.nextLong() & 0xffffffffL
+      val z = graft.functions.MortonCode.interleave(x, y)
+      assert(compact(z) == x && compact(z >> 1) == y,
+        s"round-trip failed for ($x, $y): z=$z")
+    }
+  }
+
   test("graft_dot equals a JVM reference fold on random vectors (incl. ragged lengths)") {
     graft.functions.DotProduct.register(spark)
     val rnd = new scala.util.Random(7)
