@@ -64,6 +64,27 @@ class SourcesSpec extends SparkSpec {
       s"ORC scan did not push the filter:\n$plan")
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    // a corpus written over months gains columns; the reader must serve
+    // old files (missing column -> null) and new files through one schema
+    val dir = tmp("evolve")
+    events.select(col("event_id"), col("user_id"))
+      .where(col("event_id") % 2 === 0)
+      .write.parquet(s"$dir/v1")
+    events.select(col("event_id"), col("user_id"), col("event_type"))
+      .where(col("event_id") % 2 === 1)
+      .write.parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("event_id", "event_type", "user_id"))
+    assert(merged.count() == events.count())
+    // old files surface null for the later column, new files carry it
+    assert(merged.where(col("event_id") % 2 === 0)
+      .where(col("event_type").isNotNull).count() == 0)
+    assert(merged.where(col("event_id") % 2 === 1)
+      .where(col("event_type").isNull).count() == 0)
+  }
+
   test("partitioned csv source prunes partitions like parquet") {
     val dir = tmp("csvpart")
     events.withColumn("etype", col("event_type"))

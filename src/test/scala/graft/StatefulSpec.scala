@@ -152,6 +152,60 @@ class StatefulSpec extends SparkSpec {
       s"closed sessions missing from stream: ${nonLast.diff(streamed).take(3)}")
   }
 
+  test("sessionizeStream state survives a checkpointed restart mid-stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val tiled = raw.withColumn("tile", ntile(4).over(w)).cache()
+    def writeTile(i: Int): Unit =
+      tiled.where(col("tile") === i).drop("tile").coalesce(1)
+        .write.parquet(s"$in/part$i")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(graft.io.EventSource.storedSchema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = Stateful.sessionizeStream(
+          stream.withWatermark("ts", "0 seconds").as[Stateful.Event])
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // first run sees only the first half of event time; open sessions and
+    // idx counters land in the state store
+    writeTile(1); writeTile(2)
+    runOnce()
+    // restart against the SAME checkpoint with the rest of the stream: the
+    // recovered state must stitch sessions across the restart boundary
+    writeTile(3); writeTile(4)
+    runOnce()
+    tiled.unpersist()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5))
+    val emitted = spark.read.parquet(out)
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .collect().map(key)
+    // exactly-once: no (user, idx) appears twice across the two runs
+    assert(emitted.map(r => (r._1, r._2)).distinct.length == emitted.length,
+      "duplicate (user_id, session_idx) after restart")
+    val batchRows = Streaming.streamSession30m(spark, sf001).collect().map(key)
+    val lastIdx = batchRows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val nonLast = batchRows.filter(r => r._2 < lastIdx(r._1)).toSet
+    assert(emitted.toSet.subsetOf(batchRows.toSet),
+      s"restart emitted sessions the batch form doesn't have: " +
+        s"${emitted.toSet.diff(batchRows.toSet).take(3)}")
+    assert(nonLast.subsetOf(emitted.toSet),
+      s"closed sessions lost across restart: ${nonLast.diff(emitted.toSet).take(3)}")
+  }
+
   test("sessionize asserts its single-batch-per-key precondition") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
