@@ -15,20 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Memoized per (session, dir, table): spark.read.parquet re-reads the
-  // footer for schema on every call, and an 88-query harness calls these
+  // Memoized per session → (dir, table): spark.read.parquet re-reads the
+  // footer for schema on every call, and a ~100-query harness calls these
   // readers a few hundred times. The fixture files are immutable, and a
   // DataFrame is just a reusable logical plan — caching it is safe and
   // shaves the repeated schema-inference latency.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  //
+  // Eviction: a cached DataFrame strongly references its SparkSession, so
+  // weak keys alone can never collect an entry (the value pins the key).
+  // Instead, stopped sessions are purged eagerly on every access — a
+  // stop/getOrCreate-cycling process frees each dead session's plans on
+  // its next read, with no arbitrary size threshold. Entries are bounded
+  // at (live sessions × dirs × 10 tables).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // bounded: a stop/getOrCreate-cycling process must not pin stopped
-    // sessions' plans forever (10 tables × a few dirs ≪ 256 in normal use)
-    if (cache.size > 256) cache.clear()
-    cache.computeIfAbsent((spark, sfDir, name),
-      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    cache
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((sfDir, name),
+        _ => spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

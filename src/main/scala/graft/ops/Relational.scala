@@ -164,7 +164,14 @@ object Relational {
   def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
     val urgent = Tables.orders(s, d)
       .where(col("o_orderpriority") === "1-URGENT")
-    val bf = urgent.stat.bloomFilter("o_custkey", 100000L, 0.01)
+    // Capacity sized from the build side itself: a fixed capacity silently
+    // degrades fpp toward 1 once the true distinct count outgrows it,
+    // turning the prefilter into a no-op at larger SFs. approx_count_distinct
+    // is one cheap constant-state job; 1.25× headroom covers its ±5% error.
+    val approxKeys = urgent
+      .agg(approx_count_distinct(col("o_custkey")).as("n")).head().getLong(0)
+    val bf = urgent.stat.bloomFilter(
+      "o_custkey", math.max(1000L, approxKeys * 5L / 4L), 0.01)
     val bc = graft.Broadcasts.track(s.sparkContext.broadcast(bf))
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
     Tables.customer(s, d)

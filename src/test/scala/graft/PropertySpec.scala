@@ -48,6 +48,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native topK == window form with nulls in group, order, and tie") {
+    import org.apache.spark.sql.expressions.Window
+    // ADVICE round-2: the partial exec used to DROP null-keyed rows while
+    // the window form ranks them (order DESC → nulls last, tie ASC → nulls
+    // first, null group = its own partition). Pin the repaired semantics
+    // against the window form on data where every null position occurs.
+    val rnd = new scala.util.Random(17)
+    val sch = T.StructType(Seq(
+      T.StructField("g", T.LongType, nullable = true),
+      T.StructField("id", T.LongType, nullable = true),
+      T.StructField("v", T.DoubleType, nullable = true)))
+    // Coarse v (11 values) forces tie-breaks through id, including null
+    // ids. Rows that fully tie — same (g, v), both ids null — are
+    // IDENTICAL rows (no other columns), so rank assignment among them
+    // is multiset-stable and the comparison stays deterministic.
+    val rows = Seq.tabulate(400) { i =>
+      Row(
+        if (rnd.nextInt(10) == 0) null else Long.box(rnd.nextInt(8).toLong),
+        if (rnd.nextInt(8) == 0) null else Long.box(i.toLong),
+        if (rnd.nextInt(5) == 0) null else Double.box((rnd.nextInt(11) - 5).toDouble))
+    }
+    val df = spark.createDataFrame(rows.asJava, sch).repartition(5)
+    for (k <- Seq(1, 2, 4)) {
+      val native = graft.plans.TopKPerGroup.topK(df, "g", "v", "id", k)
+        .select(col("g"), col("rn"), col("id"), col("v"))
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+      val windowed = df
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .select(col("g"), col("rn"), col("id"), col("v"))
+      assertSameRows(native.orderBy(col("g"), col("rn")),
+        windowed.orderBy(col("g"), col("rn")), s"topk-nulls-k$k")
+    }
+  }
+
   test("pack_sequences invariants: offsets inside the budget, bins contiguous per stratum") {
     val out = graft.ops.LlmPipeline.packSequences(spark, sf001).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
