@@ -406,17 +406,24 @@ object Relational {
     * every training pipeline runs over its event log. Written as an
     * AGGREGATION (max_by), not a window: partial aggregation combines
     * map-side, so the shuffle carries one candidate row per key per
-    * partition instead of every event — the scale shape. ts is unique per
-    * key in the fixtures at µs precision (verified sf0.01/sf0.1), so
-    * max_by(·, ts) is deterministic without a composite key. */
-  def cdcUpsertLatest(s: SparkSession, d: String): DataFrame =
+    * partition instead of every event — the scale shape. Ties on ts break
+    * by event_id DESC via a composite key, so the survivor is
+    * deterministic even when two events share a timestamp (DuckDB 1.0's
+    * arg_max can't order by a struct, so both sides key on a fixed-width
+    * zero-padded string — lexicographic == numeric for the non-negative
+    * epoch/id domains). */
+  def cdcUpsertLatest(s: SparkSession, d: String): DataFrame = {
+    val key = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 20, "0"))
     Tables.events(s, d)
       .groupBy(col("user_id"), col("event_type"))
       .agg(
-        max_by(col("event_id"), col("ts")).as("event_id"),
-        round(max_by(col("value"), col("ts")), 2).as("value"),
+        max_by(col("event_id"), key).as("event_id"),
+        round(max_by(col("value"), key), 2).as("value"),
         max(col("ts")).as("ts"))
       .orderBy(col("user_id"), col("event_type"))
+  }
 
   /** Heavy hitters via count-min sketch: one mergeable fixed-size sketch
     * over the whole stream (eps=0.001, seed pinned), then point estimates

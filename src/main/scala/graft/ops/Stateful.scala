@@ -158,7 +158,12 @@ object Stateful {
                 open = OpenSession(nextIdx, t, t, 1L, e.value)
                 nextIdx += 1
               } else
+                // min() on start: an out-of-order event earlier than the
+                // open session's start (tolerated watermark slack) widens
+                // the session instead of silently leaving session_start —
+                // and therefore duration — wrong for the merged result
                 open = open.copy(
+                  startMicros = math.min(open.startMicros, t),
                   endMicros = math.max(open.endMicros, t),
                   n = open.n + 1, sum = open.sum + e.value)
             }

@@ -277,8 +277,10 @@ object OracleSql {
         "ORDER BY doc_id"),
 
     "cdc_upsert_latest" ->
-      ("SELECT user_id, event_type, arg_max(event_id, ts) AS event_id, " +
-        "floor((arg_max(value, ts)) * 100 + 0.5) / 100.0 AS value, max(ts) AS ts " +
+      ("SELECT user_id, event_type, " +
+        "arg_max(event_id, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')) AS event_id, " +
+        "floor((arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0'))) * 100 + 0.5) / 100.0 AS value, " +
+        "max(ts) AS ts " +
         "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
 
     // ------------------------------------------------------- §2.5 windows

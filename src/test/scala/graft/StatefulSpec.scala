@@ -107,6 +107,45 @@ class StatefulSpec extends SparkSpec {
       ("2024-01-01 14:00:00.0", "2024-01-01 14:00:00.0", 1L, 7.0), s"$rows")
   }
 
+  test("sessionizeStream widens session_start for an out-of-order event inside watermark slack") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def ev(id: Long, ts: String, user: Long, v: Double) =
+      Stateful.Event(id, t(ts), user, "click", v, "{}")
+    val mem = MemoryStream[Stateful.Event]
+    // 1 h watermark delay: an event 30 min older than the open session's
+    // start is LEGAL late data, not a watermark violation — it must merge
+    // and extend session_start backwards (ADVICE round-2: the merge used
+    // to keep the newer start, yielding a wrong start/duration).
+    val out = Stateful.sessionizeStream(
+      mem.toDS().withWatermark("ts", "1 hour"))
+    val q = out.writeStream.format("memory").queryName("t_ooo")
+      .outputMode("append").start()
+    mem.addData(ev(1, "2024-01-01 10:30:00", 7, 1.0))
+    q.processAllAvailable()
+    // arrives in a LATER batch with an EARLIER timestamp (watermark is
+    // 09:30, so it is not dropped upstream)
+    mem.addData(ev(2, "2024-01-01 10:00:00", 7, 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past end+30min, then one more batch so the
+    // event-time timeout actually fires and flushes user 7's session
+    mem.addData(ev(3, "2024-01-01 20:00:00", 99, 0.0))
+    q.processAllAvailable()
+    mem.addData(ev(4, "2024-01-01 20:30:00", 99, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_ooo")
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2).toString, r.getTimestamp(3).toString,
+          r.getLong(4), r.getDouble(5))).toMap
+    assert(rows((7L, 0L)) ==
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0", 2L, 3.0), s"$rows")
+  }
+
   test("sessionizeStream over 4-batch time-ordered replay == batch sessions (open tails excluded)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
