@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_simhash" -> (LlmPipeline.dedupSimhash _),
     "dedup_simhash_pairs" -> (LlmPipeline.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
+    "dedup_embedding_cosine" -> (LlmPipeline.dedupEmbeddingCosine _),
     "knn_cosine" -> (LlmPipeline.knnCosine _),
     "knn_lsh_bucketed" -> (LlmPipeline.knnLshBucketed _),
     "sim_threshold" -> (LlmPipeline.simThreshold _),

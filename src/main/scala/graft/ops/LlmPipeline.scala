@@ -279,6 +279,39 @@ object LlmPipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Embedding-cosine near-duplicate removal — the vector-space member of
+    * the dedup family (exact sha / minhash / simhash / ngram-jaccard /
+    * THIS). Verdict per vector: `dup_of` = the SMALLEST earlier vec_id
+    * whose cosine ≥ 0.3 (null ⇒ kept), `dup_score` = that pair's score —
+    * the deterministic min-id-survivor rule every other dedup op uses,
+    * lifted to vector space. Same broadcast-matrix kernel as
+    * [[simThreshold]], but each query EARLY-EXITS at its first qualifying
+    * earlier neighbor (refs are id-sorted, so first hit == min id): the
+    * duplicate-heavy corpora this op exists for stop scanning almost
+    * immediately. At broadcast-breaking scale the candidate stage swaps to
+    * the [[knnLshBucketed]]/[[knnIvf]] bucketing with the same verdict
+    * rule — the threshold test only needs bucket-local candidates. */
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bc = graft.Broadcasts.track(
+      s.sparkContext.broadcast(vecs(s, d).collect().sortBy(_._1)))
+    vecs(s, d).repartition(s.sparkContext.defaultParallelism)
+      .map { case (aid, aemb) =>
+        val refs = bc.value
+        var dupOf: Option[Long] = None
+        var dupScore: Option[Double] = None
+        var i = 0
+        while (dupOf.isEmpty && i < refs.length && refs(i)._1 < aid) {
+          val sc = r4(dot(aemb, refs(i)._2))
+          if (sc >= 0.3) { dupOf = Some(refs(i)._1); dupScore = Some(sc) }
+          i += 1
+        }
+        (aid, dupOf, dupScore)
+      }
+      .toDF("vec_id", "dup_of", "dup_score")
+      .orderBy(col("vec_id"))
+  }
+
   /** The SCALE path for ANN: multi-table random-hyperplane LSH (standard
     * (k, L) scheme: L=6 tables, k adaptive in 4..24 sign bits — recall
     * 1-(1-p^k)^L with p = 1 - θ/π is pinned empirically by LlmOpsSpec

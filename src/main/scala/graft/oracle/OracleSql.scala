@@ -556,6 +556,16 @@ object OracleSql {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
         "WHERE score >= 0.3 ORDER BY a_id, b_id"),
 
+    "dedup_embedding_cosine" ->
+      ("WITH pairs AS (SELECT b.vec_id AS v, a.vec_id AS b_id, " +
+        "floor((list_sum(list_transform(range(1, 65), " +
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +
+        "q AS (SELECT v, min(b_id) AS dup_of, arg_min(score, b_id) AS dup_score " +
+        "FROM pairs WHERE score >= 0.3 GROUP BY v) " +
+        "SELECT e.vec_id, q.dup_of, q.dup_score " +
+        "FROM embeddings e LEFT JOIN q ON e.vec_id = q.v ORDER BY e.vec_id"),
+
     "dedup_ngram_jaccard" ->
       ("WITH docs AS (SELECT doc_id, list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 " +
         "THEN list_transform(range(0, len(string_split(text, ' ')) - 2), " +

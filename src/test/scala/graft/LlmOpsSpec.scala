@@ -115,6 +115,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
   }
 
+  test("dedup_embedding_cosine verdict == sim_threshold pair set (min-id survivor rule)") {
+    // cross-operator consistency: v is a dup iff it appears as the LATER
+    // element of some sim_threshold pair, and dup_of is the smallest such
+    // earlier id with that exact pair's score — both ops share the dot/r4
+    // kernel, so equality is exact, not approximate.
+    val pairs = LlmPipeline.simThreshold(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs.groupBy(_._2).map { case (v, ps) =>
+      val best = ps.minBy(_._1)
+      v -> (best._1, best._3)
+    }
+    val got = LlmPipeline.dedupEmbeddingCosine(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    assert(got.nonEmpty && got.values.exists(_.isDefined),
+      "vacuous: no duplicates found at sf0.001")
+    got.foreach { case (v, verdict) =>
+      assert(verdict == expected.get(v).map(identity),
+        s"vec $v: got $verdict expected ${expected.get(v)}")
+    }
+  }
+
   test("approx_percentile within 5% of exact (agg_approx_percentile)") {
     val approx = graft.ops.Relational.aggApproxPercentile(spark, sf01).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
