@@ -18,9 +18,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.1 scans
+    // §2.1 scans + interchange formats
     "scan_parquet" -> (Relational.scanParquet _),
     "scan_pruned" -> (Relational.scanPruned _),
+    "source_csv" -> (graft.io.Formats.sourceCsv _),
+    "source_json" -> (graft.io.Formats.sourceJson _),
     // §2.2 projection / filter
     "project_compute" -> (Relational.projectCompute _),
     "filter_pred" -> (Relational.filterPred _),
@@ -98,6 +100,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (LlmPipeline.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (LlmPipeline.dedupEmbeddingCosine _),
+    "dedup_embedding_lsh" -> (LlmPipeline.dedupEmbeddingLsh _),
     "knn_cosine" -> (LlmPipeline.knnCosine _),
     "knn_lsh_bucketed" -> (LlmPipeline.knnLshBucketed _),
     "sim_threshold" -> (LlmPipeline.simThreshold _),

@@ -1,0 +1,72 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det
+
+/** Interchange-format sources (SURVEY.md §2.1 beyond parquet): CSV and
+  * JSON write→read roundtrips proven by the ORACLE — each query writes a
+  * fixture table out in the interchange format, reads it back with an
+  * explicit schema, and aggregates; the DuckDB twin aggregates the
+  * original parquet directly, so a hash match certifies byte-level
+  * fidelity of the format path (quoting, escaping, JSON-in-JSON strings,
+  * µs timestamps), not just "it didn't crash".
+  *
+  * Scale notes: the write is `mode(overwrite)` into a per-sfDir tmp
+  * directory and splits into one file per input partition — the normal
+  * distributed sink shape. The read passes the schema explicitly:
+  * schema-on-read inference would scan the data twice and is the
+  * first thing to die on a 100 TB feed. Timestamps round-trip at
+  * MICROsecond precision via an explicit timestampFormat on both sides
+  * (Spark's default writes millis and silently truncates). */
+object Formats {
+
+  // µs-precision wire format, both directions (default truncates to ms)
+  private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private def tmpDir(kind: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(d.hashCode)}"
+
+  /** CSV roundtrip over orders: header + quoted strings (o_comment
+    * carries commas), DATE-typed o_orderdate. Output = per-priority
+    * pricing profile, hash-gated against parquet-side DuckDB. */
+  def sourceCsv(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val dir = tmpDir("csv", d)
+    orders.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(dir)
+    s.read.schema(orders.schema)
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.round(sum(col("o_totalprice")), 2).as("sum_price"),
+        max(col("o_orderdate")).as("max_date"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** JSON-lines roundtrip over events: a JSON document column (props)
+    * nested inside JSON records — the escaping case a Kinesis-style feed
+    * hits constantly — plus µs event-time timestamps. The aggregate
+    * consumes props THROUGH the roundtrip (sum of the extracted payload
+    * key), so corrupt escaping cannot hash-match. */
+  def sourceJson(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val dir = tmpDir("json", d)
+    events.write.mode("overwrite")
+      .option("timestampFormat", tsFmt)
+      .json(dir)
+    s.read.schema(events.schema)
+      .option("timestampFormat", tsFmt)
+      .json(dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.round(sum(col("value")), 2).as("sum_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        max(col("ts")).as("max_ts"))
+      .orderBy(col("event_type"))
+  }
+}

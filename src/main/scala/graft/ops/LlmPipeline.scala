@@ -279,6 +279,18 @@ object LlmPipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Binary search the id-sorted broadcast vector matrix by vec_id. */
+  private def vecOf(refs: Array[(Long, Array[Float])], id: Long): Array[Float] = {
+    var lo = 0; var hi = refs.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (refs(mid)._1 < id) lo = mid + 1
+      else if (refs(mid)._1 > id) hi = mid - 1
+      else return refs(mid)._2
+    }
+    Array.empty
+  }
+
   /** Embedding-cosine near-duplicate removal — the vector-space member of
     * the dedup family (exact sha / minhash / simhash / ngram-jaccard /
     * THIS). Verdict per vector: `dup_of` = the SMALLEST earlier vec_id
@@ -309,6 +321,79 @@ object LlmPipeline {
         (aid, dupOf, dupScore)
       }
       .toDF("vec_id", "dup_of", "dup_score")
+      .orderBy(col("vec_id"))
+  }
+
+  /** The SCALE path for embedding dedup — [[dedupEmbeddingCosine]]'s
+    * verdict rule (dup_of = min earlier id with cosine ≥ 0.3) computed
+    * over sign-LSH bucket candidates instead of all pairs. Bucket rows
+    * carry (key, id) only; embeddings rescore exactly from the broadcast,
+    * so PRECISION is 1 (every reported dup really clears the threshold)
+    * and only recall is probabilistic — ~1 in the high-cosine regime
+    * dedup exists for (collision prob (1-θ/π)^k per table over L tables),
+    * pinned by ScalaTest on synthetic near-identical vectors. Per-bucket
+    * work: members sorted by id, each scans only EARLIER members and
+    * stops at its first hit (bucket-local min); one groupByKey merge
+    * takes the min across tables. Shuffle = L keys/vector + one verdict
+    * row per (bucket, dup) — never an embedding array, never a full pair
+    * list. At broadcast-breaking scale the rescore becomes a hash join
+    * against the vector store, the bucketing asymptotics unchanged. */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, d).collect().sortBy(_._1)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(all))
+    val nVec = all.length
+    // occupancy-targeted bits/table, same sizing law as knnLshBucketed
+    val k = math.min(24, math.max(4,
+      (math.log(nVec.toDouble / 64) / math.log(2)).ceil.toInt))
+    val nTables = 6
+    val planes = Array.tabulate(nTables * k, 64)((p, i) => math.sin(p * 64 + i))
+    val ids = s.createDataset(
+      s.sparkContext.parallelize(
+        all.map(_._1).toIndexedSeq, s.sparkContext.defaultParallelism))
+    val bucketed = ids.flatMap { id =>
+      val emb = vecOf(bc.value, id)
+      (0 until nTables).iterator.map { t =>
+        var bits = 0L
+        var h = 0
+        while (h < k) {
+          val w = planes(t * k + h)
+          var proj = 0.0
+          var i = 0
+          while (i < 64 && i < emb.length) { proj += emb(i) * w(i); i += 1 }
+          if (proj >= 0) bits |= (1L << h)
+          h += 1
+        }
+        ((t.toLong << 32) | bits, id)
+      }
+    }
+    val verdicts = bucketed
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val refs = bc.value
+        val members = it.map(_._2).toArray.sorted
+        val embs = members.map(vecOf(refs, _))
+        members.indices.iterator.flatMap { ai =>
+          val aemb = embs(ai)
+          var found: Option[(Long, Long, Double)] = None
+          var bi = 0
+          while (found.isEmpty && bi < ai) { // earlier ids only, ascending
+            val sc = r4(dot(aemb, embs(bi)))
+            if (sc >= 0.3) found = Some((members(ai), members(bi), sc))
+            bi += 1
+          }
+          found
+        }
+      }
+      // min across tables — ONE shuffle carrying ≤ L verdicts per dup
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val best = it.minBy(_._2)
+        (aid, best._2, best._3)
+      }
+      .toDF("vec_id", "dup_of", "dup_score")
+    ids.toDF("vec_id")
+      .join(verdicts, Seq("vec_id"), "left_outer")
       .orderBy(col("vec_id"))
   }
 
@@ -345,17 +430,6 @@ object LlmPipeline {
     val nTables = 6
     // Fixed pseudo-random hyperplanes: w(plane, dim) = sin(plane*64 + dim).
     val planes = Array.tabulate(nTables * k, 64)((p, i) => math.sin(p * 64 + i))
-    // binary search the sorted broadcast by vec_id
-    def vecOf(refs: Array[(Long, Array[Float])], id: Long): Array[Float] = {
-      var lo = 0; var hi = refs.length - 1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (refs(mid)._1 < id) lo = mid + 1
-        else if (refs(mid)._1 > id) hi = mid - 1
-        else return refs(mid)._2
-      }
-      Array.empty
-    }
     // Query ids come from the already-collected broadcast build — re-reading
     // the table for the same ids would add a scan + repartition shuffle for
     // nothing. (Beyond the broadcast regime the ids revert to the

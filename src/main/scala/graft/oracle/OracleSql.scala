@@ -28,6 +28,22 @@ object OracleSql {
         "WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
         "ORDER BY l_orderkey, l_linenumber"),
 
+    // The CSV/JSON roundtrip queries aggregate the ROUNDTRIPPED data; the
+    // oracle aggregates the original parquet — a hash match certifies the
+    // interchange path end-to-end.
+    "source_csv" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price, " +
+        "max(o_orderdate) AS max_date " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "source_json" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value, " +
+        "sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k, " +
+        "max(ts) AS max_ts " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
     // -------------------------------------------------- §2.2 project/filter
     "project_compute" ->
       ("SELECT l_orderkey, l_linenumber, " +

@@ -138,6 +138,43 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_embedding_lsh: precision 1 vs exact verdicts, recall floor (deterministic planes)") {
+    val exact = LlmPipeline.dedupEmbeddingCosine(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    val pairs = LlmPipeline.simThreshold(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = LlmPipeline.dedupEmbeddingLsh(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    assert(lsh.keySet == exact.keySet, "row sets differ")
+    // precision 1: every LSH dup is a TRUE qualifying pair with the exact
+    // kernel's score, and its dup_of can only be >= the exact min (LSH
+    // misses candidates, it never invents smaller ones)
+    lsh.foreach { case (v, verdict) =>
+      verdict.foreach { case (b, sc) =>
+        assert(pairs.get((b, v)).contains(sc),
+          s"vec $v: LSH dup_of=$b score=$sc is not a true pair")
+        assert(exact(v).isDefined && b >= exact(v).get._1,
+          s"vec $v: LSH found $b below exact min ${exact(v)}")
+      }
+    }
+    // recall at the LOW 0.3 threshold (the worst case for sign-LSH —
+    // collision prob/table (1-acos(0.3)/pi)^4 ~ 0.13, ~0.56 over 6
+    // tables; dedup's actual near-dup regime >= 0.9 cosine collides at
+    // ~0.999). Planes and data are fixed, so measured recall is a
+    // constant of the build — assert a floor under it.
+    val nExact = exact.values.count(_.isDefined)
+    val nFound = lsh.count { case (v, verdict) =>
+      verdict.isDefined && exact(v).isDefined
+    }
+    assert(nExact > 0, "vacuous: exact op found no dups at sf0.001")
+    assert(nFound.toDouble / nExact >= 0.4,
+      s"recall ${nFound.toDouble / nExact} below floor ($nFound/$nExact)")
+  }
+
   test("approx_percentile within 5% of exact (agg_approx_percentile)") {
     val approx = graft.ops.Relational.aggApproxPercentile(spark, sf01).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
