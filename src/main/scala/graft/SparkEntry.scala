@@ -112,6 +112,7 @@ object SparkEntry {
     "text_langid" -> (LlmPipeline.textLangid _),
     "text_fingerprint" -> (LlmPipeline.textFingerprint _),
     "sample_stratified" -> (LlmPipeline.sampleStratified _),
+    "pipeline_corpus_curate" -> (LlmPipeline.pipelineCorpusCurate _),
     "corpus_shuffle" -> (LlmPipeline.corpusShuffle _),
     "pack_sequences" -> (LlmPipeline.packSequences _),
     "multimodal_struct" -> (LlmPipeline.multimodalStruct _),

@@ -758,6 +758,44 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END corpus curation — the composite pipeline a training-data
+    * user actually runs, as ONE declarative plan Catalyst optimizes
+    * across stage boundaries:
+    *   1. quality gate (≥5 tokens, distinct-token ratio ≥ 0.3) — pure
+    *      codegen'd expressions, applied BEFORE any shuffle so junk rows
+    *      never hit the network;
+    *   2. exact dedup keyed on sha2-256(text) — the shuffle carries a
+    *      32-byte digest + survivor metadata, never the document body
+    *      (the [[dedupExactSha]] scale shape); survivor = min doc_id via
+    *      min_by, deterministic;
+    *   3. per-language stratified thinning (every 5th survivor by id) —
+    *      one window shuffle on the already-deduped remnant.
+    * Three shuffles total, each over successively smaller data. Oracle-
+    * gated end-to-end: DuckDB runs the same three stages over parquet. */
+  def pipelineCorpusCurate(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val filtered = Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"), col("text"),
+        size(words).as("n_tokens"),
+        (size(array_distinct(words)).cast("double") / size(words))
+          .as("distinct_ratio"))
+      .where(col("n_tokens") >= 5 && col("distinct_ratio") >= 0.3)
+    val deduped = filtered
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    deduped
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        row_number().over(w).as("rn"))
+      .where((col("rn") - 1) % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic corpus shuffle: order by md5 of the doc id — the
     * reproducible global permutation training runs need (same corpus +
     * same key ⇒ same order, no RNG state). At scale this is a range

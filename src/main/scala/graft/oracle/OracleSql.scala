@@ -600,6 +600,19 @@ object OracleSql {
         "(row_number() OVER (PARTITION BY lang ORDER BY doc_id))::INT AS rn " +
         "FROM documents) WHERE (rn - 1) % 10 = 0 ORDER BY doc_id"),
 
+    "pipeline_corpus_curate" ->
+      ("WITH filtered AS (SELECT doc_id, lang, text, " +
+        "len(string_split(text, ' '))::INT AS n_tokens, " +
+        "len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS distinct_ratio " +
+        "FROM documents), " +
+        "gated AS (SELECT * FROM filtered WHERE n_tokens >= 5 AND distinct_ratio >= 0.3), " +
+        "deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, " +
+        "arg_min(n_tokens, doc_id) AS n_tokens FROM gated GROUP BY sha256(text)) " +
+        "SELECT doc_id, lang, n_tokens, rn FROM (" +
+        "SELECT doc_id, lang, n_tokens, " +
+        "(row_number() OVER (PARTITION BY lang ORDER BY doc_id))::INT AS rn FROM deduped) " +
+        "WHERE (rn - 1) % 5 = 0 ORDER BY doc_id"),
+
     "corpus_shuffle" ->
       ("SELECT doc_id, md5(doc_id::VARCHAR) AS shuffle_key FROM documents " +
         "ORDER BY shuffle_key, doc_id"),
