@@ -24,6 +24,8 @@ object ScaleStress {
     "dedup_exact_sha", "dedup_near_minhash", "dedup_simhash",
     "dedup_simhash_pairs",
     "knn_cosine", "knn_lsh_bucketed", "knn_ivf", "sim_threshold",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "pipeline_corpus_curate",
     "join_theta_range", "join_range_bucketed", "join_asof_native",
     "text_tfidf_topterms", "text_tokenize_wordcount",
     "stream_session_30m", "agg_pricing_summary",
