@@ -23,6 +23,7 @@ object SparkEntry {
     "scan_pruned" -> (Relational.scanPruned _),
     "source_csv" -> (graft.io.Formats.sourceCsv _),
     "source_json" -> (graft.io.Formats.sourceJson _),
+    "source_orc" -> (graft.io.Formats.sourceOrc _),
     // §2.2 projection / filter
     "project_compute" -> (Relational.projectCompute _),
     "filter_pred" -> (Relational.filterPred _),
@@ -50,6 +51,7 @@ object SparkEntry {
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
     "agg_heavy_hitters_cms" -> (Relational.aggHeavyHittersCms _),
+    "agg_mode" -> (Relational.aggMode _),
     "agg_collect" -> (Relational.aggCollect _),
     "agg_pivot" -> (Relational.aggPivot _),
     // §2.5 windows
@@ -101,6 +103,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (LlmPipeline.dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (LlmPipeline.dedupEmbeddingLsh _),
+    "dedup_cluster_cc" -> (LlmPipeline.dedupClusterCc _),
     "knn_cosine" -> (LlmPipeline.knnCosine _),
     "knn_lsh_bucketed" -> (LlmPipeline.knnLshBucketed _),
     "sim_threshold" -> (LlmPipeline.simThreshold _),

@@ -47,6 +47,25 @@ object Formats {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** ORC roundtrip over lineitem — the third interchange format, columnar
+    * like parquet (predicate pushdown and column pruning survive; the
+    * SourcesSpec pins ORC pushdown separately). Aggregate profile gated
+    * against parquet-side DuckDB like the CSV/JSON twins. */
+  def sourceOrc(s: SparkSession, d: String): DataFrame = {
+    val lineitem = Tables.lineitem(s, d)
+    val dir = tmpDir("orc", d)
+    lineitem.write.mode("overwrite").orc(dir)
+    s.read.schema(lineitem.schema).orc(dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.round(sum(col("l_quantity")), 2).as("sum_qty"),
+        Det.round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** JSON-lines roundtrip over events: a JSON document column (props)
     * nested inside JSON records — the escaping case a Kinesis-style feed
     * hits constantly — plus µs event-time timestamps. The aggregate

@@ -758,6 +758,49 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-duplicate CLUSTERING: connected components over the cosine-
+    * threshold pair graph — the transitive-closure step real dedup needs
+    * (A≈B and B≈C must land in ONE cluster even when A≉C; the per-pair
+    * verdict ops cannot express that). Pregel-style iterative min-label
+    * propagation: labels start as vec_id, each round every node takes the
+    * min of its own and its neighbors' labels, fixpoint = components
+    * labeled by their min member. Rounds = graph diameter (near-dup
+    * graphs are dense clumps — 2-4 rounds in practice; the driver loop
+    * carries one Long per round, all per-round work is joins/groupBys).
+    * `localCheckpoint` truncates the per-iteration lineage — without it
+    * the plan doubles every round. At 100 TB the same loop runs with the
+    * alternating large-star/small-star optimization (O(log n) rounds,
+    * Kiveris et al.'s CC-MR shape) and candidate edges come from the LSH
+    * bucket stage instead of the broadcast kernel. Oracle-gated: DuckDB
+    * computes the same components with a recursive CTE. */
+  def dedupClusterCc(s: SparkSession, d: String): DataFrame = {
+    val pairs = simThreshold(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = Tables.embeddings(s, d)
+      .select(col("vec_id").as("v"), col("vec_id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(edges("dst").as("v"), labels("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .where(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** END-TO-END corpus curation — the composite pipeline a training-data
     * user actually runs, as ONE declarative plan Catalyst optimizes
     * across stage boundaries:

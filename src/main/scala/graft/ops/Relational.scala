@@ -425,6 +425,28 @@ object Relational {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Statistical mode per user — most frequent event_type, ties broken by
+    * the lexicographically smallest value so the answer is deterministic
+    * (both Spark's max_by and DuckDB's mode() pick arbitrarily on ties).
+    * Two-level aggregation, both partial+final HashAggregates: the first
+    * shuffle carries (user, type) counts, the second one row per user.
+    * Tie-break via a fixed-width (inverted count ‖ value) string key,
+    * minimized — the same encoding trick as cdc_upsert_latest, because
+    * neither engine's arg-min orders by a struct. */
+  def aggMode(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("user_id"))
+      .agg(
+        min_by(
+          col("event_type"),
+          concat(lpad((lit(1000000L) - col("n")).cast("string"), 7, "0"),
+            col("event_type"))).as("mode_event"),
+        max(col("n")).as("n_mode"))
+      .orderBy(col("user_id"))
+  }
+
   /** Heavy hitters via count-min sketch: one mergeable fixed-size sketch
     * over the whole stream (eps=0.001, seed pinned), then point estimates
     * for the known candidate set. CMS is THE streaming heavy-hitter

@@ -44,6 +44,14 @@ object OracleSql {
         "max(ts) AS max_ts " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    "source_orc" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty, " +
+        "floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS sum_disc_price, " +
+        "max(l_shipdate) AS max_ship " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
     // -------------------------------------------------- §2.2 project/filter
     "project_compute" ->
       ("SELECT l_orderkey, l_linenumber, " +
@@ -291,6 +299,13 @@ object OracleSql {
     "dedup_exact_rows" ->
       ("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text " +
         "ORDER BY doc_id"),
+
+    "agg_mode" ->
+      ("SELECT user_id, " +
+        "arg_min(event_type, lpad((1000000 - n)::VARCHAR, 7, '0') || event_type) AS mode_event, " +
+        "max(n) AS n_mode FROM (" +
+        "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type) " +
+        "GROUP BY user_id ORDER BY user_id"),
 
     "cdc_upsert_latest" ->
       ("SELECT user_id, event_type, " +
@@ -581,6 +596,17 @@ object OracleSql {
         "FROM pairs WHERE score >= 0.3 GROUP BY v) " +
         "SELECT e.vec_id, q.dup_of, q.dup_score " +
         "FROM embeddings e LEFT JOIN q ON e.vec_id = q.v ORDER BY e.vec_id"),
+
+    "dedup_cluster_cc" ->
+      ("WITH RECURSIVE pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE floor((list_sum(list_transform(range(1, 65), " +
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 >= 0.3), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(v, l) AS (SELECT vec_id, vec_id FROM embeddings " +
+        "UNION SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v) " +
+        "SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v ORDER BY v"),
 
     "dedup_ngram_jaccard" ->
       ("WITH docs AS (SELECT doc_id, list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 " +
