@@ -54,6 +54,7 @@ object SparkEntry {
     "agg_mode" -> (Relational.aggMode _),
     "agg_collect" -> (Relational.aggCollect _),
     "agg_pivot" -> (Relational.aggPivot _),
+    "agg_unpivot" -> (Relational.aggUnpivot _),
     // §2.5 windows
     "win_rank" -> (Windows.winRank _),
     "win_lag_lead" -> (Windows.winLagLead _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "text_token_count" -> (LlmPipeline.textTokenCount _),
     "text_langid" -> (LlmPipeline.textLangid _),
     "text_fingerprint" -> (LlmPipeline.textFingerprint _),
+    "text_edit_distance" -> (LlmPipeline.textEditDistance _),
     "sample_stratified" -> (LlmPipeline.sampleStratified _),
     "pipeline_corpus_curate" -> (LlmPipeline.pipelineCorpusCurate _),
     "corpus_shuffle" -> (LlmPipeline.corpusShuffle _),

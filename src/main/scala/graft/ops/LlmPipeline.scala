@@ -743,6 +743,25 @@ object LlmPipeline {
 
   // ---------------------------------------------- corpus shaping operators
 
+  /** Edit distance between per-language adjacent documents — the exact
+    * character-level similarity primitive (levenshtein is codegen'd in
+    * Spark). Computed over lag() pairs inside a language stratum, so the
+    * cost is LINEAR in documents (one window shuffle), not the all-pairs
+    * n² a naive fuzzy-dedup would do; prefixes capped at 200 chars bound
+    * the O(len²) DP per pair. The all-pairs version of this belongs
+    * behind an LSH/minhash candidate stage, same as the other near-dup
+    * ops. */
+  def textEditDistance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 200).as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(w))
+      .select(col("doc_id"), col("lang"),
+        levenshtein(col("t"), col("prev")).as("dist"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sample: every 10th document per language in
     * doc_id order — the balanced-sampling stage of a training mix (equal
     * treatment per stratum regardless of stratum size). Rank-mod keeps it

@@ -425,6 +425,24 @@ object Relational {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Unpivot (melt) — the inverse reshaping op next to agg_pivot: the
+    * per-(flag, status) pricing profile melted from wide to long, one row
+    * per measure. `Dataset.unpivot` plans as a generator expand, not a
+    * union of self-scans — the input is read once regardless of how many
+    * measures melt. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("measure"))
+
   /** Statistical mode per user — most frequent event_type, ties broken by
     * the lexicographically smallest value so the answer is deterministic
     * (both Spark's max_by and DuckDB's mode() pick arbitrarily on ties).

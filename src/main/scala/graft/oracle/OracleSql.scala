@@ -266,6 +266,16 @@ object OracleSql {
         "count(*) FILTER (WHERE event_type = 'error') AS error " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
 
+    "agg_unpivot" ->
+      ("WITH base AS (SELECT l_returnflag, l_linestatus, " +
+        "floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty, " +
+        "floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_price, " +
+        "floor((avg(l_discount)) * 10000 + 0.5) / 10000.0 AS avg_disc " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus) " +
+        "SELECT l_returnflag, l_linestatus, measure, value FROM " +
+        "(UNPIVOT base ON sum_qty, sum_price, avg_disc INTO NAME measure VALUE value) " +
+        "ORDER BY l_returnflag, l_linestatus, measure"),
+
     // ------------------------------------------------------ §2.6 sort/limit
     "sort_multi" ->
       ("SELECT p_partkey, p_brand, p_size, floor((p_retailprice) * 100 + 0.5) / 100.0 AS p_retailprice " +
@@ -619,6 +629,11 @@ object OracleSql {
         "len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) / 10000.0 AS jaccard " +
         "FROM docs a JOIN docs b ON a.doc_id < b.doc_id) " +
         "WHERE jaccard >= 0.02 ORDER BY a_id, b_id"),
+
+    "text_edit_distance" ->
+      ("SELECT doc_id, lang, levenshtein(left(text, 200), " +
+        "lag(left(text, 200)) OVER (PARTITION BY lang ORDER BY doc_id))::INT AS dist " +
+        "FROM documents ORDER BY doc_id"),
 
     "sample_stratified" ->
       ("SELECT doc_id, lang, rn FROM (" +
