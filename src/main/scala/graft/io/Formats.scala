@@ -66,6 +66,42 @@ object Formats {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Kinesis-record envelope roundtrip — the reference's ingest shape
+    * without the connector (zero-egress sandbox; KinesisStub documents the
+    * swap-in point). Each event is wrapped exactly like a Kinesis record:
+    * partition key (the stream sharding key — user_id, so per-user order
+    * survives sharding), sequence number, and an opaque base64 data blob
+    * holding the JSON-serialized event. The decode side — unbase64 →
+    * from_json with the explicit envelope schema → aggregate — is the
+    * transform a real Kinesis source feeds; hash-gating the aggregate
+    * against raw parquet certifies blob serialization round-trips every
+    * field (µs timestamps included; props is JSON-in-JSON-in-base64).
+    * All of it is built-in column expressions (no UDFs; from_json is a
+    * CodegenFallback, the rest codegen) — wrap and decode scale per-row
+    * with no shuffle until the final aggregate. */
+  def sourceKinesisEnvelope(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val jsonOpts = Map("timestampFormat" -> tsFmt)
+    val records = events.select(
+      col("user_id").cast("string").as("partition_key"),
+      col("event_id").as("sequence_number"),
+      base64(to_json(struct(events.columns.map(col): _*), jsonOpts)
+        .cast("binary")).as("data"))
+    records
+      .select(from_json(
+        unbase64(col("data")).cast("string"), events.schema, jsonOpts)
+        .as("e"))
+      .select(col("e.*"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.round(sum(col("value")), 2).as("sum_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        max(col("ts")).as("max_ts"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSON-lines roundtrip over events: a JSON document column (props)
     * nested inside JSON records — the escaping case a Kinesis-style feed
     * hits constantly — plus µs event-time timestamps. The aggregate

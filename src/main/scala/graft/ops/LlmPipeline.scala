@@ -801,18 +801,23 @@ object LlmPipeline {
     var labels = Tables.embeddings(s, d)
       .select(col("vec_id").as("v"), col("vec_id").as("lbl"))
       .localCheckpoint()
-    var changed = 1L
+    // labels only ever DECREASE (min-propagation), so the global label sum
+    // is a fixpoint detector: unchanged sum ⇔ no node changed. One cheap
+    // aggregate per round instead of an old-vs-new join.
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).head().getLong(0)
+    var prevSum = lblSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (!converged && rounds < 50) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(edges("dst").as("v"), labels("lbl"))
       val next = labels.unionByName(prop)
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .where(col("n.lbl") =!= col("o.lbl"))
-        .count()
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }

@@ -44,6 +44,13 @@ object OracleSql {
         "max(ts) AS max_ts " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    "source_kinesis_envelope" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value, " +
+        "sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k, " +
+        "max(ts) AS max_ts, count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
     "source_orc" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty, " +

@@ -115,4 +115,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning(digest"), plan)
     assert(!plan.contains("Exchange hashpartitioning(text"), plan)
   }
+
+  test("agg_unpivot plans one scan + Expand, not a union of per-measure self-scans") {
+    val plan = physical(Relational.aggUnpivot(spark, sf001))
+    assert(plan.contains("Expand"), s"no Expand generator in:\n$plan")
+    assert(!plan.contains("Union"), s"melt degraded to a self-scan union:\n$plan")
+    // one lineitem scan only
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("pipeline_corpus_curate: quality gate runs before the dedup shuffle, keyed on the digest") {
+    val plan = physical(LlmPipeline.pipelineCorpusCurate(spark, sf001))
+    // the digest alias collapses to _groupingexpression in the plan; the
+    // load-bearing facts are: sha2 is computed pre-shuffle and the
+    // exchange never keys on the raw text column
+    assert(plan.contains("sha2(cast(text"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(text"), plan)
+    // the size()-based quality filter sits below the first exchange: the
+    // Filter node must appear AFTER the last Exchange in the bottom-up
+    // plan string (executedPlan prints top-down, so filter index > first
+    // exchange index means filter is deeper = earlier in execution)
+    val firstExchange = plan.indexOf("Exchange")
+    val gateFilter = plan.lastIndexOf("Filter")
+    assert(firstExchange >= 0 && gateFilter > firstExchange,
+      s"quality gate not below the shuffle:\n$plan")
+  }
+
+  test("source_kinesis_envelope decode path has no UDFs and aggregates after a single scan") {
+    val plan = physical(graft.io.Formats.sourceKinesisEnvelope(spark, sf001))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF in the decode path:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("from_json"), plan)
+  }
 }
