@@ -338,9 +338,18 @@ object LlmPipeline {
     * row per (bucket, dup) — never an embedding array, never a full pair
     * list. At broadcast-breaking scale the rescore becomes a hash join
     * against the vector store, the bucketing asymptotics unchanged. */
-  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    dedupEmbeddingLshCore(s, vecs(s, d).collect().sortBy(_._1), 0.3)
+
+  /** Core of [[dedupEmbeddingLsh]] over an explicit collection — split out
+    * so tests can feed synthetic near-identical vectors and pin recall in
+    * the HIGH-cosine regime dedup actually targets (the fixture corpus has
+    * no pairs above 0.8, so the query key only exercises the worst case). */
+  private[graft] def dedupEmbeddingLshCore(
+      s: SparkSession,
+      all: Array[(Long, Array[Float])],
+      threshold: Double): DataFrame = {
     import s.implicits._
-    val all = vecs(s, d).collect().sortBy(_._1)
     val bc = graft.Broadcasts.track(s.sparkContext.broadcast(all))
     val nVec = all.length
     // occupancy-targeted bits/table, same sizing law as knnLshBucketed
@@ -379,7 +388,7 @@ object LlmPipeline {
           var bi = 0
           while (found.isEmpty && bi < ai) { // earlier ids only, ascending
             val sc = r4(dot(aemb, embs(bi)))
-            if (sc >= 0.3) found = Some((members(ai), members(bi), sc))
+            if (sc >= threshold) found = Some((members(ai), members(bi), sc))
             bi += 1
           }
           found

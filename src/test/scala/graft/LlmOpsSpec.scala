@@ -175,6 +175,39 @@ class LlmOpsSpec extends SparkSpec {
       s"recall ${nFound.toDouble / nExact} below floor ($nFound/$nExact)")
   }
 
+  test("dedup_embedding_lsh: near-1 recall in the high-cosine regime it targets") {
+    // The fixture corpus has no pairs above cosine 0.8, so the query key
+    // only exercises the worst case (τ=0.3, ~56% collision). Build the
+    // regime dedup EXISTS for: each base vector gets a near-identical
+    // copy (one coordinate nudged, re-normalized → cosine ≈ 0.999, where
+    // sign-LSH collision prob ≈ 1-(1-(1-θ/π)^k)^L ≈ 0.999). Every copy
+    // must be flagged with its base as dup_of.
+    val base = graft.io.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val copies = base.map { case (id, emb) =>
+      val e = emb.clone()
+      e(0) = e(0) + 0.02f
+      val norm = math.sqrt(e.map(x => x.toDouble * x).sum).toFloat
+      (id + 100000L, e.map(_ / norm))
+    }
+    val all = (base ++ copies).sortBy(_._1)
+    val got = graft.ops.LlmPipeline
+      .dedupEmbeddingLshCore(spark, all, 0.9)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val flagged = copies.count { case (cid, _) => got(cid).isDefined }
+    assert(flagged.toDouble / copies.length >= 0.98,
+      s"high-cosine recall ${flagged.toDouble / copies.length} " +
+        s"($flagged/${copies.length})")
+    // and each flagged copy's survivor must itself clear the threshold
+    // (precision-by-construction: the rescore is exact)
+    copies.foreach { case (cid, _) =>
+      got(cid).foreach(b => assert(b < cid, s"copy $cid dup_of $b not earlier"))
+    }
+  }
+
   test("approx_percentile within 5% of exact (agg_approx_percentile)") {
     val approx = graft.ops.Relational.aggApproxPercentile(spark, sf01).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
