@@ -79,19 +79,29 @@ object Formats {
     * All of it is built-in column expressions (no UDFs; from_json is a
     * CodegenFallback, the rest codegen) — wrap and decode scale per-row
     * with no shuffle until the final aggregate. */
-  def sourceKinesisEnvelope(s: SparkSession, d: String): DataFrame = {
-    val events = Tables.events(s, d)
-    val jsonOpts = Map("timestampFormat" -> tsFmt)
-    val records = events.select(
+  private val jsonOpts = Map("timestampFormat" -> tsFmt)
+
+  /** Wrap rows as Kinesis-shaped records (works on batch AND streaming
+    * DataFrames — pure column expressions). */
+  def kinesisWrap(df: DataFrame): DataFrame =
+    df.select(
       col("user_id").cast("string").as("partition_key"),
       col("event_id").as("sequence_number"),
-      base64(to_json(struct(events.columns.map(col): _*), jsonOpts)
+      base64(to_json(struct(df.columns.map(col): _*), jsonOpts)
         .cast("binary")).as("data"))
+
+  /** Decode Kinesis-shaped records back to typed rows under an explicit
+    * schema — the transform a real Kinesis source output feeds. */
+  def kinesisDecode(records: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
     records
       .select(from_json(
-        unbase64(col("data")).cast("string"), events.schema, jsonOpts)
-        .as("e"))
+        unbase64(col("data")).cast("string"), schema, jsonOpts).as("e"))
       .select(col("e.*"))
+
+  def sourceKinesisEnvelope(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    kinesisDecode(kinesisWrap(events), events.schema)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),

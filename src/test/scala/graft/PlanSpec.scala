@@ -141,6 +141,61 @@ class PlanSpec extends SparkSpec {
       s"quality gate not below the shuffle:\n$plan")
   }
 
+  test("AQE coalesces shuffle partitions at runtime on small data") {
+    import org.apache.spark.sql.functions.col
+    // 4 configured shuffle partitions, a few KB of data: the runtime
+    // re-plan must read the shuffle as fewer, fused partitions — the
+    // mechanism that keeps a 100 TB job from drowning in tiny tasks when
+    // a filter collapses the data early.
+    val df = graft.io.Tables.events(spark, sf001)
+      .groupBy(col("event_type")).count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"no runtime coalesce in:\n$plan")
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, sum}
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // thresholds scaled down so the synthetic hot key qualifies; the
+      // production defaults differ only in magnitude, not mechanism
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      // one hot key carrying ~90% of the rows (the salted-join fixture
+      // shape, but here AQE must handle it WITHOUT manual salting); the
+      // pad is per-row distinct so compressed map-output sizes — what the
+      // skew detector actually reads — stay above the threshold
+      val seeded = new scala.util.Random(7)
+      val left = (1 to 100000)
+        .map(i => (if (i % 10 == 0) (i % 100).toLong else 0L,
+          seeded.nextLong().toHexString * 4))
+        .toDF("k", "pad")
+      val right = (0L to 99L).map(k => (k, k * 2)).toDF("k", "v")
+      // sum over pad so column pruning cannot strip the wide column from
+      // the shuffle (count() alone reduces the map output to bare keys
+      // and nothing is skewed enough to split)
+      val agg = left.join(right, "k").agg(sum(length(col("pad"))))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no runtime skew split in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("source_kinesis_envelope decode path has no UDFs and aggregates after a single scan") {
     val plan = physical(graft.io.Formats.sourceKinesisEnvelope(spark, sf001))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),

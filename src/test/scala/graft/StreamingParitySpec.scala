@@ -53,6 +53,23 @@ class StreamingParitySpec extends SparkSpec {
       Streaming.streamTumbling1h(spark, sf001), "multibatch")
   }
 
+  test("kinesis envelope wrap→decode under streaming replay == batch tumbling agg") {
+    // The reference's actual shape: a stream of Kinesis-style records
+    // (partition key, sequence number, base64 JSON blob) decoded and
+    // windowed incrementally. Wrap and decode are pure column transforms,
+    // so the SAME code runs here on the replay stream and in the
+    // oracle-gated batch key (source_kinesis_envelope).
+    val stream = replay
+    val decoded = graft.io.Formats.kinesisDecode(
+      graft.io.Formats.kinesisWrap(stream), stream.schema)
+    val agg = Streaming.tumblingTransform(
+      decoded.withWatermark("ts", "10 minutes"))
+    val out = runStream(agg, "complete", "t_kinesis_env")
+    assertSameRows(
+      out.orderBy(col("hour_start"), col("event_type")),
+      Streaming.streamTumbling1h(spark, sf001), "kinesis-envelope")
+  }
+
   test("checkpoint recovery: restarted query resumes at the stored offset, no reprocessing") {
     // Kinesis-resume semantics on the file-replay source: drain batch 1,
     // stop, add data, restart with the SAME checkpoint — the second run
