@@ -413,9 +413,7 @@ object Relational {
     * zero-padded string — lexicographic == numeric for the non-negative
     * epoch/id domains). */
   def cdcUpsertLatest(s: SparkSession, d: String): DataFrame = {
-    val key = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 20, "0"))
+    val key = latestTsIdKey(col("ts"), col("event_id"))
     Tables.events(s, d)
       .groupBy(col("user_id"), col("event_type"))
       .agg(
@@ -424,6 +422,20 @@ object Relational {
         max(col("ts")).as("ts"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** Fixed-width composite key encoders — lexicographic == the intended
+    * composite order for non-negative domains. Both engines' arg-max
+    * family refuses struct keys (DuckDB 1.0 has no struct overload), so
+    * deterministic tie-breaks encode as zero-padded strings; shared with
+    * the property tests that pin the tie semantics on synthetic ties. */
+  private[graft] def latestTsIdKey(ts: Column, id: Column): Column =
+    concat(
+      lpad(unix_micros(ts).cast("string"), 20, "0"),
+      lpad(id.cast("string"), 20, "0"))
+
+  /** Minimizing this key == (max count, then lexicographically min value). */
+  private[graft] def invertedCountKey(n: Column, v: Column): Column =
+    concat(lpad((lit(1000000L) - n).cast("string"), 7, "0"), v)
 
   /** Unpivot (melt) — the inverse reshaping op next to agg_pivot: the
     * per-(flag, status) pricing profile melted from wide to long, one row
@@ -457,10 +469,8 @@ object Relational {
       .agg(count(lit(1)).as("n"))
     counts.groupBy(col("user_id"))
       .agg(
-        min_by(
-          col("event_type"),
-          concat(lpad((lit(1000000L) - col("n")).cast("string"), 7, "0"),
-            col("event_type"))).as("mode_event"),
+        min_by(col("event_type"),
+          invertedCountKey(col("n"), col("event_type"))).as("mode_event"),
         max(col("n")).as("n_mode"))
       .orderBy(col("user_id"))
   }

@@ -208,6 +208,44 @@ class PropertySpec extends SparkSpec {
       Tables.events(spark, sf001).count())
   }
 
+  test("agg_mode tie-break: equal counts pick the lexicographically smallest value") {
+    // The fixtures rarely manufacture exact count ties, so the encoding
+    // trick (inverted-count ‖ value, minimized) is pinned here on
+    // guaranteed ties: every user sees 'view' and 'click' equally often,
+    // plus one 'error' — mode must be 'click' (tie, lex-min), never
+    // 'view', and never the singleton.
+    import spark.implicits._
+    val rows = for {
+      u <- 1L to 20L
+      e <- Seq("view", "view", "click", "click", "error")
+    } yield (u, e)
+    val counts = rows.toDF("user_id", "event_type")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val modes = counts.groupBy(col("user_id"))
+      .agg(min_by(col("event_type"),
+        graft.ops.Relational.invertedCountKey(col("n"), col("event_type")))
+        .as("mode_event"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(modes.size == 20 && modes.values.forall(_ == "click"), s"$modes")
+  }
+
+  test("cdc tie-break: equal timestamps pick the larger event_id deterministically") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // two events per user at the IDENTICAL timestamp — max_by on ts alone
+    // is nondeterministic here; the composite key must pick the larger id
+    val rows = (1L to 10L).flatMap(u =>
+      Seq((u * 10 + 1, t0, u, 1.0), (u * 10 + 2, t0, u, 2.0)))
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val latest = df.groupBy(col("user_id"))
+      .agg(max_by(col("event_id"),
+        graft.ops.Relational.latestTsIdKey(col("ts"), col("event_id")))
+        .as("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(u => assert(latest(u) == u * 10 + 2, s"$latest"))
+  }
+
   test("null handling: aggregates skip nulls, count(*) does not") {
     val df = mkDf(Seq((1, Double.box(1.0)), (1, null), (2, null)))
     val r = df.groupBy(col("k"))
