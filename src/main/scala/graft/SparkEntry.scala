@@ -65,6 +65,7 @@ object SparkEntry {
     "win_topk_native" -> (Windows.winTopkNative _),
     "win_first_last" -> (Windows.winFirstLast _),
     "win_dist" -> (Windows.winDist _),
+    "ts_gapfill" -> (Windows.tsGapfill _),
     // §2.6 sorts / limits
     "sort_multi" -> (Relational.sortMulti _),
     "topk_global" -> (Relational.topkGlobal _),

@@ -125,4 +125,34 @@ object Windows {
           .as("second_event"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Time-series gap fill + forward fill: a dense hourly grid per
+    * event_type (empty buckets materialized with n=0), then last-known
+    * sum carried forward with an ignore-nulls running window — the
+    * feature-store densification every time-series model input needs.
+    * The grid comes from ONE sequence() over a single-row bounds
+    * aggregate cross-joined with the distinct types (both broadcast-
+    * sized); the only real shuffles are the hourly pre-aggregation —
+    * which reduces events to buckets BEFORE joining — and the per-type
+    * fill window. At 100 TB the grid is still hours × types (tiny);
+    * the event volume only ever flows through the partial-aggregated
+    * groupBy. */
+  def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"),
+        col("event_type"), col("value"))
+    val agg = ev.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val hours = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    val grid = hours.crossJoin(ev.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("h", "event_type"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("ffill_value",
+        last(col("sum_value"), ignoreNulls = true).over(w))
+      .orderBy(col("h"), col("event_type"))
+  }
 }

@@ -390,6 +390,19 @@ object OracleSql {
         "WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC) " +
         "ORDER BY user_id, event_id"),
 
+    "ts_gapfill" ->
+      ("WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM events), " +
+        "agg AS (SELECT h, event_type, count(*) AS n, " +
+        "floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value FROM ev GROUP BY h, event_type), " +
+        "bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM ev), " +
+        "hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), " +
+        "grid AS (SELECT h, event_type FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM ev)) " +
+        "SELECT g.h, g.event_type, coalesce(a.n, 0) AS n, a.sum_value, " +
+        "last_value(a.sum_value IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.h " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value " +
+        "FROM grid g LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type " +
+        "ORDER BY g.h, g.event_type"),
+
     "fn_bitwise" ->
       ("SELECT event_id, event_id & 255 AS band, event_id | 4096 AS bor, " +
         "xor(event_id, user_id) AS bxor, event_id << 3 AS shl, " +
