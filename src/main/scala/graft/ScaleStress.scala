@@ -25,7 +25,7 @@ object ScaleStress {
     "dedup_simhash_pairs",
     "knn_cosine", "knn_lsh_bucketed", "knn_ivf", "sim_threshold",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
-    "pipeline_corpus_curate",
+    "dedup_cluster_cc", "pipeline_corpus_curate", "ts_gapfill",
     "join_theta_range", "join_range_bucketed", "join_asof_native",
     "text_tfidf_topterms", "text_tokenize_wordcount",
     "stream_session_30m", "agg_pricing_summary",
