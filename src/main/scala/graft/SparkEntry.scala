@@ -40,6 +40,7 @@ object SparkEntry {
     "join_anti" -> (Relational.joinAnti _),
     "join_theta_range" -> (Relational.joinThetaRange _),
     "join_asof" -> (Relational.joinAsof _),
+    "join_asof_forward" -> (Relational.joinAsofForward _),
     // §2.4 aggregations
     "agg_pricing_summary" -> (Relational.aggPricingSummary _),
     "agg_global" -> (Relational.aggGlobal _),

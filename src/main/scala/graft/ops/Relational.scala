@@ -236,6 +236,28 @@ object Relational {
     * per-user fan-out is bounded by per-user activity, not table size, so
     * this stays linear; for heavy hitters, bucket ts and join (user, bucket)
     * ranges instead. */
+  /** Forward as-of: for each purchase the FIRST click strictly AFTER it
+    * (post-purchase attribution) — the direction mirror of [[joinAsof]],
+    * completing the as-of family (backward window form, backward native
+    * operator, forward window form). Same scale shape: the equi-conjunct
+    * on user_id keeps the join hash-partitioned; the window ranks only a
+    * user's own candidates. Ties break by min click_id. */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("c_ts").asc, col("click_id").asc)
+    p.join(c, p("user_id") === c("c_user") && col("c_ts") > col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   def joinAsof(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)

@@ -188,6 +188,17 @@ object OracleSql {
         "AND date_trunc('microseconds', c.ts) <= date_trunc('microseconds', p.ts)" +
         ") WHERE rn = 1 ORDER BY purchase_id"),
 
+    "join_asof_forward" ->
+      ("SELECT purchase_id, user_id, click_id FROM (" +
+        "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY date_trunc('microseconds', c.ts) ASC, c.event_id ASC) AS rn " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND date_trunc('microseconds', c.ts) > date_trunc('microseconds', p.ts)" +
+        ") WHERE rn = 1 ORDER BY purchase_id"),
+
     // identical semantics through the native AsOfJoinExec operator
     "join_asof_native" ->
       ("SELECT purchase_id, user_id, click_id FROM (" +
