@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   * Protocol (hardened after r01, where a single 86-query JVM accumulated
   * GC/broadcast pressure that inflated late queries 5–20× over their
   * isolated truth):
-  *  - each query is timed as the MIN of 2 runs (first run absorbs any
-  *    residual JIT/shuffle-file effects; min is the engine's capability),
+  *  - each query is timed as the MIN of 3 runs (first run absorbs any
+  *    residual JIT/shuffle-file effects; min is the engine's capability —
+  *    and 3 samples ride out the transient host-level contention spikes
+  *    measured to inflate a whole 2-run window ~2×),
   *  - broadcasts built by the broadcast-kernel operators are destroyed and
   *    the SQL cache is cleared after EVERY run, so no query's memory
   *    footprint lands on the next query's timing,
@@ -30,7 +32,7 @@ object Bench {
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
