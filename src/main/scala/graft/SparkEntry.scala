@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_cluster_cc" -> (LlmPipeline.dedupClusterCc _),
     "knn_cosine" -> (LlmPipeline.knnCosine _),
     "knn_lsh_bucketed" -> (LlmPipeline.knnLshBucketed _),
+    "knn_lsh_joined" -> (LlmPipeline.knnLshJoined _),
     "sim_threshold" -> (LlmPipeline.simThreshold _),
     "text_tokenize_wordcount" -> (LlmPipeline.textTokenizeWordcount _),
     "text_tfidf_topterms" -> (LlmPipeline.textTfidfTopterms _),

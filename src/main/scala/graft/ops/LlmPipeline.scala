@@ -510,6 +510,78 @@ object LlmPipeline {
     mergeTop3(local)
   }
 
+  /** The BEYOND-BROADCAST LSH kNN — [[knnLshBucketed]] with the one
+    * remaining broadcast removed, i.e. the form that survives when the
+    * vector collection outgrows executor memory. Candidate PAIRS are
+    * generated ids-only inside buckets (emit-once across tables, same
+    * rule as the bucketed form), embeddings re-attach through two hash
+    * joins against the distributed vector table, scoring runs in the
+    * codegen'd `graft_dot` expression, and ranking through the native
+    * partial top-k operator — three custom pieces composed into one
+    * declarative plan with no collect() anywhere. Produces EXACTLY the
+    * bucketed form's rows (same buckets, same candidates, same rounded
+    * scores, same tie order), pinned by ScalaTest — the broadcast is an
+    * optimization, not a semantic. */
+  def knnLshJoined(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val nVec = emb.count()
+    val k = math.min(24, math.max(4,
+      (math.log(nVec.toDouble / 64) / math.log(2)).ceil.toInt))
+    val nTables = 6
+    val planes = Array.tabulate(nTables * k, 64)((p, i) => math.sin(p * 64 + i))
+    // keys computed on the DISTRIBUTED rows — each row carries its own 6
+    // bucket keys (48 bytes) for the emit-once check, never its vector
+    val bucketed = emb.as[(Long, Array[Float])]
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (id, e) =>
+        val keys = Array.tabulate(nTables) { t =>
+          var bits = 0L
+          var h = 0
+          while (h < k) {
+            val w = planes(t * k + h)
+            var proj = 0.0
+            var i = 0
+            while (i < 64 && i < e.length) { proj += e(i) * w(i); i += 1 }
+            if (proj >= 0) bits |= (1L << h)
+            h += 1
+          }
+          (t.toLong << 32) | bits
+        }
+        (0 until nTables).iterator.map(t => (keys(t), id, keys))
+      }
+    val pairs = bucketed
+      .groupByKey(_._1)
+      .flatMapGroups { (gk, it) =>
+        val t = (gk >> 32).toInt
+        val rows = it.toArray
+        rows.iterator.flatMap { case (_, aid, akeys) =>
+          rows.iterator.collect {
+            case (_, bid, bkeys)
+                if bid != aid && {
+                  var t2 = 0
+                  var first = true
+                  while (t2 < t && first) {
+                    if (akeys(t2) == bkeys(t2)) first = false
+                    t2 += 1
+                  }
+                  first
+                } => (aid, bid)
+          }
+        }
+      }
+    val scored = pairs.toDF("a_id", "b_id")
+      .join(emb.toDF("a_id", "a_emb"), "a_id")
+      .join(emb.toDF("b_id", "b_emb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (floor(expr("graft_dot(a_emb, b_emb)") * 10000 + 0.5) / 10000)
+          .as("score"))
+    graft.plans.TopKPerGroup.topK(scored, "a_id", "score", "b_id", 3)
+      .select(col("a_id").as("vec_id"), col("rn"), col("b_id"), col("score"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside sign-LSH.
     * A coarse quantizer of ~√n centroids (deterministic: the lowest
     * vec_id vectors, broadcast) partitions the collection into cells;

@@ -175,6 +175,15 @@ class LlmOpsSpec extends SparkSpec {
       s"recall ${nFound.toDouble / nExact} below floor ($nFound/$nExact)")
   }
 
+  test("knn_lsh_joined (no broadcast) == knn_lsh_bucketed row-for-row") {
+    // same buckets, same emit-once candidates, same rounded scores, same
+    // tie order — the broadcast in the bucketed form is an optimization,
+    // not a semantic, and this pins the beyond-broadcast migration path
+    assertSameRows(
+      LlmPipeline.knnLshJoined(spark, sf001),
+      LlmPipeline.knnLshBucketed(spark, sf001), "lsh-joined")
+  }
+
   test("dedup_embedding_lsh: near-1 recall in the high-cosine regime it targets") {
     // The fixture corpus has no pairs above cosine 0.8, so the query key
     // only exercises the worst case (τ=0.3, ~56% collision). Build the
