@@ -23,7 +23,8 @@ object ScaleStress {
   private val targets = Seq(
     "dedup_exact_sha", "dedup_near_minhash", "dedup_simhash",
     "dedup_simhash_pairs",
-    "knn_cosine", "knn_lsh_bucketed", "knn_ivf", "sim_threshold",
+    "knn_cosine", "knn_lsh_bucketed", "knn_lsh_joined", "knn_ivf",
+    "sim_threshold",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_cluster_cc", "pipeline_corpus_curate", "ts_gapfill",
     "join_theta_range", "join_range_bucketed", "join_asof_native",
