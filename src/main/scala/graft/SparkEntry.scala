@@ -122,6 +122,7 @@ object SparkEntry {
     "text_edit_distance" -> (LlmPipeline.textEditDistance _),
     "sample_stratified" -> (LlmPipeline.sampleStratified _),
     "pipeline_corpus_curate" -> (LlmPipeline.pipelineCorpusCurate _),
+    "pipeline_feature_snapshot" -> (LlmPipeline.pipelineFeatureSnapshot _),
     "corpus_shuffle" -> (LlmPipeline.corpusShuffle _),
     "pack_sequences" -> (LlmPipeline.packSequences _),
     "multimodal_struct" -> (LlmPipeline.multimodalStruct _),

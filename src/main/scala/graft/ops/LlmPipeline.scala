@@ -944,6 +944,37 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-user FEATURE SNAPSHOT — the events-side composite next to
+    * [[pipelineCorpusCurate]]: the "current user state" table a training
+    * pipeline materializes from its event log, as one declarative plan.
+    * Volume stats, deterministic modal event (inverted-count key), and a
+    * 30-min gaps-and-islands session count join on user_id — every input
+    * to the final join is already reduced to ≤ one row per user, so the
+    * join sides are user-cardinality, never event-cardinality. */
+  def pipelineFeatureSnapshot(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val base = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      round(sum(col("value")), 2).as("total_value"),
+      max(col("ts")).as("last_ts"))
+    val counts = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val modes = counts.groupBy(col("user_id")).agg(
+      min_by(col("event_type"),
+        Relational.invertedCountKey(col("n"), col("event_type")))
+        .as("mode_event"),
+      max(col("n")).as("n_mode"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = ev
+      .withColumn("brk",
+        when(unix_timestamp(col("ts")) -
+          lag(unix_timestamp(col("ts")), 1).over(w) > 1800, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg((sum(col("brk")) + 1).as("n_sessions"))
+    base.join(modes, Seq("user_id")).join(sessions, Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
   /** Deterministic corpus shuffle: order by md5 of the doc id — the
     * reproducible global permutation training runs need (same corpus +
     * same key ⇒ same order, no RNG state). At scale this is a range

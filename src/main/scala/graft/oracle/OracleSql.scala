@@ -685,6 +685,24 @@ object OracleSql {
         "(row_number() OVER (PARTITION BY lang ORDER BY doc_id))::INT AS rn FROM deduped) " +
         "WHERE (rn - 1) % 5 = 0 ORDER BY doc_id"),
 
+    "pipeline_feature_snapshot" ->
+      ("WITH base AS (SELECT user_id, count(*) AS n_events, " +
+        "floor(sum(value) * 100 + 0.5) / 100.0 AS total_value, max(ts) AS last_ts " +
+        "FROM events GROUP BY user_id), " +
+        "counts AS (SELECT user_id, event_type, count(*) AS n FROM events " +
+        "GROUP BY user_id, event_type), " +
+        "modes AS (SELECT user_id, " +
+        "arg_min(event_type, lpad((1000000 - n)::VARCHAR, 7, '0') || event_type) AS mode_event, " +
+        "max(n) AS n_mode FROM counts GROUP BY user_id), " +
+        "gaps AS (SELECT user_id, CASE WHEN floor(epoch(ts))::BIGINT - " +
+        "(lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
+        "THEN 1 ELSE 0 END AS brk FROM events), " +
+        "sess AS (SELECT user_id, (1 + sum(brk))::BIGINT AS n_sessions FROM gaps GROUP BY user_id) " +
+        "SELECT b.user_id, b.n_events, b.total_value, b.last_ts, " +
+        "m.mode_event, m.n_mode, s.n_sessions " +
+        "FROM base b JOIN modes m USING (user_id) JOIN sess s USING (user_id) " +
+        "ORDER BY b.user_id"),
+
     "corpus_shuffle" ->
       ("SELECT doc_id, md5(doc_id::VARCHAR) AS shuffle_key FROM documents " +
         "ORDER BY shuffle_key, doc_id"),
