@@ -25,6 +25,7 @@ object SparkEntry {
     "source_json" -> (graft.io.Formats.sourceJson _),
     "source_orc" -> (graft.io.Formats.sourceOrc _),
     "source_kinesis_envelope" -> (graft.io.Formats.sourceKinesisEnvelope _),
+    "sink_partitioned" -> (graft.io.Formats.sinkPartitioned _),
     // §2.2 projection / filter
     "project_compute" -> (Relational.projectCompute _),
     "filter_pred" -> (Relational.filterPred _),

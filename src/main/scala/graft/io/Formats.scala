@@ -66,6 +66,30 @@ object Formats {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Partitioned parquet SINK + partition-pruned scan: events written
+    * `partitionBy(event_type)` (the layout a 100 TB event log actually
+    * uses — one directory per type, so a single-type consumer reads
+    * 1/|types| of the bytes), read back with a type filter that must
+    * prune at the DIRECTORY level (PartitionFilters, pinned separately in
+    * CustomSurfaceSpec), then aggregated. Oracle aggregates the original
+    * parquet under the same filter — a hash match certifies the
+    * partition column round-trips through the directory encoding
+    * (values become path segments and back). */
+  def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val dir = tmpDir("sinkpart", d)
+    events.write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("event_type").isin("purchase", "signup"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.round(sum(col("value")), 2).as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   /** Kinesis-record envelope roundtrip — the reference's ingest shape
     * without the connector (zero-egress sandbox; KinesisStub documents the
     * swap-in point). Each event is wrapped exactly like a Kinesis record:
@@ -87,7 +111,7 @@ object Formats {
     df.select(
       col("user_id").cast("string").as("partition_key"),
       col("event_id").as("sequence_number"),
-      base64(to_json(struct(df.columns.map(col): _*), jsonOpts)
+      base64(to_json(struct(df.columns.toIndexedSeq.map(col): _*), jsonOpts)
         .cast("binary")).as("data"))
 
   /** Decode Kinesis-shaped records back to typed rows under an explicit

@@ -44,6 +44,13 @@ object OracleSql {
         "max(ts) AS max_ts " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    "sink_partitioned" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value, " +
+        "max(event_id) AS max_id " +
+        "FROM events WHERE event_type IN ('purchase', 'signup') " +
+        "GROUP BY event_type ORDER BY event_type"),
+
     "source_kinesis_envelope" ->
       ("SELECT event_type, count(*) AS n, " +
         "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value, " +
