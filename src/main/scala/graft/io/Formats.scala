@@ -24,8 +24,19 @@ object Formats {
   // µs-precision wire format, both directions (default truncates to ms)
   private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
-  private def tmpDir(kind: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(d.hashCode)}"
+  // Per-JVM tag: two concurrent sessions running the same query over the
+  // same (or hash-colliding) sfDir must not overwrite each other's
+  // roundtrip fixtures mid-read (ADVICE round-3).
+  private val sessionTag: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  // Reversible, collision-free encoding of the source dir (hex of UTF-8):
+  // distinct dirs can never collide the way hashCode could, and the path
+  // component is always [0-9a-f] — no negative sign, no separators.
+  private def tmpDir(kind: String, d: String): String = {
+    val enc = d.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    s"${sys.props("java.io.tmpdir")}/graft_${sessionTag}_${kind}_$enc"
+  }
 
   /** CSV roundtrip over orders: header + quoted strings (o_comment
     * carries commas), DATE-typed o_orderdate. Output = per-priority

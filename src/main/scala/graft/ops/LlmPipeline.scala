@@ -890,7 +890,17 @@ object LlmPipeline {
     var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    val maxRounds = 50
+    // A localCheckpoint pins its blocks in executor storage until GC; over
+    // many rounds the superseded checkpoints accumulate (ADVICE round-3).
+    // Each round frees the PREVIOUS round's blocks once the new checkpoint
+    // has materialized (localCheckpoint is eager, so `next` no longer
+    // depends on them).
+    def pinnedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(edges("dst").as("v"), labels("lbl"))
       val next = labels.unionByName(prop)
@@ -899,9 +909,18 @@ object LlmPipeline {
       val nextSum = lblSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
+      pinnedRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
       rounds += 1
     }
+    pinnedRdd(edges).foreach(_.unpersist(blocking = false))
+    if (!converged)
+      // silent non-convergence would return WRONG cluster labels; the cap
+      // is a diameter bound (≫ any near-dup clump), so hitting it means a
+      // bug or pathological input — fail loudly (ADVICE round-3)
+      throw new IllegalStateException(
+        s"dedupClusterCc: min-label propagation did not converge in " +
+          s"$maxRounds rounds — non-converged labels would be wrong")
     labels.select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
       .orderBy(col("vec_id"))
   }

@@ -455,9 +455,13 @@ object Relational {
       lpad(unix_micros(ts).cast("string"), 20, "0"),
       lpad(id.cast("string"), 20, "0"))
 
-  /** Minimizing this key == (max count, then lexicographically min value). */
+  /** Minimizing this key == (max count, then lexicographically min value).
+    * Base = Long.MaxValue so the inversion stays non-negative (and the pad
+    * fixed-width, hence order-preserving) for ANY possible count — a 1e6
+    * base would go negative past a million rows per group and a '-'-prefixed
+    * lpad silently breaks lexicographic order (ADVICE round-3). */
   private[graft] def invertedCountKey(n: Column, v: Column): Column =
-    concat(lpad((lit(1000000L) - n).cast("string"), 7, "0"), v)
+    concat(lpad((lit(Long.MaxValue) - n).cast("string"), 19, "0"), v)
 
   /** Unpivot (melt) — the inverse reshaping op next to agg_pivot: the
     * per-(flag, status) pricing profile melted from wide to long, one row

@@ -120,9 +120,11 @@ object Stateful {
     * watermark timeout evicts idle keys, which is what lets this run
     * indefinitely at scale. Input must carry withWatermark("ts", ...).
     *
-    * Late events older than the open session's start are a watermark
-    * violation (the watermark guarantees they were dropped upstream);
-    * events between start and end merge into the open session. */
+    * Late events within one gap of the open session's start merge into it
+    * (widening session_start); late events MORE than a gap earlier — legal
+    * under the watermark slack — island among themselves and emit as their
+    * own earlier sessions, exactly as the batch gaps-and-islands form
+    * would number them (ADVICE round-3: merging them was a parity bug). */
   def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 1800L * 1000000L
@@ -141,20 +143,55 @@ object Stateful {
             Iterator.single(SessionOut(user, o.idx, toTs(o.startMicros),
               toTs(o.endMicros), o.n, math.floor(o.sum * 100 + 0.5) / 100.0))
           } else {
-            val sorted = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            val all = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionOut]
             val prior = state.getOption
             var nextIdx = prior.map(_.nextIdx).getOrElse(0L)
             var open = prior.map(_.open).orNull
+            def emit(o: OpenSession): Unit =
+              closed += SessionOut(user, o.idx, toTs(o.startMicros),
+                toTs(o.endMicros), o.n,
+                math.floor(o.sum * 100 + 0.5) / 100.0)
+            // Late events more than a full gap BEFORE the open session's
+            // start (legal under the watermark slack) can never merge with
+            // it under batch gaps-and-islands semantics: they island among
+            // THEMSELVES first, are emitted as their own earlier sessions,
+            // and the open session's idx shifts past them so stream
+            // numbering matches the batch time-order numbering. (Events
+            // within one gap of open.start still merge and widen — below.)
+            val sorted =
+              if (open == null) all
+              else {
+                val cut = open.startMicros - gapUs
+                val (pre, rest) = all.partition(e => micros(e.ts) < cut)
+                if (pre.nonEmpty) {
+                  var shift = 0L
+                  var preOpen: OpenSession = null
+                  pre.foreach { e =>
+                    val t = micros(e.ts)
+                    if (preOpen == null)
+                      preOpen = OpenSession(open.idx + shift, t, t, 1L, e.value)
+                    else if (t - preOpen.endMicros > gapUs) {
+                      emit(preOpen); shift += 1
+                      preOpen = OpenSession(open.idx + shift, t, t, 1L, e.value)
+                    } else
+                      preOpen = preOpen.copy(
+                        endMicros = math.max(preOpen.endMicros, t),
+                        n = preOpen.n + 1, sum = preOpen.sum + e.value)
+                  }
+                  emit(preOpen); shift += 1
+                  open = open.copy(idx = open.idx + shift)
+                  nextIdx += shift
+                }
+                rest
+              }
             sorted.foreach { e =>
               val t = micros(e.ts)
               if (open == null) {
                 open = OpenSession(nextIdx, t, t, 1L, e.value)
                 nextIdx += 1
               } else if (t - open.endMicros > gapUs) {
-                closed += SessionOut(user, open.idx, toTs(open.startMicros),
-                  toTs(open.endMicros), open.n,
-                  math.floor(open.sum * 100 + 0.5) / 100.0)
+                emit(open)
                 open = OpenSession(nextIdx, t, t, 1L, e.value)
                 nextIdx += 1
               } else

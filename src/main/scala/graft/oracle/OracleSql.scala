@@ -337,7 +337,7 @@ object OracleSql {
 
     "agg_mode" ->
       ("SELECT user_id, " +
-        "arg_min(event_type, lpad((1000000 - n)::VARCHAR, 7, '0') || event_type) AS mode_event, " +
+        "arg_min(event_type, lpad((9223372036854775807 - n)::VARCHAR, 19, '0') || event_type) AS mode_event, " +
         "max(n) AS n_mode FROM (" +
         "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type) " +
         "GROUP BY user_id ORDER BY user_id"),
@@ -699,7 +699,7 @@ object OracleSql {
         "counts AS (SELECT user_id, event_type, count(*) AS n FROM events " +
         "GROUP BY user_id, event_type), " +
         "modes AS (SELECT user_id, " +
-        "arg_min(event_type, lpad((1000000 - n)::VARCHAR, 7, '0') || event_type) AS mode_event, " +
+        "arg_min(event_type, lpad((9223372036854775807 - n)::VARCHAR, 19, '0') || event_type) AS mode_event, " +
         "max(n) AS n_mode FROM counts GROUP BY user_id), " +
         "gaps AS (SELECT user_id, CASE WHEN floor(epoch(ts))::BIGINT - " +
         "(lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +

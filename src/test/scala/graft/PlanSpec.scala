@@ -51,6 +51,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("ts_gapfill / pipeline_feature_snapshot / cdc_upsert_latest round via Det (FLOOR), not builtin round") {
+    // graft.Det.round is an explicit import that shadows functions.round
+    // (the builtin rounds HALF_UP on the shortest decimal string and
+    // disagrees with the oracle's floor(x*100+0.5)/100 at .xx5 boundaries,
+    // Det.scala:8-14). ADVICE round-3 flagged these three call sites as
+    // builtin-round; this pins the shadowing so it can never regress.
+    for ((name, df) <- Seq(
+        "ts_gapfill" -> graft.ops.Windows.tsGapfill(spark, sf001),
+        "pipeline_feature_snapshot" -> LlmPipeline.pipelineFeatureSnapshot(spark, sf001),
+        "cdc_upsert_latest" -> Relational.cdcUpsertLatest(spark, sf001))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.toUpperCase.contains("FLOOR"),
+        s"$name: Det.round (FLOOR formula) missing from plan:\n$plan")
+      assert(!plan.matches("(?s).*\\bround\\(.*"),
+        s"$name: builtin round() leaked into plan:\n$plan")
+    }
+  }
+
   test("topk_global uses TakeOrderedAndProject (no global sort)") {
     val plan = physical(Relational.topkGlobal(spark, sf001))
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -146,6 +146,50 @@ class StatefulSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0", 2L, 3.0), s"$rows")
   }
 
+  test("sessionizeStream islands late events a full gap BEFORE the open session (batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def ev(id: Long, ts: String, user: Long, v: Double) =
+      Stateful.Event(id, t(ts), user, "click", v, "{}")
+    val mem = MemoryStream[Stateful.Event]
+    // 3 h watermark slack: events 2 h older than the open session's start
+    // are LEGAL late data. Being > 30 min gap before it, batch
+    // gaps-and-islands puts them in their OWN earlier session — the stream
+    // must too, and must renumber so (user, idx) matches time order
+    // (ADVICE round-3: these used to merge into the open session).
+    val out = Stateful.sessionizeStream(
+      mem.toDS().withWatermark("ts", "3 hours"))
+    val q = out.writeStream.format("memory").queryName("t_early")
+      .outputMode("append").start()
+    mem.addData(ev(1, "2024-01-01 12:00:00", 7, 1.0))
+    q.processAllAvailable()
+    // a LATER batch delivers two events 2 h earlier, 10 min apart: they
+    // island together (one session, n=2), not with the open 12:00 session
+    mem.addData(ev(2, "2024-01-01 10:00:00", 7, 2.0),
+      ev(3, "2024-01-01 10:10:00", 7, 4.0))
+    q.processAllAvailable()
+    // advance the watermark past 12:00 + 30 min so the open session flushes
+    mem.addData(ev(4, "2024-01-02 02:00:00", 99, 0.0))
+    q.processAllAvailable()
+    mem.addData(ev(5, "2024-01-02 02:30:00", 99, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_early")
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2).toString, r.getTimestamp(3).toString,
+          r.getLong(4), r.getDouble(5))).toMap
+    // the early pair is its own session at idx 0 (time order)...
+    assert(rows((7L, 0L)) ==
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 6.0), s"$rows")
+    // ...and the session that was open shifted to idx 1, unmerged
+    assert(rows((7L, 1L)) ==
+      ("2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L, 1.0), s"$rows")
+  }
+
   test("sessionizeStream over 4-batch time-ordered replay == batch sessions (open tails excluded)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
