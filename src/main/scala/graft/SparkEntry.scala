@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Custom, Functions, LlmPipeline, Relational, SqlApi, Stateful, Streaming, Windows}
+import graft.ops.{Analytics, Custom, Functions, LlmPipeline, Relational, SqlApi, Stateful, Streaming, Windows}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory)
@@ -142,7 +142,18 @@ object SparkEntry {
     "sql_subquery_scalar_corr" -> (SqlApi.sqlSubqueryScalarCorr _),
     "fn_vector_native" -> (Functions.fnVectorNative _),
     "layout_zorder" -> (Functions.layoutZorder _),
-    "join_skew_salted" -> (Relational.joinSkewSalted _)
+    "join_skew_salted" -> (Relational.joinSkewSalted _),
+    // §2.14 round-4: product analytics + training-pipeline layers
+    "funnel_ordered" -> (Analytics.funnelOrdered _),
+    "cohort_retention" -> (Analytics.cohortRetention _),
+    "attribution_last_touch" -> (Analytics.attributionLastTouch _),
+    "cdc_scd2" -> (Analytics.cdcScd2 _),
+    "ts_resample_ohlc" -> (Analytics.tsResampleOhlc _),
+    "agg_histogram" -> (Analytics.aggHistogram _),
+    "assoc_pairs" -> (Analytics.assocPairs _),
+    "split_train_test" -> (Analytics.splitTrainTest _),
+    "pipeline_mixture_weights" -> (Analytics.pipelineMixtureWeights _),
+    "join_bucketed_colocated" -> (Analytics.joinBucketedColocated _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det.round
+import graft.io.Tables
+
+/** Round-4 product-analytics + pipeline operators (SURVEY.md §2.14):
+  * the event-analytics layer (funnel, cohort, attribution, SCD2, OHLC
+  * resample, histogram, co-occurrence) and the training-data layer
+  * (deterministic split, mixture weights, bucketed co-located join)
+  * every large feed pipeline ends up needing.
+  *
+  * All oracle-gated (OracleSql twins): scalar output columns only, total
+  * row order with unique tiebreakers, Det.round on computed doubles, UTC.
+  */
+object Analytics {
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+
+  /** Ordered 3-stage funnel: users who clicked, then VIEWED strictly after
+    * their first click, then PURCHASED strictly after that first qualifying
+    * view. The ordering constraint is what groupBy-pivot funnels get wrong
+    * — each stage's anchor is the min event time AFTER the previous
+    * stage's anchor, so the steps chain.
+    *
+    * Scale: three min-aggregations, each shuffling (user_id, ts) pairs
+    * only — never the event payload; each stage's survivor set shrinks, so
+    * the per-stage join keys get cheaper as the funnel narrows. Output is
+    * one global summary row (three counts crossed — all single-row plans,
+    * broadcast by construction). */
+  def funnelOrdered(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val views = ev.where(col("event_type") === "view")
+      .join(clicks, "user_id")
+      .where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .join(views, "user_id")
+      .where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    clicks.agg(count(lit(1)).as("n_click"))
+      .crossJoin(views.agg(count(lit(1)).as("n_click_view")))
+      .crossJoin(purchases.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen ISO week, then
+    * for each (cohort, week offset) the count of cohort members active
+    * that week. The per-(user, week) distinct happens BEFORE the cohort
+    * join — the join input is one row per user-week, not per event.
+    *
+    * Week arithmetic stays in integer UTC seconds (date_trunc('week') is
+    * always a Monday 00:00 UTC, so offsets are exact multiples of 604800
+    * — no DST, no fractional weeks). */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val userWeeks = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = userWeeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    userWeeks.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_wk"))) /
+          lit(604800L)).cast("long"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  /** Last-touch attribution: every purchase credited to the latest
+    * preceding non-purchase event of the same user. One window pass with
+    * a conditional `last(..., ignoreNulls)` over rows-unbounded-to-1-
+    * preceding — no self-join, no per-purchase subquery; both credited
+    * columns come from the SAME window frame row because they share the
+    * predicate. Total order (ts, event_id) makes the credited touch
+    * deterministic under timestamp ties.
+    *
+    * Scale: exactly one shuffle (user_id), frame state is O(1) per row —
+    * the running last-match — regardless of user history length. */
+  def attributionLastTouch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_id"))
+    val touchType = when(col("event_type") =!= "purchase", col("event_type"))
+    events(s, d)
+      .withColumn("touch_id", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(touchType, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("touch_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("touch_id"), col("touch_type"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) build: each event becomes a
+    * version row with a [valid_from, valid_to) interval per user —
+    * valid_to is the NEXT event's timestamp (lead over the per-user
+    * timeline), open-ended for the current version. The standard CDC →
+    * warehouse-dimension materialization, as one window pass.
+    *
+    * is_current is emitted as INT (1/0): the driver's comparator hashes
+    * scalar columns and Spark/DuckDB boolean reprs differ. */
+  def cdcScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int")
+          .as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  /** Daily OHLC resample per event_type: open/close are the values of the
+    * earliest/latest event in the bucket (arg-min/arg-max over the
+    * (ts, event_id) composite key — deterministic under timestamp ties,
+    * same fixed-width string-key encoding as cdc_upsert_latest since
+    * neither engine's arg-min orders by struct), high/low are plain
+    * min/max. One partial-aggregated shuffle on (day, type) — the
+    * time-series downsampling shape: output ∝ buckets, not events. */
+  def tsResampleOhlc(s: SparkSession, d: String): DataFrame = {
+    val key = Relational.latestTsIdKey(col("ts"), col("event_id"))
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(
+        min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("volume"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Fixed-width histogram over events.value (bin width 50 anchored at 0
+    * — fixed bounds, so the binning needs NO global min/max pre-pass and
+    * stays a single map-side expression + one partial-aggregated shuffle
+    * on the bin id; bins are emitted sparse (only non-empty). */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("lo", (col("bin") * 50).cast("double"))
+      .select(col("bin"), col("lo"), col("n"), col("sum_value"))
+      .orderBy(col("bin"))
+
+  /** Market-basket co-occurrence: part pairs ordered together in ≥ 2
+    * orders. Self-join on l_orderkey with p1 < p2 — the join is
+    * key-co-located (both sides shuffle on the SAME orderkey, Spark
+    * reuses one exchange), and the pair blow-up is bounded by the
+    * per-order item count (≤ 7 in TPC-H-ish data ⇒ ≤ 21 pairs/order),
+    * so output grows linearly in orders, not quadratically in rows.
+    * Support threshold prunes the singleton tail before the final sort. */
+  def assocPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val a = li.toDF("ok", "p1")
+    val b = li.toDF("ok2", "p2")
+    a.join(b, a("ok") === b("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+  }
+
+  /** Deterministic train/val/test split — the assignment every training
+    * pipeline must make REPRODUCIBLY and ENGINE-PORTABLY: a Knuth
+    * multiplicative hash on doc_id (h = id·2654435761 mod 2³², pure
+    * BIGINT arithmetic, bit-identical in any engine — no reliance on a
+    * specific engine's murmur/xxhash) bucketed 8/1/1. Pure map-side
+    * expression: the split column costs no shuffle; the summary agg is
+    * one partial-aggregated groupBy over 3 keys. */
+  def splitTrainTest(s: SparkSession, d: String): DataFrame = {
+    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val bucket = h % 10
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+  }
+
+  /** Per-source mixture weights for training-data sampling (the
+    * temperature-scaled heuristic: weight ∝ tokens^α, α = 0.5 — upweights
+    * small sources like multilingual sampling does): per-source token
+    * totals, then normalized against the global sum folded in as a
+    * broadcast one-row cross join — never a driver-side collect.
+    *
+    * Determinism: the normalizer is Σ over sources of a DOUBLE — and FP
+    * addition is not associative, so a raw double sum could differ between
+    * engines by partial-aggregation order. The sqrt is therefore scaled to
+    * an exact integer first (floor(√n·10⁶) — sqrt and the multiply are
+    * single correctly-rounded IEEE ops, identical in any engine) so the
+    * global sum is exact BIGINT arithmetic; only then one final division
+    * + 6-dp Det round. */
+  def pipelineMixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"))
+      .withColumn("w_scaled",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val total = per.agg(sum(col("w_scaled")).as("w_tot"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_scaled").cast("double") / col("w_tot").cast("double"), 6)
+          .as("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Co-located join over BUCKETED storage — the 100 TB join strategy:
+    * both sides are written bucketed+sorted on the join key (8 buckets
+    * here; thousands on a cluster), so the join satisfies its
+    * distribution requirement from the LAYOUT and plans with NO exchange
+    * on either side (pinned by CustomSurfaceSpec + PlanSpec). The write
+    * happens once per dataset in production; this query key performs
+    * write+read+join so the oracle certifies the whole path against the
+    * plain parquet join. MERGE hint: the fixture dims would auto-
+    * broadcast and hide the layout effect being exercised. */
+  def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
+    val enc = d.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    val custT = s"graft_buck_cust_$enc"
+    val ordT = s"graft_buck_ord_$enc"
+    // A fresh session's in-memory catalog doesn't know tables whose
+    // warehouse directories a PREVIOUS JVM left on disk — CREATE TABLE
+    // then fails on locationAlreadyExists even under overwrite. Drop the
+    // catalog entry AND clear the leftover location before writing.
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(custT, ordT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    }
+    Tables.customer(s, d)
+      .write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable(custT)
+    Tables.orders(s, d)
+      .write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable(ordT)
+    s.table(custT).hint("MERGE")
+      .join(s.table(ordT), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+}

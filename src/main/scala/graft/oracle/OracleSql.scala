@@ -767,7 +767,110 @@ object OracleSql {
       ("SELECT doc_id, length(text)::INT AS n_bytes, " +
         "coalesce(list_sum(list_transform(range(1, length(text) + 1), i -> unicode(text[i]))), 0)::BIGINT AS byte_sum, " +
         "(CASE WHEN length(text) = 0 THEN 0 ELSE unicode(text[1]) END)::INT AS first_byte, lang, n_chars " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+
+    // ------------------------------------------- §2.14 round-4 analytics
+    // Ordered funnel: each stage anchored at the min ts AFTER the previous
+    // stage's anchor (the sequencing a pivot-style funnel gets wrong).
+    "funnel_ordered" ->
+      ("WITH c AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'view' AND e.ts > c.t1 GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
+        "JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY e.user_id) " +
+        "SELECT (SELECT count(*) FROM c) AS n_click, " +
+        "(SELECT count(*) FROM v) AS n_click_view, " +
+        "(SELECT count(*) FROM p) AS n_full_funnel"),
+
+    // Week offsets in exact integer µs (date_trunc('week') is Monday
+    // 00:00 UTC in both engines; // is DuckDB integer division).
+    "cohort_retention" ->
+      ("WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk " +
+        "FROM events), " +
+        "c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id) " +
+        "SELECT c.cohort_wk::TIMESTAMP AS cohort_wk, " +
+        "((epoch_us(uw.wk) - epoch_us(c.cohort_wk)) // 604800000000) AS week_offset, " +
+        "count(*) AS n_users " +
+        "FROM uw JOIN c ON uw.user_id = c.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_wk, week_offset"),
+
+    "attribution_last_touch" ->
+      ("SELECT event_id AS purchase_id, user_id, touch_id, touch_type " +
+        "FROM (SELECT event_id, user_id, event_type, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS) OVER w AS touch_id, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS touch_type " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "WHERE event_type = 'purchase' AND touch_id IS NOT NULL " +
+        "ORDER BY purchase_id"),
+
+    // is_current as INT: the comparator hashes scalars; boolean reprs
+    // differ between engines.
+    "cdc_scd2" ->
+      ("SELECT user_id, event_id, event_type, ts AS valid_from, " +
+        "lead(ts) OVER w AS valid_to, " +
+        "(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END)::INT AS is_current " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC) " +
+        "ORDER BY user_id, valid_from, event_id"),
+
+    // open/close via the fixed-width (ts ‖ id) composite key — same
+    // encoding as cdc_upsert_latest (arg-min/max refuse struct keys).
+    "ts_resample_ohlc" ->
+      ("SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type, " +
+        "arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')) AS open, " +
+        "max(value) AS high, min(value) AS low, " +
+        "arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')) AS close, " +
+        "count(*) AS n, " +
+        "floor((sum(value)) * 100 + 0.5) / 100.0 AS volume " +
+        "FROM events GROUP BY 1, 2 ORDER BY day, event_type"),
+
+    "agg_histogram" ->
+      ("SELECT floor(value / 50)::BIGINT AS bin, " +
+        "(floor(value / 50)::BIGINT * 50)::DOUBLE AS lo, count(*) AS n, " +
+        "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY bin"),
+
+    "assoc_pairs" ->
+      ("SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders " +
+        "FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2 " +
+        "ORDER BY n_orders DESC, p1, p2"),
+
+    // Knuth multiplicative hash in pure BIGINT arithmetic — engine-
+    // portable by construction (no murmur/xxhash dependency).
+    "split_train_test" ->
+      ("SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train' " +
+        "WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val' " +
+        "ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM documents GROUP BY 1 ORDER BY split"),
+
+    // sqrt scaled to exact BIGINT before the global sum: FP addition is
+    // order-dependent, integer addition is not (see Analytics.scala).
+    "pipeline_mixture_weights" ->
+      ("WITH per AS (SELECT source, count(*) AS n_docs, " +
+        "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "scaled AS (SELECT *, floor(sqrt(n_tokens::DOUBLE) * 1000000)::BIGINT AS w_scaled FROM per), " +
+        "t AS (SELECT sum(w_scaled)::BIGINT AS w_tot FROM scaled) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "floor((w_scaled::DOUBLE / w_tot::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS weight " +
+        "FROM scaled, t ORDER BY source"),
+
+    // the oracle certifies the bucketed write→read→join path end-to-end
+    // against the plain parquet join
+    "join_bucketed_colocated" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
 
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid

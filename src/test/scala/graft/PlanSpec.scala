@@ -69,6 +69,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_bucketed_colocated joins from bucket layout with no exchange on either side") {
+    val df = graft.ops.Analytics.joinBucketedColocated(spark, sf001)
+    df.collect() // finalize AQE; the bucketed scan decision is runtime-visible
+    val plan = physical(df)
+    assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(c_custkey")
+      && !plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"bucketed join still shuffles a side:\n$plan")
+  }
+
+  test("assoc_pairs self-join never shuffles lineitem twice for the join") {
+    val df = graft.ops.Analytics.assocPairs(spark, sf001)
+    df.collect()
+    val plan = physical(df)
+    // legal shapes: AQE broadcasts one side (zero join shuffles — the
+    // sf0.001 outcome), or at scale both sides hash on the same orderkey
+    // projection and Spark reuses ONE exchange; two independent full
+    // shuffles of lineitem is the regression being pinned
+    val joinShuffles = "Exchange hashpartitioning\\(ok".r.findAllIn(plan).size
+    assert(joinShuffles <= 1 || plan.contains("ReusedExchange"),
+      s"self-join shuffled lineitem twice:\n$plan")
+  }
+
+  test("attribution_last_touch runs in ONE user_id shuffle (no self-join, no per-purchase subquery)") {
+    val plan = physical(graft.ops.Analytics.attributionLastTouch(spark, sf001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"attribution degraded to a join:\n$plan")
+  }
+
   test("topk_global uses TakeOrderedAndProject (no global sort)") {
     val plan = physical(Relational.topkGlobal(spark, sf001))
     assert(plan.contains("TakeOrderedAndProject"), plan)
