@@ -153,7 +153,10 @@ object SparkEntry {
     "assoc_pairs" -> (Analytics.assocPairs _),
     "split_train_test" -> (Analytics.splitTrainTest _),
     "pipeline_mixture_weights" -> (Analytics.pipelineMixtureWeights _),
-    "join_bucketed_colocated" -> (Analytics.joinBucketedColocated _)
+    "join_bucketed_colocated" -> (Analytics.joinBucketedColocated _),
+    "mv_incremental_refresh" -> (Analytics.mvIncrementalRefresh _),
+    "layout_compaction" -> (graft.io.Formats.layoutCompaction _),
+    "sink_partition_overwrite_dynamic" -> (graft.io.Formats.sinkPartitionOverwriteDynamic _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

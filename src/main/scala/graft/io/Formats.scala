@@ -101,6 +101,59 @@ object Formats {
       .orderBy(col("event_type"))
   }
 
+  /** Small-files COMPACTION — the most common 100 TB layout maintenance
+    * job: a fragmented table (64 splinter files here — streaming sinks
+    * and over-parallel writes produce exactly this) rewritten to a few
+    * right-sized files. The compaction is a pure repartition+rewrite (no
+    * data transformation), so the oracle gating the post-compaction
+    * aggregate against the ORIGINAL parquet certifies the rewrite was
+    * lossless; FormatsSpec pins the actual file counts (64 → 4). At
+    * 100 TB the same job runs per-partition with a target-bytes-per-file
+    * repartition count instead of a constant. */
+  def layoutCompaction(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val fragDir = tmpDir("compact_frag", d)
+    val outDir = tmpDir("compact_out", d)
+    ev.repartition(64).write.mode("overwrite").parquet(fragDir)
+    s.read.schema(ev.schema).parquet(fragDir)
+      .repartition(4).write.mode("overwrite").parquet(outDir)
+    s.read.schema(ev.schema).parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.round(sum(col("value")), 2).as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DYNAMIC partition overwrite — the incremental-restatement write
+    * every partitioned warehouse needs: a full partitioned load, then a
+    * correction batch for ONE partition (purchases, values doubled)
+    * written with partitionOverwriteMode=dynamic, which must replace
+    * exactly the partitions present in the batch and leave every other
+    * directory untouched (static overwrite mode would truncate the whole
+    * table — THE classic data-loss footgun this key certifies against).
+    * The oracle recomputes the expected post-restatement state from the
+    * original parquet. */
+  def sinkPartitionOverwriteDynamic(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dir = tmpDir("dynpart", d)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    ev.where(col("event_type") === "purchase")
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.round(sum(col("value")), 2).as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   /** Kinesis-record envelope roundtrip — the reference's ingest shape
     * without the connector (zero-egress sandbox; KinesisStub documents the
     * swap-in point). Each event is wrapped exactly like a Kinesis record:

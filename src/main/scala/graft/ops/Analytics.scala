@@ -218,6 +218,40 @@ object Analytics {
       .orderBy(col("source"))
   }
 
+  /** Incremental materialized-view maintenance: the events feed arrives
+    * as four append batches (deterministic event_id mod 4 chunks standing
+    * in for micro-batches); each batch folds into the running MV by
+    * merging PARTIAL aggregates — (type, n, cents) — never recomputing
+    * from history. The final state is oracle-gated against the full
+    * recompute, which is exactly the invariant incremental view
+    * maintenance must prove.
+    *
+    * The measure accumulates in integer CENTS (floor(v·100+0.5) per row):
+    * FP addition is order-dependent, and an MV folded batch-by-batch sums
+    * in a DIFFERENT order than a flat scan — integer accumulation makes
+    * refresh order provably irrelevant, which is the right design for a
+    * restatement-sensitive MV at any scale (and what makes the exact-hash
+    * gate sound here).
+    *
+    * Scale: each merge shuffles |types| partial rows, not events; a
+    * production run keys the MV store on the group key and upserts. */
+  def mvIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_type"), col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val mv = (0 until 4).map { i =>
+        ev.where(pmod(col("event_id"), lit(4)) === i)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    mv.select(col("event_type"), col("n"),
+        (col("cents").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Co-located join over BUCKETED storage — the 100 TB join strategy:
     * both sides are written bucketed+sorted on the join key (8 buckets
     * here; thousands on a cluster), so the join satisfies its

@@ -864,6 +864,30 @@ object OracleSql {
         "floor((w_scaled::DOUBLE / w_tot::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS weight " +
         "FROM scaled, t ORDER BY source"),
 
+    // the compaction is a pure rewrite: gating its output against the
+    // ORIGINAL parquet certifies losslessness (file counts in ScalaTest)
+    "layout_compaction" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value, " +
+        "min(event_id) AS min_id, max(event_id) AS max_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // expected post-restatement state: purchases doubled, all other
+    // partitions untouched
+    "sink_partition_overwrite_dynamic" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "floor((sum(CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END)) * 100 + 0.5) / 100.0 AS sum_value, " +
+        "max(event_id) AS max_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // integer-cents accumulation: each floor(v*100+0.5) is an exact
+    // integer in a double, so the sum is order-independent — the gate
+    // proves incremental folding == full recompute
+    "mv_incremental_refresh" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "(sum(floor(value * 100 + 0.5))::BIGINT / 100.0) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
     // the oracle certifies the bucketed write→read→join path end-to-end
     // against the plain parquet join
     "join_bucketed_colocated" ->
