@@ -30,7 +30,11 @@ object ScaleStress {
     "join_theta_range", "join_range_bucketed", "join_asof_native",
     "text_tfidf_topterms", "text_tokenize_wordcount",
     "stream_session_30m", "agg_pricing_summary",
-    "win_topk_per_group", "win_topk_native")
+    "win_topk_per_group", "win_topk_native",
+    // r4: pair-emitting self-join (pairs grow with co-occurrence counts,
+    // not row²), chained funnel joins, window attribution, cohort distinct
+    "assoc_pairs", "funnel_ordered", "attribution_last_touch",
+    "cohort_retention", "ts_resample_ohlc")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

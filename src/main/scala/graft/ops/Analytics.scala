@@ -26,26 +26,31 @@ object Analytics {
     * — each stage's anchor is the min event time AFTER the previous
     * stage's anchor, so the steps chain.
     *
-    * Scale: three min-aggregations, each shuffling (user_id, ts) pairs
-    * only — never the event payload; each stage's survivor set shrinks, so
-    * the per-stage join keys get cheaper as the funnel narrows. Output is
-    * one global summary row (three counts crossed — all single-row plans,
-    * broadcast by construction). */
+    * Scale: ONE scan of events and ONE user_id shuffle — the stage
+    * anchors chain as conditional window minima over the same partition
+    * (Catalyst stacks the three Window operators on a single exchange;
+    * a join-per-stage funnel would scan and shuffle once per stage).
+    * Output is one global summary row. */
   def funnelOrdered(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-    val clicks = ev.where(col("event_type") === "click")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val views = ev.where(col("event_type") === "view")
-      .join(clicks, "user_id")
-      .where(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val purchases = ev.where(col("event_type") === "purchase")
-      .join(views, "user_id")
-      .where(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    clicks.agg(count(lit(1)).as("n_click"))
-      .crossJoin(views.agg(count(lit(1)).as("n_click_view")))
-      .crossJoin(purchases.agg(count(lit(1)).as("n_full_funnel")))
+    val w = Window.partitionBy(col("user_id"))
+    val anchored = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+    anchored
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        first(col("t3")).as("t3"))
+      .agg(
+        count(col("t1")).as("n_click"),
+        count(col("t2")).as("n_click_view"),
+        count(col("t3")).as("n_full_funnel"))
   }
 
   /** Weekly cohort retention: users grouped by first-seen ISO week, then

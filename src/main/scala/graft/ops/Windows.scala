@@ -141,12 +141,21 @@ object Windows {
     val ev = events(s, d)
       .select(date_trunc("hour", col("ts")).as("h"),
         col("event_type"), col("value"))
+    // The bucket aggregate feeds THREE consumers (grid bounds, type set,
+    // the fill join). Unpersisted, Catalyst column-prunes each reference
+    // into a different narrow aggregate — three full passes over raw
+    // events. Persisting the buckets (hours × types rows — tiny at any
+    // data scale) pins ONE events scan; every consumer reads the cache.
     val agg = ev.groupBy(col("h"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-    val hours = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .persist()
+    // bounds and the type set both derive from the AGGREGATED buckets
+    // (every event contributes a bucket, so min/max/distinct over `agg`
+    // equal those over `ev`)
+    val hours = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 hour"))).as("h"))
-    val grid = hours.crossJoin(ev.select(col("event_type")).distinct())
+    val grid = hours.crossJoin(agg.select(col("event_type")).distinct())
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(agg, Seq("h", "event_type"), "left_outer")

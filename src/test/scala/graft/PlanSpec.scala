@@ -57,11 +57,14 @@ class PlanSpec extends SparkSpec {
     // disagrees with the oracle's floor(x*100+0.5)/100 at .xx5 boundaries,
     // Det.scala:8-14). ADVICE round-3 flagged these three call sites as
     // builtin-round; this pins the shadowing so it can never regress.
+    // analyzed (not optimized) plan: caching substitution can fold the
+    // rounding into an aggregate's resultExpressions where toString hides
+    // it; the analyzed tree always prints the full expression
     for ((name, df) <- Seq(
         "ts_gapfill" -> graft.ops.Windows.tsGapfill(spark, sf001),
         "pipeline_feature_snapshot" -> LlmPipeline.pipelineFeatureSnapshot(spark, sf001),
         "cdc_upsert_latest" -> Relational.cdcUpsertLatest(spark, sf001))) {
-      val plan = df.queryExecution.optimizedPlan.toString
+      val plan = df.queryExecution.analyzed.toString
       assert(plan.toUpperCase.contains("FLOOR"),
         s"$name: Det.round (FLOOR formula) missing from plan:\n$plan")
       assert(!plan.matches("(?s).*\\bround\\(.*"),
@@ -97,6 +100,20 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
     assert(!plan.contains("Join"), s"attribution degraded to a join:\n$plan")
+  }
+
+  test("funnel_ordered and ts_gapfill scan events ONCE (chained windows / derived grid)") {
+    // funnel: three chained conditional window minima stack on one
+    // user_id exchange — a join-per-stage funnel would scan 3×
+    val funnel = physical(graft.ops.Analytics.funnelOrdered(spark, sf001))
+    assert("FileScan parquet".r.findAllIn(funnel).size == 1,
+      s"funnel_ordered scans events more than once:\n$funnel")
+    // gapfill: the bucket aggregate is persisted and feeds all three
+    // consumers (bounds, types, fill join) through the cache — without it
+    // column pruning specializes each reference into its own events scan
+    val gap = physical(graft.ops.Windows.tsGapfill(spark, sf001))
+    assert("InMemoryTableScan".r.findAllIn(gap).size >= 3,
+      s"ts_gapfill consumers bypass the persisted buckets:\n$gap")
   }
 
   test("topk_global uses TakeOrderedAndProject (no global sort)") {
