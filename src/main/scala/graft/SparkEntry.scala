@@ -155,6 +155,8 @@ object SparkEntry {
     "pipeline_mixture_weights" -> (Analytics.pipelineMixtureWeights _),
     "join_bucketed_colocated" -> (Analytics.joinBucketedColocated _),
     "mv_incremental_refresh" -> (Analytics.mvIncrementalRefresh _),
+    "graph_pagerank" -> (LlmPipeline.graphPagerank _),
+    "multimodal_batch_infer" -> (LlmPipeline.multimodalBatchInfer _),
     "layout_compaction" -> (graft.io.Formats.layoutCompaction _),
     "sink_partition_overwrite_dynamic" -> (graft.io.Formats.sinkPartitionOverwriteDynamic _)
   )

@@ -925,6 +925,73 @@ object LlmPipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Pregel-style PageRank core: fixed-iteration power method over an
+    * edge list, all per-iteration work joins/groupBys (the [[dedupClusterCc]]
+    * loop shape — one Double collected per round for the dangling mass,
+    * superseded checkpoints freed as soon as the next materializes).
+    * Fixed iteration count (not convergence-tested) keeps the operator a
+    * deterministic function of its input. At 100 TB the identical loop
+    * runs with the edges pre-partitioned on src so the per-iteration
+    * contribution join co-locates.
+    *
+    * Oracle-exempt (iterative FP — no SQL twin); LlmOpsSpec pins the
+    * distributed loop against a driver-side reference PageRank on a
+    * synthetic graph to 1e-9. */
+  private[graft] def pagerank(
+      verts: DataFrame, edges: DataFrame,
+      iters: Int, damping: Double): DataFrame = {
+    val s = verts.sparkSession
+    def pinnedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val e = edges.toDF("src", "dst").localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // static per-iteration inputs, both materialized BEFORE the edge
+    // checkpoint is freed (deg is a lazy plan over e — unpersisting e
+    // while anything still resolves through deg would lose the blocks)
+    val links = e.join(deg, "src").localCheckpoint()
+    val danglingVerts = verts
+      .join(deg, verts("vec_id") === deg("src"), "left_anti")
+      .localCheckpoint()
+    pinnedRdd(e).foreach(_.unpersist(blocking = false))
+    val n = verts.count().toDouble
+    var pr = verts.select(col("vec_id"), lit(1.0 / n).as("pr")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val dangling = pr.join(danglingVerts, Seq("vec_id"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+      val contrib = links.join(pr, links("src") === pr("vec_id"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      val next = verts.join(contrib, verts("vec_id") === contrib("dst"), "left_outer")
+        .select(verts("vec_id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dangling / n))).as("pr"))
+        .localCheckpoint()
+      pinnedRdd(pr).foreach(_.unpersist(blocking = false))
+      pr = next
+    }
+    pinnedRdd(links).foreach(_.unpersist(blocking = false))
+    pinnedRdd(danglingVerts).foreach(_.unpersist(blocking = false))
+    pr
+  }
+
+  /** Query key: PageRank over the cosine-threshold similarity graph (the
+    * undirected [[simThreshold]] pair set) — centrality inside near-dup
+    * clumps, i.e. which document of a clump is the "canonical" one by
+    * connectivity rather than min-id. 10 iterations, d = 0.85. Scores
+    * rounded 6 dp for a stable dump; total order by vec_id. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = simThreshold(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+    val verts = Tables.embeddings(s, d).select(col("vec_id"))
+    pagerank(verts, edges, iters = 10, damping = 0.85)
+      .select(col("vec_id"),
+        (floor(col("pr") * 1e6 + 0.5) / 1e6).as("pr"))
+      .orderBy(col("vec_id"))
+  }
+
   /** END-TO-END corpus curation — the composite pipeline a training-data
     * user actually runs, as ONE declarative plan Catalyst optimizes
     * across stage boundaries:
@@ -1106,5 +1173,48 @@ object LlmPipeline {
       }
     }.toDF("doc_id", "n_bytes", "byte_sum", "first_byte", "lang", "n_chars")
       .orderBy(col("doc_id"))
+  }
+
+  /** Batched "model inference" over binary content — the mapPartitions
+    * shape EVERY expensive per-row stage (image decoder, tokenizer,
+    * embedding model) must take at 100 TB: the model loads ONCE per
+    * partition (here a 256-entry lookup table standing in for the
+    * checkpoint load; real decoders cost seconds — per-ROW init is the
+    * classic 1000× mistake), then scores rows off the iterator without
+    * materializing the partition. Output rolls up per source with the
+    * byte sums kept in exact integers until one final division, so the
+    * aggregate is order-independent and the whole path — binary encode,
+    * partition batching, stub inference, rollup — is oracle-gated.
+    * §SURVEY.md 2.10: codec libs are not in this container; the stub is
+    * the documented swap-in point. */
+  def multimodalBatchInfer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, String, Array[Byte])]
+    val scored = rows.mapPartitions { it =>
+      // "model" init — once per PARTITION, amortized across its rows
+      val model: Array[Long] = Array.tabulate(256)(_.toLong)
+      it.map { case (id, src, blob) =>
+        var sum = 0L
+        var mx = 0L
+        var i = 0
+        while (i < blob.length) {
+          val v = model(blob(i) & 0xff)
+          sum += v
+          if (v > mx) mx = v
+          i += 1
+        }
+        (id, src, blob.length.toLong, sum, mx)
+      }
+    }.toDF("doc_id", "source", "n_bytes", "byte_sum", "max_byte")
+    scored.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("byte_sum")).cast("double") /
+          sum(col("n_bytes")).cast("double")).as("mean_byte"),
+        max(col("max_byte")).as("max_byte"))
+      .orderBy(col("source"))
   }
 }

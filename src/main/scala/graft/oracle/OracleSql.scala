@@ -864,6 +864,21 @@ object OracleSql {
         "floor((w_scaled::DOUBLE / w_tot::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS weight " +
         "FROM scaled, t ORDER BY source"),
 
+    // the mapPartitions inference path (binary encode → per-partition
+    // model init → batched scoring → rollup) gated end-to-end; integer
+    // byte sums until one final division keep it order-independent.
+    // graph_pagerank has NO entry on purpose: iterative FP has no SQL
+    // twin — LlmOpsSpec pins it against a reference implementation.
+    "multimodal_batch_infer" ->
+      ("WITH per AS (SELECT doc_id, source, length(text)::BIGINT AS n_bytes, " +
+        "coalesce(list_sum(list_transform(range(1, length(text) + 1), i -> unicode(text[i]))), 0)::BIGINT AS byte_sum, " +
+        "coalesce(list_max(list_transform(range(1, length(text) + 1), i -> unicode(text[i]))), 0)::BIGINT AS max_byte " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes, " +
+        "(sum(byte_sum)::BIGINT::DOUBLE / sum(n_bytes)::BIGINT::DOUBLE) AS mean_byte, " +
+        "max(max_byte)::BIGINT AS max_byte " +
+        "FROM per GROUP BY source ORDER BY source"),
+
     // the compaction is a pure rewrite: gating its output against the
     // ORIGINAL parquet certifies losslessness (file counts in ScalaTest)
     "layout_compaction" ->

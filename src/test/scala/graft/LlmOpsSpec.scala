@@ -288,4 +288,57 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("byte_sum") == t.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum)
     }
   }
+
+  test("distributed pagerank == driver-side reference on a synthetic graph (1e-9)") {
+    import spark.implicits._
+    // directed graph with a dangling node (4) and asymmetric links —
+    // exercises dangling-mass redistribution and degree normalization
+    val edgeSeq = Seq(
+      (0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L), (3L, 4L))
+    val verts = (0L to 4L).toDF("vec_id")
+    val edges = edgeSeq.toDF("src", "dst")
+    val iters = 10
+    val d = 0.85
+    val got = LlmPipeline.pagerank(verts, edges, iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: plain driver loop, same formula
+    val n = 5
+    val out = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var pr = Array.fill(n)(1.0 / n)
+    for (_ <- 0 until iters) {
+      val dangling = (0 until n).filter(v => !out.contains(v.toLong)).map(pr).sum
+      val next = Array.fill(n)((1.0 - d) / n + d * dangling / n)
+      out.foreach { case (src, dsts) =>
+        dsts.foreach { dst =>
+          next(dst.toInt) += d * pr(src.toInt) / dsts.length
+        }
+      }
+      pr = next
+    }
+    (0 until n).foreach { v =>
+      assert(math.abs(got(v.toLong) - pr(v)) < 1e-9,
+        s"node $v: ${got(v.toLong)} vs ${pr(v)}")
+    }
+    // probability mass is conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("multimodal_batch_infer rollup equals per-doc byte stats aggregated by source") {
+    val got = LlmPipeline.multimodalBatchInfer(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val ref = Tables.documents(spark, sf001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").getBytes("UTF-8")))
+      .groupBy(_._1)
+      .map { case (src, docs) =>
+        val bytes = docs.map(_._2)
+        val total = bytes.map(_.length.toLong).sum
+        val sums = bytes.map(_.map(_ & 0xff).map(_.toLong).sum).sum
+        val mx = bytes.map(b => if (b.isEmpty) 0L else b.map(_ & 0xff).max.toLong).max
+        src -> ((docs.length.toLong, total, sums.toDouble / total.toDouble, mx))
+      }
+    ref.foreach { case (src, expect) =>
+      assert(got(src) == expect, s"$src: ${got(src)} vs $expect")
+    }
+  }
 }

@@ -170,6 +170,55 @@ class StreamingParitySpec extends SparkSpec {
     assert(written.columns.contains("batch_id"))
   }
 
+  test("foreachBatch incremental MV maintenance == mv_incremental_refresh == full recompute") {
+    // The STREAMING twin of the mv_incremental_refresh query key: each
+    // micro-batch's partial aggregate merges into a running MV table via
+    // foreachBatch (read-modify-write on the group key), state lives in
+    // the sink, and the final MV must equal both the batch key and a flat
+    // recompute. Integer-cents accumulation makes merge order irrelevant.
+    val in = java.nio.file.Files.createTempDirectory("graft-mv-in").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("graft-mv").toString + "/mv"
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    (0 until 4).foreach { i =>
+      raw.where(col("event_id") % 4 === i).coalesce(1)
+        .write.parquet(s"$in/part$i")
+    }
+    val stream = spark.readStream.schema(EventSource.storedSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch
+          .select(col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val merged =
+          if (new java.io.File(mvDir).exists())
+            spark.read.parquet(mvDir).unionByName(delta)
+              .groupBy(col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+          else delta
+        // read fully before overwriting the same path
+        val rows = merged.collect()
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
+          .write.mode("overwrite").parquet(mvDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "expected >=4 micro-batches")
+    val mv = spark.read.parquet(mvDir)
+      .select(col("event_type"), col("n"),
+        (col("cents").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+    assertSameRows(mv,
+      graft.ops.Analytics.mvIncrementalRefresh(spark, sf001), "stream-mv")
+  }
+
   test("dedup within watermark drops synthetic duplicates") {
     import spark.implicits._
     val base = events.limit(50).collect()
