@@ -957,19 +957,28 @@ object LlmPipeline {
     pinnedRdd(e).foreach(_.unpersist(blocking = false))
     val n = verts.count().toDouble
     var pr = verts.select(col("vec_id"), lit(1.0 / n).as("pr")).localCheckpoint()
-    for (_ <- 0 until iters) {
-      val dangling = pr.join(danglingVerts, Seq("vec_id"), "left_semi")
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+    var lastCp = pr
+    for (i <- 0 until iters) {
+      // dangling mass folds in as a broadcast ONE-ROW cross join — fully
+      // lazy, so an iteration costs zero driver actions; only every 3rd
+      // iteration materializes a checkpoint (truncating the 3-deep lazy
+      // plan), cutting the job count from 2/iter to 1 per 3 iters
+      val dang = pr.join(danglingVerts, Seq("vec_id"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
       val contrib = links.join(pr, links("src") === pr("vec_id"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      val next = verts.join(contrib, verts("vec_id") === contrib("dst"), "left_outer")
+      var next = verts.join(contrib, verts("vec_id") === contrib("dst"), "left_outer")
+        .crossJoin(broadcast(dang))
         .select(verts("vec_id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(dangling / n))).as("pr"))
-        .localCheckpoint()
-      pinnedRdd(pr).foreach(_.unpersist(blocking = false))
+              col("dang") / lit(n))).as("pr"))
+      if ((i + 1) % 3 == 0 || i == iters - 1) {
+        next = next.localCheckpoint()
+        pinnedRdd(lastCp).foreach(_.unpersist(blocking = false))
+        lastCp = next
+      }
       pr = next
     }
     pinnedRdd(links).foreach(_.unpersist(blocking = false))
