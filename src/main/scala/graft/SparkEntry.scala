@@ -157,6 +157,9 @@ object SparkEntry {
     "mv_incremental_refresh" -> (Analytics.mvIncrementalRefresh _),
     "graph_pagerank" -> (LlmPipeline.graphPagerank _),
     "multimodal_batch_infer" -> (LlmPipeline.multimodalBatchInfer _),
+    "dedup_incremental" -> (LlmPipeline.dedupIncremental _),
+    "text_ngram_freq" -> (LlmPipeline.textNgramFreq _),
+    "analytics_rfm" -> (Analytics.analyticsRfm _),
     "layout_compaction" -> (graft.io.Formats.layoutCompaction _),
     "sink_partition_overwrite_dynamic" -> (graft.io.Formats.sinkPartitionOverwriteDynamic _)
   )

@@ -223,6 +223,42 @@ object Analytics {
       .orderBy(col("source"))
   }
 
+  /** RFM customer segmentation (recency / frequency / monetary) — the
+    * classic warehouse scoring, built scale-safe: per-customer aggregates
+    * first (orders reduce to customer cardinality), then the three score
+    * thresholds come from ONE exact-percentile aggregate broadcast back
+    * as a single row — never a global ntile window, which would funnel
+    * every customer through one task at scale. Scores bucket above/below
+    * the median; both engines interpolate percentiles identically
+    * (pinned by the oracle-gated agg_percentile). */
+  def analyticsRfm(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val refDate = orders.agg(max(col("o_orderdate")).as("ref"))
+    val cust = orders.crossJoin(broadcast(refDate))
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(datediff(col("ref"), col("o_orderdate"))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    val med = cust.agg(
+      expr("percentile(recency_days, 0.5)").as("r_med"),
+      expr("percentile(frequency, 0.5)").as("f_med"),
+      expr("percentile(monetary, 0.5)").as("m_med"))
+    cust.crossJoin(broadcast(med))
+      .select(
+        concat(
+          when(col("recency_days") <= col("r_med"), "R").otherwise("r"),
+          when(col("frequency") > col("f_med"), "F").otherwise("f"),
+          when(col("monetary") > col("m_med"), "M").otherwise("m"))
+          .as("segment"),
+        col("monetary"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum(col("monetary")), 2).as("sum_monetary"))
+      .orderBy(col("segment"))
+  }
+
   /** Incremental materialized-view maintenance: the events feed arrives
     * as four append batches (deterministic event_id mod 4 chunks standing
     * in for micro-batches); each batch folds into the running MV by

@@ -37,6 +37,42 @@ object LlmPipeline {
       .select(col("doc_id"), col("digest"), col("n_copies"))
       .orderBy(col("doc_id"))
 
+  /** INCREMENTAL ingest dedup — the production shape exact dedup actually
+    * runs in: a NEW batch arrives and must drop every document already in
+    * the EXISTING corpus (here: odd doc_ids arriving against the even-id
+    * corpus). One left-anti join on the 32-byte digest — the corpus side
+    * ships digests only, never bodies; at 100 TB the corpus digest set is
+    * a bucketed table (or bloom pre-filter, join_bloom_prefilter's shape)
+    * so the anti join co-locates instead of shuffling the history. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("digest"))
+    val corpus = docs.where(col("doc_id") % 2 === 0).select(col("digest"))
+    docs.where(col("doc_id") % 2 === 1)
+      .join(corpus, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram frequency — the n-gram language-statistics table (top 50 by
+    * count, total order). The bigram array builds map-side from one
+    * split; only (bigram, partial count) pairs shuffle, and the top-50
+    * is TakeOrdered, not a global sort. */
+  def textNgramFreq(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      // guard single-word docs: sequence(1, 0) would step BACKWARD in
+      // Spark and index element_at(ws, 0), which is an error
+      .where(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', " +
+          "element_at(split(text, ' '), i + 1)))")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** Tokenize + word count per language: explode(split) then two-level

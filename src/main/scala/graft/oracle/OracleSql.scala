@@ -864,6 +864,43 @@ object OracleSql {
         "floor((w_scaled::DOUBLE / w_tot::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS weight " +
         "FROM scaled, t ORDER BY source"),
 
+    // incremental-ingest dedup: the new batch (odd ids) anti-joined
+    // against the existing corpus's digest set (even ids)
+    "dedup_incremental" ->
+      ("WITH docs AS (SELECT doc_id, lang, sha256(text) AS digest FROM documents) " +
+        "SELECT b.doc_id, b.lang, b.digest FROM docs b " +
+        "WHERE b.doc_id % 2 = 1 AND NOT EXISTS " +
+        "(SELECT 1 FROM docs c WHERE c.doc_id % 2 = 0 AND c.digest = b.digest) " +
+        "ORDER BY b.doc_id"),
+
+    "text_ngram_freq" ->
+      ("WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "b AS (SELECT unnest(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w) " +
+        "SELECT bigram, count(*) AS n FROM b GROUP BY bigram " +
+        "ORDER BY n DESC, bigram LIMIT 50"),
+
+    // scores bucket against exact medians (quantile_cont ≡ Spark
+    // percentile — the pairing agg_percentile already pins); never a
+    // global ntile window
+    "analytics_rfm" ->
+      ("WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders), " +
+        "cust AS (SELECT o_custkey, " +
+        "min(date_diff('day', o_orderdate, refd)) AS recency_days, " +
+        "count(*) AS frequency, " +
+        "floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS monetary " +
+        "FROM orders, ref GROUP BY o_custkey), " +
+        "med AS (SELECT quantile_cont(recency_days, 0.5) AS r_med, " +
+        "quantile_cont(frequency, 0.5) AS f_med, " +
+        "quantile_cont(monetary, 0.5) AS m_med FROM cust) " +
+        "SELECT (CASE WHEN recency_days <= r_med THEN 'R' ELSE 'r' END || " +
+        "CASE WHEN frequency > f_med THEN 'F' ELSE 'f' END || " +
+        "CASE WHEN monetary > m_med THEN 'M' ELSE 'm' END) AS segment, " +
+        "count(*) AS n_cust, " +
+        "floor((sum(monetary)) * 100 + 0.5) / 100.0 AS sum_monetary " +
+        "FROM cust, med GROUP BY 1 ORDER BY segment"),
+
     // the mapPartitions inference path (binary encode → per-partition
     // model init → batched scoring → rollup) gated end-to-end; integer
     // byte sums until one final division keep it order-independent.
