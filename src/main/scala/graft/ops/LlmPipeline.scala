@@ -60,13 +60,18 @@ object LlmPipeline {
     * is TakeOrdered, not a global sort. */
   def textNgramFreq(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
+      // split ONCE into a projected column: referencing split(text) inside
+      // the transform lambda would re-split the document per element
+      // (HOF lambdas are interpreted — the quadratic rebuild the hot
+      // signature loops already avoid, SURVEY.md §2.13 notes)
+      .select(split(col("text"), " ").as("ws"))
       // guard single-word docs: sequence(1, 0) would step BACKWARD in
       // Spark and index element_at(ws, 0), which is an error
-      .where(size(split(col("text"), " ")) >= 2)
+      .where(size(col("ws")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat(element_at(split(text, ' '), i), ' ', " +
-          "element_at(split(text, ' '), i + 1)))")).as("bigram"))
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
