@@ -302,10 +302,16 @@ object Analytics {
     * write+read+join so the oracle certifies the whole path against the
     * plain parquet join. MERGE hint: the fixture dims would auto-
     * broadcast and hide the layout effect being exercised. */
+  // Per-JVM tag on the bucketed table names: the warehouse directory is
+  // shared on disk, so two concurrent sessions writing the same name
+  // would race exactly like the Formats.tmpDir case (ADVICE round-3).
+  private val sessionTag: String =
+    java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+
   def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
     val enc = d.getBytes("UTF-8").map(b => f"$b%02x").mkString
-    val custT = s"graft_buck_cust_$enc"
-    val ordT = s"graft_buck_ord_$enc"
+    val custT = s"graft_buck_cust_${sessionTag}_$enc"
+    val ordT = s"graft_buck_ord_${sessionTag}_$enc"
     // A fresh session's in-memory catalog doesn't know tables whose
     // warehouse directories a PREVIOUS JVM left on disk — CREATE TABLE
     // then fails on locationAlreadyExists even under overwrite. Drop the
