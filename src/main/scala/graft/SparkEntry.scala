@@ -160,6 +160,8 @@ object SparkEntry {
     "dedup_incremental" -> (LlmPipeline.dedupIncremental _),
     "text_ngram_freq" -> (LlmPipeline.textNgramFreq _),
     "analytics_rfm" -> (Analytics.analyticsRfm _),
+    "corpus_mixture_sample" -> (Analytics.corpusMixtureSample _),
+    "join_asof_nearest" -> (Relational.joinAsofNearest _),
     "layout_compaction" -> (graft.io.Formats.layoutCompaction _),
     "sink_partition_overwrite_dynamic" -> (graft.io.Formats.sinkPartitionOverwriteDynamic _)
   )

@@ -293,6 +293,39 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Materialize the MIXED corpus that [[pipelineMixtureWeights]] only
+    * scores: each source contributes a quota of documents proportional
+    * to its α=0.5 weight (out of a 1000-doc target), selected by the
+    * engine-portable Knuth hash order — "random" but bit-reproducible,
+    * the property a training-data sample must have to be auditable.
+    * ALL arithmetic is integer (scaled-sqrt weights, `div` quotas, hash
+    * ranks), so the sample is the same set in any engine; the only
+    * shuffle partitions by source for the per-source rank window.
+    * At 100 TB quotas come from the same tiny per-source aggregate and
+    * the rank window stays per-source — no global ordering anywhere. */
+  def corpusMixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).cast("long").as("n_tokens"))
+      .withColumn("w_scaled",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val total = per.agg(sum(col("w_scaled")).as("w_tot"))
+    val quotas = per.crossJoin(broadcast(total))
+      .select(col("source"),
+        expr("w_scaled * 1000 div w_tot").as("quota"))
+    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(h.asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rank", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .where(col("rank") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Co-located join over BUCKETED storage — the 100 TB join strategy:
     * both sides are written bucketed+sorted on the join key (8 buckets
     * here; thousands on a cluster), so the join satisfies its

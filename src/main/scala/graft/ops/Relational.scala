@@ -258,6 +258,33 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** NEAREST as-of: for each purchase the click with the smallest
+    * |Δt| in EITHER direction within ±120 s — the third member of the
+    * as-of family (backward, forward, nearest). The equi-conjunct on
+    * user_id keeps the join hash-partitioned like its siblings; the
+    * winner is a min_by over a fixed-width (|Δt µs| ‖ click_id)
+    * composite key, so ties at equal distance break deterministically
+    * toward the smaller click_id in both engines. */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val dtUs = abs(unix_micros(col("c_ts")) - unix_micros(col("p_ts")))
+    val key = concat(
+      lpad(dtUs.cast("string"), 20, "0"),
+      lpad(col("click_id").cast("string"), 20, "0"))
+    p.join(c, p("user_id") === c("c_user") && dtUs <= lit(120L * 1000000L))
+      .groupBy(col("purchase_id"))
+      .agg(
+        min_by(col("click_id"), key).as("click_id"),
+        min(dtUs).as("dt_us"),
+        first(col("user_id")).as("user_id"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("dt_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   def joinAsof(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)

@@ -864,6 +864,35 @@ object OracleSql {
         "floor((w_scaled::DOUBLE / w_tot::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS weight " +
         "FROM scaled, t ORDER BY source"),
 
+    // all-integer sampling: scaled-sqrt weights, // quotas, Knuth-hash
+    // rank order — the sample set is engine-portable by construction
+    "corpus_mixture_sample" ->
+      ("WITH per AS (SELECT source, " +
+        "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "scaled AS (SELECT source, " +
+        "floor(sqrt(n_tokens::DOUBLE) * 1000000)::BIGINT AS w_scaled FROM per), " +
+        "t AS (SELECT sum(w_scaled)::BIGINT AS w_tot FROM scaled), " +
+        "q AS (SELECT source, (w_scaled * 1000) // w_tot AS quota FROM scaled, t), " +
+        "ranked AS (SELECT source, doc_id, " +
+        "(row_number() OVER (PARTITION BY source " +
+        "ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC))::INT AS rank " +
+        "FROM documents) " +
+        "SELECT r.source, r.doc_id, r.rank FROM ranked r " +
+        "JOIN q ON r.source = q.source WHERE r.rank <= q.quota " +
+        "ORDER BY r.source, r.rank"),
+
+    // nearest-in-time as-of: ties at equal |dt| break toward the smaller
+    // click_id via the fixed-width composite key on both sides
+    "join_asof_nearest" ->
+      ("SELECT p.event_id AS purchase_id, p.user_id AS user_id, " +
+        "arg_min(c.event_id, lpad((abs(epoch_us(c.ts) - epoch_us(p.ts)))::VARCHAR, 20, '0') || lpad(c.event_id::VARCHAR, 20, '0')) AS click_id, " +
+        "min(abs(epoch_us(c.ts) - epoch_us(p.ts)))::BIGINT AS dt_us " +
+        "FROM events p JOIN events c ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 120000000 " +
+        "GROUP BY p.event_id, p.user_id ORDER BY purchase_id"),
+
     // incremental-ingest dedup: the new batch (odd ids) anti-joined
     // against the existing corpus's digest set (even ids)
     "dedup_incremental" ->
