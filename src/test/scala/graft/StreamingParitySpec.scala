@@ -219,6 +219,54 @@ class StreamingParitySpec extends SparkSpec {
       graft.ops.Analytics.mvIncrementalRefresh(spark, sf001), "stream-mv")
   }
 
+  test("foreachBatch CDC apply over 4 micro-batches == cdc_upsert_latest") {
+    // The streaming twin of cdc_upsert_latest: each micro-batch upserts
+    // into a keyed state table (survivor = max (ts ‖ event_id) composite
+    // key, same tie rule as the batch op), so the final state after the
+    // stream drains must equal the one-shot batch upsert.
+    val in = java.nio.file.Files.createTempDirectory("graft-cdc-in").toString
+    val stDir = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/state"
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    (0 until 4).foreach { i =>
+      raw.where(col("event_id") % 4 === i).coalesce(1)
+        .write.parquet(s"$in/part$i")
+    }
+    val stream = spark.readStream.schema(EventSource.storedSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val key = graft.ops.Relational.latestTsIdKey(col("ts"), col("event_id"))
+        val delta = batch.select(
+          col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts"))
+        val merged =
+          (if (new java.io.File(stDir).exists())
+             spark.read.parquet(stDir).unionByName(delta)
+           else delta)
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(
+              max_by(col("event_id"), key).as("event_id"),
+              max_by(col("value"), key).as("value"),
+              max(col("ts")).as("ts"))
+        val rows = merged.collect()
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
+          .write.mode("overwrite").parquet(stDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(stDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        (floor(col("value") * 100 + 0.5) / 100.0).as("value"), col("ts"))
+      .orderBy(col("user_id"), col("event_type"))
+    assertSameRows(streamed,
+      graft.ops.Relational.cdcUpsertLatest(spark, sf001), "stream-cdc")
+  }
+
   test("dedup within watermark drops synthetic duplicates") {
     import spark.implicits._
     val base = events.limit(50).collect()
