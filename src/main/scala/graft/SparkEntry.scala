@@ -132,6 +132,7 @@ object SparkEntry {
     // §2.4/§2.11 custom typed aggregation + custom Catalyst surface
     "agg_custom_typed" -> (Custom.aggCustomTyped _),
     "agg_hll_custom" -> (Custom.aggHllCustom _),
+    "agg_tdigest" -> (Custom.aggTdigest _),
     "join_asof_native" -> (Relational.joinAsofNative _),
     "join_range_bucketed" -> (Relational.joinRangeBucketed _),
     "knn_ivf" -> (LlmPipeline.knnIvf _),

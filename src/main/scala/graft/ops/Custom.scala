@@ -53,6 +53,21 @@ object Custom {
       .orderBy(col("event_type"))
   }
 
+  /** Custom t-digest quantile sketch (TypedImperativeAggregate) per
+    * event_type: median and p95 from mergeable bounded-size centroid
+    * state — oracle-exempt (merge order shifts centroid boundaries, as
+    * with any t-digest); CustomSurfaceSpec bounds both quantiles against
+    * exact percentile. */
+  def aggTdigest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestQuantile.register(s)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        call_function("graft_tdigest", col("value"), lit(0.5)).as("p50_approx"),
+        call_function("graft_tdigest", col("value"), lit(0.95)).as("p95_approx"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-user Welford mean + sample variance over event values. The
     * oracle pairs it with avg/var_samp — mathematically identical;
     * floating summation order differs, absorbed by 4 dp rounding. */

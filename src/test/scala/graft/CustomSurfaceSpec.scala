@@ -20,6 +20,20 @@ class CustomSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("graft_tdigest (TypedImperativeAggregate) p50/p95 within 2% of exact percentile") {
+    val approx = Custom.aggTdigest(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.events(spark, sf01).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.02, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) / p95 <= 0.02, s"$k p95: $a95 vs $p95")
+    }
+  }
+
   test("graft_dot native expression equals the HOF fold bit-for-bit") {
     graft.functions.DotProduct.register(spark)
     val native = Functions.fnVectorNative(spark, sf001).collect()
