@@ -34,7 +34,8 @@ object ScaleStress {
     // r4: pair-emitting self-join (pairs grow with co-occurrence counts,
     // not row²), chained funnel joins, window attribution, cohort distinct
     "assoc_pairs", "funnel_ordered", "attribution_last_touch",
-    "cohort_retention", "ts_resample_ohlc")
+    "cohort_retention", "ts_resample_ohlc", "graph_pagerank",
+    "corpus_mixture_sample", "agg_tdigest")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

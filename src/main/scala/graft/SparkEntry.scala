@@ -164,7 +164,8 @@ object SparkEntry {
     "corpus_mixture_sample" -> (Analytics.corpusMixtureSample _),
     "join_asof_nearest" -> (Relational.joinAsofNearest _),
     "layout_compaction" -> (graft.io.Formats.layoutCompaction _),
-    "sink_partition_overwrite_dynamic" -> (graft.io.Formats.sinkPartitionOverwriteDynamic _)
+    "sink_partition_overwrite_dynamic" -> (graft.io.Formats.sinkPartitionOverwriteDynamic _),
+    "source_schema_evolution" -> (graft.io.Formats.sourceSchemaEvolution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -154,6 +154,37 @@ object Formats {
       .orderBy(col("event_type"))
   }
 
+  /** Schema EVOLUTION across file generations — every long-lived feed
+    * grows columns: generation v1 (even order keys) lacks o_totalprice,
+    * generation v2 (odd keys) carries it. A mergeSchema read must union
+    * the schemas, null-fill the missing column for old files, and still
+    * aggregate correctly — the oracle recomputes the expected state from
+    * the original parquet with the same even/odd column availability.
+    * (Schema-on-read UNION, not inference: both generations' schemas come
+    * from their footers; at 100 TB mergeSchema cost is bounded by footer
+    * count, or pinned by a user-supplied evolved schema.) */
+  def sourceSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val dir = tmpDir("evolve", d)
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    orders.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    s.read
+      .option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("n_priced"),
+        Det.round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2)
+          .as("sum_price"))
+      .orderBy(col("y"))
+  }
+
   /** Kinesis-record envelope roundtrip — the reference's ingest shape
     * without the connector (zero-egress sandbox; KinesisStub documents the
     * swap-in point). Each event is wrapped exactly like a Kinesis record:

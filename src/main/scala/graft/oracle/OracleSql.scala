@@ -864,6 +864,14 @@ object OracleSql {
         "floor((w_scaled::DOUBLE / w_tot::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS weight " +
         "FROM scaled, t ORDER BY source"),
 
+    // expected post-evolution state from the original parquet: the
+    // o_totalprice column only "exists" for the v2 (odd-key) generation
+    "source_schema_evolution" ->
+      ("SELECT year(o_orderdate)::INT AS y, count(*) AS n, " +
+        "count(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS n_priced, " +
+        "floor((sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100.0 AS sum_price " +
+        "FROM orders GROUP BY 1 ORDER BY y"),
+
     // all-integer sampling: scaled-sqrt weights, // quotas, Knuth-hash
     // rank order — the sample set is engine-portable by construction
     "corpus_mixture_sample" ->

@@ -263,4 +263,37 @@ class PropertySpec extends SparkSpec {
     assert(empty.dropDuplicates().count() == 0)
     assert(empty.orderBy(col("k")).limit(5).count() == 0)
   }
+
+  test("round-4 analytics invariants: funnel monotone, histogram complete, RFM partitions, SCD2 intervals") {
+    // funnel stages can only narrow
+    val f = graft.ops.Analytics.funnelOrdered(spark, sf001).head()
+    assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2),
+      s"funnel widened: $f")
+    // histogram bins partition the events (counts sum to the table size)
+    val hist = graft.ops.Analytics.aggHistogram(spark, sf001)
+      .agg(sum(col("n"))).head().getLong(0)
+    val events = Tables.events(spark, sf001).count()
+    assert(hist == events, s"histogram lost rows: $hist vs $events")
+    // RFM segments partition the customers-with-orders set
+    val rfm = graft.ops.Analytics.analyticsRfm(spark, sf001)
+      .agg(sum(col("n_cust"))).head().getLong(0)
+    val nCust = Tables.orders(spark, sf001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rfm == nCust, s"RFM segments dropped customers: $rfm vs $nCust")
+    // SCD2: exactly one current version per user; intervals don't invert
+    val scd = graft.ops.Analytics.cdcScd2(spark, sf001)
+    val current = scd.where(col("is_current") === 1)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 1).count()
+    assert(current == 0, "a user has != 1 current SCD2 version")
+    val inverted = scd.where(col("valid_to").isNotNull &&
+      col("valid_to") < col("valid_from")).count()
+    assert(inverted == 0, "SCD2 interval inverts")
+    // mixture sample: per-source sampled count == quota implied by ranks
+    val sample = graft.ops.Analytics.corpusMixtureSample(spark, sf001)
+    val perSrc = sample.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("maxr"))
+      .where(col("n") =!= col("maxr")).count()
+    assert(perSrc == 0, "sample ranks are not contiguous 1..quota")
+  }
 }
