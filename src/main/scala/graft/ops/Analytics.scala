@@ -162,7 +162,15 @@ object Analytics {
     * so output grows linearly in orders, not quadratically in rows.
     * Support threshold prunes the singleton tail before the final sort. */
   def assocPairs(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    // dropDuplicates BEFORE the self-join: a part on two lineitems of one
+    // order must contribute that order ONCE per pair, so n_orders counts
+    // distinct orders, not joined lineitem-row pairs (ADVICE round-4 —
+    // a single multi-lineitem order could otherwise satisfy support ≥ 2
+    // alone). The dedup shuffles on (orderkey, partkey) — a superset of
+    // the join key, so rows for one order still land co-partitionable and
+    // the pair blow-up bound below is unchanged.
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
     val a = li.toDF("ok", "p1")
     val b = li.toDF("ok2", "p2")
     a.join(b, a("ok") === b("ok2") && col("p1") < col("p2"))

@@ -120,11 +120,13 @@ object Stateful {
     * watermark timeout evicts idle keys, which is what lets this run
     * indefinitely at scale. Input must carry withWatermark("ts", ...).
     *
-    * Late events within one gap of the open session's start merge into it
-    * (widening session_start); late events MORE than a gap earlier — legal
-    * under the watermark slack — island among themselves and emit as their
-    * own earlier sessions, exactly as the batch gaps-and-islands form
-    * would number them (ADVICE round-3: merging them was a parity bug). */
+    * Late events (legal under the watermark slack) are merged by running
+    * gaps-and-islands over the sorted union of the batch's events AND the
+    * open-session interval in one pass — so a chain of late events that
+    * bridges transitively into the open session merges with it (round-4
+    * ADVICE: a pre/rest cut at open.start − gap missed that), while late
+    * islands a full gap clear of everything emit as their own earlier
+    * sessions, numbered as batch gaps-and-islands would number them. */
   def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 1800L * 1000000L
@@ -143,69 +145,62 @@ object Stateful {
             Iterator.single(SessionOut(user, o.idx, toTs(o.startMicros),
               toTs(o.endMicros), o.n, math.floor(o.sum * 100 + 0.5) / 100.0))
           } else {
-            val all = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
-            val closed = Seq.newBuilder[SessionOut]
             val prior = state.getOption
-            var nextIdx = prior.map(_.nextIdx).getOrElse(0L)
-            var open = prior.map(_.open).orNull
-            def emit(o: OpenSession): Unit =
-              closed += SessionOut(user, o.idx, toTs(o.startMicros),
-                toTs(o.endMicros), o.n,
-                math.floor(o.sum * 100 + 0.5) / 100.0)
-            // Late events more than a full gap BEFORE the open session's
-            // start (legal under the watermark slack) can never merge with
-            // it under batch gaps-and-islands semantics: they island among
-            // THEMSELVES first, are emitted as their own earlier sessions,
-            // and the open session's idx shifts past them so stream
-            // numbering matches the batch time-order numbering. (Events
-            // within one gap of open.start still merge and widen — below.)
-            val sorted =
-              if (open == null) all
+            val priorOpen = prior.map(_.open).orNull
+            // Single-pass gaps-and-islands over the sorted UNION of this
+            // batch's events and the open-session interval (the open
+            // session participates as one mergeable island, ordered by its
+            // start). This is exactly the batch semantics restricted to
+            // what this key has ever seen minus already-emitted sessions —
+            // in particular a chain of late events can bridge TRANSITIVELY
+            // into the open session (e.g. gap=30m, open at 12:00, batch
+            // delivers 11:10 and 11:35: 11:10→11:35→12:00 are each ≤30m
+            // apart, so all three merge — the round-4 pre/rest cut at
+            // open.start − gap wrongly islanded {11:10} alone because it
+            // compared against the ORIGINAL open start). (start, end, n,
+            // sum) spans; events are 1-point spans in (ts, event_id) order,
+            // the open interval sorts by its startMicros ahead of any
+            // event at the same instant.
+            val spans: Array[OpenSession] = {
+              val ev = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+                .map(e => OpenSession(0L, micros(e.ts), micros(e.ts), 1L, e.value))
+              if (priorOpen == null) ev
               else {
-                val cut = open.startMicros - gapUs
-                val (pre, rest) = all.partition(e => micros(e.ts) < cut)
-                if (pre.nonEmpty) {
-                  var shift = 0L
-                  var preOpen: OpenSession = null
-                  pre.foreach { e =>
-                    val t = micros(e.ts)
-                    if (preOpen == null)
-                      preOpen = OpenSession(open.idx + shift, t, t, 1L, e.value)
-                    else if (t - preOpen.endMicros > gapUs) {
-                      emit(preOpen); shift += 1
-                      preOpen = OpenSession(open.idx + shift, t, t, 1L, e.value)
-                    } else
-                      preOpen = preOpen.copy(
-                        endMicros = math.max(preOpen.endMicros, t),
-                        n = preOpen.n + 1, sum = preOpen.sum + e.value)
-                  }
-                  emit(preOpen); shift += 1
-                  open = open.copy(idx = open.idx + shift)
-                  nextIdx += shift
-                }
-                rest
+                val at = ev.indexWhere(_.startMicros >= priorOpen.startMicros)
+                val i = if (at < 0) ev.length else at
+                (ev.take(i) :+ priorOpen) ++ ev.drop(i)
               }
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              if (open == null) {
-                open = OpenSession(nextIdx, t, t, 1L, e.value)
-                nextIdx += 1
-              } else if (t - open.endMicros > gapUs) {
-                emit(open)
-                open = OpenSession(nextIdx, t, t, 1L, e.value)
-                nextIdx += 1
+            }
+            val closed = Seq.newBuilder[SessionOut]
+            // Sessions already emitted keep their idx; everything still
+            // mutable renumbers densely from the open session's idx (or
+            // from nextIdx if no session is open), in time order — matching
+            // how batch gaps-and-islands would number them. Islands before
+            // the final one are emitted NOW even though the watermark
+            // hasn't formally sealed them: cross-batch bridging through an
+            // already-emitted session remains unfixable in append mode (a
+            // later batch may legally deliver an event that would have
+            // bridged into a session we already emitted) — documented
+            // limitation, same as round 3/4.
+            var base = if (priorOpen != null) priorOpen.idx
+                       else prior.map(_.nextIdx).getOrElse(0L)
+            var open: OpenSession = null
+            spans.foreach { sp =>
+              if (open == null)
+                open = sp.copy(idx = base)
+              else if (sp.startMicros - open.endMicros > gapUs) {
+                closed += SessionOut(user, open.idx, toTs(open.startMicros),
+                  toTs(open.endMicros), open.n,
+                  math.floor(open.sum * 100 + 0.5) / 100.0)
+                base += 1
+                open = sp.copy(idx = base)
               } else
-                // min() on start: an out-of-order event earlier than the
-                // open session's start (tolerated watermark slack) widens
-                // the session instead of silently leaving session_start —
-                // and therefore duration — wrong for the merged result
                 open = open.copy(
-                  startMicros = math.min(open.startMicros, t),
-                  endMicros = math.max(open.endMicros, t),
-                  n = open.n + 1, sum = open.sum + e.value)
+                  endMicros = math.max(open.endMicros, sp.endMicros),
+                  n = open.n + sp.n, sum = open.sum + sp.sum)
             }
             if (open != null) {
-              state.update(StreamState(nextIdx, open))
+              state.update(StreamState(base + 1, open))
               // flush when the watermark proves the gap can't be beaten
               state.setTimeoutTimestamp(open.endMicros / 1000L + 1800L * 1000L)
             }

@@ -190,6 +190,48 @@ class StatefulSpec extends SparkSpec {
       ("2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L, 1.0), s"$rows")
   }
 
+  test("sessionizeStream bridges a late-event chain transitively into the open session (batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def ev(id: Long, ts: String, user: Long, v: Double) =
+      Stateful.Event(id, t(ts), user, "click", v, "{}")
+    val mem = MemoryStream[Stateful.Event]
+    // 3 h watermark slack; open session at 12:00, then ONE batch delivers
+    // 11:10 and 11:35. 11:10 is > 30 min before 12:00 (can't merge
+    // directly) but 11:10→11:35→12:00 are each ≤ 30 min apart, so batch
+    // gaps-and-islands makes all three ONE session. The stream must too
+    // (ADVICE round-4: the pre/rest cut at open.start − gap islanded
+    // {11:10} alone before 11:35 had widened the open session).
+    val out = Stateful.sessionizeStream(
+      mem.toDS().withWatermark("ts", "3 hours"))
+    val q = out.writeStream.format("memory").queryName("t_bridge")
+      .outputMode("append").start()
+    mem.addData(ev(1, "2024-01-01 12:00:00", 7, 1.0))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 11:10:00", 7, 2.0),
+      ev(3, "2024-01-01 11:35:00", 7, 4.0))
+    q.processAllAvailable()
+    // advance the watermark past 12:00 + 30 min so the merged session flushes
+    mem.addData(ev(4, "2024-01-02 02:00:00", 99, 0.0))
+    q.processAllAvailable()
+    mem.addData(ev(5, "2024-01-02 02:30:00", 99, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_bridge")
+      .filter(col("user_id") === 7)
+      .select(col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      .toList
+    // exactly one session: idx 0, 11:10 → 12:00, all three events
+    assert(rows ==
+      List((0L, "2024-01-01 11:10:00.0", "2024-01-01 12:00:00.0", 3L, 7.0)),
+      s"$rows")
+  }
+
   test("sessionizeStream over 4-batch time-ordered replay == batch sessions (open tails excluded)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
