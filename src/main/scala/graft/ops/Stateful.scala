@@ -33,9 +33,16 @@ object Stateful {
       session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
 
+  /** One event's value in exact integer cents — the Det round applied
+    * per event BEFORE summing, so session sums are integer additions and
+    * accumulation order is provably irrelevant (same trick as
+    * mv_incremental_refresh). For 2-dp inputs this equals the oracle's
+    * floor(sum(value)*100+0.5)/100 exactly. */
+  private def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+
   /** Matches the batch gaps-and-islands semantics exactly: gap measured on
     * floor-second epochs (unix_timestamp ≡ Instant.getEpochSecond), first
-    * session has idx 0, sum rounded with the Det formula. */
+    * session has idx 0, sum folded in integer cents (see [[cents]]). */
   private def foldSessions(userId: Long, events: Iterator[Event]): Iterator[SessionOut] = {
     val sorted = events.toArray.sortBy(e => (e.ts.toInstant, e.event_id))
     if (sorted.isEmpty) Iterator.empty
@@ -45,16 +52,15 @@ object Stateful {
       var start = sorted.head.ts
       var end = sorted.head.ts
       var n = 0L
-      var sum = 0.0
+      var sumCents = 0L
       def emit(): Unit =
-        out += SessionOut(userId, idx, start, end, n,
-          math.floor(sum * 100 + 0.5) / 100.0)
+        out += SessionOut(userId, idx, start, end, n, sumCents / 100.0)
       sorted.foreach { e =>
         if (n > 0 &&
             e.ts.toInstant.getEpochSecond - end.toInstant.getEpochSecond > 1800) {
-          emit(); idx += 1; start = e.ts; n = 0; sum = 0.0
+          emit(); idx += 1; start = e.ts; n = 0; sumCents = 0L
         }
-        end = e.ts; n += 1; sum += e.value
+        end = e.ts; n += 1; sumCents += cents(e.value)
       }
       emit()
       out.result().iterator
@@ -97,9 +103,11 @@ object Stateful {
     * instead of a running index — unique without permanent state. */
   case class StreamState(nextIdx: Long, open: OpenSession)
 
-  /** The open session's bounds and aggregates — constant size per key. */
+  /** The open session's bounds and aggregates — constant size per key.
+    * The sum is held in integer cents (see [[cents]]) so merge order
+    * across micro-batches cannot perturb the 2-dp result. */
   case class OpenSession(
-      idx: Long, startMicros: Long, endMicros: Long, n: Long, sum: Double)
+      idx: Long, startMicros: Long, endMicros: Long, n: Long, sumCents: Long)
 
   private def micros(t: Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
@@ -129,7 +137,6 @@ object Stateful {
     * sessions, numbered as batch gaps-and-islands would number them. */
   def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapUs = 1800L * 1000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -143,7 +150,7 @@ object Stateful {
             val o = st.open
             state.update(StreamState(st.nextIdx, null))
             Iterator.single(SessionOut(user, o.idx, toTs(o.startMicros),
-              toTs(o.endMicros), o.n, math.floor(o.sum * 100 + 0.5) / 100.0))
+              toTs(o.endMicros), o.n, o.sumCents / 100.0))
           } else {
             val prior = state.getOption
             val priorOpen = prior.map(_.open).orNull
@@ -163,7 +170,8 @@ object Stateful {
             // event at the same instant.
             val spans: Array[OpenSession] = {
               val ev = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
-                .map(e => OpenSession(0L, micros(e.ts), micros(e.ts), 1L, e.value))
+                .map(e => OpenSession(0L, micros(e.ts), micros(e.ts), 1L,
+                  cents(e.value)))
               if (priorOpen == null) ev
               else {
                 val at = ev.indexWhere(_.startMicros >= priorOpen.startMicros)
@@ -188,21 +196,27 @@ object Stateful {
             spans.foreach { sp =>
               if (open == null)
                 open = sp.copy(idx = base)
-              else if (sp.startMicros - open.endMicros > gapUs) {
+              // gap on floor-second epochs — EXACTLY foldSessions' measure
+              // (micros would split e.g. end 10:00:00.9 → next 10:30:00.2,
+              // which batch merges; ADVICE round-5)
+              else if (sp.startMicros / 1000000L -
+                         open.endMicros / 1000000L > 1800L) {
                 closed += SessionOut(user, open.idx, toTs(open.startMicros),
-                  toTs(open.endMicros), open.n,
-                  math.floor(open.sum * 100 + 0.5) / 100.0)
+                  toTs(open.endMicros), open.n, open.sumCents / 100.0)
                 base += 1
                 open = sp.copy(idx = base)
               } else
                 open = open.copy(
                   endMicros = math.max(open.endMicros, sp.endMicros),
-                  n = open.n + sp.n, sum = open.sum + sp.sum)
+                  n = open.n + sp.n, sumCents = open.sumCents + sp.sumCents)
             }
             if (open != null) {
               state.update(StreamState(base + 1, open))
-              // flush when the watermark proves the gap can't be beaten
-              state.setTimeoutTimestamp(open.endMicros / 1000L + 1800L * 1000L)
+              // flush when the watermark proves the gap can't be beaten:
+              // under the floor-second gap, events through endSec+1800
+              // with ANY sub-second fraction (< endSec+1801) still merge.
+              state.setTimeoutTimestamp(
+                (open.endMicros / 1000000L + 1801L) * 1000L)
             }
             closed.result().iterator
           }
@@ -249,7 +263,8 @@ object Stateful {
         .map(so => so.copy(session_idx = so.session_idx + base))
       out.headOption.foreach { first =>
         if (lastEnd != Long.MinValue &&
-            micros(first.session_start) - lastEnd <= 1800L * 1000000L)
+            micros(first.session_start) / 1000000L -
+              lastEnd / 1000000L <= 1800L)
           throw new IllegalStateException(
             s"SessionProcessor: user $key session spans micro-batches " +
               "(first event within 30 min of the prior batch's last); " +

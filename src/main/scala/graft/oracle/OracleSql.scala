@@ -835,9 +835,14 @@ object OracleSql {
         "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY bin"),
 
+    // DISTINCT (orderkey, partkey) on BOTH sides before the self-join:
+    // n_orders counts distinct orders containing the pair, never the
+    // duplicate-lineitem row pairs (mirrors the Spark side's
+    // dropDuplicates; ADVICE round-5).
     "assoc_pairs" ->
       ("SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders " +
-        "FROM lineitem a JOIN lineitem b " +
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a " +
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b " +
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
         "GROUP BY 1, 2 HAVING count(*) >= 2 " +
         "ORDER BY n_orders DESC, p1, p2"),
