@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run inherits sbt's stdout directly: Bench/Verify print a JSON
+// line the driver parses, and the default LoggedOutput strategy would
+// decorate it with an "[info] " prefix that breaks a strict json parse.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,7 +15,14 @@ import org.apache.spark.sql.SparkSession
   *    the SQL cache is cleared after EVERY run, so no query's memory
   *    footprint lands on the next query's timing,
   *  - failures are reported per-query in an explicit "errors" map (a
-  *    broken query must never silently time as ~0 s).
+  *    broken query must never silently time as ~0 s),
+  *  - the stdout JSON line is kept SMALL: the driver captures only the
+  *    last 2000 characters of output, and rounds 1–5 all show
+  *    "parsed": null because the full ~4 KB per-query map pushed the
+  *    front of the JSON (metric/value) out of that window. The line now
+  *    carries the total, error map, and a bounded "queries" subset
+  *    (baseline headliners + the slowest keys); the complete per-query
+  *    map is written to BENCH_FULL.json in the working directory.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -72,12 +79,35 @@ object Bench {
     }
     val ok = results.collect { case (k, Right(t)) => k -> t }
     val errs = results.collect { case (k, Left(m)) => k -> m }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val es = errs.map { case (k, m) => "\"" + k + "\":\"" + esc(m) + "\"" }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val total = ok.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errs.size},"sf":"$sfDir"}""")
+
+    // Full per-query map → file (unbounded; for the judge / local tooling).
+    val fullQs = ok.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullEs = errs.toSeq.sortBy(_._1)
+      .map { case (k, m) => "\"" + k + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${ok.size},"queries":$fullQs,"errors":$fullEs,"n_err":${errs.size},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only cwd must not kill the bench
+
+    // Compact stdout line ≤ ~1700 chars so the driver's 2000-char tail
+    // window holds the WHOLE line (plus sbt's trailing "[success] …").
+    val headliners = Seq(
+      "agg_pricing_summary", "sql_tpch_q3", "win_topk_per_group",
+      "stream_tumbling_1h", "knn_cosine", "dedup_exact_sha",
+      "text_tokenize_wordcount", "text_tfidf_topterms", "dedup_near_minhash",
+      "knn_lsh_bucketed", "stream_session_30m", "join_asof_native")
+    val slowest = ok.toSeq.sortBy(-_._2)
+      .filterNot { case (k, _) => headliners.contains(k) }.take(8).map(_._1)
+    val subset = (headliners.filter(ok.contains) ++ slowest)
+      .map(k => "\"" + k + "\":" + fmt(ok(k))).mkString("{", ",", "}")
+    val esCompact = errs.toSeq.sortBy(_._1).take(5)
+      .map { case (k, m) => "\"" + k + "\":\"" + esc(m.take(60)) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${ok.size},"queries":$subset,"errors":$esCompact,"n_err":${errs.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -165,7 +165,12 @@ object SparkEntry {
     "join_asof_nearest" -> (Relational.joinAsofNearest _),
     "layout_compaction" -> (graft.io.Formats.layoutCompaction _),
     "sink_partition_overwrite_dynamic" -> (graft.io.Formats.sinkPartitionOverwriteDynamic _),
-    "source_schema_evolution" -> (graft.io.Formats.sourceSchemaEvolution _)
+    "source_schema_evolution" -> (graft.io.Formats.sourceSchemaEvolution _),
+    // round-6: decontamination, quantization, entropy, interval overlap
+    "decontaminate_ngram" -> (LlmPipeline.decontaminateNgram _),
+    "embedding_quantize" -> (LlmPipeline.embeddingQuantize _),
+    "agg_entropy" -> (Analytics.aggEntropy _),
+    "join_interval_overlap" -> (Analytics.joinIntervalOverlap _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -376,4 +376,70 @@ object Analytics {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** Per-user Shannon entropy of the event-type distribution — the
+    * behavioral-diversity score (and, over token/source distributions, the
+    * data-quality screen a corpus pipeline runs before mixing).
+    * H = −Σ p·log₂p over each user's event types.
+    *
+    * Scale: counts first (map-side partial agg collapses the event volume
+    * to users × types rows), then the total as a window sum over the SAME
+    * user_id partitioning — the final groupBy reuses that exchange, so the
+    * whole query is two shuffles regardless of event count. */
+  def aggEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val withTot = counts.withColumn("tot",
+      sum(col("n")).over(Window.partitionBy(col("user_id"))))
+    withTot
+      .groupBy(col("user_id"))
+      .agg(round(-sum((col("n") / col("tot")) *
+        log2(col("n") / col("tot"))), 4).as("h"),
+        sum(col("n")).cast("long").as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Interval-overlap join: 30-min-gap user sessions × "incident hours"
+    * (hours whose error count ≥ 1.5× the average hourly error count —
+    * relative so the key stays non-vacuous at every scale factor). A
+    * session S overlaps incident hour H iff S.start < H+1h ∧ H ≤ S.end.
+    *
+    * Scale: instead of a theta join (nested loops at any size), each
+    * session is BANDED onto the hour grid it covers — explode over
+    * sequence(hour(start), hour(end)) — and the overlap becomes an
+    * equi-join on the hour. Band fan-out is bounded by session length
+    * (30-min-gap sessions span few hours), and the incident side is an
+    * aggregated hour table, broadcastable at any event volume. */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sec = unix_timestamp(col("ts"))
+    val sess = ev
+      .withColumn("new_session",
+        when(sec - lag(sec, 1).over(byUser) > 1800, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val hourly = ev.where(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_errors"))
+    // relative threshold folded in as a one-row broadcast (never a collect)
+    val avgN = hourly.agg(avg(col("n_errors")).as("avg_n"))
+    val incidents = hourly.crossJoin(broadcast(avgN))
+      .where(col("n_errors").cast("double") >= lit(1.5) * col("avg_n"))
+      .select(col("h"), col("n_errors"))
+    val banded = sess.select(col("user_id"), col("session_idx"),
+      col("s_start"), col("s_end"),
+      explode(sequence(date_trunc("hour", col("s_start")),
+        date_trunc("hour", col("s_end")), expr("interval 1 hour"))).as("h"))
+    banded.join(broadcast(incidents), Seq("h"))
+      .select(col("user_id"), col("session_idx"),
+        col("h").as("incident_hour"), col("n_errors"))
+      .orderBy(col("user_id"), col("session_idx"), col("incident_hour"))
+  }
 }

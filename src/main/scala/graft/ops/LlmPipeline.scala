@@ -1267,4 +1267,63 @@ object LlmPipeline {
         max(col("max_byte")).as("max_byte"))
       .orderBy(col("source"))
   }
+
+  // -------------------------------------- decontamination + quantization
+
+  /** Train/eval decontamination: drop every train doc (doc_id ≥ 100)
+    * sharing ANY 12-token shingle with the eval slice (doc_id < 100) —
+    * the n-gram-overlap screen run before an eval set is trusted.
+    *
+    * Scale: shingles travel as xxhash64 LONGS, never strings — 8 bytes
+    * per shingle regardless of token width. The eval side (small by
+    * definition: eval sets are curated) is distinct-ed and BROADCAST, so
+    * the train side stays map-side: explode → semi-join against the
+    * broadcast set → distinct doc_ids; no all-pairs comparison and no
+    * shuffle of raw text. (Hash-join vs the oracle's string-join differs
+    * only on a 64-bit collision between a train and eval shingle —
+    * ~10⁻¹³ at millions of shingles; the oracle gate would surface one.)
+    * Docs shorter than the shingle width cannot be contaminated and skip
+    * shingling entirely. */
+  def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    val W = 12
+    val docs = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    val shingles = docs
+      .where(size(toks) >= W)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - lit(W - 1)),
+          i => xxhash64(array_join(slice(toks, i, lit(W)), " ")))).as("gh"))
+    val evalShingles = shingles.where(col("doc_id") < 100)
+      .select(col("gh")).distinct()
+    val contaminated = shingles.where(col("doc_id") >= 100)
+      .join(broadcast(evalShingles), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.where(col("doc_id") >= 100)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Symmetric int8 embedding quantization (the storage/ANN-memory layout
+    * step): per-vector scale = 127/max|x|, q = round(x·scale) ∈ [−127,127].
+    * Output ships the quantized vector as CSV text (the driver's row
+    * comparator cannot sort raw array columns — r01 lesson) plus the
+    * per-vector scale and q-range for a cheap sanity read.
+    *
+    * Scale: pure per-row codegen'd expressions (transform/array_max — no
+    * UDF, no shuffle except the output sort); at 100 TB this is the
+    * map-only pass it should be. */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{round => fnRound}
+    val q = transform(col("embedding"), x =>
+      fnRound(x.cast("double") * (lit(127.0) / col("amax").cast("double")))
+        .cast("int"))
+    Tables.embeddings(s, d)
+      .withColumn("amax", array_max(transform(col("embedding"), abs(_))))
+      .where(col("amax") > 0f)
+      .select(col("vec_id"), col("amax"),
+        array_join(transform(q, _.cast("string")), ",").as("q_csv"),
+        array_max(q).as("q_max"), array_min(q).as("q_min"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -988,7 +988,61 @@ object OracleSql {
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
-        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    // per-user Shannon entropy over event types; same term formula as the
+    // Spark side (−Σ p·log₂p over exact integer counts) — only summation
+    // order can differ, and 4-dp floor-rounding absorbs the ulp
+    "agg_entropy" ->
+      ("SELECT user_id, floor((-sum((n / tot) * log2(n / tot))) * 10000 + 0.5) / 10000.0 AS h, " +
+        "sum(n)::BIGINT AS n_events FROM (" +
+        "SELECT user_id, event_type, count(*)::DOUBLE AS n, " +
+        "sum(count(*)::DOUBLE) OVER (PARTITION BY user_id) AS tot " +
+        "FROM events GROUP BY user_id, event_type) " +
+        "GROUP BY user_id ORDER BY user_id"),
+
+    // overlap predicate spelled directly (s_start < h+1h AND h <= s_end);
+    // the Spark side proves the banded equi-join computes the same set
+    "join_interval_overlap" ->
+      ("WITH sess AS (" +
+        "SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end FROM (" +
+        "SELECT user_id, ts, event_id, " +
+        "(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx FROM (" +
+        "SELECT *, CASE WHEN floor(epoch(ts))::BIGINT - " +
+        "(lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
+        "THEN 1 ELSE 0 END AS new_session FROM events)) GROUP BY 1, 2), " +
+        "hh AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_errors " +
+        "FROM events WHERE event_type = 'error' GROUP BY 1), " +
+        "inc AS (SELECT h, n_errors FROM hh " +
+        "WHERE n_errors::DOUBLE >= 1.5 * (SELECT avg(n_errors) FROM hh)) " +
+        "SELECT s.user_id, s.session_idx, i.h AS incident_hour, i.n_errors " +
+        "FROM sess s JOIN inc i ON s.s_start < i.h + INTERVAL 1 HOUR AND i.h <= s.s_end " +
+        "ORDER BY s.user_id, s.session_idx, incident_hour"),
+
+    // the oracle joins raw shingle STRINGS where Spark joins xxhash64 of
+    // them — identical results absent a 64-bit train↔eval collision
+    "decontaminate_ngram" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "idx AS (SELECT doc_id, t, unnest(range(1, greatest(1, len(t) - 10))) AS i FROM toks), " +
+        "sh AS (SELECT doc_id, array_to_string(t[i:i+11], ' ') AS g FROM idx), " +
+        "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 100), " +
+        "cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (g) WHERE s.doc_id >= 100) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+        "WHERE d.doc_id >= 100 AND d.doc_id NOT IN (SELECT doc_id FROM cont) " +
+        "ORDER BY d.doc_id"),
+
+    // int arithmetic end-to-end after the one round(x·scale): both engines
+    // round ties away from zero, and scale = 127/float-amax is a single
+    // correctly-rounded double op — bit-identical inputs to round()
+    "embedding_quantize" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        "list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS amax FROM embeddings) " +
+        "SELECT vec_id, amax, " +
+        "array_to_string(list_transform(embedding, x -> round(x::DOUBLE * (127.0 / amax::DOUBLE))::INT::VARCHAR), ',') AS q_csv, " +
+        "list_aggregate(list_transform(embedding, x -> round(x::DOUBLE * (127.0 / amax::DOUBLE))::INT), 'max')::INT AS q_max, " +
+        "list_aggregate(list_transform(embedding, x -> round(x::DOUBLE * (127.0 / amax::DOUBLE))::INT), 'min')::INT AS q_min " +
+        "FROM b WHERE amax > 0 ORDER BY vec_id")
 
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
