@@ -35,7 +35,9 @@ object ScaleStress {
     // not row²), chained funnel joins, window attribution, cohort distinct
     "assoc_pairs", "funnel_ordered", "attribution_last_touch",
     "cohort_retention", "ts_resample_ohlc", "graph_pagerank",
-    "corpus_mixture_sample", "agg_tdigest")
+    "corpus_mixture_sample", "agg_tdigest",
+    "decontaminate_ngram", "embedding_quantize", "agg_entropy",
+    "join_interval_overlap")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

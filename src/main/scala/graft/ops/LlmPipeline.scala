@@ -1274,10 +1274,10 @@ object LlmPipeline {
     * sharing ANY 12-token shingle with the eval slice (doc_id < 100) —
     * the n-gram-overlap screen run before an eval set is trusted.
     *
-    * Scale: shingles travel as xxhash64 LONGS, never strings — 8 bytes
-    * per shingle regardless of token width. The eval side (small by
+    * Scale: shingles travel as 64-bit HASHES, never strings — 8 bytes per
+    * shingle regardless of token width. The eval side (small by
     * definition: eval sets are curated) is distinct-ed and BROADCAST, so
-    * the train side stays map-side: explode → semi-join against the
+    * the train side stays map-side: hash → semi-join against the
     * broadcast set → distinct doc_ids; no all-pairs comparison and no
     * shuffle of raw text. (Hash-join vs the oracle's string-join differs
     * only on a 64-bit collision between a train and eval shingle —
@@ -1285,17 +1285,41 @@ object LlmPipeline {
     * Docs shorter than the shingle width cannot be contaminated and skip
     * shingling entirely. */
   def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val W = 12
     val docs = Tables.documents(s, d)
-    val toks = split(col("text"), " ")
-    val shingles = docs
-      .where(size(toks) >= W)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(toks) - lit(W - 1)),
-          i => xxhash64(array_join(slice(toks, i, lit(W)), " ")))).as("gh"))
-    val evalShingles = shingles.where(col("doc_id") < 100)
+    // Shingle hashing is a typed JVM kernel, not a HOF lambda chain:
+    // Catalyst higher-order functions run INTERPRETED, and building every
+    // 12-token shingle string before hashing cost ~1.8 s at sf0.1. Here
+    // each token is murmur-hashed once, then each window combines 12 longs
+    // FNV-style — O(tokens·W) integer ops, zero string materialization.
+    def shingleHashes(df: DataFrame) = df
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val t = text.split(' ')
+          if (t.length < W) Iterator.empty
+          else {
+            val th = new Array[Long](t.length)
+            var i = 0
+            while (i < t.length) {
+              th(i) = scala.util.hashing.MurmurHash3
+                .stringHash(t(i), 0x9747b28c).toLong & 0xffffffffL
+              i += 1
+            }
+            (0 to t.length - W).iterator.map { j =>
+              var h = 0xcbf29ce484222325L
+              var k = j
+              while (k < j + W) { h = h * 0x100000001b3L ^ th(k); k += 1 }
+              (id, h)
+            }
+          }
+        }
+      }.toDF("doc_id", "gh")
+    val evalShingles = shingleHashes(docs.where(col("doc_id") < 100))
       .select(col("gh")).distinct()
-    val contaminated = shingles.where(col("doc_id") >= 100)
+    val contaminated = shingleHashes(docs.where(col("doc_id") >= 100))
       .join(broadcast(evalShingles), Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
     docs.where(col("doc_id") >= 100)

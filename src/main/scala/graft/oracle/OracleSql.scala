@@ -1020,8 +1020,8 @@ object OracleSql {
         "FROM sess s JOIN inc i ON s.s_start < i.h + INTERVAL 1 HOUR AND i.h <= s.s_end " +
         "ORDER BY s.user_id, s.session_idx, incident_hour"),
 
-    // the oracle joins raw shingle STRINGS where Spark joins xxhash64 of
-    // them — identical results absent a 64-bit train↔eval collision
+    // the oracle joins raw shingle STRINGS where Spark joins 64-bit hashes of
+    // them — identical results absent a 64-bit train↔eval hash collision
     "decontaminate_ngram" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "idx AS (SELECT doc_id, t, unnest(range(1, greatest(1, len(t) - 10))) AS i FROM toks), " +

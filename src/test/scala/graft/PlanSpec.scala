@@ -268,4 +268,36 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
     assert(plan.contains("from_json"), plan)
   }
+
+  test("decontaminate_ngram broadcasts the eval shingle set (train side never shuffles text)") {
+    val plan = physical(LlmPipeline.decontaminateNgram(spark, sf01))
+    // semi-join against eval shingles AND anti-join of contaminated ids
+    // both resolve as broadcasts — the train corpus is never the build side
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected broadcast semi+anti joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a decontamination join degraded to SMJ (would shuffle shingles):\n$plan")
+  }
+
+  test("join_interval_overlap: banding keeps the overlap an equi-join (no nested loop)") {
+    val plan = physical(graft.ops.Analytics.joinIntervalOverlap(spark, sf01))
+    // the session×incident overlap must be a hash join on the banded hour;
+    // the only tolerated nested loop is the deliberate ONE-ROW broadcast
+    // fold-in of the average (the tf-idf corpus-size pattern), which sits
+    // under the BroadcastExchange building the incident table
+    assert(plan.contains("BroadcastHashJoin [h#"),
+      s"overlap didn't plan as a hash join on the banded hour:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in interval overlap:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"unexpected nested-loop join beyond the one-row avg fold-in:\n$plan")
+  }
+
+  test("embedding_quantize is map-only up to the output sort (one scan, no joins/aggregates)") {
+    val plan = physical(LlmPipeline.embeddingQuantize(spark, sf01))
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"quantization should be a pure projection:\n$plan")
+  }
 }

@@ -7,7 +7,7 @@ import graft.ops.{Analytics, LlmPipeline}
 
 /** Round-6 operators: each approximate/re-shaped path is pinned against a
   * direct reference computation on the same session.
-  *  - decontaminate_ngram joins xxhash64(shingle) — the reference joins the
+  *  - decontaminate_ngram joins 64-bit shingle hashes — the reference joins the
   *    raw shingle STRINGS, proving the hash layer adds/drops nothing here.
   *  - join_interval_overlap banded equi-join vs the plain theta join.
   *  - embedding_quantize: range/extreme/round-trip/error-bound invariants.
