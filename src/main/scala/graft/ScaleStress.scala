@@ -28,7 +28,7 @@ object ScaleStress {
     "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_cluster_cc", "pipeline_corpus_curate", "ts_gapfill",
     "join_theta_range", "join_range_bucketed", "join_asof_native",
-    "text_tfidf_topterms", "text_tokenize_wordcount",
+    "text_tfidf_topterms", "text_bm25_topterms", "text_tokenize_wordcount",
     "stream_session_30m", "agg_pricing_summary",
     "win_topk_per_group", "win_topk_native",
     // r4: pair-emitting self-join (pairs grow with co-occurrence counts,

@@ -170,7 +170,8 @@ object SparkEntry {
     "decontaminate_ngram" -> (LlmPipeline.decontaminateNgram _),
     "embedding_quantize" -> (LlmPipeline.embeddingQuantize _),
     "agg_entropy" -> (Analytics.aggEntropy _),
-    "join_interval_overlap" -> (Analytics.joinIntervalOverlap _)
+    "join_interval_overlap" -> (Analytics.joinIntervalOverlap _),
+    "text_bm25_topterms" -> (LlmPipeline.textBm25Topterms _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

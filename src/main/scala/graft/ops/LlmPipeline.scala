@@ -118,6 +118,39 @@ object LlmPipeline {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** BM25 top-3 terms per document (k1=1.2, b=0.75) — the retrieval-grade
+    * upgrade of [[textTfidfTopterms]], same single-pass 100 TB shape: tf by
+    * exploded aggregation; df AND dl as windows OVER the tf rows (df =
+    * count per term, dl = Σtf per doc — both exact integers, no second
+    * scan); N and avgdl fold in as ONE broadcast one-row aggregate. Every
+    * shuffle carries tf rows, never the token stream.
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1) — the Robertson/Sparck-Jones
+    * form, spelled identically in the DuckDB twin so FP op order matches. */
+  def textBm25Topterms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val g = broadcast(docs.agg(
+      count(lit(1)).cast("double").as("n_corpus"),
+      avg(size(split(col("text"), " "))).as("avgdl")))
+    val idf = log((col("n_corpus") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    // (1 − b) folded to 0.25 exactly (both engines fold 1−0.75 the same)
+    val denom = col("tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.crossJoin(g) // BroadcastNestedLoopJoin against one row: free
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("score", round(idf * (col("tf") * 2.2) / denom, 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Per-language/source corpus stats incl. a length histogram bucket. */
   def textLangStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

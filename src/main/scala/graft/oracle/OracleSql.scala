@@ -1032,6 +1032,27 @@ object OracleSql {
         "WHERE d.doc_id >= 100 AND d.doc_id NOT IN (SELECT doc_id FROM cont) " +
         "ORDER BY d.doc_id"),
 
+    // BM25 (k1=1.2, b=0.75): formula spelled identically to the Spark
+    // column expression — exact-integer tf/df/dl, one double avgdl — so
+    // only ln()'s last ulp can differ, absorbed by the 4-dp floor
+    "text_bm25_topterms" ->
+      ("SELECT doc_id, rn, term, score FROM (" +
+        "SELECT doc_id, term, score, " +
+        "(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term))::INT AS rn FROM (" +
+        "SELECT doc_id, term, " +
+        "floor((ln((n_corpus - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 10000 + 0.5) / 10000.0 AS score " +
+        "FROM (" +
+        "SELECT doc_id, term, tf, " +
+        "count(*) OVER (PARTITION BY term) AS df, " +
+        "sum(tf) OVER (PARTITION BY doc_id) AS dl " +
+        "FROM (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "GROUP BY doc_id, term)), " +
+        "(SELECT count(*)::DOUBLE AS n_corpus, " +
+        "avg(len(string_split(text, ' ')))::DOUBLE AS avgdl FROM documents))) " +
+        "WHERE rn <= 3 ORDER BY doc_id, rn"),
+
     // int arithmetic end-to-end after the one round(x·scale): both engines
     // round ties away from zero, and scale = 127/float-amax is a single
     // correctly-rounded double op — bit-identical inputs to round()
