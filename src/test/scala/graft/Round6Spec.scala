@@ -100,6 +100,21 @@ class Round6Spec extends SparkSpec {
     assert(badErr.count() === 0L, "dequantization error exceeds half a step")
   }
 
+  test("text_bm25_topterms: 3 ranks per doc, scores non-increasing in rank, idf sane") {
+    val bm = LlmPipeline.textBm25Topterms(spark, sf01)
+    val perDoc = bm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), min(col("rn")).as("lo"), max(col("rn")).as("hi"),
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        max(when(col("rn") === 3, col("score"))).as("s3"))
+    // every doc in this corpus has ≥3 distinct terms → exactly ranks 1..3
+    assert(perDoc.where(col("n") =!= 3 || col("lo") =!= 1 || col("hi") =!= 3)
+      .count() === 0L, "rank structure broken")
+    assert(perDoc.where(col("s3") > col("s1")).count() === 0L,
+      "score not non-increasing in rank")
+    // BM25 with the +1 idf form is strictly positive for tf ≥ 1
+    assert(bm.where(col("score") <= 0).count() === 0L, "non-positive BM25 score")
+  }
+
   test("agg_entropy matches a driver-side recompute from exact counts") {
     val counts = Tables.events(spark, sf01)
       .groupBy(col("user_id"), col("event_type")).count()
