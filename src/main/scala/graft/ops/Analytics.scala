@@ -413,16 +413,7 @@ object Analytics {
     * aggregated hour table, broadcastable at any event volume. */
   def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val sec = unix_timestamp(col("ts"))
-    val sess = ev
-      .withColumn("new_session",
-        when(sec - lag(sec, 1).over(byUser) > 1800, 1).otherwise(0))
-      .withColumn("session_idx",
-        sum(col("new_session")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
+    val sess = Streaming.withSessionIdx(ev, 1800)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
     val hourly = ev.where(col("event_type") === "error")

@@ -1331,14 +1331,24 @@ object LlmPipeline {
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val t = text.split(' ')
+          // limit -1 keeps trailing empty tokens, matching BOTH the DuckDB
+          // oracle's string_split and Spark SQL's split(col, " ") — the
+          // default JVM split would silently disagree on trailing spaces
+          val t = text.split(" ", -1)
           if (t.length < W) Iterator.empty
           else {
+            // full 64-bit per-token hashes (the simhash64 idiom): a 32-bit
+            // token hash would cap shingle collision resistance at 2⁻³²
+            // per differing-token pair — V²/2³³ expected colliding token
+            // pairs is ≥1 already at a 100k vocabulary
             val th = new Array[Long](t.length)
             var i = 0
             while (i < t.length) {
-              th(i) = scala.util.hashing.MurmurHash3
-                .stringHash(t(i), 0x9747b28c).toLong & 0xffffffffL
+              val b = t(i).getBytes("UTF-8")
+              th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(b,
+                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                  b.length, 42L)
               i += 1
             }
             (0 to t.length - W).iterator.map { j =>

@@ -58,17 +58,7 @@ object Streaming {
     * The streaming twin uses session_window and is parity-checked on
     * membership (same min/max/count). */
   def streamSession30m(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val gapFlag = when(
-      unix_timestamp(col("ts")) -
-        unix_timestamp(lag(col("ts"), 1).over(byUser)) > 1800, 1)
-      .otherwise(0)
-    Tables.events(s, d)
-      .withColumn("new_session", coalesce(gapFlag, lit(1)))
-      .withColumn("session_idx",
-        sum(col("new_session")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionIdx(Tables.events(s, d), 1800)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min(col("ts")).as("session_start"),
@@ -76,6 +66,27 @@ object Streaming {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Shared batch gaps-and-islands session indexing: lag → gap flag →
+    * running sum over (ts, event_id) order per user. The ONE copy of the
+    * sessionization both [[streamSession30m]] and
+    * [[Analytics.joinIntervalOverlap]] build on (a gap-rule tweak applied
+    * to one must reach the other; Round6Spec keeps an independent copy on
+    * purpose — it's the test reference). First row per user: the lag is
+    * NULL, the comparison is NULL, and CASE routes NULL to the ELSE
+    * branch — 0 — so indices are 0-based; a coalesce over the flag can
+    * never fire (the .otherwise already absorbed the NULL). */
+  private[ops] def withSessionIdx(events: DataFrame, gapSec: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapFlag = when(
+      unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(byUser)) > gapSec, 1)
+      .otherwise(0)
+    events.withColumn("session_idx",
+      sum(gapFlag).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /** Dedup on event_id — batch twin of dropDuplicatesWithinWatermark.
