@@ -1317,6 +1317,39 @@ object LlmPipeline {
     * ~10⁻¹³ at millions of shingles; the oracle gate would surface one.)
     * Docs shorter than the shingle width cannot be contaminated and skip
     * shingling entirely. */
+  /** 64-bit shingle hashes of one document — the ONE hashing shared by
+    * [[decontaminateNgram]]'s batch kernel and its streaming twin
+    * (Round6Spec): split with limit -1 (trailing empty tokens survive,
+    * matching SQL split/string_split), XXH64 per token (full 64-bit — a
+    * 32-bit token hash caps shingle collision resistance at 2⁻³² per
+    * differing-token pair), FNV-1a combine across each w-token window. */
+  private[graft] def shingleHashes64(text: String, w: Int): Array[Long] = {
+    val t = text.split(" ", -1)
+    if (t.length < w) Array.emptyLongArray
+    else {
+      val th = new Array[Long](t.length)
+      var i = 0
+      while (i < t.length) {
+        val b = t(i).getBytes("UTF-8")
+        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42L)
+        i += 1
+      }
+      val out = new Array[Long](t.length - w + 1)
+      var j = 0
+      while (j < out.length) {
+        var h = 0xcbf29ce484222325L
+        var k = j
+        while (k < j + w) { h = h * 0x100000001b3L ^ th(k); k += 1 }
+        out(j) = h
+        j += 1
+      }
+      out
+    }
+  }
+
   def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = 12
@@ -1331,33 +1364,7 @@ object LlmPipeline {
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          // limit -1 keeps trailing empty tokens, matching BOTH the DuckDB
-          // oracle's string_split and Spark SQL's split(col, " ") — the
-          // default JVM split would silently disagree on trailing spaces
-          val t = text.split(" ", -1)
-          if (t.length < W) Iterator.empty
-          else {
-            // full 64-bit per-token hashes (the simhash64 idiom): a 32-bit
-            // token hash would cap shingle collision resistance at 2⁻³²
-            // per differing-token pair — V²/2³³ expected colliding token
-            // pairs is ≥1 already at a 100k vocabulary
-            val th = new Array[Long](t.length)
-            var i = 0
-            while (i < t.length) {
-              val b = t(i).getBytes("UTF-8")
-              th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-                .hashUnsafeBytes(b,
-                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-                  b.length, 42L)
-              i += 1
-            }
-            (0 to t.length - W).iterator.map { j =>
-              var h = 0xcbf29ce484222325L
-              var k = j
-              while (k < j + W) { h = h * 0x100000001b3L ^ th(k); k += 1 }
-              (id, h)
-            }
-          }
+          shingleHashes64(text, W).iterator.map(h => (id, h))
         }
       }.toDF("doc_id", "gh")
     val evalShingles = shingleHashes(docs.where(col("doc_id") < 100))

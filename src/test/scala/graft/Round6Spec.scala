@@ -100,6 +100,42 @@ class Round6Spec extends SparkSpec {
     assert(badErr.count() === 0L, "dequantization error exceeds half a step")
   }
 
+  test("streaming decontamination == batch decontaminate (incremental feed vs static eval set)") {
+    // the production shape: an incoming document feed is screened against
+    // a broadcast STATIC eval shingle-hash set — a stateless per-row
+    // verdict (the operator's own broadcast design), so incremental
+    // arrival order cannot change it. The batch decontaminate_ngram
+    // output must equal what the stream admits, batch by batch. The
+    // verdict uses the SAME shingleHashes64 kernel the operator ships.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val train = docs.filter(_._1 >= 100)
+    val evalSet = docs.filter(_._1 < 100)
+      .flatMap { case (_, text) => LlmPipeline.shingleHashes64(text, 12) }.toSet
+    val bc = spark.sparkContext.broadcast(evalSet)
+    val mem = MemoryStream[(Long, String)]
+    val kept = mem.toDS()
+      .filter { case (_, text) =>
+        !LlmPipeline.shingleHashes64(text, 12).exists(bc.value.contains)
+      }
+      .toDF("doc_id", "text").select(col("doc_id"))
+    val q = kept.writeStream.format("memory").queryName("t_decontam")
+      .outputMode("append").start()
+    // three arrival batches (order must not matter: verdicts are row-local)
+    val (b1, rest) = train.splitAt(train.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("t_decontam").select(col("doc_id"))
+    val batch = LlmPipeline.decontaminateNgram(spark, sf01).select(col("doc_id"))
+    assertSameRows(streamed.orderBy(col("doc_id")), batch.orderBy(col("doc_id")),
+      "stream-decontaminate")
+    bc.destroy()
+  }
+
   test("text_bm25_topterms: 3 ranks per doc, scores non-increasing in rank, idf sane") {
     val bm = LlmPipeline.textBm25Topterms(spark, sf01)
     val perDoc = bm.groupBy(col("doc_id"))
