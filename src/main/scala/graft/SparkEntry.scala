@@ -171,7 +171,8 @@ object SparkEntry {
     "embedding_quantize" -> (LlmPipeline.embeddingQuantize _),
     "agg_entropy" -> (Analytics.aggEntropy _),
     "join_interval_overlap" -> (Analytics.joinIntervalOverlap _),
-    "text_bm25_topterms" -> (LlmPipeline.textBm25Topterms _)
+    "text_bm25_topterms" -> (LlmPipeline.textBm25Topterms _),
+    "text_lm_score" -> (LlmPipeline.textLmScore _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

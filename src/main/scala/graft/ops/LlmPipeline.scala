@@ -78,6 +78,41 @@ object LlmPipeline {
       .limit(50)
   }
 
+  /** Bigram-LM quality score — the model-based filter step of corpus
+    * curation (the KenLM-style shape): score(doc) = mean over its bigrams
+    * of ln P(w2|w1), with P estimated from the corpus itself as
+    * c(w1 w2)/c(w1·) (prefix counts, so the conditional normalizes
+    * exactly). Always ≤ 0; low scores = improbable word sequences.
+    *
+    * Scale: the LM tables ARE aggregates of the same exploded bigram
+    * stream (one pass), and the two count joins are plain equi-joins —
+    * broadcast when the vocabulary is small (AQE decides), hash-partition
+    * when the LM outgrows memory; the per-doc mean is one partial-agg
+    * groupBy. No driver-side model state. */
+  def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val docBigrams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> named_struct('w1', element_at(ws, i), " +
+          "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val prefixCounts = docBigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val bigramCounts = docBigrams.groupBy(col("bg"))
+      .agg(count(lit(1)).as("cb"))
+    docBigrams
+      .join(bigramCounts, Seq("bg"))
+      .join(prefixCounts, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(col("cb").cast("double") / col("cu").cast("double"))) /
+          count(lit(1)), 4).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** Tokenize + word count per language: explode(split) then two-level

@@ -1032,6 +1032,19 @@ object OracleSql {
         "WHERE d.doc_id >= 100 AND d.doc_id NOT IN (SELECT doc_id FROM cont) " +
         "ORDER BY d.doc_id"),
 
+    // bigram-LM mean log-prob: exact integer counts feed ln(); only the
+    // per-doc summation order differs between engines, absorbed by 4-dp
+    "text_lm_score" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "tb AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t WHERE len(ws) >= 2), " +
+        "db AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg FROM tb), " +
+        "ub AS (SELECT w1, count(*) AS cu FROM db GROUP BY 1), " +
+        "bb AS (SELECT bg, count(*) AS cb FROM db GROUP BY 1) " +
+        "SELECT d.doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "floor((sum(ln(cb::DOUBLE / cu::DOUBLE)) / count(*)) * 10000 + 0.5) / 10000.0 AS score " +
+        "FROM db d JOIN bb USING (bg) JOIN ub USING (w1) " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id"),
+
     // BM25 (k1=1.2, b=0.75): formula spelled identically to the Spark
     // column expression — exact-integer tf/df/dl, one double avgdl — so
     // only ln()'s last ulp can differ, absorbed by the 4-dp floor

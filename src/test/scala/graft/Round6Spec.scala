@@ -151,6 +151,22 @@ class Round6Spec extends SparkSpec {
     assert(bm.where(col("score") <= 0).count() === 0L, "non-positive BM25 score")
   }
 
+  test("text_lm_score: log-probs non-positive, bigram counts match token counts") {
+    val lm = LlmPipeline.textLmScore(spark, sf01)
+    // ln(cb/cu) ≤ 0 always (a bigram can't outnumber its own prefix), so
+    // the mean is ≤ 0; exactly 0 only if every bigram is its prefix's sole
+    // continuation
+    assert(lm.where(col("score") > 0).count() === 0L, "positive log-prob")
+    val expected = Tables.documents(spark, sf01)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast("long").as("n_expected"))
+      .where(col("n_expected") >= 1)
+    val joined = lm.join(expected, Seq("doc_id"), "full_outer")
+    assert(joined.where(col("n_bigrams").isNull || col("n_expected").isNull ||
+      col("n_bigrams") =!= col("n_expected")).count() === 0L,
+      "per-doc bigram count != token count - 1")
+  }
+
   test("agg_entropy matches a driver-side recompute from exact counts") {
     val counts = Tables.events(spark, sf01)
       .groupBy(col("user_id"), col("event_type")).count()
