@@ -172,7 +172,14 @@ object SparkEntry {
     "agg_entropy" -> (Analytics.aggEntropy _),
     "join_interval_overlap" -> (Analytics.joinIntervalOverlap _),
     "text_bm25_topterms" -> (LlmPipeline.textBm25Topterms _),
-    "text_lm_score" -> (LlmPipeline.textLmScore _)
+    "text_lm_score" -> (LlmPipeline.textLmScore _),
+    // round-6b: anomaly/smoothing/graph/moments + PII scrub + interleave
+    "anomaly_zscore" -> (Analytics.anomalyZscore _),
+    "ts_ewma" -> (Analytics.tsEwma _),
+    "graph_triangle_count" -> (Analytics.graphTriangleCount _),
+    "agg_skew_kurt" -> (Analytics.aggSkewKurt _),
+    "text_pii_redact" -> (LlmPipeline.textPiiRedact _),
+    "corpus_interleave" -> (LlmPipeline.corpusInterleave _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

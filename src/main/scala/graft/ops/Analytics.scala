@@ -433,4 +433,120 @@ object Analytics {
         col("h").as("incident_hour"), col("n_errors"))
       .orderBy(col("user_id"), col("session_idx"), col("incident_hour"))
   }
+
+  /** Per-user z-score anomaly flags: events whose |z| ≥ 2.5 against the
+    * user's own mean/stddev over `value` — the standard per-entity outlier
+    * screen a feed pipeline runs before training on behavioral features.
+    * Users with < 12 events (no stable moments) and zero-variance users
+    * are excluded; the threshold compares the 4-dp Det-rounded z on BOTH
+    * sides of the gate so the filter is engine-portable.
+    *
+    * Scale: mean/std/count stack as three whole-partition window
+    * aggregates over ONE user_id exchange (no groupBy+join back); user_id
+    * is high-cardinality, so partitions stay balanced at any volume. */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val z4 = round((col("value") - col("mu")) / col("sd"), 4)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") >= 12 && col("sd") > 0)
+      .withColumn("z", z4)
+      .where(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("user_id"), col("z"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Finite-window EWMA (exponential smoothing, r=1/2 over the last 8
+    * events) of `value` per user in (ts, event_id) order — the time-series
+    * feature-smoothing pass. All eight weights are exact powers of two and
+    * the normalizer 255/128 is exactly representable, so every term —
+    * scale, left-to-right sum, final divide — is bit-identical IEEE
+    * arithmetic in any engine; the oracle twin spells the same chain.
+    * Rows before the 8th are dropped (incomplete window — no partial
+    * weighting ambiguity).
+    *
+    * Scale: one user_id exchange, eight stacked lag()s on the same sort —
+    * Catalyst collapses them into a single Window operator; no
+    * whole-history state, O(8) per row. */
+  def tsEwma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // x0·1 + x1·2⁻¹ + … + x7·2⁻⁷, summed left-to-right exactly as written
+    val weighted = (0 until 8)
+      .map(k => lag(col("value"), k).over(w) * lit(math.pow(0.5, k)))
+      .reduceLeft(_ + _)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ewma", weighted / lit(1.9921875))
+      .where(col("rn") >= 8)
+      .select(col("event_id"), col("user_id"), round(col("ewma"), 6).as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Triangle count over the part co-occurrence graph (edges = part pairs
+    * co-ordered in ≥ 2 orders, the assoc_pairs graph): one global row
+    * (n_nodes, n_edges, n_triangles). Triangles are the clustering signal
+    * dedup/community passes read off co-occurrence graphs.
+    *
+    * Scale: edges are oriented p1 < p2, so each triangle {a<b<c} is
+    * counted exactly once as wedge (a,b)+(b,c) closed by (a,c) — two
+    * equi-joins, no theta join. The first join shuffles on single part
+    * keys; at 100 TB you'd additionally orient low-degree → high-degree
+    * (bounds wedge fan-out by arboricity, O(m^1.5) total) — same plan
+    * shape, one extra degree join. */
+  def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val dl = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = dl.as("a").join(dl.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(e.as("e3"),
+        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+    val nodes = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Per-language skewness + excess kurtosis of document length, computed
+    * from EXACT integer power sums (Σx..Σx⁴ as BIGINT — n_chars ≤ ~600,
+    * so Σx⁴ < 2⁶³ by orders of magnitude). The double-valued moment
+    * formulas then run on identical integers in any engine, written in the
+    * same order as the oracle twin, so the 4-dp round never straddles.
+    * (Engine-native skewness()/kurtosis() are NOT oracle-safe: Spark uses
+    * population moments, DuckDB sample-adjusted ones.)
+    *
+    * Scale: one partial-aggregable groupBy — four integer sums collapse
+    * map-side; the moment algebra is per-group scalar math. */
+  def aggSkewKurt(s: SparkSession, d: String): DataFrame = {
+    val x = col("n_chars")
+    val grouped = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val n = col("n").cast("double")
+    val mu = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mu * mu
+    val m3 = col("s3").cast("double") / n -
+      lit(3.0) * mu * (col("s2").cast("double") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / n -
+      lit(4.0) * mu * (col("s3").cast("double") / n) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / n) -
+      lit(3.0) * mu * mu * mu * mu
+    grouped.select(col("lang"), col("n"),
+        round(m3 / sqrt(m2 * m2 * m2), 4).as("skew"),
+        round(m4 / (m2 * m2) - lit(3.0), 4).as("kurt"))
+      .orderBy(col("lang"))
+  }
 }

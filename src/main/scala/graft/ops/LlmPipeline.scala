@@ -1435,4 +1435,56 @@ object LlmPipeline {
         array_max(q).as("q_max"), array_min(q).as("q_min"))
       .orderBy(col("vec_id"))
   }
+
+  /** PII redaction: mask emails and phone numbers with typed placeholder
+    * tags — the privacy-scrub pass every training corpus goes through
+    * before tokenization. The synthetic fixture text contains no PII, so
+    * the op derives a deterministic contact line per document from doc_id
+    * (both engines build the identical string) and the regexes are then
+    * PROVEN to fire on every row — a no-op redaction could never hash-match
+    * the oracle. Patterns stay inside the Java-regex ∩ RE2 common dialect
+    * (character classes + bounded repetition; no backrefs, no lookaround).
+    *
+    * Scale: map-only codegen'd regexp_replace chain — no shuffle but the
+    * output sort; regex state machines are per-row CPU, the ideal 100 TB
+    * shape. */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val noEmail = regexp_replace(withPii,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, "\\+1-555-[0-9]{4}", "<PHONE>")
+    Tables.documents(s, d)
+      .select(col("doc_id"), noPhone.as("red_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted corpus interleave (stride scheduling): merge the per-source
+    * document streams into one training order where source i appears every
+    * 1/wᵢ steps — the deterministic mixing stage that follows mixture-
+    * weight computation (see pipeline_mixture_weights). Each doc's
+    * schedule position is rank-within-source / weight; weights here derive
+    * from the source id (1 + src# mod 3) so every weight class is
+    * populated at any scale factor. rank/weight is one IEEE divide of
+    * small integers — bit-identical in any engine — and (pos, source,
+    * doc_id) is a total order, so the first 200 scheduled docs are
+    * engine-portable.
+    *
+    * Scale: rank is a per-source window (source count is bounded, rows
+    * per source balance), the schedule order is TakeOrderedAndProject —
+    * no global sort materializes; at 100 TB the same op emits shard-local
+    * interleaves by adding the shard key to the window partition. */
+  def corpusInterleave(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("wgt", substring(col("source"), 4, 10).cast("int") % 3 + 1)
+      .withColumn("pos", col("rn").cast("double") / col("wgt").cast("double"))
+      .orderBy(col("pos"), col("source"), col("doc_id"))
+      .limit(200)
+      .select(col("source"), col("doc_id"), col("rn"), col("wgt"))
+  }
 }

@@ -1076,7 +1076,92 @@ object OracleSql {
         "array_to_string(list_transform(embedding, x -> round(x::DOUBLE * (127.0 / amax::DOUBLE))::INT::VARCHAR), ',') AS q_csv, " +
         "list_aggregate(list_transform(embedding, x -> round(x::DOUBLE * (127.0 / amax::DOUBLE))::INT), 'max')::INT AS q_max, " +
         "list_aggregate(list_transform(embedding, x -> round(x::DOUBLE * (127.0 / amax::DOUBLE))::INT), 'min')::INT AS q_min " +
-        "FROM b WHERE amax > 0 ORDER BY vec_id")
+        "FROM b WHERE amax > 0 ORDER BY vec_id"),
+
+    // z threshold compares the SAME Det-rounded value the output carries —
+    // the gate is engine-portable because both engines filter on floor().
+    "anomaly_zscore" ->
+      ("WITH s AS (SELECT event_id, user_id, value, " +
+        "avg(value) OVER (PARTITION BY user_id) AS mu, " +
+        "stddev_samp(value) OVER (PARTITION BY user_id) AS sd, " +
+        "count(*) OVER (PARTITION BY user_id) AS n FROM events) " +
+        "SELECT event_id, user_id, " +
+        "floor((value - mu) / sd * 10000 + 0.5) / 10000.0 AS z " +
+        "FROM s WHERE n >= 12 AND sd > 0 " +
+        "AND abs(floor((value - mu) / sd * 10000 + 0.5) / 10000.0) >= 2.5 " +
+        "ORDER BY user_id, event_id"),
+
+    // every weight is an exact power of two and + is left-associative in
+    // both engines — the whole chain is bit-identical IEEE arithmetic
+    // (Analytics.tsEwma spells the same order)
+    "ts_ewma" ->
+      ("WITH s AS (SELECT event_id, user_id, " +
+        "row_number() OVER w AS rn, " +
+        "(lag(value, 0) OVER w * 1.0 + lag(value, 1) OVER w * 0.5 + " +
+        "lag(value, 2) OVER w * 0.25 + lag(value, 3) OVER w * 0.125 + " +
+        "lag(value, 4) OVER w * 0.0625 + lag(value, 5) OVER w * 0.03125 + " +
+        "lag(value, 6) OVER w * 0.015625 + " +
+        "lag(value, 7) OVER w * 0.0078125) / 1.9921875 AS e " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT event_id, user_id, " +
+        "floor(e * 1000000 + 0.5) / 1000000.0 AS ewma " +
+        "FROM s WHERE rn >= 8 ORDER BY user_id, event_id"),
+
+    // p1 < p2 orientation counts each triangle exactly once as a closed
+    // wedge; edge set == assoc_pairs' deduped co-order graph
+    "graph_triangle_count" ->
+      ("WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 FROM d a " +
+        "JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT (SELECT count(DISTINCT p) FROM " +
+        "(SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e)) AS n_nodes, " +
+        "(SELECT count(*) FROM e) AS n_edges, " +
+        "(SELECT count(*) FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
+        "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS n_triangles"),
+
+    // moments from EXACT BIGINT power sums (DuckDB's int sums widen to
+    // HUGEINT — ::BIGINT pins the lattice Spark's long sums live on); the
+    // double algebra is then spelled in Analytics.aggSkewKurt's exact
+    // order, so both engines produce the same bits before the round
+    "agg_skew_kurt" ->
+      ("WITH g AS (SELECT lang, count(*) AS n, " +
+        "sum(n_chars)::BIGINT AS s1, sum(n_chars * n_chars)::BIGINT AS s2, " +
+        "sum(n_chars * n_chars * n_chars)::BIGINT AS s3, " +
+        "sum(n_chars * n_chars * n_chars * n_chars)::BIGINT AS s4 " +
+        "FROM documents GROUP BY lang), " +
+        "m AS (SELECT lang, n, s1::DOUBLE / n::DOUBLE AS mu, " +
+        "s2::DOUBLE / n::DOUBLE AS e2, s3::DOUBLE / n::DOUBLE AS e3, " +
+        "s4::DOUBLE / n::DOUBLE AS e4 FROM g), " +
+        "c AS (SELECT lang, n, e2 - mu * mu AS m2, " +
+        "e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3, " +
+        "e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2 - 3.0 * mu * mu * mu * mu AS m4 " +
+        "FROM m) " +
+        "SELECT lang, n, " +
+        "floor(m3 / sqrt(m2 * m2 * m2) * 10000 + 0.5) / 10000.0 AS skew, " +
+        "floor((m4 / (m2 * m2) - 3.0) * 10000 + 0.5) / 10000.0 AS kurt " +
+        "FROM c ORDER BY lang"),
+
+    // email first, phone second — same pass order as textPiiRedact; the
+    // patterns sit in the Java-regex ∩ RE2 common dialect ('g' because
+    // DuckDB replaces only the first match by default, Spark replaces all)
+    "text_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || " +
+        "'@mail.example or +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t " +
+        "FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(t, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS red_text " +
+        "FROM p ORDER BY doc_id"),
+
+    // schedule position = rank/weight, one IEEE divide of small integers;
+    // (pos, source, doc_id) is a total order so LIMIT 200 is portable
+    "corpus_interleave" ->
+      ("WITH r AS (SELECT source, doc_id, " +
+        "(row_number() OVER (PARTITION BY source ORDER BY doc_id))::INT AS rn, " +
+        "(substr(source, 4)::INT % 3 + 1)::INT AS wgt FROM documents) " +
+        "SELECT source, doc_id, rn, wgt FROM r " +
+        "ORDER BY rn::DOUBLE / wgt::DOUBLE, source, doc_id LIMIT 200"),
 
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Analytics, LlmPipeline}
+
+/** Round-6b operators: each declarative implementation is pinned against
+  * a direct driver-side recompute on the same session.
+  *  - anomaly_zscore / ts_ewma / agg_skew_kurt vs exact Scala recomputes
+  *    from collected values (independent of Spark's agg/window machinery).
+  *  - graph_triangle_count vs a brute-force triangle enumeration over the
+  *    collected edge list.
+  *  - text_pii_redact: the regexes fire on EVERY row and nothing
+  *    PII-shaped survives.
+  *  - corpus_interleave: stride semantics — within-source order preserved,
+  *    occupancy of the first 200 proportional to weight.
+  */
+class Round6bSpec extends SparkSpec {
+
+  test("anomaly_zscore: flags == direct mean/std recompute per user") {
+    val flagged = Analytics.anomalyZscore(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.nonEmpty, "zero flagged rows — vacuous at sf0.01")
+    assert(flagged.forall { case (_, _, z) => math.abs(z) >= 2.5 })
+    // independent recompute for every user that has a flagged event
+    val byUser = Tables.events(spark, sf01)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .collect().map(r => (r.getLong(1), (r.getLong(0), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = byUser.toSeq.flatMap { case (uid, evs) =>
+      val n = evs.length
+      if (n < 12) Seq.empty
+      else {
+        val mu = evs.map(_._2).sum / n
+        val sd = math.sqrt(evs.map(v => (v._2 - mu) * (v._2 - mu)).sum / (n - 1))
+        if (sd <= 0) Seq.empty
+        else evs.flatMap { case (eid, v) =>
+          val z = math.floor((v - mu) / sd * 10000 + 0.5) / 10000
+          if (math.abs(z) >= 2.5) Some((eid, uid)) else None
+        }
+      }
+    }.toSet
+    assert(flagged.map(t => (t._1, t._2)).toSet === expected,
+      "flag set differs from the direct recompute")
+  }
+
+  test("ts_ewma: matches a direct per-user recompute over the last 8 values") {
+    val got = Analytics.tsEwma(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size > 1000, s"suspiciously few ewma rows: ${got.size}")
+    val evs = Tables.events(spark, sf01)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val weights = (0 until 8).map(k => math.pow(0.5, k))
+    evs.values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+      ordered.indices.drop(7).foreach { i =>
+        val window = (0 until 8).map(k => ordered(i - k)._4)
+        val raw = window.zip(weights).map { case (v, w) => v * w }
+          .reduceLeft(_ + _) / 1.9921875
+        val exp = math.floor(raw * 1000000 + 0.5) / 1000000
+        val eid = ordered(i)._3
+        assert(got.contains(eid), s"event $eid missing from ewma output")
+        assert(got(eid) === exp, s"event $eid: ${got(eid)} != $exp")
+      }
+    }
+  }
+
+  test("graph_triangle_count: equals brute-force closure over the edge list") {
+    val row = Analytics.graphTriangleCount(spark, sf01).collect().head
+    val (nNodes, nEdges, nTri) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nTri > 0, "zero triangles — vacuous at sf0.01")
+    // rebuild the same edge set directly and enumerate triangles
+    val li = Tables.lineitem(spark, sf01)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // NB: .collect{case (e, occ) ... => e} here would rebuild a MAP (the
+    // tuple-returning PF overload) and collapse edges sharing p1 — filter
+    // + keySet keeps the full edge set
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    assert(nEdges === edges.size.toLong)
+    assert(nNodes === edges.flatMap(e => Seq(e._1, e._2)).size.toLong)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteTri = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty).count(c =>
+        c > b && adj.getOrElse(b, Set.empty).contains(c))
+    }.sum
+    assert(nTri === bruteTri.toLong, s"$nTri triangles vs brute $bruteTri")
+  }
+
+  test("agg_skew_kurt: moments match a direct recompute; kurtosis sane") {
+    val got = Analytics.aggSkewKurt(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val byLang = Tables.documents(spark, sf01)
+      .select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byLang.foreach { case (lang, xs) =>
+      val n = xs.length
+      val mu = xs.sum / n
+      def cm(p: Int) = xs.map(x => math.pow(x - mu, p)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      val (skew, kurt) = (m3 / math.pow(m2, 1.5), m4 / (m2 * m2) - 3.0)
+      val (gs, gk) = got(lang)
+      // the op computes via power sums, the recompute via centered sums —
+      // agreement within 1e-3 proves the algebra, not the bit pattern
+      assert(math.abs(gs - skew) < 1e-3, s"$lang skew $gs vs $skew")
+      assert(math.abs(gk - kurt) < 1e-3, s"$lang kurt $gk vs $kurt")
+      assert(gk > -2.0 && gk < 10.0, s"$lang kurtosis implausible: $gk")
+    }
+  }
+
+  test("text_pii_redact: both regexes fire on every row, nothing survives") {
+    val rows = LlmPipeline.textPiiRedact(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = Tables.documents(spark, sf01).count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { case (id, t) =>
+      assert(t.contains("<EMAIL>"), s"doc $id: email not redacted")
+      assert(t.contains("<PHONE>"), s"doc $id: phone not redacted")
+      assert(!t.contains("@"), s"doc $id: raw email survives")
+      assert(!t.contains("+1-555-"), s"doc $id: raw phone survives")
+    }
+    // the original text is untouched — redaction only hits the PII tail
+    val orig = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, t) =>
+      assert(t.startsWith(orig(id)), s"doc $id: document text was altered")
+    }
+  }
+
+  test("corpus_interleave: within-source order kept, occupancy tracks weight") {
+    val out = LlmPipeline.corpusInterleave(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.length === 200)
+    // schedule position recomputed; the result must be exactly the 200
+    // smallest (pos, source, doc_id) keys over the whole corpus
+    val all = Tables.documents(spark, sf01)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        val w = src.drop(3).toInt % 3 + 1
+        ds.map(_._2).sorted.zipWithIndex.map { case (id, i) =>
+          ((i + 1).toDouble / w, src, id, i + 1, w)
+        }
+      }
+    val expect = all.sortBy(t => (t._1, t._2, t._3)).take(200)
+      .map(t => (t._2, t._3, t._4, t._5))
+    assert(out.toSeq === expect.toSeq, "schedule differs from recompute")
+    // weight-3 sources must out-occupy weight-1 sources ~3:1 in aggregate
+    val byW = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byW.getOrElse(3, 0) > byW.getOrElse(1, 0),
+      s"weight-3 occupancy not dominant: $byW")
+    // within each source the rn sequence is strictly increasing
+    out.groupBy(_._1).values.foreach { rows =>
+      val rns = rows.map(_._3).toSeq
+      assert(rns == rns.sorted, "within-source order broken")
+    }
+  }
+}
