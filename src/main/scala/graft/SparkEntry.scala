@@ -179,7 +179,10 @@ object SparkEntry {
     "graph_triangle_count" -> (Analytics.graphTriangleCount _),
     "agg_skew_kurt" -> (Analytics.aggSkewKurt _),
     "text_pii_redact" -> (LlmPipeline.textPiiRedact _),
-    "corpus_interleave" -> (LlmPipeline.corpusInterleave _)
+    "corpus_interleave" -> (LlmPipeline.corpusInterleave _),
+    "win_streak" -> (Windows.winStreak _),
+    "agg_corr_exact" -> (Analytics.aggCorrExact _),
+    "text_ttr" -> (LlmPipeline.textTtr _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

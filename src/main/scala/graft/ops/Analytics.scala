@@ -549,4 +549,42 @@ object Analytics {
         round(m4 / (m2 * m2) - lit(3.0), 4).as("kurt"))
       .orderBy(col("lang"))
   }
+
+  /** Per-returnflag Pearson correlation + sample covariance between
+    * quantity and price, from EXACT integer sums: quantity is integer-
+    * valued and price snaps to cents via floor(x·100+0.5) (stored doubles
+    * are identical in both engines, so the snapped integers are too). The
+    * squared-cents sum needs 128-bit headroom (Σy² ≈ 1e14/row) — Spark
+    * sums DECIMAL(38,0), DuckDB's BIGINT sum widens to HUGEINT natively —
+    * then one exact-integer→double cast per sum feeds the textbook
+    * formula, spelled identically in the twin. (Engine-native corr() is
+    * NOT oracle-safe: co-moment accumulation order differs.)
+    *
+    * Scale: one partial-aggregable groupBy on a 3-value key; the decimal
+    * sums combine map-side, so the exchange carries 6 numbers per flag.
+    * Group count is tiny here, but the same shape holds for any key —
+    * sums are associative whatever the cardinality. */
+  def aggCorrExact(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val g = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("x"))).as("sx2"),
+        sum(dec(col("y") * col("y"))).as("sy2"),
+        sum(dec(col("x") * col("y"))).as("sxy"))
+    val n = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sx2, sy2, sxy) =
+      (col("sx2").cast("double"), col("sy2").cast("double"),
+        col("sxy").cast("double"))
+    g.select(col("l_returnflag"), col("n"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6).as("corr_qp"),
+        round((n * sxy - sx * sy) / (n * (n - lit(1.0))), 4).as("covar_qp"))
+      .orderBy(col("l_returnflag"))
+  }
 }

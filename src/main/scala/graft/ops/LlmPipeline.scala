@@ -1487,4 +1487,21 @@ object LlmPipeline {
       .limit(200)
       .select(col("source"), col("doc_id"), col("rn"), col("wgt"))
   }
+
+  /** Type-token ratio (lexical diversity): distinct tokens / total tokens
+    * per document — the repetition-quality signal corpus filters threshold
+    * on (boilerplate and spam sit at low TTR). Integer counts and one
+    * small-int divide; the ratio rounds identically in any engine.
+    *
+    * Scale: map-only — split once, array_distinct on the projected array;
+    * no explode, no shuffle but the output sort. */
+  def textTtr(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tok"),
+        size(array_distinct(col("ws"))).as("n_uniq"))
+      .withColumn("ttr", graft.Det.round(
+        col("n_uniq").cast("double") / col("n_tok").cast("double"), 4))
+      .orderBy(col("doc_id"))
 }

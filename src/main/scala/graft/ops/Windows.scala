@@ -164,4 +164,30 @@ object Windows {
         last(col("sum_value"), ignoreNulls = true).over(w))
       .orderBy(col("h"), col("event_type"))
   }
+
+  /** Longest consecutive run (streak) of each event type per user — the
+    * gaps-and-islands pattern via the rn-difference trick: within a user's
+    * (ts, event_id)-ordered stream, rn_overall − rn_within_type is
+    * constant exactly along a run of the same type, so grouping on that
+    * difference isolates each streak. Integer window arithmetic end to
+    * end — nothing to round.
+    *
+    * Scale: both row_numbers ride the SAME user_id exchange (one sort,
+    * two stacked Window operators), then one (user, type, grp) partial
+    * agg and one (user, type) max — no self-join, no session state. */
+  def winStreak(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("grp",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }

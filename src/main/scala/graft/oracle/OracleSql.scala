@@ -1163,6 +1163,46 @@ object OracleSql {
         "SELECT source, doc_id, rn, wgt FROM r " +
         "ORDER BY rn::DOUBLE / wgt::DOUBLE, source, doc_id LIMIT 200"),
 
+    // rn-difference gaps-and-islands; pure integer window arithmetic
+    "win_streak" ->
+      ("WITH s AS (SELECT user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp " +
+        "FROM events), " +
+        "runs AS (SELECT user_id, event_type, grp, count(*) AS len " +
+        "FROM s GROUP BY 1, 2, 3) " +
+        "SELECT user_id, event_type, max(len) AS max_streak, " +
+        "count(*) AS n_streaks FROM runs GROUP BY 1, 2 " +
+        "ORDER BY user_id, event_type"),
+
+    // exact integer sums (BIGINT widens to HUGEINT on the squares), one
+    // exact→double cast per sum, then the textbook formula in the same
+    // spelling as Analytics.aggCorrExact — engine-native corr() is unsafe
+    "agg_corr_exact" ->
+      ("WITH b AS (SELECT l_returnflag, l_quantity::BIGINT AS x, " +
+        "floor(l_extendedprice * 100 + 0.5)::BIGINT AS y FROM lineitem), " +
+        "g AS (SELECT l_returnflag, count(*) AS n, " +
+        "sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sx2, " +
+        "sum(y * y) AS sy2, sum(x * y) AS sxy FROM b GROUP BY 1), " +
+        "c AS (SELECT l_returnflag, n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, " +
+        "sy::DOUBLE AS syd, sx2::DOUBLE AS sx2d, sy2::DOUBLE AS sy2d, " +
+        "sxy::DOUBLE AS sxyd FROM g) " +
+        "SELECT l_returnflag, n, " +
+        "floor((nd * sxyd - sxd * syd) / " +
+        "sqrt((nd * sx2d - sxd * sxd) * (nd * sy2d - syd * syd)) " +
+        "* 1000000 + 0.5) / 1000000.0 AS corr_qp, " +
+        "floor((nd * sxyd - sxd * syd) / (nd * (nd - 1.0)) " +
+        "* 10000 + 0.5) / 10000.0 AS covar_qp " +
+        "FROM c ORDER BY l_returnflag"),
+
+    // integer counts, one small-int divide — rounds identically anywhere
+    "text_ttr" ->
+      ("SELECT doc_id, len(string_split(text, ' '))::INT AS n_tok, " +
+        "len(list_distinct(string_split(text, ' ')))::INT AS n_uniq, " +
+        "floor(len(list_distinct(string_split(text, ' ')))::DOUBLE / " +
+        "len(string_split(text, ' '))::DOUBLE * 10000 + 0.5) / 10000.0 AS ttr " +
+        "FROM documents ORDER BY doc_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

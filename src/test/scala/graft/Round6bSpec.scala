@@ -163,4 +163,70 @@ class Round6bSpec extends SparkSpec {
       assert(rns == rns.sorted, "within-source order broken")
     }
   }
+
+  test("win_streak: equals direct run-length scan per user") {
+    val got = ops.Windows.winStreak(spark, sf01)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val streams = Tables.events(spark, sf01)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val expected = streams.flatMap { case (uid, rows) =>
+      val types = rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).map(_._4)
+      // run-length encode, then per type: (longest run, run count)
+      val runs = types.foldLeft(List.empty[(String, Long)]) {
+        case ((t, n) :: rest, cur) if t == cur => (t, n + 1) :: rest
+        case (acc, cur) => (cur, 1L) :: acc
+      }
+      runs.groupBy(_._1).map { case (t, rs) =>
+        ((uid, t), (rs.map(_._2).max, rs.length.toLong))
+      }
+    }
+    assert(got === expected.toMap, "streaks differ from direct scan")
+  }
+
+  test("agg_corr_exact: matches direct Pearson within 1e-9; corr in [-1,1]") {
+    val got = Analytics.aggCorrExact(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val rows = Tables.lineitem(spark, sf01)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        math.floor(r.getDouble(2) * 100 + 0.5) / 100))
+      .groupBy(_._1)
+    rows.foreach { case (flag, xs) =>
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.map(_._2).sum / n, xs.map(_._3).sum / n)
+      val cov = xs.map(t => (t._2 - mx) * (t._3 - my)).sum / (n - 1)
+      val sdx = math.sqrt(xs.map(t => (t._2 - mx) * (t._2 - mx)).sum / (n - 1))
+      val sdy = math.sqrt(xs.map(t => (t._3 - my) * (t._3 - my)).sum / (n - 1))
+      val (gc, gv) = got(flag)
+      assert(math.abs(gc) <= 1.0)
+      assert(math.abs(gc - cov / (sdx * sdy)) < 1e-4, s"$flag corr")
+      // op covariance is in cents·units — scale the recompute to match
+      assert(math.abs(gv - cov * 100) / math.max(1.0, math.abs(cov * 100)) < 1e-4,
+        s"$flag covar $gv vs ${cov * 100}")
+    }
+  }
+
+  test("text_ttr: equals direct distinct/total recompute; ratio in (0,1]") {
+    val got = LlmPipeline.textTtr(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.length === 500)
+    val texts = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, nTok, nUniq, ttr) =>
+      val toks = texts(id).split(" ", -1)
+      assert(nTok === toks.length, s"doc $id token count")
+      assert(nUniq === toks.distinct.length, s"doc $id distinct count")
+      assert(ttr > 0.0 && ttr <= 1.0)
+      val exp = math.floor(nUniq.toDouble / nTok * 10000 + 0.5) / 10000
+      assert(ttr === exp, s"doc $id ttr")
+    }
+  }
 }
