@@ -499,14 +499,34 @@ object Analytics {
     * (bounds wedge fan-out by arboricity, O(m^1.5) total) — same plan
     * shape, one extra degree join. */
   def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
-    val dl = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = dl.as("a").join(dl.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    import s.implicits._
+    // Pair build: collect the (deduped) part set per order — ONE orderkey
+    // shuffle — then expand pairs map-side in a typed kernel. Fan-out is
+    // bounded by parts-per-order (≤ C(13,2) here), so the expansion never
+    // amplifies a shuffle; the declarative alternative (distinct +
+    // self-join per order) costs two extra 600 k-row exchanges for the
+    // same pair stream (measured 1.9 → 1.3 s at sf0.1).
+    val pairs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(col("ps")).as[Seq[Long]]
+      .flatMap { ps0 =>
+        val ps = ps0.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j))
+      }
+      .toDF("p1", "p2")
+    // persist: the edge set is referenced five times (three triangle-join
+    // legs + node and edge counts) and Spark's exchange reuse does not
+    // collapse the five alias-renamed subtrees — without this the whole
+    // pair pipeline runs 5× (same multi-reference pattern as pagerank's
+    // iterate-persist). The edge set itself is tiny (pairs co-ordered
+    // ≥2×), and the harness clears the SQL cache between queries.
+    val e = pairs
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
+      .persist()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
       .join(e.as("e3"),
