@@ -37,7 +37,13 @@ object ScaleStress {
     "cohort_retention", "ts_resample_ohlc", "graph_pagerank",
     "corpus_mixture_sample", "agg_tdigest",
     "decontaminate_ngram", "embedding_quantize", "agg_entropy",
-    "join_interval_overlap")
+    "join_interval_overlap",
+    // r6b: whole-partition window stats, stacked-lag smoothing, pair-graph
+    // closure (wedge growth is the question), exact-sum moments, regex
+    // map pass, per-source window + global top-k
+    "anomaly_zscore", "ts_ewma", "graph_triangle_count", "agg_skew_kurt",
+    "agg_corr_exact", "win_streak", "text_pii_redact", "text_ttr",
+    "corpus_interleave")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

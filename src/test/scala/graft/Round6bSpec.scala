@@ -213,6 +213,50 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly flags == batch anomaly_zscore (static stats vs incremental feed)") {
+    // the production shape: per-user mean/std are fitted on the reference
+    // window (a batch job), broadcast-joined against the incoming event
+    // stream, and each event gets a row-local verdict — arrival order
+    // cannot change it, so the stream must admit exactly the batch flags.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // stats come from the SAME whole-partition window computation the
+    // batch op uses (groupBy partial-agg would merge partial sums in a
+    // different, scheduler-dependent order — ulp-level drift against the
+    // batch mu/sd); first() collapses the identical per-row copies
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val stats = Tables.events(spark, sf01)
+      .select(col("user_id"), col("value"))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") >= 12 && col("sd") > 0)
+      .groupBy(col("user_id"))
+      .agg(first(col("mu")).as("mu"), first(col("sd")).as("sd"))
+    val mem = MemoryStream[(Long, Long, Double)] // (event_id, user_id, value)
+    val flagged = mem.toDS().toDF("event_id", "user_id", "value")
+      .join(broadcast(stats), Seq("user_id"))
+      .withColumn("z", graft.Det.round(
+        (col("value") - col("mu")) / col("sd"), 4))
+      .where(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("user_id"), col("z"))
+    val q = flagged.writeStream.format("memory").queryName("t_anomaly")
+      .outputMode("append").start()
+    val evs = Tables.events(spark, sf01)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)].collect()
+    val (b1, rest) = evs.splitAt(evs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("t_anomaly")
+    assertSameRows(
+      streamed.orderBy(col("user_id"), col("event_id")),
+      Analytics.anomalyZscore(spark, sf01),
+      "stream-anomaly")
+  }
+
   test("text_ttr: equals direct distinct/total recompute; ratio in (0,1]") {
     val got = LlmPipeline.textTtr(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
