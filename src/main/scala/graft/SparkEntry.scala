@@ -182,7 +182,9 @@ object SparkEntry {
     "corpus_interleave" -> (LlmPipeline.corpusInterleave _),
     "win_streak" -> (Windows.winStreak _),
     "agg_corr_exact" -> (Analytics.aggCorrExact _),
-    "text_ttr" -> (LlmPipeline.textTtr _)
+    "text_ttr" -> (LlmPipeline.textTtr _),
+    "embedding_centroid" -> (LlmPipeline.embeddingCentroid _),
+    "feature_minmax_norm" -> (Analytics.featureMinmaxNorm _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

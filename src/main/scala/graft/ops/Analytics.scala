@@ -607,4 +607,26 @@ object Analytics {
         round((n * sxy - sx * sy) / (n * (n - lit(1.0))), 4).as("covar_qp"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Per-user min-max normalization of event values to [0, 1] — the
+    * feature-scaling pass before behavioral features feed a model.
+    * min/max are order-insensitive (no FP accumulation at all), and the
+    * normalize is two IEEE ops on identical inputs — the whole operator
+    * is bit-portable by construction. Constant-valued users (max == min:
+    * normalization undefined) are excluded.
+    *
+    * Scale: two whole-partition window aggregates on ONE user_id
+    * exchange; high-cardinality key, no groupBy+join back. */
+  def featureMinmaxNorm(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("vmin", min(col("value")).over(w))
+      .withColumn("vmax", max(col("value")).over(w))
+      .where(col("vmax") > col("vmin"))
+      .select(col("event_id"), col("user_id"),
+        round((col("value") - col("vmin")) / (col("vmax") - col("vmin")), 4)
+          .as("v_norm"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

@@ -1495,6 +1495,28 @@ object LlmPipeline {
     *
     * Scale: map-only — split once, array_distinct on the projected array;
     * no explode, no shuffle but the output sort. */
+  /** Per-label centroid embeddings — the prototype/codebook build step
+    * (IVF training, class prototypes, cluster seeds). Elements are
+    * snapped to a 1e-6 grid (floor(x·10⁶+0.5), exact BIGINT sums) so the
+    * mean is integer-exact in any engine before the one double divide —
+    * a plain float avg() would accumulate in engine-specific order. One
+    * row per (label, dimension): scalar output for the comparator.
+    *
+    * Scale: posexplode fans each vector into 64 rows BEFORE the shuffle,
+    * but partial aggregation collapses them map-side to (labels × dims)
+    * partial sums per partition — the exchange carries codebook-sized
+    * state, not row-sized. */
+  def embeddingCentroid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * 1e6 + 0.5).cast("long")).as("sq"))
+      .select(col("label"), col("pos"), col("n"),
+        graft.Det.round(col("sq").cast("double") / col("n").cast("double") / 1e6,
+          6).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
   def textTtr(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))

@@ -1203,6 +1203,27 @@ object OracleSql {
         "len(string_split(text, ' '))::DOUBLE * 10000 + 0.5) / 10000.0 AS ttr " +
         "FROM documents ORDER BY doc_id"),
 
+    // 1e-6-grid snap → exact BIGINT sums → one double divide; DuckDB's
+    // unnest zips with generate_subscripts (1-based, matching pos+1)
+    "embedding_centroid" ->
+      ("WITH x AS (SELECT label, generate_subscripts(embedding, 1)::INT AS pos, " +
+        "unnest(embedding) AS v FROM embeddings), " +
+        "g AS (SELECT label, pos, count(*) AS n, " +
+        "sum(floor(v::DOUBLE * 1000000 + 0.5)::BIGINT)::BIGINT AS sq " +
+        "FROM x GROUP BY 1, 2) " +
+        "SELECT label, pos, n, " +
+        "floor(sq::DOUBLE / n::DOUBLE / 1000000 * 1000000 + 0.5) / 1000000.0 AS centroid " +
+        "FROM g ORDER BY label, pos"),
+
+    // min/max have no accumulation order — bit-portable end to end
+    "feature_minmax_norm" ->
+      ("WITH s AS (SELECT event_id, user_id, value, " +
+        "min(value) OVER (PARTITION BY user_id) AS vmin, " +
+        "max(value) OVER (PARTITION BY user_id) AS vmax FROM events) " +
+        "SELECT event_id, user_id, " +
+        "floor((value - vmin) / (vmax - vmin) * 10000 + 0.5) / 10000.0 AS v_norm " +
+        "FROM s WHERE vmax > vmin ORDER BY user_id, event_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

@@ -257,6 +257,40 @@ class Round6bSpec extends SparkSpec {
       "stream-anomaly")
   }
 
+  test("embedding_centroid: equals direct grid-snapped mean; one row per (label, dim)") {
+    val got = LlmPipeline.embeddingCentroid(spark, sf01)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val vecs = Tables.embeddings(spark, sf01)
+      .select(col("label"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val dims = vecs.head._2.length
+    assert(got.size === vecs.map(_._1).distinct.length * dims)
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      (0 until dims).foreach { j =>
+        val snapped = vs.map(v => math.floor(v._2(j).toDouble * 1e6 + 0.5).toLong)
+        val exp = math.floor(
+          snapped.sum.toDouble / snapped.length / 1e6 * 1e6 + 0.5) / 1e6
+        val (n, c) = got((label, j + 1))
+        assert(n === snapped.length.toLong)
+        assert(c === exp, s"label $label dim ${j + 1}: $c != $exp")
+      }
+    }
+  }
+
+  test("feature_minmax_norm: values span [0,1] with exact 0 and 1 per user") {
+    val rows = Analytics.featureMinmaxNorm(spark, sf01)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, v) => v >= 0.0 && v <= 1.0 })
+    rows.groupBy(_._1).foreach { case (uid, vs) =>
+      val sorted = vs.map(_._2)
+      assert(sorted.min === 0.0, s"user $uid: min event not normalized to 0")
+      assert(sorted.max === 1.0, s"user $uid: max event not normalized to 1")
+    }
+  }
+
   test("text_ttr: equals direct distinct/total recompute; ratio in (0,1]") {
     val got = LlmPipeline.textTtr(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
