@@ -300,4 +300,48 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
       s"quantization should be a pure projection:\n$plan")
   }
+
+  test("text_pii_redact and text_ttr are map-only up to the output sort") {
+    Seq(LlmPipeline.textPiiRedact(spark, sf01),
+        LlmPipeline.textTtr(spark, sf01)).foreach { df =>
+      val plan = physical(df)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+      assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+        s"should be a pure projection:\n$plan")
+    }
+  }
+
+  test("ts_ewma: eight lags + row_number ride ONE user_id hash exchange") {
+    val plan = physical(graft.ops.Analytics.tsEwma(spark, sf01))
+    // one hash exchange for the window partition + the output range sort
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"stacked lags re-shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("anomaly_zscore / feature_minmax_norm: window stats stack on one user_id exchange, no join-back") {
+    Seq(graft.ops.Analytics.anomalyZscore(spark, sf01),
+        graft.ops.Analytics.featureMinmaxNorm(spark, sf01)).foreach { df =>
+      val plan = physical(df)
+      assert("hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+        s"per-user stats paid more than one user_id exchange:\n$plan")
+      assert(!plan.contains("Join"),
+        s"stats joined back instead of riding the window:\n$plan")
+    }
+  }
+
+  test("corpus_interleave: top-200 schedule is TakeOrderedAndProject, not a global sort") {
+    val plan = physical(LlmPipeline.corpusInterleave(spark, sf01))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit+order degraded to a global sort:\n$plan")
+  }
+
+  test("embedding_centroid: partial aggregation collapses the explode before the exchange") {
+    val plan = physical(LlmPipeline.embeddingCentroid(spark, sf01))
+    // partial (map-side) HashAggregate must appear under the exchange —
+    // without it the shuffle carries rows × dims instead of codebook state
+    val lower = plan.linesIterator.dropWhile(!_.contains("Exchange")).mkString("\n")
+    assert(lower.contains("HashAggregate") && lower.contains("Generate"),
+      s"no map-side partial aggregate below the exchange:\n$plan")
+  }
 }
