@@ -184,7 +184,8 @@ object SparkEntry {
     "agg_corr_exact" -> (Analytics.aggCorrExact _),
     "text_ttr" -> (LlmPipeline.textTtr _),
     "embedding_centroid" -> (LlmPipeline.embeddingCentroid _),
-    "feature_minmax_norm" -> (Analytics.featureMinmaxNorm _)
+    "feature_minmax_norm" -> (Analytics.featureMinmaxNorm _),
+    "join_asof_tolerance" -> (Relational.joinAsofTolerance _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -301,6 +301,33 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** Backward as-of with a 30-minute staleness tolerance: a purchase only
+    * takes the latest PRIOR click if it is at most 30 minutes old —
+    * feature-join freshness semantics (a stale feature row is worse than
+    * no row). Purchases whose nearest click is older fall out entirely.
+    *
+    * Scale: the tolerance is part of the join predicate, so the range
+    * bound SHRINKS the (purchase × earlier-click) candidate set the plain
+    * as-of form materializes — the bounded-staleness variant is strictly
+    * cheaper than the unbounded one at any volume. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("c_ts").desc, col("click_id").desc)
+    p.join(c, p("user_id") === c("c_user") && col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Same as-of semantics through the NATIVE operator
     * ([[graft.plans.AsOfJoin]] — custom LogicalPlan/Strategy/SparkPlan):
     * one shuffle per side and an O(n+m) per-partition merge with one

@@ -1224,6 +1224,24 @@ object OracleSql {
         "floor((value - vmin) / (vmax - vmin) * 10000 + 0.5) / 10000.0 AS v_norm " +
         "FROM s WHERE vmax > vmin ORDER BY user_id, event_id"),
 
+    // µs-truncate the ns fixture timestamps (join_asof convention);
+    // gap in whole seconds via epoch_us integer division == Spark's
+    // unix_timestamp difference
+    "join_asof_tolerance" ->
+      ("SELECT purchase_id, user_id, click_id, gap_s FROM (" +
+        "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, " +
+        "epoch_us(date_trunc('microseconds', p.ts)) // 1000000 - " +
+        "epoch_us(date_trunc('microseconds', c.ts)) // 1000000 AS gap_s, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY date_trunc('microseconds', c.ts) DESC, c.event_id DESC) AS rn " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND date_trunc('microseconds', c.ts) <= date_trunc('microseconds', p.ts) " +
+        "AND date_trunc('microseconds', c.ts) >= " +
+        "date_trunc('microseconds', p.ts) - INTERVAL 30 MINUTE" +
+        ") WHERE rn = 1 ORDER BY purchase_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

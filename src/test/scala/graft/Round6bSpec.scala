@@ -291,6 +291,23 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("join_asof_tolerance: subset of the unbounded as-of, same survivor, gap <= 30 min") {
+    val tol = ops.Relational.joinAsofTolerance(spark, sf01)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val unbounded = ops.Relational.joinAsof(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(tol.nonEmpty, "tolerance join vacuous at sf0.01")
+    assert(tol.size < unbounded.size,
+      "tolerance dropped nothing — the bound is not binding at sf0.01")
+    tol.foreach { case (pid, (cid, gap)) =>
+      assert(gap >= 0 && gap <= 1800, s"purchase $pid: gap $gap out of bound")
+      // when the purchase survives, it must pick the SAME latest-prior
+      // click the unbounded as-of picks (the bound only filters, never
+      // re-ranks)
+      assert(unbounded(pid) === cid, s"purchase $pid: survivor changed")
+    }
+  }
+
   test("text_ttr: equals direct distinct/total recompute; ratio in (0,1]") {
     val got = LlmPipeline.textTtr(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
