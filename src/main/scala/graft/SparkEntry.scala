@@ -185,7 +185,8 @@ object SparkEntry {
     "text_ttr" -> (LlmPipeline.textTtr _),
     "embedding_centroid" -> (LlmPipeline.embeddingCentroid _),
     "feature_minmax_norm" -> (Analytics.featureMinmaxNorm _),
-    "join_asof_tolerance" -> (Relational.joinAsofTolerance _)
+    "join_asof_tolerance" -> (Relational.joinAsofTolerance _),
+    "agg_bitmap_distinct" -> (Custom.aggBitmapDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

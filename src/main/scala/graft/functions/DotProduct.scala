@@ -115,6 +115,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       (children: Seq[Expression]) =>
         HllSketch(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "graft_bitmap"),
+      (children: Seq[Expression]) =>
+        BitmapDistinct(children.head).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => DotReverseElimination)

@@ -53,6 +53,19 @@ object Custom {
       .orderBy(col("event_type"))
   }
 
+  /** Custom EXACT-distinct bitmap aggregate per event_type — unlike the
+    * HLL/t-digest sketches this one is oracle-GATED: bitmap-OR is exact,
+    * so the result hash-matches DuckDB count(DISTINCT). Demonstrates a
+    * custom TypedImperativeAggregate living under the same correctness
+    * gate as the built-ins. */
+  def aggBitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BitmapDistinct.register(s)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_bitmap", col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Custom t-digest quantile sketch (TypedImperativeAggregate) per
     * event_type: median and p95 from mergeable bounded-size centroid
     * state — oracle-exempt (merge order shifts centroid boundaries, as

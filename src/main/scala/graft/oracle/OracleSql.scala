@@ -1242,6 +1242,12 @@ object OracleSql {
         "date_trunc('microseconds', p.ts) - INTERVAL 30 MINUTE" +
         ") WHERE rn = 1 ORDER BY purchase_id"),
 
+    // the bitmap aggregate is EXACT — a custom TypedImperativeAggregate
+    // under the same hash gate as the built-ins
+    "agg_bitmap_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY 1 ORDER BY event_type"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

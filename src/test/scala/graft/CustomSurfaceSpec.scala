@@ -20,6 +20,30 @@ class CustomSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("graft_bitmap (TypedImperativeAggregate) EXACTLY equals countDistinct") {
+    val got = Custom.aggBitmapDistinct(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf01).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+  }
+
+  test("graft_bitmap merges sparse distant pages across many partitions") {
+    graft.functions.BitmapDistinct.register(spark)
+    import spark.implicits._
+    // ids land on far-apart 32 k pages (page 0, ~page 30 k, ~page 3 M) with
+    // duplicates, shuffled over 16 partitions — partial buffers must OR
+    // page-wise, not clobber
+    val ids = Seq.tabulate(4000)(i => (i % 1000).toLong) ++
+      Seq.tabulate(300)(i => 1000000000L + i) ++
+      Seq.tabulate(7)(i => 100000000000L + i * 5)
+    val n = spark.sparkContext.parallelize(ids, 16).toDF("id")
+      .agg(call_function("graft_bitmap", col("id")).as("n"))
+      .collect().head.getLong(0)
+    assert(n === (1000 + 300 + 7).toLong)
+  }
+
   test("graft_tdigest (TypedImperativeAggregate) p50/p95 within 2% of exact percentile") {
     val approx = Custom.aggTdigest(spark, sf01).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
