@@ -186,7 +186,8 @@ object SparkEntry {
     "embedding_centroid" -> (LlmPipeline.embeddingCentroid _),
     "feature_minmax_norm" -> (Analytics.featureMinmaxNorm _),
     "join_asof_tolerance" -> (Relational.joinAsofTolerance _),
-    "agg_bitmap_distinct" -> (Custom.aggBitmapDistinct _)
+    "agg_bitmap_distinct" -> (Custom.aggBitmapDistinct _),
+    "sql_recursive_cte" -> (SqlApi.sqlRecursiveBfs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

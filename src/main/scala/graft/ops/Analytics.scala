@@ -161,24 +161,33 @@ object Analytics {
     * per-order item count (≤ 7 in TPC-H-ish data ⇒ ≤ 21 pairs/order),
     * so output grows linearly in orders, not quadratically in rows.
     * Support threshold prunes the singleton tail before the final sort. */
-  def assocPairs(s: SparkSession, d: String): DataFrame = {
-    // dropDuplicates BEFORE the self-join: a part on two lineitems of one
-    // order must contribute that order ONCE per pair, so n_orders counts
-    // distinct orders, not joined lineitem-row pairs (ADVICE round-4 —
-    // a single multi-lineitem order could otherwise satisfy support ≥ 2
-    // alone). The dedup shuffles on (orderkey, partkey) — a superset of
-    // the join key, so rows for one order still land co-partitionable and
-    // the pair blow-up bound below is unchanged.
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
-    val a = li.toDF("ok", "p1")
-    val b = li.toDF("ok2", "p2")
-    a.join(b, a("ok") === b("ok2") && col("p1") < col("p2"))
+  /** One row per (order, unordered part pair): the part set per order —
+    * collect_set dedups within the order, so a part on two lineitems of
+    * one order contributes ONCE per pair (ADVICE round-4 semantics) —
+    * expanded map-side in a typed kernel. ONE orderkey shuffle; fan-out
+    * bounded by parts-per-order (≤ C(13,2) on this data), so the
+    * expansion never amplifies an exchange. Shared by assoc_pairs and
+    * graph_triangle_count. */
+  private[graft] def coOrderPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(col("ps")).as[Seq[Long]]
+      .flatMap { ps0 =>
+        val ps = ps0.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j))
+      }
+      .toDF("p1", "p2")
+  }
+
+  def assocPairs(s: SparkSession, d: String): DataFrame =
+    coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .where(col("n_orders") >= 2)
       .orderBy(col("n_orders").desc, col("p1"), col("p2"))
-  }
 
   /** Deterministic train/val/test split — the assignment every training
     * pipeline must make REPRODUCIBLY and ENGINE-PORTABLY: a Knuth
@@ -499,23 +508,11 @@ object Analytics {
     * (bounds wedge fan-out by arboricity, O(m^1.5) total) — same plan
     * shape, one extra degree join. */
   def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // Pair build: collect the (deduped) part set per order — ONE orderkey
-    // shuffle — then expand pairs map-side in a typed kernel. Fan-out is
-    // bounded by parts-per-order (≤ C(13,2) here), so the expansion never
-    // amplifies a shuffle; the declarative alternative (distinct +
-    // self-join per order) costs two extra 600 k-row exchanges for the
-    // same pair stream (measured 1.9 → 1.3 s at sf0.1).
-    val pairs = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(col("ps")).as[Seq[Long]]
-      .flatMap { ps0 =>
-        val ps = ps0.sorted
-        for (i <- ps.indices; j <- (i + 1) until ps.length)
-          yield (ps(i), ps(j))
-      }
-      .toDF("p1", "p2")
+    // Pair build shared with assoc_pairs (coOrderPairs): one orderkey
+    // shuffle + bounded map-side expansion — the declarative alternative
+    // (distinct + self-join per order) costs two extra 600 k-row
+    // exchanges for the same pair stream (measured 1.9 → 1.3 s at sf0.1).
+    val pairs = coOrderPairs(s, d)
     // persist: the edge set is referenced five times (three triangle-join
     // legs + node and edge counts) and Spark's exchange reuse does not
     // collapse the five alias-renamed subtrees — without this the whole

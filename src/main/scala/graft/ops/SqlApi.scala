@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 import graft.io.Tables
 
 /** The SQL front door (SURVEY.md §3: `spark.sql(...)` is the second entry
@@ -94,4 +95,51 @@ object SqlApi {
       ORDER BY n_nationkey
     """)
   }
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE — UnionLoop under the hood):
+    * BFS over the symmetric part co-occurrence graph from its smallest
+    * node, depth ≤ 3, min-distance per reached part. The one SQL surface
+    * recursion alone expresses (iterative DataFrame loops like pagerank
+    * unroll the plan per round instead); the oracle twin is the SAME
+    * statement — recursion semantics pinned engine-to-engine.
+    *
+    * Scale: each iteration is one equi-join of the frontier against the
+    * edge table; the depth guard bounds the loop, and walk multiplicity
+    * (no visited-set in pure recursion) is collapsed by the final min()
+    * — at production depth you'd switch to the iterative min-label form
+    * (dedup_cluster_cc) once frontiers outgrow walk dedup. */
+  def sqlRecursiveBfs(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    // Materialize the (symmetric) edge table ONCE behind a cached view:
+    // Spark's UnionLoop re-evaluates the anchor's dependencies on every
+    // iteration, so an edge table written as a CTE re-ran the full 600 k-
+    // row pair build per depth step (measured 9.7 s at sf0.1 → 0.9 s).
+    // DuckDB materializes multi-referenced CTEs once, so the oracle twin
+    // keeps the same edges as a CTE — identical relation, different
+    // caching idiom, and the recursion core below is shared verbatim.
+    val e0 = Analytics.coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    e0.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e0.select(col("p2"), col("p1")))
+      .persist()
+      .createOrReplaceTempView("graft_co_edges")
+    s.sql(SqlApi.recursiveBfsCore("graft_co_edges"))
+  }
+
+  /** The recursion statement, shared with OracleSql up to the edge-table
+    * source name — both engines run the identical loop. */
+  def recursiveBfsCore(edges: String): String =
+    "WITH RECURSIVE\n" + recursiveBfsBody(edges)
+
+  /** Loop body only — OracleSql prepends its own edge CTEs after the
+    * WITH RECURSIVE keyword (DuckDB materializes them once; Spark uses
+    * the cached view instead). */
+  def recursiveBfsBody(edges: String): String =
+    s"""seed AS (SELECT min(src) AS p FROM $edges),
+      |r(p, d) AS (
+      |  SELECT p, 0 FROM seed
+      |  UNION ALL
+      |  SELECT e.dst, r.d + 1 FROM r JOIN $edges e ON e.src = r.p WHERE r.d < 3)
+      |SELECT p AS part, min(d) AS dist FROM r GROUP BY p ORDER BY part""".stripMargin
 }

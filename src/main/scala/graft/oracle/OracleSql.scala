@@ -1248,6 +1248,21 @@ object OracleSql {
       ("SELECT event_type, count(DISTINCT user_id) AS n_users " +
         "FROM events GROUP BY 1 ORDER BY event_type"),
 
+    // the recursion loop is SHARED VERBATIM with the Spark side
+    // (SqlApi.recursiveBfsBody); only the edge-table idiom differs —
+    // DuckDB materializes the multi-referenced CTE once, Spark recurses
+    // over a cached view (UnionLoop would re-run a CTE per iteration)
+    "sql_recursive_cte" ->
+      ("WITH RECURSIVE e0 AS (" +
+        "SELECT a.l_partkey AS p1, b.l_partkey AS p2 " +
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a " +
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT p1 AS src, p2 AS dst FROM e0 " +
+        "UNION ALL SELECT p2, p1 FROM e0), " +
+        graft.ops.SqlApi.recursiveBfsBody("edges")),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

@@ -308,6 +308,28 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("sql_recursive_cte: WITH RECURSIVE == driver-side BFS to depth 3") {
+    val got = ops.SqlApi.sqlRecursiveBfs(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // rebuild the symmetric edge set and BFS from the smallest node
+    val e0 = ops.Analytics.coOrderPairs(spark, sf01)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e0 ++ e0.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seed = adj.keys.min
+    var dist = Map(seed -> 0)
+    var frontier = Set(seed)
+    (1 to 3).foreach { d =>
+      frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+      dist ++= frontier.map(_ -> d)
+      ()
+    }
+    assert(got === dist.map { case (k, v) => (k, v) },
+      "recursive CTE disagrees with driver BFS")
+  }
+
   test("text_ttr: equals direct distinct/total recompute; ratio in (0,1]") {
     val got = LlmPipeline.textTtr(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
