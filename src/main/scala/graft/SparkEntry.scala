@@ -187,7 +187,9 @@ object SparkEntry {
     "feature_minmax_norm" -> (Analytics.featureMinmaxNorm _),
     "join_asof_tolerance" -> (Relational.joinAsofTolerance _),
     "agg_bitmap_distinct" -> (Custom.aggBitmapDistinct _),
-    "sql_recursive_cte" -> (SqlApi.sqlRecursiveBfs _)
+    "sql_recursive_cte" -> (SqlApi.sqlRecursiveBfs _),
+    "dq_profile" -> (Analytics.dqProfile _),
+    "corpus_budget_select" -> (LlmPipeline.corpusBudgetSelect _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

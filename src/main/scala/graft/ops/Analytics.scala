@@ -605,6 +605,38 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Data-quality profile of the events feed — the validation pass every
+    * ingest runs before training reads the data: null/blank counts, range
+    * violations, duplicate keys, and referential orphans (lineitems whose
+    * order is missing), as ONE summary row.
+    *
+    * Scale: the column checks are a single partial-aggregable global agg
+    * (one scan, a handful of counters per partition); the FK check is a
+    * broadcast-able anti-join ON KEYS ONLY (both sides pre-projected to
+    * the key column), so no payload ever shuffles. */
+  def dqProfile(s: SparkSession, d: String): DataFrame =
+    dqProfileFrom(events(s, d), Tables.lineitem(s, d), Tables.orders(s, d))
+
+  /** Frame-parameterized kernel: the fixture data is CLEAN (all violation
+    * counters 0 at every sf — verified), so DqSpec proves detection by
+    * injecting dirty rows here; the gated query proves the clean-path
+    * hash. */
+  private[graft] def dqProfileFrom(
+      ev: DataFrame, li: DataFrame, ord: DataFrame): DataFrame = {
+    val colChecks = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+      sum(when(col("event_type").isNull || col("event_type") === "", 1L)
+        .otherwise(0L)).as("blank_type"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_ids"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    colChecks.crossJoin(orphans)
+  }
+
   /** Per-user min-max normalization of event values to [0, 1] — the
     * feature-scaling pass before behavioral features feed a model.
     * min/max are order-insensitive (no FP accumulation at all), and the

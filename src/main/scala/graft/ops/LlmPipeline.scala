@@ -1488,6 +1488,33 @@ object LlmPipeline {
       .select(col("source"), col("doc_id"), col("rn"), col("wgt"))
   }
 
+  /** Budget-capped corpus selection: within each language, admit documents
+    * in (quality, id) order until a 10 000-token budget fills — the data-
+    * selection stage when compute, not corpus, is the binding constraint.
+    * Quality here is the TTR signal (see textTtr); the running total is a
+    * window cumsum INCLUDING the current doc, so the last admitted doc is
+    * the one that still fits.
+    *
+    * Scale: per-language window (bounded stratum count, rows balance);
+    * at 100 TB the same op runs per (lang × hash-prefix) shard with a
+    * per-shard budget — add the shard key to the partition, nothing else
+    * changes. All-integer token counts: the cut is engine-portable. */
+  def corpusBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    val ttrQ = size(array_distinct(split(col("text"), " "))).cast("double") /
+      toks.cast("double")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks.as("n_tok"),
+        graft.Det.round(ttrQ, 4).as("q"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") <= 10000)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("lang"), col("cum_tok"))
+  }
+
   /** Type-token ratio (lexical diversity): distinct tokens / total tokens
     * per document — the repetition-quality signal corpus filters threshold
     * on (boilerplate and spam sit at low TTR). Integer counts and one

@@ -1263,6 +1263,33 @@ object OracleSql {
         "UNION ALL SELECT p2, p1 FROM e0), " +
         graft.ops.SqlApi.recursiveBfsBody("edges")),
 
+    // fixture data is clean, so the counters gate at their true zeros
+    // (1-row result, n_rows nonzero — not a vacuous 0-row pass); dirty-
+    // row DETECTION is proven by DqSpec's injection test
+    "dq_profile" ->
+      ("WITH c AS (SELECT count(*) AS n_rows, " +
+        "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_value, " +
+        "sum(CASE WHEN event_type IS NULL OR event_type = '' THEN 1 ELSE 0 END)::BIGINT AS blank_type, " +
+        "sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS neg_value, " +
+        "(count(*) - count(DISTINCT event_id)) AS dup_event_ids FROM events), " +
+        "o AS (SELECT count(*) AS fk_orphans FROM lineitem l " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = l.l_orderkey)) " +
+        "SELECT * FROM c, o"),
+
+    // quality is the 4-dp-rounded TTR — ordering on the ROUNDED value +
+    // doc_id tiebreak is engine-portable where a raw-double order is not;
+    // integer token counts make the budget cut exact
+    "corpus_budget_select" ->
+      ("WITH b AS (SELECT doc_id, lang, len(string_split(text, ' '))::INT AS n_tok, " +
+        "floor(len(list_distinct(string_split(text, ' ')))::DOUBLE / " +
+        "len(string_split(text, ' '))::DOUBLE * 10000 + 0.5) / 10000.0 AS q " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, lang, n_tok, " +
+        "sum(n_tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tok FROM b) " +
+        "SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok <= 10000 " +
+        "ORDER BY lang, cum_tok"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:
