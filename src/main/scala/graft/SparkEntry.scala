@@ -189,7 +189,9 @@ object SparkEntry {
     "agg_bitmap_distinct" -> (Custom.aggBitmapDistinct _),
     "sql_recursive_cte" -> (SqlApi.sqlRecursiveBfs _),
     "dq_profile" -> (Analytics.dqProfile _),
-    "corpus_budget_select" -> (LlmPipeline.corpusBudgetSelect _)
+    "corpus_budget_select" -> (LlmPipeline.corpusBudgetSelect _),
+    "assoc_rules" -> (Analytics.assocRules _),
+    "text_keyword_logodds" -> (LlmPipeline.textKeywordLogodds _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

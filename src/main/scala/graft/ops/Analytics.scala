@@ -189,6 +189,39 @@ object Analytics {
       .where(col("n_orders") >= 2)
       .orderBy(col("n_orders").desc, col("p1"), col("p2"))
 
+  /** Association rules over the co-order pairs: support, confidence
+    * (p1→p2) and lift from EXACT integer counts (pair orders, per-part
+    * orders, total orders) — the market-basket metrics proper, one step
+    * past assoc_pairs' raw support. The count tables are integer-exact in
+    * any engine; the two divides + the round are spelled identically in
+    * the twin.
+    *
+    * Scale: pair counts reuse the bounded coOrderPairs kernel; the
+    * per-part support table is small (≤ |parts|) and broadcast into both
+    * rule sides; N folds in as a one-row broadcast (tf-idf pattern —
+    * never a collect). */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val dl = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val partN = dl.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val totalN = dl.agg(countDistinct(col("l_orderkey")).as("n_total"))
+    val pairN = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    pairN
+      .join(broadcast(partN.toDF("p1", "n_a")), Seq("p1"))
+      .join(broadcast(partN.toDF("p2", "n_b")), Seq("p2"))
+      .crossJoin(broadcast(totalN))
+      .select(col("p1"), col("p2"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("conf"),
+        round(col("n_total").cast("double") * col("n_ab").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+  }
+
   /** Deterministic train/val/test split — the assignment every training
     * pipeline must make REPRODUCIBLY and ENGINE-PORTABLY: a Knuth
     * multiplicative hash on doc_id (h = id·2654435761 mod 2³², pure

@@ -1515,6 +1515,44 @@ object LlmPipeline {
       .orderBy(col("lang"), col("cum_tok"))
   }
 
+  /** Per-language contrastive keywords: add-1-smoothed log-odds of each
+    * term in a language vs the REST of the corpus, top 5 per language —
+    * corpus-level distinctive vocabulary (what tf-idf/BM25's per-document
+    * scores can't express). All counts are exact integers; only ln()'s
+    * last ulp can differ between engines, absorbed by the 4-dp floor
+    * (same argument as BM25), and the rank orders on the ROUNDED score
+    * with a term tiebreak.
+    *
+    * Scale: one (lang, term) count shuffle; language totals and global
+    * term counts ride windows over that same counted table (never the
+    * raw token stream); the grand total folds in as a one-row broadcast. */
+  def textKeywordLogodds(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c_lt"))
+    val wLang = Window.partitionBy(col("lang"))
+    val wTerm = Window.partitionBy(col("term"))
+    val total = counts.agg(sum(col("c_lt")).as("t_all"))
+    val scored = counts
+      .withColumn("t_l", sum(col("c_lt")).over(wLang))
+      .withColumn("c_t", sum(col("c_lt")).over(wTerm))
+      .crossJoin(broadcast(total))
+      .withColumn("score", graft.Det.round(
+        log((col("c_lt").cast("double") + 1.0) /
+            ((col("t_l") - col("c_lt")).cast("double") + 1.0)) -
+        log(((col("c_t") - col("c_lt")).cast("double") + 1.0) /
+            ((col("t_all") - col("t_l") - col("c_t") + col("c_lt"))
+              .cast("double") + 1.0)), 4))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("term"), col("c_lt"), col("score"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Type-token ratio (lexical diversity): distinct tokens / total tokens
     * per document — the repetition-quality signal corpus filters threshold
     * on (boilerplate and spam sit at low TTR). Integer counts and one

@@ -1290,6 +1290,41 @@ object OracleSql {
         "SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok <= 10000 " +
         "ORDER BY lang, cum_tok"),
 
+    // exact-integer supports; the two divides + round spelled as in
+    // Analytics.assocRules
+    "assoc_rules" ->
+      ("WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pn AS (SELECT l_partkey AS p, count(*) AS n FROM d GROUP BY 1), " +
+        "tot AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM d), " +
+        "pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab " +
+        "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT p1, p2, n_ab, " +
+        "floor(n_ab::DOUBLE / na.n::DOUBLE * 1000000 + 0.5) / 1000000.0 AS conf, " +
+        "floor(n_total::DOUBLE * n_ab::DOUBLE / (na.n::DOUBLE * nb.n::DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000.0 AS lift " +
+        "FROM pairs JOIN pn na ON na.p = p1 JOIN pn nb ON nb.p = p2, tot " +
+        "ORDER BY n_ab DESC, p1, p2"),
+
+    // add-1 log-odds vs rest-of-corpus; ln's last ulp absorbed by the
+    // 4-dp floor (BM25 argument); rank on the ROUNDED score + term
+    "text_keyword_logodds" ->
+      ("WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "k AS (SELECT lang, term, count(*) AS c_lt FROM c GROUP BY 1, 2), " +
+        "w AS (SELECT lang, term, c_lt, " +
+        "sum(c_lt) OVER (PARTITION BY lang) AS t_l, " +
+        "sum(c_lt) OVER (PARTITION BY term) AS c_t, " +
+        "(SELECT sum(c_lt) FROM k) AS t_all FROM k), " +
+        "sc AS (SELECT lang, term, c_lt, " +
+        "floor((ln((c_lt::DOUBLE + 1.0) / ((t_l - c_lt)::DOUBLE + 1.0)) - " +
+        "ln(((c_t - c_lt)::DOUBLE + 1.0) / ((t_all - t_l - c_t + c_lt)::DOUBLE + 1.0))) " +
+        "* 10000 + 0.5) / 10000.0 AS score FROM w), " +
+        "r AS (SELECT lang, term, c_lt, score, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY score DESC, term ASC) AS rn FROM sc) " +
+        "SELECT lang, rn::INT AS rn, term, c_lt, score FROM r WHERE rn <= 5 " +
+        "ORDER BY lang, rn"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

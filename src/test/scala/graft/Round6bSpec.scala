@@ -330,6 +330,54 @@ class Round6bSpec extends SparkSpec {
       "recursive CTE disagrees with driver BFS")
   }
 
+  test("assoc_rules: confidence/lift match a direct recompute from raw counts") {
+    val got = ops.Analytics.assocRules(spark, sf01)
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(0)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap // columns: p2, p1 order after the joins — key normalized below
+    val dl = Tables.lineitem(spark, sf01)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nPart = dl.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTotal = dl.map(_._1).distinct.length.toLong
+    val pairCounts = dl.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairCounts.collect { case ((a, b), nab) if nab >= 2 =>
+      val conf = math.floor(nab.toDouble / nPart(a) * 1e6 + 0.5) / 1e6
+      val lift = math.floor(
+        nTotal.toDouble * nab / (nPart(a).toDouble * nPart(b)) * 1e6 + 0.5) / 1e6
+      ((a, b), (nab, conf, lift))
+    }.toMap
+    // normalize got's key orientation (p1 < p2 always; col order asserted)
+    val gotNorm = got.map { case ((x, y), v) =>
+      (if (x < y) (x, y) else (y, x)) -> v
+    }
+    assert(gotNorm === expected, "rules differ from the direct recompute")
+    gotNorm.values.foreach { case (_, conf, lift) =>
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(lift > 0.0)
+    }
+  }
+
+  test("text_keyword_logodds: 5 ranks per lang, scores non-increasing, lang-distinctive") {
+    val rows = LlmPipeline.textKeywordLogodds(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(4)))
+    val langs = Tables.documents(spark, sf01)
+      .select(col("lang")).distinct().count()
+    assert(rows.length === langs * 5)
+    rows.groupBy(_._1).values.foreach { ks =>
+      val byRank = ks.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to 5).toSeq, "rank structure broken")
+      val scores = byRank.map(_._4).toSeq
+      assert(scores == scores.sorted.reverse, "scores not non-increasing in rank")
+      // a lang's top keyword should score strictly positive (more likely
+      // in-lang than out) on this fixture's lang-skewed vocabulary
+      assert(scores.head > 0.0, s"top keyword not distinctive: $byRank")
+    }
+  }
+
   test("text_ttr: equals direct distinct/total recompute; ratio in (0,1]") {
     val got = LlmPipeline.textTtr(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
