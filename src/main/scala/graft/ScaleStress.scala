@@ -43,7 +43,18 @@ object ScaleStress {
     // map pass, per-source window + global top-k
     "anomaly_zscore", "ts_ewma", "graph_triangle_count", "agg_skew_kurt",
     "agg_corr_exact", "win_streak", "text_pii_redact", "text_ttr",
-    "corpus_interleave")
+    "corpus_interleave",
+    // r6b second wave: custom bitmap agg, rule mining, corpus-level
+    // keyword stats, budget selection, DQ scan+anti-join.
+    // sql_recursive_cte is EXCLUDED like dedup_ngram_jaccard: UNION ALL
+    // recursion enumerates WALKS (Spark has no UNION-dedup recursion
+    // yet), so a densified graph blows the recursion row limit by design
+    // — measured: RECURSION_ROW_LIMIT_EXCEEDED on the 10× stress set.
+    // Its scale answer is the iterative min-label loop (dedup_cluster_cc
+    // / graph_pagerank), both stress-tested here.
+    "agg_bitmap_distinct", "assoc_rules",
+    "text_keyword_logodds", "corpus_budget_select", "dq_profile",
+    "join_asof_tolerance", "embedding_centroid", "feature_minmax_norm")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(
@@ -108,18 +119,32 @@ object ScaleStress {
     // Optional filter for focused runs (e.g. the ANN crossover at 30×):
     // SPARK_GRAFT_ONLY=knn_cosine,knn_lsh_bucketed,knn_ivf
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // One blown query must record an error, not kill the whole
+    // measurement — the harness EXISTS to find scale blowups, so a blowup
+    // is a result, not an abort (sql_recursive_cte's recursion-row-limit
+    // hit on the densified stress graph is exactly such a finding).
     val results = targets.filter(t => only.forall(_.contains(t))).map { name =>
       val fn = SparkEntry.queries(name)
-      val t1 = time(fn(spark, src))
-      Broadcasts.destroyAll() // 1×-run broadcasts must not skew the N× timing
-      val tn = time(fn(spark, out))
-      Broadcasts.destroyAll()
-      (name, t1, tn, tn / t1)
+      try {
+        val t1 = time(fn(spark, src))
+        Broadcasts.destroyAll() // 1×-run broadcasts must not skew N×
+        val tn = time(fn(spark, out))
+        Broadcasts.destroyAll()
+        Right((name, t1, tn, tn / t1))
+      } catch {
+        case e: Throwable =>
+          Broadcasts.destroyAll()
+          Left((name, e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160)))
+      }
     }
-    val qs = results.map { case (k, t1, tn, r) =>
+    val qs = results.collect { case Right((k, t1, tn, r)) =>
       f""""$k":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_stress","n":$n,"queries":$qs}""")
+    val errs = results.collect { case Left((k, msg)) =>
+      s""""$k":"${msg.replace("\"", "'")}""""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_stress","n":$n,"queries":$qs,"errors":$errs}""")
     spark.stop()
   }
 }

@@ -104,10 +104,14 @@ object SqlApi {
     * statement — recursion semantics pinned engine-to-engine.
     *
     * Scale: each iteration is one equi-join of the frontier against the
-    * edge table; the depth guard bounds the loop, and walk multiplicity
-    * (no visited-set in pure recursion) is collapsed by the final min()
-    * — at production depth you'd switch to the iterative min-label form
-    * (dedup_cluster_cc) once frontiers outgrow walk dedup. */
+    * edge table; the depth guard bounds the loop, but UNION ALL recursion
+    * enumerates WALKS (Spark does not support UNION-dedup recursion yet —
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so on a DENSE graph the walk
+    * count explodes regardless of depth — measured: the 10× ScaleStress
+    * graph hits RECURSION_ROW_LIMIT_EXCEEDED. This operator is the SQL-
+    * surface demo on sparse graphs; the production-scale BFS/closure is
+    * the iterative min-label loop (dedup_cluster_cc, graph_pagerank),
+    * which dedups the frontier every round and is stress-tested. */
   def sqlRecursiveBfs(s: SparkSession, d: String): DataFrame = {
     ensureViews(s, d)
     // Materialize the (symmetric) edge table ONCE behind a cached view:

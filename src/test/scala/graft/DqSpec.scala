@@ -48,6 +48,36 @@ class DqSpec extends SparkSpec {
     (1 to 5).foreach(i => assert(row.getLong(i) === 0L, s"counter $i nonzero"))
   }
 
+  test("streaming DQ monitor (complete mode) == batch column checks after 3 batches") {
+    // the monitoring shape: the same validation counters run as a
+    // streaming aggregation (all-associative sums/counts), so the
+    // complete-mode row after the last micro-batch must equal the batch
+    // profile over the union of everything that arrived.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Option[Double])]
+    val counters = mem.toDS().toDF("event_id", "event_type", "value")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+        sum(when(col("event_type") === "", 1L).otherwise(0L)).as("blank_type"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"))
+    val q = counters.writeStream.format("memory").queryName("t_dq")
+      .outputMode("complete").start()
+    val batches = Seq(
+      Seq((1L, "click", Some(1.0)), (2L, "", Some(2.0))),
+      Seq((3L, "view", Option.empty[Double]), (4L, "view", Some(-5.0))),
+      Seq((5L, "click", Some(3.0)), (6L, "", Option.empty[Double])))
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val row = spark.table("t_dq").collect().head
+    assert(row.getLong(0) === 6L)
+    assert(row.getLong(1) === 2L, "streamed null count")
+    assert(row.getLong(2) === 2L, "streamed blank count")
+    assert(row.getLong(3) === 1L, "streamed negative count")
+  }
+
   test("corpus_budget_select: greedy-by-quality prefix per lang, budget respected") {
     val out = LlmPipeline.corpusBudgetSelect(spark, sf01)
       .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3)))
