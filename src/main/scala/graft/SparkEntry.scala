@@ -191,7 +191,9 @@ object SparkEntry {
     "dq_profile" -> (Analytics.dqProfile _),
     "corpus_budget_select" -> (LlmPipeline.corpusBudgetSelect _),
     "assoc_rules" -> (Analytics.assocRules _),
-    "text_keyword_logodds" -> (LlmPipeline.textKeywordLogodds _)
+    "text_keyword_logodds" -> (LlmPipeline.textKeywordLogodds _),
+    "seq_transition_matrix" -> (Analytics.seqTransitionMatrix _),
+    "seq_session_paths" -> (Analytics.seqSessionPaths _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -670,6 +670,60 @@ object Analytics {
     colChecks.crossJoin(orphans)
   }
 
+  /** First-order Markov transition matrix over event types: for each
+    * (current, next) adjacent pair in a user's (ts, event_id)-ordered
+    * stream, the transition count and P(next | current) — the behavioral
+    * sequence model product analytics fits (and the bigram-LM shape,
+    * applied to events instead of tokens). Counts are exact integers; one
+    * divide; µs-total-order shared with the oracle.
+    *
+    * Scale: lead() rides one user_id exchange; the (cur, nxt) count is a
+    * partial-aggregable groupBy on a bounded key space (|types|²); the
+    * row-count denominator rides a window over the tiny counted table. */
+  def seqTransitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .where(col("nxt").isNotNull)
+    val counts = pairs.groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n_ab"))
+    counts
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("cur"))))
+      .select(col("cur"), col("nxt"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("prob"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  /** Top-20 session paths: the first 5 event types of every 30-min-gap
+    * session concatenated into a path string, ranked by frequency — the
+    * sequence-mining view of user behavior (what funnels can't show:
+    * which ORDERS actually happen). The per-rank pivot (max-when over
+    * rn ≤ 5) is deterministic; concat_ws skips the NULL tail identically
+    * in both engines.
+    *
+    * Scale: sessionization + rank ride the shared user_id exchange
+    * (Streaming.withSessionIdx); the path agg shuffles one short string
+    * per session; top-20 is TakeOrderedAndProject. */
+  def seqSessionPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = Streaming.withSessionIdx(events(s, d), 1800)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+    val paths = ranked
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(concat_ws(">",
+        (1 to 5).map(k => max(when(col("rn") === k, col("event_type")))): _*)
+        .as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** Per-user min-max normalization of event values to [0, 1] — the
     * feature-scaling pass before behavioral features feed a model.
     * min/max are order-insensitive (no FP accumulation at all), and the

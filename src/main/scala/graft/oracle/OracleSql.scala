@@ -1325,6 +1325,41 @@ object OracleSql {
         "SELECT lang, rn::INT AS rn, term, c_lt, score FROM r WHERE rn <= 5 " +
         "ORDER BY lang, rn"),
 
+    // adjacent-pair transition counts on the shared µs total order
+    "seq_transition_matrix" ->
+      ("WITH p AS (SELECT event_type AS cur, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id) AS nxt " +
+        "FROM events), " +
+        "k AS (SELECT cur, nxt, count(*) AS n_ab FROM p " +
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT cur, nxt, n_ab, " +
+        "floor(n_ab::DOUBLE / (sum(n_ab) OVER (PARTITION BY cur))::DOUBLE " +
+        "* 1000000 + 0.5) / 1000000.0 AS prob " +
+        "FROM k ORDER BY cur, nxt"),
+
+    // first-5-types path per 30-min session (same session derivation as
+    // join_interval_overlap); concat_ws skips the NULL tail identically
+    "seq_session_paths" ->
+      ("WITH sx AS (SELECT user_id, ts, event_id, event_type, " +
+        "(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx FROM (" +
+        "SELECT *, CASE WHEN floor(epoch(ts))::BIGINT - " +
+        "(lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
+        "THEN 1 ELSE 0 END AS new_session FROM events)), " +
+        "rk AS (SELECT user_id, session_idx, event_type, " +
+        "row_number() OVER (PARTITION BY user_id, session_idx " +
+        "ORDER BY date_trunc('microseconds', ts), event_id) AS rn FROM sx), " +
+        "pp AS (SELECT user_id, session_idx, concat_ws('>', " +
+        "max(CASE WHEN rn = 1 THEN event_type END), " +
+        "max(CASE WHEN rn = 2 THEN event_type END), " +
+        "max(CASE WHEN rn = 3 THEN event_type END), " +
+        "max(CASE WHEN rn = 4 THEN event_type END), " +
+        "max(CASE WHEN rn = 5 THEN event_type END)) AS path " +
+        "FROM rk WHERE rn <= 5 GROUP BY 1, 2) " +
+        "SELECT path, count(*) AS n_sessions FROM pp GROUP BY 1 " +
+        "ORDER BY n_sessions DESC, path LIMIT 20"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

@@ -378,6 +378,40 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("seq_transition_matrix: rows sum to 1 per state; pair total == n_events - n_users") {
+    val rows = ops.Analytics.seqTransitionMatrix(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val types = Tables.events(spark, sf01)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => types(r._1) && types(r._2)))
+    // every adjacent pair in every user stream is counted exactly once
+    val nEvents = Tables.events(spark, sf01).count()
+    val nUsers = Tables.events(spark, sf01)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum === nEvents - nUsers, "pair total")
+    rows.groupBy(_._1).values.foreach { out =>
+      val total = out.map(_._4).sum
+      assert(math.abs(total - 1.0) < out.length * 1e-6 + 1e-9,
+        s"P(next|${out.head._1}) sums to $total")
+    }
+  }
+
+  test("seq_session_paths: valid segments, descending counts, top-1 dominates") {
+    val rows = ops.Analytics.seqSessionPaths(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 20)
+    val counts = rows.map(_._2)
+    assert(counts.toSeq == counts.sortBy(-_).toSeq, "not ranked by frequency")
+    val types = Tables.events(spark, sf01)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { case (path, n) =>
+      val segs = path.split(">")
+      assert(segs.nonEmpty && segs.length <= 5 && segs.forall(types),
+        s"malformed path: $path")
+      assert(n >= 1)
+    }
+  }
+
   test("text_ttr: equals direct distinct/total recompute; ratio in (0,1]") {
     val got = LlmPipeline.textTtr(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
