@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, Custom, Functions, LlmPipeline, Relational, SqlApi, Stateful, Streaming, Windows}
+import graft.ops.{Analytics, Custom, Functions, LlmPipeline, Quant, Relational, SqlApi, Stateful, Streaming, Windows}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory)
@@ -193,7 +193,14 @@ object SparkEntry {
     "assoc_rules" -> (Analytics.assocRules _),
     "text_keyword_logodds" -> (LlmPipeline.textKeywordLogodds _),
     "seq_transition_matrix" -> (Analytics.seqTransitionMatrix _),
-    "seq_session_paths" -> (Analytics.seqSessionPaths _)
+    "seq_session_paths" -> (Analytics.seqSessionPaths _),
+    // round-6c: quantitative/statistics layer
+    "agg_gini" -> (Quant.aggGini _),
+    "feature_zscore_norm" -> (Quant.featureZscoreNorm _),
+    "win_pct_change" -> (Quant.winPctChange _),
+    "ts_anomaly_mad" -> (Quant.tsAnomalyMad _),
+    "seq_pmi_bigrams" -> (Quant.seqPmiBigrams _),
+    "graph_degree_stats" -> (Quant.graphDegreeStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

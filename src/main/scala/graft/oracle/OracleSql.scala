@@ -1360,6 +1360,97 @@ object OracleSql {
         "SELECT path, count(*) AS n_sessions FROM pp GROUP BY 1 " +
         "ORDER BY n_sessions DESC, path LIMIT 20"),
 
+    // per-lang Gini of doc lengths; rank product sums ride HUGEINT
+    // (Spark: DECIMAL(38,0)), one double divide on identical integers
+    "agg_gini" ->
+      ("WITH r AS (SELECT lang, n_chars, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY n_chars, doc_id) AS i FROM documents), " +
+        "g AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx, " +
+        "sum(i * n_chars) AS six FROM r GROUP BY 1) " +
+        "SELECT lang, n, " +
+        "floor((2 * six - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE " +
+        "* 1000000 + 0.5) / 1000000.0 AS gini FROM g ORDER BY lang"),
+
+    // per-user z-score from exact cent sums (Σx, Σx² integers; HUGEINT
+    // headroom); zero-variance test on the exact integer numerator
+    "feature_zscore_norm" ->
+      ("WITH e AS (SELECT event_id, user_id, " +
+        "floor(value * 100 + 0.5)::BIGINT AS xc FROM events), " +
+        "w AS (SELECT event_id, user_id, xc, " +
+        "count(*) OVER (PARTITION BY user_id) AS n, " +
+        "sum(xc) OVER (PARTITION BY user_id) AS s1, " +
+        "sum(xc * xc) OVER (PARTITION BY user_id) AS s2 FROM e) " +
+        "SELECT event_id, user_id, " +
+        "floor((xc::DOUBLE - s1::DOUBLE / n::DOUBLE) / " +
+        "sqrt((n * s2 - s1 * s1)::DOUBLE / (n * (n - 1))::DOUBLE) " +
+        "* 10000 + 0.5) / 10000.0 AS z_norm " +
+        "FROM w WHERE n >= 2 AND (n * s2 - s1 * s1) > 0 " +
+        "ORDER BY user_id, event_id"),
+
+    // per-user pct change vs previous event on cents ints; µs-truncated
+    // order (events.ts is ns in DuckDB's read)
+    "win_pct_change" ->
+      ("WITH e AS (SELECT event_id, user_id, ts, " +
+        "floor(value * 100 + 0.5)::BIGINT AS xc FROM events), " +
+        "l AS (SELECT event_id, user_id, xc, lag(xc, 1) OVER " +
+        "(PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id) AS prev FROM e) " +
+        "SELECT event_id, user_id, " +
+        "floor((xc - prev)::DOUBLE / prev::DOUBLE * 1000000 + 0.5) " +
+        "/ 1000000.0 AS pct_change " +
+        "FROM l WHERE prev IS NOT NULL AND prev <> 0 " +
+        "ORDER BY user_id, event_id"),
+
+    // modified z-score (median/MAD) outliers; both medians exact on the
+    // cent grid, threshold compared on the Det-rounded score both sides
+    "ts_anomaly_mad" ->
+      ("WITH e AS (SELECT event_id, user_id, " +
+        "floor(value * 100 + 0.5)::BIGINT AS xc FROM events), " +
+        "m AS (SELECT event_id, user_id, xc, " +
+        "count(*) OVER pw AS n, " +
+        "quantile_cont(xc, 0.5) OVER pw AS med FROM e " +
+        "WINDOW pw AS (PARTITION BY user_id)), " +
+        "d2 AS (SELECT event_id, user_id, n, " +
+        "abs(xc::DOUBLE - med::DOUBLE) AS dev FROM m), " +
+        "d3 AS (SELECT event_id, user_id, n, dev, " +
+        "quantile_cont(dev, 0.5) OVER (PARTITION BY user_id) AS mad FROM d2), " +
+        "z AS (SELECT event_id, user_id, " +
+        "floor(dev / (1.4826 * mad) * 10000 + 0.5) / 10000.0 AS z_mad " +
+        "FROM d3 WHERE n >= 12 AND mad > 0) " +
+        "SELECT event_id, user_id, z_mad FROM z WHERE z_mad >= 3.5 " +
+        "ORDER BY user_id, event_id"),
+
+    // adjacent-bigram PMI from exact counts; ln's ulp absorbed by the
+    // 4-dp floor, rank on the rounded score
+    "seq_pmi_bigrams" ->
+      ("WITH p AS (SELECT event_type AS cur, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id) AS nxt " +
+        "FROM events), " +
+        "k AS (SELECT cur, nxt, count(*) AS n_ab FROM p " +
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2), " +
+        "w AS (SELECT cur, nxt, n_ab, " +
+        "sum(n_ab) OVER (PARTITION BY cur) AS n_a, " +
+        "sum(n_ab) OVER (PARTITION BY nxt) AS n_b, " +
+        "(SELECT sum(n_ab) FROM k) AS n_tot FROM k) " +
+        "SELECT cur, nxt, n_ab, " +
+        "floor(ln((n_tot * n_ab)::DOUBLE / (n_a * n_b)::DOUBLE) " +
+        "* 10000 + 0.5) / 10000.0 AS pmi " +
+        "FROM w WHERE n_ab >= 5 ORDER BY pmi DESC, cur, nxt"),
+
+    // degree histogram of the co-order part graph (assoc_pairs edges)
+    "graph_degree_stats" ->
+      ("WITH dl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 " +
+        "FROM dl a JOIN dl b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "d AS (SELECT p, count(*) AS degree FROM " +
+        "(SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e) " +
+        "GROUP BY 1) " +
+        "SELECT degree, count(*) AS n_parts FROM d GROUP BY 1 " +
+        "ORDER BY degree"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:
