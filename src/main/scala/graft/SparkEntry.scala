@@ -200,7 +200,13 @@ object SparkEntry {
     "win_pct_change" -> (Quant.winPctChange _),
     "ts_anomaly_mad" -> (Quant.tsAnomalyMad _),
     "seq_pmi_bigrams" -> (Quant.seqPmiBigrams _),
-    "graph_degree_stats" -> (Quant.graphDegreeStats _)
+    "graph_degree_stats" -> (Quant.graphDegreeStats _),
+    "cdc_deletes" -> (Quant.cdcDeletes _),
+    "ts_interpolate_linear" -> (Quant.tsInterpolateLinear _),
+    "text_readability" -> (Quant.textReadability _),
+    "corpus_curriculum" -> (Quant.corpusCurriculum _),
+    "embedding_dim_stats" -> (Quant.embeddingDimStats _),
+    "ts_autocorr_lag1" -> (Quant.tsAutocorrLag1 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

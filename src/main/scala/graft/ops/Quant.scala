@@ -168,6 +168,199 @@ object Quant {
       .orderBy(col("degree"))
   }
 
+  /** CDC apply with DELETE tombstones — the missing third of the CDC
+    * family (scd2 keeps history, upsert_latest keeps latest state; this
+    * one RETIRES keys): per (user, event_type) key the LATEST change
+    * decides survival, and a tombstone as latest change removes the key
+    * from the materialized state. Fixtures carry no op column, so ops
+    * derive deterministically (event_id % 10 = 0 → 'D') identically in
+    * both engines — the plumbing (latest-wins + tombstone drop) is what's
+    * under test.
+    *
+    * Scale: one row_number on one (user, type) exchange, rn = 1 filter —
+    * the same single-shuffle shape as upsert_latest; no join, no state. */
+  def cdcDeletes(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("op",
+        when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
+      .withColumn("rn", row_number().over(wo))
+      .where(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"), col("ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Time-series LINEAR interpolation over the dense hourly grid — the
+    * upgrade of ts_gapfill's forward fill for signals where holding the
+    * last value is wrong (rates, gauges): each empty bucket takes
+    * prev + (next − prev)·frac between its bracketing observed buckets.
+    * Bucket sums are exact cent integers; frac is a ratio of exact µs
+    * deltas; the interpolation is the same three IEEE ops on identical
+    * operands in both engines, and observed buckets short-circuit to
+    * their exact sum. Leading/trailing unbracketed buckets are excluded
+    * (no extrapolation).
+    *
+    * Scale: same shape as ts_gapfill — the event volume only flows
+    * through the partial-aggregated bucket groupBy; the grid is
+    * hours × types (tiny at any scale) and the bracketing lookups are
+    * two ignore-nulls windows per direction on the per-type sort. */
+  def tsInterpolateLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        floor(col("value") * 100 + 0.5).as("xc"))
+    val agg = ev.groupBy(col("h"), col("event_type"))
+      .agg(sum(col("xc")).as("cents")).persist()
+    val hours = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    val grid = hours.crossJoin(agg.select(col("event_type")).distinct())
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val frac = (unix_micros(col("h")) - unix_micros(col("ph"))).cast("double") /
+      (unix_micros(col("nh")) - unix_micros(col("ph"))).cast("double")
+    val interp = col("pv").cast("double") +
+      (col("nv") - col("pv")).cast("double") * frac
+    grid.join(agg, Seq("h", "event_type"), "left_outer")
+      .withColumn("kh", when(col("cents").isNotNull, col("h")))
+      .withColumn("ph", last(col("kh"), ignoreNulls = true).over(wb))
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wb))
+      .withColumn("nh", first(col("kh"), ignoreNulls = true).over(wf))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wf))
+      .where(col("ph").isNotNull && col("nh").isNotNull)
+      .select(col("h"), col("event_type"),
+        col("cents").isNull.cast("int").as("interpolated"),
+        round(when(col("cents").isNotNull, col("cents").cast("double"))
+          .otherwise(interp) / lit(1e2), 4).as("value"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
+  /** Flesch-style readability score per document — the classic
+    * surface-level quality feature corpus filters threshold on (alongside
+    * text_quality_score's ratio battery): 206.835 − 1.015·(W/S) −
+    * 84.6·(Y/W) with words = space-split tokens, sentences = [.!?]+ runs
+    * (floored at 1), syllables proxied by vowel-group runs — all exact
+    * integer counts from the same regexes in both engines, one affine
+    * double chain, Det-rounded.
+    *
+    * Scale: map-only codegen'd string expressions, no shuffle but the
+    * output sort. */
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = size(split(col("text"), " ")).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val syll =
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long")
+    docs.select(col("doc_id"), col("lang"), words.as("n_words"),
+        sents.as("n_sents"), syll.as("n_syll"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_sents"),
+        col("n_syll"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sents").cast("double")) -
+          lit(84.6) * (col("n_syll").cast("double") /
+            col("n_words").cast("double")), 4).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curriculum phase assignment: within each language, docs rank by
+    * lexical diversity (the rounded type-token ratio — rank on the
+    * ROUNDED score, raw-double order is not engine-portable) and split
+    * into 4 curriculum phases, easy (repetitive) → hard (diverse) — the
+    * ordering stage a curriculum-learning data loader consumes. Phase =
+    * ⌊(rank−1)·4/n⌋+1 is a double division of small exact integers whose
+    * floor is engine-exact (an integer quotient is correctly rounded to
+    * itself).
+    *
+    * Scale: TTR is map-only; the rank + count ride ONE lang exchange
+    * (per-stratum window, the corpus_budget_select shape — a shard key
+    * extends the partition when one language outgrows a node). */
+  def corpusCurriculum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    val ttr = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        round(size(array_distinct(col("ws"))).cast("double") /
+          size(col("ws")).cast("double"), 4).as("ttr"))
+    ttr
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("ttr"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("lang"), col("doc_id"), col("ttr"),
+        (floor((col("rn") - 1).cast("double") * lit(4.0) /
+          col("n").cast("double")).cast("int") + 1).as("phase"))
+      .orderBy(col("lang"), col("ttr"), col("doc_id"))
+  }
+
+  /** Per-dimension distribution stats over the embedding corpus — the
+    * feature-drift / normalization profile a vector store monitors
+    * (collapsed dims, scale outliers). Elements snap to the 1e-6 grid
+    * (float32 values are exact in double, the snap is the same integer
+    * in both engines), sums are exact BIGINTs, min/max have no
+    * accumulation order at all.
+    *
+    * Scale: posexplode fans out map-side; partial aggregation collapses
+    * to 64 dims × partials before the exchange — codebook-sized state,
+    * the embedding_centroid shape without the label key. */
+  def embeddingDimStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).as("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).as("vi"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"),
+        min(col("vi")).as("mn"), max(col("vi")).as("mx"))
+      .select(col("pos"), col("n"),
+        round(col("sv").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("mean_v"),
+        round(col("mn").cast("double") / 1e6, 6).as("min_v"),
+        round(col("mx").cast("double") / 1e6, 6).as("max_v"))
+      .orderBy(col("pos"))
+
+  /** Per-user lag-1 autocorrelation of event values — the temporal-
+    * persistence statistic (is a user's next value predicted by their
+    * last?). Pearson over (xₜ₋₁, xₜ) pairs from EXACT cent sums — the
+    * agg_corr_exact recipe applied to a lagged self-pairing: one lag(),
+    * then Σx, Σy, Σx², Σy², Σxy as integers (DECIMAL(38,0) ≡ HUGEINT),
+    * the textbook formula once on identical operands. Users with < 13
+    * events or zero variance on either margin (exact integer tests) are
+    * excluded.
+    *
+    * Scale: one user_id exchange for the lag; the moment agg partial-
+    * collapses map-side to 6 numbers per user. */
+  def tsAutocorrLag1(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).as("y"))
+      .withColumn("x", lag(col("y"), 1).over(wo))
+      .where(col("x").isNotNull)
+    val g = pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("x"))).as("sx2"),
+        sum(dec(col("y") * col("y"))).as("sy2"),
+        sum(dec(col("x") * col("y"))).as("sxy"))
+    val vx = dec(col("n")) * col("sx2") - col("sx") * col("sx")
+    val vy = dec(col("n")) * col("sy2") - col("sy") * col("sy")
+    val n = col("n").cast("double")
+    g.where(col("n") >= 12 && vx > 0 && vy > 0)
+      .select(col("user_id"), col("n"),
+        round((n * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((n * col("sx2").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (n * col("sy2").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("acf1"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

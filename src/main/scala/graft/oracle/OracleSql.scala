@@ -1451,6 +1451,112 @@ object OracleSql {
         "SELECT degree, count(*) AS n_parts FROM d GROUP BY 1 " +
         "ORDER BY degree"),
 
+    // latest-wins CDC with delete tombstones (event_id % 10 = 0 → 'D');
+    // same key + µs-truncated recency order as cdc_upsert_latest
+    "cdc_deletes" ->
+      ("WITH r AS (SELECT user_id, event_type, event_id, value, ts, " +
+        "CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn " +
+        "FROM events) " +
+        "SELECT user_id, event_type, event_id, " +
+        "floor(value * 100 + 0.5) / 100.0 AS value, ts " +
+        "FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id, event_type"),
+
+    // hourly-grid linear interpolation between bracketing observed
+    // buckets; cent-integer sums, exact µs-delta frac, no extrapolation
+    "ts_interpolate_linear" ->
+      ("WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type, " +
+        "floor(value * 100 + 0.5)::BIGINT AS xc FROM events), " +
+        "agg AS (SELECT h, event_type, sum(xc) AS cents FROM ev GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM ev), " +
+        "hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), " +
+        "grid AS (SELECT h, event_type FROM hours CROSS JOIN " +
+        "(SELECT DISTINCT event_type FROM ev)), " +
+        "j AS (SELECT g.h, g.event_type, a.cents, " +
+        "CASE WHEN a.cents IS NOT NULL THEN g.h END AS kh " +
+        "FROM grid g LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type), " +
+        "w AS (SELECT h, event_type, cents, " +
+        "last_value(kh IGNORE NULLS) OVER pb AS ph, " +
+        "last_value(cents IGNORE NULLS) OVER pb AS pv, " +
+        "first_value(kh IGNORE NULLS) OVER pf AS nh, " +
+        "first_value(cents IGNORE NULLS) OVER pf AS nv FROM j " +
+        "WINDOW pb AS (PARTITION BY event_type ORDER BY h " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "pf AS (PARTITION BY event_type ORDER BY h " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT h, event_type, " +
+        "(cents IS NULL)::INT AS interpolated, " +
+        "floor((CASE WHEN cents IS NOT NULL THEN cents::DOUBLE " +
+        "ELSE pv::DOUBLE + (nv - pv)::DOUBLE * " +
+        "((epoch_us(h) - epoch_us(ph))::DOUBLE / " +
+        "(epoch_us(nh) - epoch_us(ph))::DOUBLE) END) / 1e2 " +
+        "* 10000 + 0.5) / 10000.0 AS value " +
+        "FROM w WHERE ph IS NOT NULL AND nh IS NOT NULL " +
+        "ORDER BY h, event_type"),
+
+    // Flesch readability from exact regex counts; one affine double
+    // chain spelled identically, Det-rounded 4 dp
+    "text_readability" ->
+      ("WITH c AS (SELECT doc_id, lang, " +
+        "len(string_split(text, ' '))::BIGINT AS n_words, " +
+        "greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sents, " +
+        "len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syll " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, n_words, n_sents, n_syll, " +
+        "floor((206.835 - 1.015 * (n_words::DOUBLE / n_sents::DOUBLE) " +
+        "- 84.6 * (n_syll::DOUBLE / n_words::DOUBLE)) " +
+        "* 10000 + 0.5) / 10000.0 AS flesch " +
+        "FROM c ORDER BY doc_id"),
+
+    // per-lang TTR quartile phases; rank on the ROUNDED score, phase
+    // from an exact small-int double division
+    "corpus_curriculum" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "floor(len(list_distinct(string_split(text, ' ')))::DOUBLE / " +
+        "len(string_split(text, ' '))::DOUBLE * 10000 + 0.5) / 10000.0 AS ttr " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, lang, ttr, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM t) " +
+        "SELECT lang, doc_id, ttr, " +
+        "(floor((rn - 1)::DOUBLE * 4.0 / n::DOUBLE)::INT + 1) AS phase " +
+        "FROM r ORDER BY lang, ttr, doc_id"),
+
+    // per-dimension stats on the 1e-6 grid; exact sums, orderless min/max
+    "embedding_dim_stats" ->
+      ("WITH u AS (SELECT generate_subscripts(embedding, 1)::INT AS pos, " +
+        "unnest(embedding) AS v FROM embeddings), " +
+        "x AS (SELECT pos, floor(v::DOUBLE * 1000000 + 0.5)::BIGINT AS vi FROM u), " +
+        "g AS (SELECT pos, count(*) AS n, sum(vi)::BIGINT AS sv, " +
+        "min(vi) AS mn, max(vi) AS mx FROM x GROUP BY 1) " +
+        "SELECT pos, n, " +
+        "floor(sv::DOUBLE / n::DOUBLE / 1000000 * 1000000 + 0.5) / 1000000.0 AS mean_v, " +
+        "floor(mn::DOUBLE / 1000000 * 1000000 + 0.5) / 1000000.0 AS min_v, " +
+        "floor(mx::DOUBLE / 1000000 * 1000000 + 0.5) / 1000000.0 AS max_v " +
+        "FROM g ORDER BY pos"),
+
+    // lag-1 autocorrelation from exact cent sums (agg_corr_exact recipe
+    // over a lagged self-pairing); exact-integer variance gates
+    "ts_autocorr_lag1" ->
+      ("WITH e AS (SELECT user_id, ts, event_id, " +
+        "floor(value * 100 + 0.5)::BIGINT AS y FROM events), " +
+        "p AS (SELECT user_id, y, lag(y, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id) AS x FROM e), " +
+        "g AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * x) AS sx2, sum(y * y) AS sy2, sum(x * y) AS sxy " +
+        "FROM p WHERE x IS NOT NULL GROUP BY 1), " +
+        "c AS (SELECT user_id, n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, " +
+        "sy::DOUBLE AS syd, sx2::DOUBLE AS sx2d, sy2::DOUBLE AS sy2d, " +
+        "sxy::DOUBLE AS sxyd FROM g " +
+        "WHERE n >= 12 AND (n * sx2 - sx * sx) > 0 " +
+        "AND (n * sy2 - sy * sy) > 0) " +
+        "SELECT user_id, n, " +
+        "floor((nd * sxyd - sxd * syd) / " +
+        "sqrt((nd * sx2d - sxd * sxd) * (nd * sy2d - syd * syd)) " +
+        "* 1000000 + 0.5) / 1000000.0 AS acf1 " +
+        "FROM c ORDER BY user_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

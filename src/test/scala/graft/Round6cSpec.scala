@@ -1,0 +1,270 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Quant
+
+/** Round-6c (quantitative/statistics layer) invariants: each declarative
+  * operator is pinned against a direct driver-side recompute or a
+  * structural property independent of Spark's agg/window machinery.
+  */
+class Round6cSpec extends SparkSpec {
+
+  private def med(xs: Seq[Double]): Double = {
+    val a = xs.sorted
+    val n = a.length
+    if (n % 2 == 1) a(n / 2) else (a(n / 2 - 1) + a(n / 2)) / 2
+  }
+
+  private def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+
+  private def eventsByUser = Tables.events(spark, sf01)
+    .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    .collect()
+    .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    .groupBy(_._1)
+    .view.mapValues(_.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).toSeq)
+    .toMap
+
+  test("agg_gini: matches a direct per-lang recompute; 0 <= G < 1") {
+    val got = Quant.aggGini(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val lens = Tables.documents(spark, sf01)
+      .select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    got.foreach { case (lang, n, gini) =>
+      val xs = lens(lang)
+      assert(n === xs.length.toLong)
+      val sx = xs.map(BigInt(_)).sum
+      val six = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val expect = math.floor(
+        (BigInt(2) * six - BigInt(n + 1) * sx).toDouble /
+          (BigInt(n) * sx).toDouble * 1e6 + 0.5) / 1e6
+      assert(gini === expect, s"gini($lang)")
+      assert(gini >= 0 && gini < 1)
+    }
+  }
+
+  test("feature_zscore_norm: matches a direct exact-cents recompute") {
+    val got = Quant.featureZscoreNorm(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size > 1000, s"suspiciously few z rows: ${got.size}")
+    eventsByUser.foreach { case (_, evs) =>
+      val xs = evs.map(e => cents(e._4))
+      val n = xs.length
+      val s1 = xs.map(BigInt(_)).sum
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      val num = BigInt(n) * s2 - s1 * s1
+      if (n >= 2 && num > 0) {
+        val mu = s1.toDouble / n
+        val sd = math.sqrt(num.toDouble / (n.toLong * (n - 1)).toDouble)
+        evs.foreach { case (_, _, eid, v) =>
+          val z = math.floor((cents(v) - mu) / sd * 10000 + 0.5) / 10000
+          assert(got(eid) === z, s"z of event $eid")
+        }
+      } else evs.foreach(e => assert(!got.contains(e._3)))
+    }
+  }
+
+  test("win_pct_change: matches a direct lagged recompute") {
+    val got = Quant.winPctChange(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    var checked = 0
+    eventsByUser.foreach { case (_, evs) =>
+      evs.sliding(2).foreach {
+        case Seq(a, b) =>
+          val prev = cents(a._4)
+          if (prev != 0) {
+            val expect =
+              math.floor((cents(b._4) - prev).toDouble / prev * 1e6 + 0.5) / 1e6
+            assert(got(b._3) === expect, s"pct_change of event ${b._3}")
+            checked += 1
+          }
+        case _ =>
+      }
+    }
+    assert(checked === got.size, "row count differs from recompute")
+  }
+
+  test("ts_anomaly_mad: flag set == direct median/MAD recompute") {
+    val flagged = Quant.tsAnomalyMad(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(flagged.nonEmpty, "zero flagged rows — vacuous at sf0.01")
+    assert(flagged.forall(_._2 >= 3.5))
+    val expected = eventsByUser.flatMap { case (_, evs) =>
+      val n = evs.length
+      if (n < 12) Seq.empty
+      else {
+        val xs = evs.map(e => cents(e._4).toDouble)
+        val m = med(xs)
+        val devs = xs.map(x => math.abs(x - m))
+        val mad = med(devs)
+        if (mad <= 0) Seq.empty
+        else evs.zip(devs).flatMap { case ((_, _, eid, _), dev) =>
+          val z = math.floor(dev / (1.4826 * mad) * 10000 + 0.5) / 10000
+          if (z >= 3.5) Some(eid) else None
+        }
+      }
+    }.toSet
+    assert(flagged.map(_._1).toSet === expected)
+  }
+
+  test("seq_pmi_bigrams: matches a direct pair-count recompute") {
+    val got = Quant.seqPmiBigrams(spark, sf01)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    val types = Tables.events(spark, sf01)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+        .map(_._4).toSeq)
+    val pairs = types.values.flatMap(ts => ts.zip(ts.tail)).toSeq
+    val nAb = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nA = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nB = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTot = pairs.size.toLong
+    val expected = nAb.filter(_._2 >= 5).map { case (p, ab) =>
+      p -> (ab, math.floor(math.log(
+        (BigInt(nTot) * ab).toDouble / (BigInt(nA(p._1)) * nB(p._2)).toDouble)
+        * 10000 + 0.5) / 10000)
+    }
+    assert(got === expected)
+  }
+
+  test("graph_degree_stats: histogram == recompute; handshake sum holds") {
+    val got = Quant.graphDegreeStats(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty)
+    val edges = graft.ops.Analytics.coOrderPairs(spark, sf01)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hist = deg.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === hist)
+    assert(got.map { case (d, c) => d * c }.sum === 2L * edges.length)
+  }
+
+  test("cdc_deletes: upsert keys minus tombstoned-latest keys") {
+    val got = Quant.cdcDeletes(spark, sf01)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val latest = Tables.events(spark, sf01)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getTimestamp(2), r.getLong(3))))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2)
+        .maxBy(t => (t._1.getTime, t._1.getNanos, t._2))._2)
+      .toMap
+    val expected = latest.filter { case (_, eid) => eid % 10 != 0 }
+    assert(got === expected)
+    assert(got.size < latest.size, "no key was tombstoned — vacuous")
+  }
+
+  test("ts_interpolate_linear: observed rows exact, interpolated rows bracketed") {
+    val rows = Quant.tsInterpolateLinear(spark, sf01)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val nInterp = rows.count(_._3 == 1)
+    assert(nInterp > 0, "no interpolated buckets at sf0.01 — vacuous")
+    rows.groupBy(_._2).values.foreach { g =>
+      val byH = g.sortBy(_._1.getTime)
+      // every interpolated value lies within [min, max] of the two
+      // bracketing OBSERVED buckets (linearity bound)
+      byH.zipWithIndex.foreach { case ((_, _, interp, v), i) =>
+        if (interp == 1) {
+          val prev = byH.take(i).reverse.find(_._3 == 0).map(_._4)
+          val next = byH.drop(i + 1).find(_._3 == 0).map(_._4)
+          assert(prev.nonEmpty && next.nonEmpty, "unbracketed interpolated row")
+          val (lo, hi) = (math.min(prev.get, next.get), math.max(prev.get, next.get))
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9, "outside linear bracket")
+        }
+      }
+    }
+  }
+
+  test("text_readability: matches a direct regex recompute") {
+    val got = Quant.textReadability(spark, sf01)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))))
+      .toMap
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1).length.toLong
+      val sn = math.max(1L, "[.!?]+".r.findAllIn(text).length.toLong)
+      val sy = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      val f = math.floor(
+        (206.835 - 1.015 * (w.toDouble / sn) - 84.6 * (sy.toDouble / w))
+          * 10000 + 0.5) / 10000
+      assert(got(id) === ((w, sn, sy, f)), s"doc $id")
+    }
+  }
+
+  test("corpus_curriculum: balanced phases, ordered by rounded TTR") {
+    val got = Quant.corpusCurriculum(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { g =>
+      val n = g.length
+      val sizes = g.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3, 4)))
+      sizes.values.foreach(sz =>
+        assert(sz >= n / 4 && sz <= n / 4 + 1, s"unbalanced phase: $sizes"))
+      // phase boundaries respect the rounded-TTR order
+      (1 to 3).foreach { k =>
+        val cur = g.filter(_._4 == k).map(_._3)
+        val nxt = g.filter(_._4 == k + 1).map(_._3)
+        if (cur.nonEmpty && nxt.nonEmpty)
+          assert(cur.max <= nxt.min + 1e-12, s"phase $k overlaps ${k + 1}")
+      }
+    }
+  }
+
+  test("embedding_dim_stats: full coverage per dim, min <= mean <= max") {
+    val got = Quant.embeddingDimStats(spark, sf01)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val nVec = Tables.embeddings(spark, sf01).count()
+    assert(got.length === 64)
+    got.foreach { case (_, n, mean, mn, mx) =>
+      assert(n === nVec)
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9)
+    }
+  }
+
+  test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
+    val got = Quant.tsAutocorrLag1(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val byUser = eventsByUser
+    got.foreach { case (uid, n, acf) =>
+      assert(math.abs(acf) <= 1.0 + 1e-9)
+      val xs = byUser(uid).map(e => cents(e._4))
+      val pairs = xs.zip(xs.tail)
+      assert(n === pairs.length.toLong)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sx2 = pairs.map(p => BigInt(p._1) * p._1).sum
+      val sy2 = pairs.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val nd = pairs.length.toDouble
+      val expect = math.floor(
+        (nd * sxy.toDouble - sx.toDouble * sy.toDouble) /
+          math.sqrt((nd * sx2.toDouble - sx.toDouble * sx.toDouble) *
+            (nd * sy2.toDouble - sy.toDouble * sy.toDouble)) * 1e6 + 0.5) / 1e6
+      assert(acf === expect, s"acf1 of user $uid")
+    }
+  }
+}
