@@ -206,7 +206,10 @@ object SparkEntry {
     "text_readability" -> (Quant.textReadability _),
     "corpus_curriculum" -> (Quant.corpusCurriculum _),
     "embedding_dim_stats" -> (Quant.embeddingDimStats _),
-    "ts_autocorr_lag1" -> (Quant.tsAutocorrLag1 _)
+    "ts_autocorr_lag1" -> (Quant.tsAutocorrLag1 _),
+    "agg_quantile_bands" -> (Quant.aggQuantileBands _),
+    "feature_robust_scale" -> (Quant.featureRobustScale _),
+    "analytics_dau" -> (Quant.analyticsDau _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -361,6 +361,80 @@ object Quant {
       .orderBy(col("user_id"))
   }
 
+  /** Five-point quantile summary (p10/p25/p50/p75/p90) of event values
+    * per type — the distribution-band profile dashboards and drift
+    * monitors read. Exact `percentile` (both engines interpolate with the
+    * same textbook pos = q·(n−1) formula — parity established by
+    * agg_percentile); approx_percentile/t-digest are the declared sketch
+    * paths at 100 TB (agg_approx_percentile, agg_tdigest).
+    *
+    * Scale: exact percentiles buffer per group — inherent to the exact
+    * statistic; group cardinality is |event_type| (tiny). */
+  def aggQuantileBands(s: SparkSession, d: String): DataFrame = {
+    val bands = Seq(10, 25, 50, 75, 90)
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        bands.map(p => round(percentile(col("value"), lit(p / 100.0)), 4)
+          .as(s"p$p")): _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-user robust scaling (x − median)/IQR — the outlier-insensitive
+    * cousin of feature_zscore_norm (a scaler heavy tails can't drag). On
+    * cent integers the median and both quartiles are exact IEEE: the
+    * interpolation fractions (.25/.5/.75) are dyadic, so a + (b−a)·f is
+    * exact for int64 cents, and the IQR > 0 gate compares exact values.
+    *
+    * Scale: three stacked whole-partition percentile windows on ONE
+    * user_id exchange, same shape as ts_anomaly_mad. */
+  def featureRobustScale(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 100 + 0.5).as("xc"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("med", percentile(col("xc"), lit(0.5)).over(w))
+      .withColumn("q1", percentile(col("xc"), lit(0.25)).over(w))
+      .withColumn("q3", percentile(col("xc"), lit(0.75)).over(w))
+      .where(col("n") >= 2 && col("q3") > col("q1"))
+      .select(col("event_id"), col("user_id"),
+        round((col("xc").cast("double") - col("med")) /
+          (col("q3") - col("q1")), 4).as("v_robust"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Engagement rollup: daily active users, trailing-7-day actives, and
+    * the DAU/MAU stickiness ratio per day — the activity health metrics
+    * every event platform reports. All counts are exact distincts; the
+    * one ratio divides exact integers.
+    *
+    * Scale: the raw stream collapses FIRST to distinct (day, user) pairs
+    * (one partial-aggregable shuffle bounded by days × users, not
+    * events); the 7-day window is a range join against that bounded
+    * pair table, and the month distinct reuses the same pairs. */
+  def analyticsDau(s: SparkSession, d: String): DataFrame = {
+    val pairs = events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"),
+        date_trunc("month", col("ts")).as("month"), col("user_id"))
+      .distinct()
+      .persist()
+    val dau = pairs.groupBy(col("day"), col("month"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = pairs.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    val wau = dau.select(col("day").as("d0"))
+      .join(pairs, datediff(col("d0"), col("day")).between(0, 6))
+      .groupBy(col("d0"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    dau.join(mau, Seq("month"))
+      .join(wau, dau("day") === wau("d0"))
+      .select(col("day"), col("dau"), col("wau7"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 4)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

@@ -1557,6 +1557,49 @@ object OracleSql {
         "* 1000000 + 0.5) / 1000000.0 AS acf1 " +
         "FROM c ORDER BY user_id"),
 
+    // five-point exact quantile bands per type (agg_percentile parity)
+    "agg_quantile_bands" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "floor(quantile_cont(value, 0.10) * 10000 + 0.5) / 10000.0 AS p10, " +
+        "floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000.0 AS p25, " +
+        "floor(quantile_cont(value, 0.50) * 10000 + 0.5) / 10000.0 AS p50, " +
+        "floor(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000.0 AS p75, " +
+        "floor(quantile_cont(value, 0.90) * 10000 + 0.5) / 10000.0 AS p90 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // robust scaler: exact median/quartiles on the cent grid (dyadic
+    // interpolation fractions), exact IQR > 0 gate
+    "feature_robust_scale" ->
+      ("WITH e AS (SELECT event_id, user_id, " +
+        "floor(value * 100 + 0.5)::BIGINT AS xc FROM events), " +
+        "w AS (SELECT event_id, user_id, xc, " +
+        "count(*) OVER pw AS n, " +
+        "quantile_cont(xc, 0.5) OVER pw AS med, " +
+        "quantile_cont(xc, 0.25) OVER pw AS q1, " +
+        "quantile_cont(xc, 0.75) OVER pw AS q3 FROM e " +
+        "WINDOW pw AS (PARTITION BY user_id)) " +
+        "SELECT event_id, user_id, " +
+        "floor((xc::DOUBLE - med) / (q3 - q1) * 10000 + 0.5) / 10000.0 " +
+        "AS v_robust FROM w WHERE n >= 2 AND q3 > q1 " +
+        "ORDER BY user_id, event_id"),
+
+    // DAU / trailing-7-day / MAU / stickiness from exact distincts over
+    // the bounded (day, user) pair table
+    "analytics_dau" ->
+      ("WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS day, " +
+        "date_trunc('month', ts) AS month, user_id FROM events), " +
+        "dau AS (SELECT day, month, count(DISTINCT user_id) AS dau " +
+        "FROM p GROUP BY 1, 2), " +
+        "mau AS (SELECT month, count(DISTINCT user_id) AS mau " +
+        "FROM p GROUP BY 1), " +
+        "wau AS (SELECT d.day AS d0, count(DISTINCT p.user_id) AS wau7 " +
+        "FROM dau d JOIN p ON p.day <= d.day " +
+        "AND p.day >= d.day - INTERVAL 6 DAY GROUP BY 1) " +
+        "SELECT dau.day, dau.dau, wau.wau7, mau.mau, " +
+        "floor(dau.dau::DOUBLE / mau.mau::DOUBLE * 10000 + 0.5) / 10000.0 " +
+        "AS stickiness FROM dau JOIN mau USING (month) " +
+        "JOIN wau ON wau.d0 = dau.day ORDER BY dau.day"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

@@ -244,6 +244,70 @@ class Round6cSpec extends SparkSpec {
     }
   }
 
+  private def quantile(xs: Seq[Double], q: Double): Double = {
+    val a = xs.sorted
+    val pos = q * (a.length - 1)
+    val lo = pos.toInt
+    val frac = pos - lo
+    if (lo + 1 >= a.length) a(lo) else a(lo) + (a(lo + 1) - a(lo)) * frac
+  }
+
+  test("agg_quantile_bands: monotone bands, p50 == direct median") {
+    val got = Quant.aggQuantileBands(spark, sf01)
+      .collect().map(r => (r.getString(0), (r.getLong(1),
+        (2 to 6).map(r.getDouble))))
+    assert(got.nonEmpty)
+    val byType = Tables.events(spark, sf01)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    got.foreach { case (t, (n, bands)) =>
+      assert(n === byType(t).length.toLong)
+      assert(bands === bands.sorted, s"non-monotone bands for $t")
+      val p50 = math.floor(quantile(byType(t), 0.5) * 10000 + 0.5) / 10000
+      assert(bands(2) === p50, s"p50 of $t")
+    }
+  }
+
+  test("feature_robust_scale: matches a direct median/IQR recompute") {
+    val got = Quant.featureRobustScale(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size > 1000)
+    eventsByUser.foreach { case (_, evs) =>
+      val xs = evs.map(e => cents(e._4).toDouble)
+      val (m, q1, q3) =
+        (quantile(xs, 0.5), quantile(xs, 0.25), quantile(xs, 0.75))
+      if (xs.length >= 2 && q3 > q1)
+        evs.foreach { case (_, _, eid, v) =>
+          val expect =
+            math.floor((cents(v) - m) / (q3 - q1) * 10000 + 0.5) / 10000
+          assert(got(eid) === expect, s"robust scale of event $eid")
+        }
+      else evs.foreach(e => assert(!got.contains(e._3)))
+    }
+  }
+
+  test("analytics_dau: matches a direct distinct-pair recompute") {
+    val got = Quant.analyticsDau(spark, sf01)
+      .collect().map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.nonEmpty)
+    val pairs = Tables.events(spark, sf01)
+      .select(col("ts"), col("user_id"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate, r.getLong(1)))
+      .distinct
+    val mau = pairs.map(p => (p._1.withDayOfMonth(1), p._2)).distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (day, (dau, wau7, m)) =>
+      assert(dau === pairs.count(_._1 == day).toLong)
+      assert(wau7 === pairs.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._2).distinct.length.toLong)
+      assert(m === mau(day.withDayOfMonth(1)))
+    }
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
