@@ -344,4 +344,40 @@ class PlanSpec extends SparkSpec {
     assert(lower.contains("HashAggregate") && lower.contains("Generate"),
       s"no map-side partial aggregate below the exchange:\n$plan")
   }
+
+  test("round-6c per-user scalers/outliers ride ONE user_id exchange, no join-back") {
+    Seq(graft.ops.Quant.featureZscoreNorm(spark, sf01),
+        graft.ops.Quant.featureRobustScale(spark, sf01),
+        graft.ops.Quant.tsAnomalyMad(spark, sf01),
+        graft.ops.Quant.winPctChange(spark, sf01)).foreach { df =>
+      val plan = physical(df)
+      assert("hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+        s"per-user stats paid more than one user_id exchange:\n$plan")
+      assert(!plan.contains("Join"),
+        s"stats joined back instead of riding the window:\n$plan")
+    }
+  }
+
+  test("agg_gini: rank window and aggregate share one lang exchange") {
+    val plan = physical(graft.ops.Quant.aggGini(spark, sf01))
+    assert("hashpartitioning\\(lang".r.findAllIn(plan).length == 1,
+      s"gini paid more than one lang exchange:\n$plan")
+  }
+
+  test("embedding_dim_stats: partial agg collapses the explode before the exchange") {
+    val plan = physical(graft.ops.Quant.embeddingDimStats(spark, sf01))
+    val lower = plan.linesIterator.dropWhile(!_.contains("Exchange")).mkString("\n")
+    assert(lower.contains("HashAggregate") && lower.contains("Generate"),
+      s"no map-side partial aggregate below the exchange:\n$plan")
+  }
+
+  test("analytics_dau: WAU range join runs over the pre-aggregated pair table, not raw events") {
+    val df = graft.ops.Quant.analyticsDau(spark, sf01)
+    val plan = physical(df)
+    // the distinct (day, user) collapse must sit below the range join —
+    // raw events must never feed the theta join
+    assert(plan.contains("InMemoryTableScan") || plan.contains("HashAggregate"),
+      s"no pair-table collapse before the WAU join:\n$plan")
+    df.unpersist()
+  }
 }
