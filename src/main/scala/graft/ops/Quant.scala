@@ -435,6 +435,69 @@ object Quant {
       .orderBy(col("day"))
   }
 
+  /** Jaccard similarity of co-order neighborhoods per part pair — the
+    * set-overlap normalization of assoc_pairs' raw support (dedup-style
+    * scoring on the basket graph): |A∩B| / |A∪B| = n_ab/(n_a + n_b − n_ab)
+    * over the orders containing each part. Exact integer counts, one
+    * divide, rank on the rounded score.
+    *
+    * Scale: pair counts reuse the bounded coOrderPairs kernel; the
+    * per-part order counts are a small table broadcast into both pair
+    * sides (the assoc_rules shape). */
+  def graphEdgeJaccard(s: SparkSession, d: String): DataFrame = {
+    val dl = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val perPart = dl.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+    val pairs = Analytics.coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    pairs
+      .join(broadcast(perPart.select(col("l_partkey").as("p1"),
+        col("n_p").as("n_a"))), Seq("p1"))
+      .join(broadcast(perPart.select(col("l_partkey").as("p2"),
+        col("n_p").as("n_b"))), Seq("p2"))
+      .select(col("p1"), col("p2"), col("n_ab"),
+        round(col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("p1"), col("p2"))
+  }
+
+  /** Predicate-aggregate family over the event stream — conditional
+    * counts and universal/existential tests per type (count_if /
+    * bool_and / bool_or), the data-quality assertions rollups are built
+    * from. Booleans emit as ints for the scalar comparator; everything
+    * is exact.
+    *
+    * Scale: one partial-aggregable groupBy on a tiny key. */
+  def fnAggBool(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("value") > 100).as("n_over_100"),
+        count_if(col("value") > 400).as("n_over_400"),
+        bool_and(col("value") > 0).cast("int").as("all_positive"),
+        bool_or(col("value") > 480).cast("int").as("any_near_max"))
+      .orderBy(col("event_type"))
+
+  /** Weekday seasonality profile: event count and exact mean value per
+    * (event_type, weekday) — the day-of-week demand curve capacity and
+    * anomaly baselines read. Weekday is Monday-based 0–6 in both engines
+    * (Spark weekday(); DuckDB isodow − 1); the mean divides exact cent
+    * sums once.
+    *
+    * Scale: one partial-aggregable groupBy on a |types|×7 key. */
+  def tsWeekdayProfile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), weekday(col("ts")).as("wd"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5)).as("cents"))
+      .select(col("event_type"), col("wd"), col("n"),
+        round(col("cents").cast("double") / col("n").cast("double") / 1e2, 4)
+          .as("mean_value"))
+      .orderBy(col("event_type"), col("wd"))
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

@@ -1600,6 +1600,38 @@ object OracleSql {
         "AS stickiness FROM dau JOIN mau USING (month) " +
         "JOIN wau ON wau.d0 = dau.day ORDER BY dau.day"),
 
+    // neighborhood Jaccard per co-order pair: n_ab/(n_a + n_b − n_ab)
+    // from exact counts; rank on the rounded score
+    "graph_edge_jaccard" ->
+      ("WITH dl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pp AS (SELECT l_partkey AS p, count(*) AS n_p FROM dl GROUP BY 1), " +
+        "pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, " +
+        "count(*) AS n_ab FROM dl a JOIN dl b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT p1, p2, n_ab, " +
+        "floor(n_ab::DOUBLE / (na.n_p + nb.n_p - n_ab)::DOUBLE " +
+        "* 1000000 + 0.5) / 1000000.0 AS jaccard " +
+        "FROM pairs JOIN pp na ON na.p = p1 JOIN pp nb ON nb.p = p2 " +
+        "ORDER BY jaccard DESC, p1, p2"),
+
+    // conditional counts + universal/existential aggregates per type;
+    // booleans emit as ints for the scalar comparator
+    "fn_agg_bool" ->
+      ("SELECT event_type, " +
+        "count(*) FILTER (WHERE value > 100) AS n_over_100, " +
+        "count(*) FILTER (WHERE value > 400) AS n_over_400, " +
+        "bool_and(value > 0)::INT AS all_positive, " +
+        "bool_or(value > 480)::INT AS any_near_max " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // Monday-based weekday profile; mean divides exact cent sums once
+    "ts_weekday_profile" ->
+      ("SELECT event_type, (isodow(ts) - 1)::INT AS wd, count(*) AS n, " +
+        "floor(sum(floor(value * 100 + 0.5)::BIGINT)::DOUBLE / count(*)::DOUBLE " +
+        "/ 1e2 * 10000 + 0.5) / 10000.0 AS mean_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, wd"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

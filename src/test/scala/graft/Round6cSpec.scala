@@ -308,6 +308,60 @@ class Round6cSpec extends SparkSpec {
     }
   }
 
+  test("graph_edge_jaccard: matches a direct set-overlap recompute") {
+    val got = Quant.graphEdgeJaccard(spark, sf01)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), // p2 joined first
+        (r.getLong(2), r.getDouble(3))))
+    val gotMap = got.map { case ((p2, p1), v) => ((p1, p2), v) }.toMap
+    assert(gotMap.nonEmpty)
+    val dl = Tables.lineitem(spark, sf01)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = dl.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    gotMap.foreach { case ((p1, p2), (nAb, jac)) =>
+      val (a, b) = (byPart(p1), byPart(p2))
+      assert(nAb === (a & b).size.toLong)
+      val expect =
+        math.floor(nAb.toDouble / (a | b).size * 1e6 + 0.5) / 1e6
+      assert(jac === expect, s"jaccard($p1,$p2)")
+    }
+  }
+
+  test("fn_agg_bool: matches direct predicate counts") {
+    val got = Quant.fnAggBool(spark, sf01)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))).toMap
+    val vals = Tables.events(spark, sf01)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got.keySet === vals.keySet)
+    vals.foreach { case (t, xs) =>
+      assert(got(t) === ((xs.count(_ > 100).toLong, xs.count(_ > 400).toLong,
+        if (xs.forall(_ > 0)) 1 else 0, if (xs.exists(_ > 480)) 1 else 0)))
+    }
+    assert(got.values.map(_._4).toSet.size > 1,
+      "any_near_max constant across types — vacuous predicate")
+  }
+
+  test("ts_weekday_profile: exact per-(type, weekday) mean recompute") {
+    val got = Quant.tsWeekdayProfile(spark, sf01)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === 35, s"expected full 5x7 grid, got ${got.size}")
+    val rows = Tables.events(spark, sf01)
+      .select(col("event_type"), col("ts"), col("value"))
+      .collect().map { r =>
+        val wd = r.getTimestamp(1).toLocalDateTime.getDayOfWeek.getValue - 1
+        ((r.getString(0), wd), cents(r.getDouble(2)))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (k, xs) =>
+      val mean = math.floor(
+        xs.sum.toDouble / xs.length / 1e2 * 10000 + 0.5) / 10000
+      assert(got(k) === ((xs.length.toLong, mean)), s"weekday cell $k")
+    }
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
