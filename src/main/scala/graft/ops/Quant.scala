@@ -498,6 +498,56 @@ object Quant {
           .as("mean_value"))
       .orderBy(col("event_type"), col("wd"))
 
+  /** URL decomposition (scheme/host/path/query param) — the log- and
+    * crawl-processing staple. Fixture tables carry no URL column, so a
+    * deterministic URL derives from (source, doc_id, lang) in BOTH
+    * engines — the extraction regexes provably fire on all rows (the
+    * text_pii_redact convention) and stay inside the shared
+    * Java-regex ∩ RE2 dialect.
+    *
+    * Scale: map-only codegen'd string expressions, no shuffle but the
+    * output sort. */
+  def fnUrlParse(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/docs/"), col("doc_id").cast("string"),
+      lit("?lang="), col("lang"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?]*)", 1).as("path"),
+        regexp_extract(col("url"), "[?&]lang=([^&]*)", 1).as("lang_param"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CUSUM drift statistic per user: the running sum of deviations from
+    * the user's mean, Sᵢ − i·μ — where a level shift in the stream shows
+    * up as a ramp long before any single point trips an outlier test.
+    * The running sum and row index are exact integers on the (ts,
+    * event_id) total order; μ = S/n divides exact integers once, and the
+    * one multiply-subtract chain is spelled identically in the twin.
+    *
+    * Scale: the running window, the row index, and the two
+    * whole-partition aggregates all stack on ONE user_id exchange. */
+  def tsCusum(s: SparkSession, d: String): DataFrame = {
+    val wp = Window.partitionBy(col("user_id"))
+    val wo = wp.orderBy(col("ts"), col("event_id"))
+    val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).as("xc"))
+      .withColumn("si", sum(col("xc")).over(wr))
+      .withColumn("i", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("st", sum(col("xc")).over(wp))
+      .select(col("event_id"), col("user_id"),
+        round((col("si").cast("double") - col("i").cast("double") *
+          (col("st").cast("double") / col("n").cast("double"))) / 1e2, 4)
+          .as("cusum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

@@ -96,6 +96,27 @@ object SqlApi {
     """)
   }
 
+  /** LATERAL correlated subquery — the per-row subplan surface (top-2
+    * orders per BUILDING customer) that only SQL expresses directly.
+    * Catalyst decorrelates the ORDER BY + LIMIT lateral into a window
+    * rank over one join, NOT a per-customer re-execution — the same plan
+    * a hand-written win_topk_per_group gets, which is what makes the
+    * surface safe at 100 TB. Order on the ROUNDED price with unique
+    * tiebreakers. */
+  def sqlLateralTopn(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey,
+             floor(t.o_totalprice * 100 + 0.5) / 1e2 AS o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_mktsegment = 'BUILDING'
+      ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+    """)
+  }
+
   /** Recursive CTE (Spark 4's WITH RECURSIVE — UnionLoop under the hood):
     * BFS over the symmetric part co-occurrence graph from its smallest
     * node, depth ≤ 3, min-distance per reached part. The one SQL surface

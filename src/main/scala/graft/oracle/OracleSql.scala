@@ -1632,6 +1632,49 @@ object OracleSql {
         "/ 1e2 * 10000 + 0.5) / 10000.0 AS mean_value " +
         "FROM events GROUP BY 1, 2 ORDER BY event_type, wd"),
 
+    // LATERAL top-2 orders per BUILDING customer; order on the rounded
+    // price with unique tiebreakers
+    "sql_lateral_topn" ->
+      ("SELECT c.c_custkey, t.o_orderkey, " +
+        "floor(t.o_totalprice * 100 + 0.5) / 100.0 AS o_totalprice " +
+        "FROM customer c, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
+        "WHERE c.c_mktsegment = 'BUILDING' " +
+        "ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey"),
+
+    // URL decomposition over deterministically derived URLs (regexes
+    // fire on every row; Java-regex ∩ RE2 dialect)
+    "fn_url_parse" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || source || " +
+        "'.example.com/docs/' || doc_id::VARCHAR || '?lang=' || lang AS url " +
+        "FROM documents) " +
+        "SELECT doc_id, url, " +
+        "regexp_extract(url, '^([a-z]+)://', 1) AS scheme, " +
+        "regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, " +
+        "regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path, " +
+        "regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param " +
+        "FROM u ORDER BY doc_id"),
+
+    // CUSUM drift: exact running cents sum and row index on the µs total
+    // order; one multiply-subtract double chain
+    "ts_cusum" ->
+      ("WITH e AS (SELECT event_id, user_id, ts, " +
+        "floor(value * 100 + 0.5)::BIGINT AS xc FROM events), " +
+        "w AS (SELECT event_id, user_id, " +
+        "sum(xc) OVER (PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id) AS i, " +
+        "count(*) OVER (PARTITION BY user_id) AS n, " +
+        "sum(xc) OVER (PARTITION BY user_id) AS st FROM e) " +
+        "SELECT event_id, user_id, " +
+        "floor((si::DOUBLE - i::DOUBLE * (st::DOUBLE / n::DOUBLE)) / 1e2 " +
+        "* 10000 + 0.5) / 10000.0 AS cusum " +
+        "FROM w ORDER BY user_id, event_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

@@ -345,6 +345,22 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregate below the exchange:\n$plan")
   }
 
+  test("sql_lateral_topn decorrelates to a ranked join, not a per-row nested loop") {
+    val plan = physical(graft.ops.SqlApi.sqlLateralTopn(spark, sf01))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral degraded to a nested loop:\n$plan")
+    assert(plan.contains("Window"),
+      s"no window rank in the decorrelated lateral:\n$plan")
+  }
+
+  test("ts_cusum: running sum, index, and totals stack on ONE user_id exchange") {
+    val plan = physical(graft.ops.Quant.tsCusum(spark, sf01))
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"cusum paid more than one user_id exchange:\n$plan")
+    assert(!plan.contains("Join"), s"cusum joined back:\n$plan")
+  }
+
   test("round-6c per-user scalers/outliers ride ONE user_id exchange, no join-back") {
     Seq(graft.ops.Quant.featureZscoreNorm(spark, sf01),
         graft.ops.Quant.featureRobustScale(spark, sf01),

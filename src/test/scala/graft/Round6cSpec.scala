@@ -362,6 +362,56 @@ class Round6cSpec extends SparkSpec {
     }
   }
 
+  test("sql_lateral_topn: per-customer top-2 == direct recompute") {
+    val got = graft.ops.SqlApi.sqlLateralTopn(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    val building = Tables.customer(spark, sf01)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val orders = Tables.orders(spark, sf01)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = building.flatMap { ck =>
+      orders.getOrElse(ck, Array.empty[(Long, Long, Double)])
+        .sortBy(o => (-o._3, o._2)).take(2).map(o => (ck, o._2))
+    }
+    assert(got === expected)
+  }
+
+  test("fn_url_parse: every component extracted on every row") {
+    val got = Quant.fnUrlParse(spark, sf01).collect()
+    assert(got.length === 500)
+    got.foreach { r =>
+      val (id, url) = (r.getLong(0), r.getString(1))
+      assert(r.getString(2) === "https")
+      assert(r.getString(3).endsWith(".example.com") &&
+        url.startsWith("https://" + r.getString(3)))
+      assert(r.getString(4) === s"/docs/$id")
+      assert(r.getString(5).nonEmpty && url.endsWith("?lang=" + r.getString(5)))
+    }
+  }
+
+  test("ts_cusum: matches a direct recompute; final deviation sums to zero") {
+    val got = Quant.tsCusum(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size === 10000)
+    eventsByUser.foreach { case (_, evs) =>
+      val xs = evs.map(e => cents(e._4))
+      val st = xs.sum
+      val mu = st.toDouble / xs.length
+      var si = 0L
+      evs.zipWithIndex.foreach { case ((_, _, eid, _), i) =>
+        si += xs(i)
+        val expect = math.floor((si - (i + 1) * mu) / 1e2 * 10000 + 0.5) / 10000
+        assert(got(eid) === expect, s"cusum of event $eid")
+      }
+      // CUSUM returns to ~0 at the last event by construction
+      assert(math.abs(si - xs.length * mu) < 1e-3)
+    }
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
