@@ -488,15 +488,22 @@ object Relational {
     * arg_max can't order by a struct, so both sides key on a fixed-width
     * zero-padded string — lexicographic == numeric for the non-negative
     * epoch/id domains). */
-  def cdcUpsertLatest(s: SparkSession, d: String): DataFrame = {
+  def cdcUpsertLatest(s: SparkSession, d: String): DataFrame =
+    upsertLatestTransform(Tables.events(s, d))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** The latest-wins aggregation itself, shared between the oracle-gated
+    * batch key above and the streaming parity test (StreamingParitySpec):
+    * a pure declarative aggregate, so the SAME expression maintains the
+    * current-state table incrementally under a multi-micro-batch replay
+    * (complete mode) and in one shot over the batch table. */
+  private[graft] def upsertLatestTransform(ev: DataFrame): DataFrame = {
     val key = latestTsIdKey(col("ts"), col("event_id"))
-    Tables.events(s, d)
-      .groupBy(col("user_id"), col("event_type"))
+    ev.groupBy(col("user_id"), col("event_type"))
       .agg(
         max_by(col("event_id"), key).as("event_id"),
         round(max_by(col("value"), key), 2).as("value"),
         max(col("ts")).as("ts"))
-      .orderBy(col("user_id"), col("event_type"))
   }
 
   /** Fixed-width composite key encoders — lexicographic == the intended

@@ -53,6 +53,34 @@ class StreamingParitySpec extends SparkSpec {
       Streaming.streamTumbling1h(spark, sf001), "multibatch")
   }
 
+  test("streaming CDC latest-state across 4 micro-batches == batch cdc_upsert_latest") {
+    // The feature-store current-state table maintained INCREMENTALLY:
+    // the same max_by aggregate runs over 4 arrival batches (complete
+    // mode re-emits the maintained state) and must land on the one-shot
+    // batch compaction exactly — latest-wins must survive keys whose
+    // winner arrives in an earlier batch than later losers.
+    val in = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    (0 until 4).foreach { i =>
+      raw.where(col("event_id") % 4 === i).coalesce(1)
+        .write.parquet(s"$in/part$i")
+    }
+    val stream = spark.readStream.schema(EventSource.storedSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val state = graft.ops.Relational.upsertLatestTransform(stream)
+    val q = state.writeStream.format("memory").queryName("t_cdc_state")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "expected >=4 non-empty micro-batches")
+    assertSameRows(
+      spark.table("t_cdc_state").orderBy(col("user_id"), col("event_type")),
+      graft.ops.Relational.cdcUpsertLatest(spark, sf001), "cdc-latest-state")
+  }
+
   test("kinesis envelope wrap→decode under streaming replay == batch tumbling agg") {
     // The reference's actual shape: a stream of Kinesis-style records
     // (partition key, sequence number, base64 JSON blob) decoded and
