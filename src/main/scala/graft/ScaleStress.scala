@@ -44,6 +44,14 @@ object ScaleStress {
     "anomaly_zscore", "ts_ewma", "graph_triangle_count", "agg_skew_kurt",
     "agg_corr_exact", "win_streak", "text_pii_redact", "text_ttr",
     "corpus_interleave",
+    // r6c: percentile/moment windows per user, pair-graph degrees and
+    // Jaccard (wedge growth), bounded-pair DAU range join, grid
+    // interpolation (row-independent), decorrelated lateral rank,
+    // running cusum, Lorenz decile split
+    "ts_anomaly_mad", "feature_zscore_norm", "feature_robust_scale",
+    "graph_degree_stats", "graph_edge_jaccard", "analytics_dau",
+    "ts_interpolate_linear", "sql_lateral_topn", "ts_cusum",
+    "analytics_pareto", "seq_pmi_bigrams",
     // r6b second wave: custom bitmap agg, rule mining, corpus-level
     // keyword stats, budget selection, DQ scan+anti-join.
     // sql_recursive_cte is EXCLUDED like dedup_ngram_jaccard: UNION ALL

@@ -548,6 +548,60 @@ object Quant {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Lorenz-curve deciles of user spend (the Pareto "top 10% drive X%"
+    * rollup) — the per-user companion of agg_gini's per-doc inequality:
+    * users rank by exact total cents descending, split into 10 equal
+    * ranks (the curriculum floor formula), and each decile reports its
+    * exact share plus the running cumulative share. Shares divide exact
+    * integers; the cumulative sum runs over 10 rows.
+    *
+    * Scale: one user_id partial agg, one rank window over the (small)
+    * per-user totals, a 10-row output — nothing global touches raw
+    * events. At extreme user cardinality the rank window is the one
+    * total-order stage; approx quantile boundaries are the documented
+    * relaxation. */
+  def analyticsPareto(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5)).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("user_id"))
+    val deciles = perUser
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile",
+        floor((col("rn") - 1).cast("double") * lit(10.0) /
+          col("n").cast("double")).cast("int") + 1)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("dc"))
+    deciles
+      .withColumn("total", sum(col("dc")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("dc")).over(Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_users"),
+        round(col("dc").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** ROLLUP with the GROUPING_ID surface — the subtotal-level marker
+    * downstream consumers key on (which rows are grand totals vs
+    * per-flag subtotals). Bit order (first column = MSB) is the SQL
+    * standard in both engines; NULL group keys coalesce to a sentinel so
+    * the output is scalar-clean.
+    *
+    * Scale: same partial-aggregable Expand as agg_rollup. */
+  def aggGroupingId(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5)).as("cents"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("cents"))
+      .orderBy(col("gid"), col("flag"), col("status"))
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

@@ -1675,6 +1675,38 @@ object OracleSql {
         "* 10000 + 0.5) / 10000.0 AS cusum " +
         "FROM w ORDER BY user_id, event_id"),
 
+    // Lorenz deciles of user spend: exact cents, curriculum floor
+    // formula for the decile split, cumulative share over 10 rows
+    "analytics_pareto" ->
+      ("WITH u AS (SELECT user_id, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT cents, row_number() OVER " +
+        "(ORDER BY cents DESC, user_id) AS rn, " +
+        "count(*) OVER () AS n FROM u), " +
+        "d AS (SELECT (floor((rn - 1)::DOUBLE * 10.0 / n::DOUBLE)::INT + 1) " +
+        "AS decile, cents FROM r), " +
+        "g AS (SELECT decile, count(*) AS n_users, " +
+        "sum(cents)::BIGINT AS dc FROM d GROUP BY 1) " +
+        "SELECT decile, n_users, " +
+        "floor(dc::DOUBLE / (sum(dc) OVER ())::DOUBLE * 1000000 + 0.5) " +
+        "/ 1000000.0 AS share, " +
+        "floor((sum(dc) OVER (ORDER BY decile " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / " +
+        "(sum(dc) OVER ())::DOUBLE * 1000000 + 0.5) / 1000000.0 AS cum_share " +
+        "FROM g ORDER BY decile"),
+
+    // ROLLUP + GROUPING_ID (first column = MSB in both engines); NULL
+    // keys coalesce to a sentinel
+    "agg_grouping_id" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS flag, " +
+        "coalesce(l_linestatus, 'ALL') AS status, " +
+        "GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid, " +
+        "count(*) AS n, " +
+        "sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS cents " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY gid, flag, status"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

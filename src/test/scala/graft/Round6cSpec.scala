@@ -412,6 +412,40 @@ class Round6cSpec extends SparkSpec {
     }
   }
 
+  test("analytics_pareto: shares sum to 1, cum_share monotone, top decile dominates") {
+    val got = Quant.analyticsPareto(spark, sf01)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (1 to 10))
+    val nUsers = Tables.events(spark, sf01)
+      .select(col("user_id")).distinct().count()
+    assert(got.map(_._2).sum === nUsers)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
+    val cums = got.sortBy(_._1).map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(cums.last - 1.0) < 1e-6)
+    // deciles rank by spend DESC, so shares must be non-increasing
+    val shares = got.sortBy(_._1).map(_._3)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b - 1e-12 })
+  }
+
+  test("agg_grouping_id: levels partition the fact table, gid marks depth") {
+    val got = Quant.aggGroupingId(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = Tables.lineitem(spark, sf01).count()
+    Seq(0L, 1L, 3L).foreach { gid =>
+      val lvl = got.filter(_._3 == gid)
+      assert(lvl.nonEmpty, s"missing rollup level gid=$gid")
+      assert(lvl.map(_._4).sum === total, s"level gid=$gid does not partition")
+    }
+    assert(got.filter(_._3 == 3L).map(t => (t._1, t._2)).toSeq ===
+      Seq(("ALL", "ALL")))
+    // cents roll up exactly level-to-level
+    assert(got.filter(_._3 == 0L).map(_._5).sum ===
+      got.filter(_._3 == 3L).map(_._5).head)
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
