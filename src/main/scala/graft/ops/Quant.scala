@@ -602,6 +602,63 @@ object Quant {
         col("gid"), col("n"), col("cents"))
       .orderBy(col("gid"), col("flag"), col("status"))
 
+  /** Boilerplate contamination per document — the C4-style repeated-
+    * template signal: the fraction of a doc's distinct 3-gram shingles
+    * that occur in ≥ 5 distinct documents. Exact integer counts plus one
+    * divide; docs shorter than the shingle window are excluded on both
+    * sides.
+    *
+    * Scale: shingles explode map-side and the corpus-frequency count is
+    * one partial-aggregable (shingle) shuffle; at 100 TB shingles hash
+    * to longs before shuffling (the decontaminate_ngram kernel — 8 B per
+    * shingle) and the doc-frequency table semi-joins back. The HOF
+    * shingle build is interpreted, not codegen'd — fine off the hot
+    * path; the typed kernel is the hot-path variant. */
+  def textBoilerplateRatio(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))")))
+        .as("sh"))
+    val df = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    sh.join(df, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count_if(col("nd") >= 5).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") /
+          col("n_shingles").cast("double"), 6).as("boiler_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-balance divergence of the corpus: KL(observed lang mix ‖
+    * uniform) — the one-number skew alarm a mixture re-weighting stage
+    * watches. The five per-lang terms p·ln(5p) are inexact doubles, so
+    * they accumulate via a RUNNING window in lang order (deterministic
+    * accumulation both engines — groupBy partial-agg merge order is not;
+    * the stream/batch FP-parity rule), and the last row carries the sum.
+    *
+    * Scale: |langs| rows after one partial-aggregable count — the window
+    * is over a handful of rows whatever the corpus size. */
+  def corpusKlBalance(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .crossJoin(broadcast(Tables.documents(s, d)
+        .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("k"))))
+    val p = col("n_l").cast("double") / col("n").cast("double")
+    val term = p * log(col("k").cast("double") * p)
+    val wo = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("term", term)
+      .withColumn("kl_run", sum(col("term")).over(wo))
+      .withColumn("rn", row_number().over(Window.orderBy(col("lang"))))
+      .where(col("rn") === col("k"))
+      .select(col("k").as("n_langs"), round(col("kl_run"), 6).as("kl_uniform"))
+  }
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

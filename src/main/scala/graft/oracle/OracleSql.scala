@@ -1707,6 +1707,35 @@ object OracleSql {
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY gid, flag, status"),
 
+    // per-doc boilerplate shingle ratio (3-gram shingles in >= 5 docs);
+    // exact counts, one divide
+    "text_boilerplate_ratio" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(0, len(ws) - 2), i -> array_to_string(ws[i+1:i+3], ' ')))) AS sh " +
+        "FROM d WHERE len(ws) >= 3), " +
+        "df AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "count(*) FILTER (WHERE nd >= 5) AS n_boiler, " +
+        "floor((count(*) FILTER (WHERE nd >= 5))::DOUBLE / count(*)::DOUBLE " +
+        "* 1000000 + 0.5) / 1000000.0 AS boiler_ratio " +
+        "FROM s JOIN df USING (sh) GROUP BY doc_id ORDER BY doc_id"),
+
+    // KL(lang mix || uniform): inexact terms accumulate via a RUNNING
+    // window in lang order (deterministic both engines), last row wins
+    "corpus_kl_balance" ->
+      ("WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1), " +
+        "t AS (SELECT lang, n_l, (SELECT count(*) FROM documents) AS n, " +
+        "(SELECT count(DISTINCT lang) FROM documents) AS k FROM c), " +
+        "x AS (SELECT lang, k, (n_l::DOUBLE / n::DOUBLE) * " +
+        "ln(k::DOUBLE * (n_l::DOUBLE / n::DOUBLE)) AS term FROM t), " +
+        "w AS (SELECT k, sum(term) OVER (ORDER BY lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kl_run, " +
+        "row_number() OVER (ORDER BY lang) AS rn FROM x) " +
+        "SELECT k AS n_langs, " +
+        "floor(kl_run * 1000000 + 0.5) / 1000000.0 AS kl_uniform " +
+        "FROM w WHERE rn = k"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

@@ -446,6 +446,44 @@ class Round6cSpec extends SparkSpec {
       got.filter(_._3 == 3L).map(_._5).head)
   }
 
+  test("text_boilerplate_ratio: matches a direct shingle recompute") {
+    val got = Quant.textBoilerplateRatio(spark, sf01)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.values.map(_._2).sum > 0, "no boilerplate found — vacuous")
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 3)
+    val shingles = docs.map { case (id, ws) =>
+      (id, ws.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val docFreq = shingles.flatMap(_._2.map(s => (s, 1)))
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    shingles.foreach { case (id, sh) =>
+      val boiler = sh.count(docFreq(_) >= 5).toLong
+      assert(got(id) === ((sh.size.toLong, boiler)), s"doc $id")
+    }
+    assert(got.size === shingles.length)
+  }
+
+  test("corpus_kl_balance: nonnegative, zero iff uniform, matches recompute") {
+    val got = Quant.corpusKlBalance(spark, sf01).collect()
+    assert(got.length === 1)
+    val (k, kl) = (got.head.getLong(0), got.head.getDouble(1))
+    val counts = Tables.documents(spark, sf01)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(k === counts.length.toLong)
+    val n = counts.map(_._2).sum.toDouble
+    var run = 0.0
+    counts.foreach { case (_, nl) =>
+      val p = nl / n
+      run += p * math.log(k * p)
+    }
+    assert(kl === math.floor(run * 1e6 + 0.5) / 1e6)
+    assert(kl > 0, "fixture lang mix is non-uniform — KL must be positive")
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
