@@ -53,6 +53,23 @@ object Custom {
       .orderBy(col("event_type"))
   }
 
+  /** The HLL sketch under ROLLUP — the property that makes sketches the
+    * 100 TB distinct-count answer is MERGEABILITY, and grouping sets are
+    * its sharpest test: every subtotal level re-merges the same partial
+    * sketch states (per-type, then the grand total) without a second
+    * scan. Oracle-exempt like the flat HLL; CustomSurfaceSpec pins every
+    * level's estimate within ±5% of the exact distinct AND the plan to
+    * one Expand (no per-level re-scan). */
+  def aggHllRollup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HllSketch.register(s)
+    Tables.events(s, d)
+      .rollup(col("event_type"))
+      .agg(call_function("graft_hll", col("user_id")).as("hll_users"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("hll_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Custom EXACT-distinct bitmap aggregate per event_type — unlike the
     * HLL/t-digest sketches this one is oracle-GATED: bitmap-OR is exact,
     * so the result hash-matches DuckDB count(DISTINCT). Demonstrates a

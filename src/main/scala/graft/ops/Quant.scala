@@ -659,6 +659,40 @@ object Quant {
       .select(col("k").as("n_langs"), round(col("kl_run"), 6).as("kl_uniform"))
   }
 
+  /** Two-way seasonal residual per event: value minus the additive
+    * weekday + hour-of-day baseline (wd_mean + hod_mean − grand_mean) —
+    * what's left after calendar seasonality, the input a drift/anomaly
+    * stage actually wants. All three baselines divide exact cent sums
+    * once; the residual is one affine chain on identical operands.
+    *
+    * Scale: three partial-aggregable groupBys over tiny keys (7 / 24 /
+    * 1 rows) broadcast back onto the stream — raw events shuffle
+    * nowhere. */
+  def tsSeasonalResidual(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).as("xc"))
+      .withColumn("wd", weekday(col("ts")))
+      .withColumn("hod", hour(col("ts")))
+    def meanOf(df: DataFrame, key: Seq[String], n: String, c: String): DataFrame =
+      if (key.isEmpty) df.agg(count(lit(1)).as(n), sum(col("xc")).as(c))
+      else df.groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as(n), sum(col("xc")).as(c))
+    val byWd = meanOf(ev, Seq("wd"), "wn", "wc")
+    val byHod = meanOf(ev, Seq("hod"), "hn", "hc")
+    val global = meanOf(ev, Seq.empty, "gn", "gc")
+    val wdm = col("wc").cast("double") / col("wn").cast("double") / 1e2
+    val hm = col("hc").cast("double") / col("hn").cast("double") / 1e2
+    val gm = col("gc").cast("double") / col("gn").cast("double") / 1e2
+    ev.join(broadcast(byWd), Seq("wd"))
+      .join(broadcast(byHod), Seq("hod"))
+      .crossJoin(broadcast(global))
+      .select(col("event_id"),
+        round(col("xc").cast("double") / 1e2 - (wdm + hm - gm), 4)
+          .as("residual"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

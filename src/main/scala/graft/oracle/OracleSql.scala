@@ -1736,6 +1736,23 @@ object OracleSql {
         "floor(kl_run * 1000000 + 0.5) / 1000000.0 AS kl_uniform " +
         "FROM w WHERE rn = k"),
 
+    // two-way seasonal residual: exact cent sums per weekday/hour/global,
+    // one affine double chain spelled identically
+    "ts_seasonal_residual" ->
+      ("WITH e AS (SELECT event_id, (isodow(ts) - 1)::INT AS wd, " +
+        "hour(ts)::INT AS hod, floor(value * 100 + 0.5)::BIGINT AS xc " +
+        "FROM events), " +
+        "w AS (SELECT wd, count(*) AS wn, sum(xc)::BIGINT AS wc FROM e GROUP BY 1), " +
+        "h AS (SELECT hod, count(*) AS hn, sum(xc)::BIGINT AS hc FROM e GROUP BY 1), " +
+        "g AS (SELECT count(*) AS gn, sum(xc)::BIGINT AS gc FROM e) " +
+        "SELECT event_id, " +
+        "floor((xc::DOUBLE / 1e2 - " +
+        "(wc::DOUBLE / wn::DOUBLE / 1e2 + hc::DOUBLE / hn::DOUBLE / 1e2 " +
+        "- gc::DOUBLE / gn::DOUBLE / 1e2)) * 10000 + 0.5) / 10000.0 " +
+        "AS residual " +
+        "FROM e JOIN w USING (wd) JOIN h USING (hod), g " +
+        "ORDER BY event_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

@@ -20,6 +20,27 @@ class CustomSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("graft_hll under ROLLUP: every subtotal level within 5% of exact, one Expand") {
+    val approx = Custom.aggHllRollup(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perType = Tables.events(spark, sf01).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grand = Tables.events(spark, sf01)
+      .select(col("user_id")).distinct().count()
+    val exact = perType + ("ALL" -> grand)
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"$k: hll ${approx(k)} vs exact $n")
+    }
+    // mergeability claim: one scan + one Expand, not a union of re-scans
+    val plan = Custom.aggHllRollup(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Union"),
+      s"rollup re-scanned instead of expanding:\n$plan")
+  }
+
   test("graft_bitmap (TypedImperativeAggregate) EXACTLY equals countDistinct") {
     val got = Custom.aggBitmapDistinct(spark, sf01).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -484,6 +484,29 @@ class Round6cSpec extends SparkSpec {
     assert(kl > 0, "fixture lang mix is non-uniform — KL must be positive")
   }
 
+  test("ts_seasonal_residual: matches a direct two-way baseline recompute") {
+    val got = Quant.tsSeasonalResidual(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size === 10000)
+    val rows = Tables.events(spark, sf01)
+      .select(col("event_id"), col("ts"), col("value"))
+      .collect().map { r =>
+        val ldt = r.getTimestamp(1).toLocalDateTime
+        (r.getLong(0), ldt.getDayOfWeek.getValue - 1, ldt.getHour,
+          cents(r.getDouble(2)))
+      }
+    def mean(xs: Iterable[Long]): Double =
+      xs.sum.toDouble / xs.size / 1e2
+    val wdm = rows.groupBy(_._2).view.mapValues(g => mean(g.map(_._4))).toMap
+    val hm = rows.groupBy(_._3).view.mapValues(g => mean(g.map(_._4))).toMap
+    val gm = mean(rows.map(_._4))
+    rows.foreach { case (eid, wd, hod, xc) =>
+      val expect = math.floor(
+        (xc / 1e2 - (wdm(wd) + hm(hod) - gm)) * 10000 + 0.5) / 10000
+      assert(got(eid) === expect, s"residual of event $eid")
+    }
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
