@@ -693,6 +693,65 @@ object Quant {
       .orderBy(col("event_id"))
   }
 
+  /** The Spark 4 VARIANT surface over the schemaless event payload:
+    * parse_json once, then typed path extraction (variant_get) — the
+    * open-schema ingestion pattern that replaces per-field from_json
+    * casts when payloads drift. The twin extracts the same paths with
+    * DuckDB's JSON operators; values are small ints so every cast is
+    * exact.
+    *
+    * Scale: map-only; variant parse + getter are codegen'd expressions,
+    * no shuffle but the output sort. */
+  def fnVariantJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "int").as("k_int"),
+        variant_get(col("v"), "$.k", "string").as("k_str"),
+        (variant_get(col("v"), "$.k", "int") * 2).as("k_doubled"))
+      .orderBy(col("event_id"))
+
+  /** Rolling 20-event z-score per user — the windowed version of
+    * feature_zscore_norm an online monitor actually computes (global
+    * moments drift; the trailing window adapts). Rolling Σx and Σx² are
+    * exact integer sums over a fixed 20-row frame, so the same exact-
+    * moment algebra applies frame by frame; rows before the 20th and
+    * zero-variance frames (exact integer test) are excluded.
+    *
+    * Scale: the rolling sums, row index, and the lag ride ONE user_id
+    * exchange; state per row is O(frame), no whole-history buffering. */
+  def tsRollingZscore(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wr = wo.rowsBetween(-19, 0)
+    val num = lit(20) * col("s2") - col("s1") * col("s1")
+    val mu = col("s1").cast("double") / lit(2e1)
+    val sd = sqrt(num.cast("double") / lit(380.0))
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).as("xc"))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("s1", sum(dec(col("xc"))).over(wr))
+      .withColumn("s2", sum(dec(col("xc") * col("xc"))).over(wr))
+      .where(col("rn") >= 20 && num > 0)
+      .select(col("event_id"), col("user_id"),
+        round((col("xc").cast("double") - mu) / sd, 4).as("z_roll"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Cluster-size histogram of the near-duplicate components
+    * (dedup_cluster_cc's output distribution) — the shape diagnostic
+    * that tells a dedup pass whether it found scattered pairs or a
+    * giant component. Exact integer counts end to end.
+    *
+    * Scale: two partial-aggregable groupBys over the (bounded) label
+    * table the CC loop already produced. */
+  def graphCcSizes(s: SparkSession, d: String): DataFrame =
+    LlmPipeline.dedupClusterCc(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("csize"))
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

@@ -1753,6 +1753,52 @@ object OracleSql {
         "FROM e JOIN w USING (wd) JOIN h USING (hod), g " +
         "ORDER BY event_id"),
 
+    // Spark VARIANT path extraction == DuckDB JSON operators; payload
+    // values are small ints, every cast exact
+    "fn_variant_json" ->
+      ("SELECT event_id, " +
+        "json_extract(props, '$.k')::INT AS k_int, " +
+        "json_extract_string(props, '$.k') AS k_str, " +
+        "(json_extract(props, '$.k')::INT * 2) AS k_doubled " +
+        "FROM events ORDER BY event_id"),
+
+    // rolling 20-event z-score: exact integer sums over a fixed frame,
+    // same moment algebra as feature_zscore_norm
+    "ts_rolling_zscore" ->
+      ("WITH e AS (SELECT event_id, user_id, ts, " +
+        "floor(value * 100 + 0.5)::BIGINT AS xc FROM events), " +
+        "w AS (SELECT event_id, user_id, xc, " +
+        "row_number() OVER wo AS rn, " +
+        "sum(xc) OVER wr AS s1, " +
+        "sum(xc * xc) OVER wr AS s2 FROM e " +
+        "WINDOW wo AS (PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id), " +
+        "wr AS (PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, " +
+        "floor((xc::DOUBLE - s1::DOUBLE / 2e1) / " +
+        "sqrt((20 * s2 - s1 * s1)::DOUBLE / 3.8e2) " +
+        "* 10000 + 0.5) / 10000.0 AS z_roll " +
+        "FROM w WHERE rn >= 20 AND (20 * s2 - s1 * s1) > 0 " +
+        "ORDER BY user_id, event_id"),
+
+    // component-size histogram over the same recursive-CTE closure the
+    // dedup_cluster_cc twin uses
+    "graph_cc_sizes" ->
+      ("WITH RECURSIVE pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE floor((list_sum(list_transform(range(1, 65), " +
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 >= 0.3), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(v, l) AS (SELECT vec_id, vec_id FROM embeddings " +
+        "UNION SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v), " +
+        "cl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v), " +
+        "cs AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1) " +
+        "SELECT csize, count(*) AS n_clusters FROM cs GROUP BY 1 " +
+        "ORDER BY csize"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

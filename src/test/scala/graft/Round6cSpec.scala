@@ -507,6 +507,51 @@ class Round6cSpec extends SparkSpec {
     }
   }
 
+  test("fn_variant_json: typed variant extraction matches the raw JSON payload") {
+    val got = Quant.fnVariantJson(spark, sf01).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2), r.getInt(3))))
+      .toMap
+    assert(got.size === 10000)
+    Tables.events(spark, sf01).select(col("event_id"), col("props"))
+      .collect().foreach { r =>
+        val k = """"k"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(r.getString(1)).get.group(1).toInt
+        assert(got(r.getLong(0)) === ((k, k.toString, k * 2)))
+      }
+  }
+
+  test("ts_rolling_zscore: matches a direct 20-frame recompute") {
+    val got = Quant.tsRollingZscore(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    var checked = 0
+    eventsByUser.foreach { case (_, evs) =>
+      val xs = evs.map(e => cents(e._4))
+      evs.indices.drop(19).foreach { i =>
+        val frame = xs.slice(i - 19, i + 1)
+        val s1 = frame.map(BigInt(_)).sum
+        val s2 = frame.map(x => BigInt(x) * x).sum
+        val num = BigInt(20) * s2 - s1 * s1
+        val eid = evs(i)._3
+        if (num > 0) {
+          val z = math.floor((xs(i) - s1.toDouble / 2e1) /
+            math.sqrt(num.toDouble / 380.0) * 10000 + 0.5) / 10000
+          assert(got(eid) === z, s"rolling z of event $eid")
+          checked += 1
+        } else assert(!got.contains(eid))
+      }
+    }
+    assert(checked === got.size)
+  }
+
+  test("graph_cc_sizes: sizes partition the vertex set") {
+    val got = Quant.graphCcSizes(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nVerts = Tables.embeddings(spark, sf01).count()
+    assert(got.map { case (sz, n) => sz * n }.sum === nVerts)
+    assert(got.length > 1, "degenerate single-size histogram")
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
