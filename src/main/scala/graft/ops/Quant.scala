@@ -752,6 +752,80 @@ object Quant {
       .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("csize"))
 
+  /** Novelty ratio per document — the fraction of a doc's distinct
+    * 3-gram shingles FIRST seen in this doc (owner = min doc_id over the
+    * corpus), the incremental-ingest signal ("how much new text does
+    * this doc add?") that complements text_boilerplate_ratio's
+    * corpus-frequency view. Exact integer counts plus one divide.
+    *
+    * Scale: same shingle kernel as boilerplate — map-side explode, one
+    * partial-aggregable (shingle → min doc_id) shuffle; shingles hash to
+    * longs at 100 TB (decontaminate kernel). */
+  def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))")))
+        .as("sh"))
+    val owner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(owner, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count_if(col("first_doc") === col("doc_id")).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quantity-weighted mean price per return flag — the weighted-
+    * statistics surface (plain means mislead when line sizes vary).
+    * Σ(qty·price_cents) and Σqty are exact integers (DECIMAL(38,0) ≡
+    * HUGEINT headroom on the product sum), one divide at the end.
+    *
+    * Scale: one partial-aggregable groupBy on a tiny key. */
+  def aggWeightedMean(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val pc = floor(col("l_extendedprice") * 100 + 0.5)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), q.as("q"), pc.as("pc"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("q"))).as("sq"),
+        sum(dec(col("q") * col("pc"))).as("sqp"))
+      .select(col("l_returnflag"),
+        round(col("sqp").cast("double") / col("sq").cast("double") / 1e2, 4)
+          .as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Inter-arrival profile per user: count, exact mean gap, and max gap
+    * in whole seconds between consecutive events — the cadence signal
+    * sessionization thresholds (the 30-min gap) are tuned from. Gaps are
+    * exact µs-derived second integers off one lag; the mean divides two
+    * exact integers.
+    *
+    * Scale: one lag + one partial-aggregable groupBy on the same
+    * user_id exchange. */
+  def tsInterarrivalStats(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(wo))
+      .where(col("prev").isNotNull)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))).as("gap_s"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sg"),
+        max(col("gap_s")).as("max_gap_s"))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("sg").cast("double") / col("n_gaps").cast("double"), 4)
+          .as("mean_gap_s"),
+        col("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

@@ -1799,6 +1799,42 @@ object OracleSql {
         "SELECT csize, count(*) AS n_clusters FROM cs GROUP BY 1 " +
         "ORDER BY csize"),
 
+    // per-doc novelty: shingles first seen here / all shingles
+    "text_ngram_novelty" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(0, len(ws) - 2), i -> array_to_string(ws[i+1:i+3], ' ')))) AS sh " +
+        "FROM d WHERE len(ws) >= 3), " +
+        "o AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "count(*) FILTER (WHERE first_doc = doc_id) AS n_novel, " +
+        "floor((count(*) FILTER (WHERE first_doc = doc_id))::DOUBLE / " +
+        "count(*)::DOUBLE * 1000000 + 0.5) / 1000000.0 AS novelty " +
+        "FROM s JOIN o USING (sh) GROUP BY doc_id ORDER BY doc_id"),
+
+    // quantity-weighted mean price from exact integer product sums
+    "agg_weighted_mean" ->
+      ("WITH b AS (SELECT l_returnflag, l_quantity::BIGINT AS q, " +
+        "floor(l_extendedprice * 100 + 0.5)::BIGINT AS pc FROM lineitem), " +
+        "g AS (SELECT l_returnflag, sum(q) AS sq, sum(q * pc) AS sqp " +
+        "FROM b GROUP BY 1) " +
+        "SELECT l_returnflag, " +
+        "floor(sqp::DOUBLE / sq::DOUBLE / 1e2 * 10000 + 0.5) / 10000.0 " +
+        "AS wavg_price FROM g ORDER BY l_returnflag"),
+
+    // inter-arrival gaps in whole seconds (floor-second epochs, the
+    // sessionization convention); exact integer mean
+    "ts_interarrival_stats" ->
+      ("WITH e AS (SELECT user_id, " +
+        "floor(epoch(ts))::BIGINT AS es, ts, event_id FROM events), " +
+        "g AS (SELECT user_id, es - lag(es, 1) OVER " +
+        "(PARTITION BY user_id " +
+        "ORDER BY date_trunc('microseconds', ts), event_id) AS gap_s FROM e) " +
+        "SELECT user_id, count(*) AS n_gaps, " +
+        "floor(sum(gap_s)::DOUBLE / count(*)::DOUBLE * 10000 + 0.5) " +
+        "/ 10000.0 AS mean_gap_s, max(gap_s) AS max_gap_s " +
+        "FROM g WHERE gap_s IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

@@ -552,6 +552,61 @@ class Round6cSpec extends SparkSpec {
     assert(got.length > 1, "degenerate single-size histogram")
   }
 
+  test("text_ngram_novelty: matches a direct first-owner recompute") {
+    val got = Quant.textNgramNovelty(spark, sf01)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 3)
+    val shingles = docs.map { case (id, ws) =>
+      (id, ws.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val firstOwner = shingles.flatMap { case (id, sh) => sh.map((_, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    shingles.foreach { case (id, sh) =>
+      val novel = sh.count(firstOwner(_) == id).toLong
+      assert(got(id) === ((sh.size.toLong, novel)), s"doc $id")
+    }
+    // novelty must not be constant-1 (shared shingles exist at sf0.01)
+    assert(got.exists { case (_, (n, novel)) => novel < n },
+      "every shingle novel — vacuous against boilerplate evidence")
+  }
+
+  test("agg_weighted_mean: matches a direct exact-product recompute") {
+    val got = Quant.aggWeightedMean(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val rows = Tables.lineitem(spark, sf01)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1).toLong,
+        cents(r.getDouble(2))))
+      .groupBy(_._1)
+    assert(got.keySet === rows.keySet)
+    rows.foreach { case (f, ls) =>
+      val sq = ls.map(l => BigInt(l._2)).sum
+      val sqp = ls.map(l => BigInt(l._2) * l._3).sum
+      val expect =
+        math.floor(sqp.toDouble / sq.toDouble / 1e2 * 10000 + 0.5) / 10000
+      assert(got(f) === expect, s"wavg of $f")
+    }
+  }
+
+  test("ts_interarrival_stats: matches a direct gap recompute") {
+    val got = Quant.tsInterarrivalStats(spark, sf01)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    eventsByUser.foreach { case (uid, evs) =>
+      if (evs.length >= 2) {
+        val secs = evs.map(_._2.toInstant.getEpochSecond)
+        val gaps = secs.zip(secs.tail).map { case (a, b) => b - a }
+        val mean = math.floor(
+          gaps.sum.toDouble / gaps.length * 10000 + 0.5) / 10000
+        assert(got(uid) === ((gaps.length.toLong, mean, gaps.max)), s"user $uid")
+      } else assert(!got.contains(uid))
+    }
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
