@@ -678,6 +678,29 @@ object Relational {
     clicks.except(purchases).orderBy(col("user_id"))
   }
 
+  /** Multiset INTERSECT ALL: each clicker-purchaser survives
+    * min(#clicks, #purchases) times — the bag-semantics counterpart of
+    * set_intersect (frequency-preserving overlap, what dedup accounting
+    * actually needs). Spark plans a count-based aggregate + generate,
+    * not a distinct. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val clicks = Tables.events(s, d).where(col("event_type") === "click")
+      .select(col("user_id"))
+    val purchases = Tables.events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"))
+    clicks.intersectAll(purchases).orderBy(col("user_id"))
+  }
+
+  /** Multiset EXCEPT ALL: clicks minus purchases per user with
+    * multiplicity (max(#clicks − #purchases, 0) copies survive). */
+  def setExceptAll(s: SparkSession, d: String): DataFrame = {
+    val clicks = Tables.events(s, d).where(col("event_type") === "click")
+      .select(col("user_id"))
+    val purchases = Tables.events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"))
+    clicks.exceptAll(purchases).orderBy(col("user_id"))
+  }
+
   /** Exact row dedup on documents.text with a DETERMINISTIC survivor:
     * keep min(doc_id) per text (raw dropDuplicates keeps an arbitrary row —
     * never acceptable in a hash-matched query, SURVEY.md §2.7). */

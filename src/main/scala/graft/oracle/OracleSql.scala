@@ -1835,6 +1835,19 @@ object OracleSql {
         "/ 10000.0 AS mean_gap_s, max(gap_s) AS max_gap_s " +
         "FROM g WHERE gap_s IS NOT NULL GROUP BY user_id ORDER BY user_id"),
 
+    // bag-semantics set ops (frequency-preserving)
+    "set_intersect_all" ->
+      ("SELECT user_id FROM events WHERE event_type = 'click' " +
+        "INTERSECT ALL " +
+        "SELECT user_id FROM events WHERE event_type = 'purchase' " +
+        "ORDER BY user_id"),
+
+    "set_except_all" ->
+      ("SELECT user_id FROM events WHERE event_type = 'click' " +
+        "EXCEPT ALL " +
+        "SELECT user_id FROM events WHERE event_type = 'purchase' " +
+        "ORDER BY user_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

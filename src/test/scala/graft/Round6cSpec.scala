@@ -607,6 +607,25 @@ class Round6cSpec extends SparkSpec {
     }
   }
 
+  test("set_intersect_all / set_except_all: true multiset semantics") {
+    val types = Tables.events(spark, sf01)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val clicks = types.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    val buys = types.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    val inter = graft.ops.Relational.setIntersectAll(spark, sf01).count()
+    val exc = graft.ops.Relational.setExceptAll(spark, sf01).count()
+    val expInter = clicks.map { case (u, c) =>
+      math.min(c, buys.getOrElse(u, 0)) }.sum.toLong
+    val expExc = clicks.map { case (u, c) =>
+      math.max(c - buys.getOrElse(u, 0), 0) }.sum.toLong
+    assert(inter === expInter && exc === expExc)
+    // bag semantics must differ from the distinct forms
+    assert(inter > graft.ops.Relational.setIntersect(spark, sf01).count())
+  }
+
   test("ts_autocorr_lag1: |acf| <= 1 and matches a direct recompute") {
     val got = Quant.tsAutocorrLag1(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
