@@ -826,6 +826,74 @@ object Quant {
       .orderBy(col("user_id"))
   }
 
+  /** Quality-gate attrition funnel — the observability report every
+    * corpus filter chain ships with: docs surviving each CUMULATIVE
+    * stage (length ≥ 20 tokens → TTR ≥ 0.5 → sentence punctuation
+    * present), with per-stage drop counts. One row per stage, exact
+    * counts from conditional aggregation over ONE scan (no per-stage
+    * re-filtering).
+    *
+    * Scale: a single partial-aggregable global aggregate — the funnel
+    * is conditional counters, not a chain of jobs. */
+  def pipelineQualityFunnel(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val g1 = size(ws) >= 20
+    val g2 = g1 && (size(array_distinct(ws)).cast("double") /
+      size(ws).cast("double")) >= 0.5
+    val g3 = g2 && col("text").rlike("[.!?]")
+    val agg = Tables.documents(s, d).agg(
+      count(lit(1)).as("n0"), count_if(g1).as("n1"),
+      count_if(g2).as("n2"), count_if(g3).as("n3"))
+    agg.select(expr(
+      "stack(4, 0, 'ingest', n0, 1, 'min_length_20', n1, " +
+        "2, 'ttr_0.5', n2, 3, 'has_sentence_punct', n3) " +
+        "AS (stage, gate, n_docs)"))
+      .withColumn("n_dropped",
+        coalesce(lag(col("n_docs"), 1).over(
+          Window.orderBy(col("stage"))) - col("n_docs"), lit(0L)))
+      .orderBy(col("stage"))
+  }
+
+  /** Several COUNT(DISTINCT ...) over different keys in ONE aggregate —
+    * the multi-distinct planning surface (Catalyst rewrites it into one
+    * Expand + two-phase aggregate, not one scan per distinct). Exact
+    * counts.
+    *
+    * Scale: the Expand triples the pre-shuffle rows but partial
+    * aggregation collapses each replica to its distinct keys before the
+    * exchange — still one scan, one shuffle. */
+  def aggDistinctMulti(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d_users"),
+        countDistinct(date_trunc("day", col("ts"))).as("d_days"),
+        countDistinct(col("user_id"), date_trunc("day", col("ts")))
+          .as("d_user_days"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** EXISTS as a COLUMN (existence join): every customer with a flag for
+    * "has an urgent high-value order" — the feature-flag form of
+    * join_semi (keep all rows, mark the matches). Catalyst plans the
+    * correlated EXISTS expression as an ExistenceJoin — a join type the
+    * semi/anti pair doesn't exercise.
+    *
+    * Scale: same hash join as a semi join, the flag rides the join
+    * output; no row multiplication. */
+  def joinExistence(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_ex")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ord_ex")
+    s.sql("""
+      SELECT c_custkey,
+             (EXISTS (SELECT 1 FROM graft_ord_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > 100000.0))::INT AS has_urgent
+      FROM graft_cust_ex c
+      ORDER BY c_custkey
+    """)
+  }
+
   /** Per-user percent change of event value vs the previous event (the
     * "returns" transform every event-stream feature set carries). Values
     * snap to cents on both sides, so Δ/prev is one double divide of

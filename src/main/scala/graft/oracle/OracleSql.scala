@@ -1848,6 +1848,44 @@ object OracleSql {
         "SELECT user_id FROM events WHERE event_type = 'purchase' " +
         "ORDER BY user_id"),
 
+    // cumulative quality-gate funnel: conditional counters over one scan
+    "pipeline_quality_funnel" ->
+      ("WITH w AS (SELECT string_split(text, ' ') AS ws, text " +
+        "FROM documents), " +
+        "g AS (SELECT count(*) AS n0, " +
+        "count(*) FILTER (WHERE len(ws) >= 20) AS n1, " +
+        "count(*) FILTER (WHERE len(ws) >= 20 AND " +
+        "len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE >= 0.5) AS n2, " +
+        "count(*) FILTER (WHERE len(ws) >= 20 AND " +
+        "len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE >= 0.5 AND " +
+        "regexp_matches(text, '[.!?]')) AS n3 FROM w), " +
+        "v AS (SELECT * FROM (VALUES (0, 'ingest'), (1, 'min_length_20'), " +
+        "(2, 'ttr_0.5'), (3, 'has_sentence_punct')) AS t(stage, gate)), " +
+        "f AS (SELECT v.stage, v.gate, CASE v.stage WHEN 0 THEN g.n0 " +
+        "WHEN 1 THEN g.n1 WHEN 2 THEN g.n2 ELSE g.n3 END AS n_docs " +
+        "FROM v, g) " +
+        "SELECT stage, gate, n_docs, " +
+        "coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0)::BIGINT " +
+        "AS n_dropped FROM f ORDER BY stage"),
+
+    // several COUNT(DISTINCT ...) keys in one aggregate; tuple distinct
+    // via a collision-free concat (int64 user_id, '#' separator)
+    "agg_distinct_multi" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS d_users, " +
+        "count(DISTINCT date_trunc('day', ts)) AS d_days, " +
+        "count(DISTINCT user_id::VARCHAR || '#' || " +
+        "date_trunc('day', ts)::DATE::VARCHAR) AS d_user_days, " +
+        "count(*) AS n FROM events GROUP BY event_type " +
+        "ORDER BY event_type"),
+
+    // EXISTS as a projected flag (existence join)
+    "join_existence" ->
+      ("SELECT c_custkey, " +
+        "(EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT' " +
+        "AND o.o_totalprice > 100000.0))::INT AS has_urgent " +
+        "FROM customer c ORDER BY c_custkey"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:

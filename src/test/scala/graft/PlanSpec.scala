@@ -387,6 +387,23 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregate below the exchange:\n$plan")
   }
 
+  test("join_existence: EXISTS flag plans as an ExistenceJoin, not a join+distinct") {
+    val plan = physical(graft.ops.Quant.joinExistence(spark, sf01))
+    assert(plan.contains("ExistenceJoin"),
+      s"EXISTS column did not plan as ExistenceJoin:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated EXISTS fell back to a nested-loop plan:\n$plan")
+  }
+
+  test("agg_distinct_multi: multi-distinct rewrites to one Expand, not N scans") {
+    val plan = physical(graft.ops.Quant.aggDistinctMulti(spark, sf01))
+    assert(plan.contains("Expand"),
+      s"multi-distinct did not use the Expand rewrite:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"multi-distinct re-scanned the source:\n$plan")
+  }
+
   test("analytics_dau: WAU range join runs over the pre-aggregated pair table, not raw events") {
     val df = graft.ops.Quant.analyticsDau(spark, sf01)
     val plan = physical(df)

@@ -649,4 +649,65 @@ class Round6cSpec extends SparkSpec {
       assert(acf === expect, s"acf1 of user $uid")
     }
   }
+
+  test("pipeline_quality_funnel: cumulative gates match a direct recompute") {
+    val rows = Quant.pipelineQualityFunnel(spark, sf01)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 4 && rows.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    val texts = Tables.documents(spark, sf01)
+      .select(col("text")).collect().map(_.getString(0))
+    val ws = texts.map(_.split(" ", -1).toSeq)
+    val g1 = ws.count(_.length >= 20)
+    val g2 = ws.count(w => w.length >= 20 &&
+      w.distinct.length.toDouble / w.length >= 0.5)
+    val g3 = texts.zip(ws).count { case (t, w) => w.length >= 20 &&
+      w.distinct.length.toDouble / w.length >= 0.5 &&
+      t.exists("!?.".contains(_)) }
+    val exp = Seq(texts.length.toLong, g1.toLong, g2.toLong, g3.toLong)
+    assert(rows.map(_._3).toSeq === exp)
+    // funnel counts never increase; drops reconcile stage-to-stage
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 === a._3 - b._3)
+    }
+    assert(rows.head._4 === 0L)
+  }
+
+  test("agg_distinct_multi: tuple distinct matches a direct recompute") {
+    val got = Quant.aggDistinctMulti(spark, sf01)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty)
+    val evs = Tables.events(spark, sf01)
+      .select(col("event_type"), col("user_id"),
+        date_trunc("day", col("ts")).as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+    evs.foreach { case (et, rs) =>
+      val (du, dd, dud, n) = got(et)
+      assert(du === rs.map(_._2).distinct.length.toLong, s"$et users")
+      assert(dd === rs.map(_._3).distinct.length.toLong, s"$et days")
+      assert(dud === rs.map(r => (r._2, r._3)).distinct.length.toLong,
+        s"$et user-days")
+      assert(n === rs.length.toLong)
+      // tuple distinct dominates each marginal, bounded by row count
+      assert(dud >= math.max(du, dd) && dud <= n)
+    }
+  }
+
+  test("join_existence: flag partitions customers exactly as semi/anti would") {
+    val rows = Quant.joinExistence(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val nCust = Tables.customer(spark, sf01).count()
+    assert(rows.length.toLong === nCust, "flag form must keep every customer")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val withUrgent = Tables.orders(spark, sf01)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 100000.0)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    rows.foreach { case (ck, flag) =>
+      assert(flag === (if (withUrgent(ck)) 1 else 0), s"custkey $ck")
+    }
+    assert(rows.count(_._2 == 1) > 0 && rows.count(_._2 == 0) > 0)
+  }
 }
