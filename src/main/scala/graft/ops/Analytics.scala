@@ -53,6 +53,35 @@ object Analytics {
         count(col("t3")).as("n_full_funnel"))
   }
 
+  /** Time-to-convert for fully-funneled users: for every user whose
+    * click → view → purchase chain completes ([[funnelOrdered]]'s anchor
+    * chain), the elapsed µs from the click anchor to the purchase anchor
+    * — the latency distribution input every conversion report needs.
+    * Differences stay in exact integer microseconds (no FP date math).
+    *
+    * Scale: the same ONE scan + ONE user_id shuffle as funnel_ordered —
+    * the three stage anchors stack as conditional window minima on a
+    * single exchange; the final filter+project is map-side. */
+  def funnelTimeToConvert(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t3")).as("t3"))
+      .where(col("t3").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("t3")) - unix_micros(col("t1"))).as("us_to_convert"))
+      .orderBy(col("user_id"))
+  }
+
   /** Weekly cohort retention: users grouped by first-seen ISO week, then
     * for each (cohort, week offset) the count of cohort members active
     * that week. The per-(user, week) distinct happens BEFORE the cohort

@@ -96,6 +96,30 @@ object SqlApi {
     """)
   }
 
+  /** NOT IN over a NULLABLE subquery column — the null-aware anti join.
+    * Plain anti join (join_anti, EXISTS) is wrong for NOT IN when the
+    * inner column can be NULL: one inner NULL makes every outer row's
+    * membership UNKNOWN and the result empty. The `nullif` keeps the
+    * column nullable (the planner cannot prove otherwise) while the data
+    * has no actual NULLs, so the result is non-vacuous AND the plan is
+    * the null-aware variant.
+    *
+    * Scale: Catalyst plans single-column null-aware NOT IN as a
+    * broadcast hash anti join (isNullAware) — a streamed probe, not the
+    * nested-loop fallback multi-column NOT IN would force. */
+  def sqlSubqueryNotIn(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE c_custkey NOT IN (
+        SELECT nullif(o.o_custkey, -1) FROM orders o
+        WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 100000.0
+      )
+      ORDER BY c_custkey
+    """)
+  }
+
   /** LATERAL correlated subquery — the per-row subplan surface (top-2
     * orders per BUILDING customer) that only SQL expresses directly.
     * Catalyst decorrelates the ORDER BY + LIMIT lateral into a window

@@ -1878,6 +1878,30 @@ object OracleSql {
         "count(*) AS n FROM events GROUP BY event_type " +
         "ORDER BY event_type"),
 
+    // NOT IN over a nullable inner column — null-aware anti semantics
+    "sql_subquery_not_in" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE c_custkey NOT IN (" +
+        "SELECT nullif(o.o_custkey, -1) FROM orders o " +
+        "WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 100000.0) " +
+        "ORDER BY c_custkey"),
+
+    // click→view→purchase completion latency in exact integer µs;
+    // min() commutes with µs-truncation (monotonic), so truncating the
+    // ns anchors matches Spark's truncate-then-min exactly
+    "funnel_time_to_convert" ->
+      ("WITH c AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'view' AND e.ts > c.t1 GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
+        "JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY e.user_id) " +
+        "SELECT p.user_id, date_diff('microseconds', " +
+        "date_trunc('microseconds', c.t1), " +
+        "date_trunc('microseconds', p.t3))::BIGINT AS us_to_convert " +
+        "FROM p JOIN c ON p.user_id = c.user_id ORDER BY p.user_id"),
+
     // EXISTS as a projected flag (existence join)
     "join_existence" ->
       ("SELECT c_custkey, " +

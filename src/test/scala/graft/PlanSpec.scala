@@ -404,6 +404,22 @@ class PlanSpec extends SparkSpec {
       s"multi-distinct re-scanned the source:\n$plan")
   }
 
+  test("sql_subquery_not_in: nullable NOT IN plans null-aware, not nested-loop") {
+    val plan = physical(graft.ops.SqlApi.sqlSubqueryNotIn(spark, sf01))
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN did not decorrelate to an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"null-aware NOT IN fell back to a nested-loop plan:\n$plan")
+  }
+
+  test("funnel_time_to_convert: three stage anchors stack on ONE exchange") {
+    val plan = physical(graft.ops.Analytics.funnelTimeToConvert(spark, sf01))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"funnel chain should shuffle once on user_id, saw $shuffles:\n$plan")
+  }
+
   test("analytics_dau: WAU range join runs over the pre-aggregated pair table, not raw events") {
     val df = graft.ops.Quant.analyticsDau(spark, sf01)
     val plan = physical(df)

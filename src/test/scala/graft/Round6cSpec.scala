@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.Quant
+import graft.ops.{Analytics, Quant, SqlApi}
 
 /** Round-6c (quantitative/statistics layer) invariants: each declarative
   * operator is pinned against a direct driver-side recompute or a
@@ -709,5 +709,48 @@ class Round6cSpec extends SparkSpec {
       assert(flag === (if (withUrgent(ck)) 1 else 0), s"custkey $ck")
     }
     assert(rows.count(_._2 == 1) > 0 && rows.count(_._2 == 0) > 0)
+  }
+
+  test("sql_subquery_not_in: complements the EXISTS partition; NULL inner empties it") {
+    val out = SqlApi.sqlSubqueryNotIn(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val exists = SqlApi.sqlSubqueryExists(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val nCust = Tables.customer(spark, sf01).count()
+    assert(out.nonEmpty && exists.nonEmpty)
+    assert((out & exists).isEmpty, "NOT IN and EXISTS must not overlap")
+    assert(out.size + exists.size === nCust.toInt,
+      "with no actual inner NULLs, NOT IN == NOT EXISTS")
+    // the semantics the plain anti join gets wrong: one inner NULL makes
+    // every membership test UNKNOWN and the result empty
+    val withNull = spark.sql("""
+      SELECT c_custkey FROM customer c WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o.o_orderkey % 1000 = 0 THEN NULL
+                    ELSE o.o_custkey END
+        FROM orders o)
+    """)
+    assert(withNull.count() === 0L, "inner NULL must empty a NOT IN")
+  }
+
+  test("funnel_time_to_convert: matches a per-user driver recompute of the anchor chain") {
+    val got = Analytics.funnelTimeToConvert(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty)
+    got.values.foreach(us => assert(us > 0L, "conversion must take time"))
+    val byUser = Tables.events(spark, sf01)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000 +
+        r.getTimestamp(2).getNanos / 1000 % 1000))
+      .groupBy(_._1)
+    val expect = byUser.flatMap { case (uid, evs) =>
+      val t1 = evs.filter(_._2 == "click").map(_._3).minOption
+      val t2 = t1.flatMap(a =>
+        evs.filter(e => e._2 == "view" && e._3 > a).map(_._3).minOption)
+      val t3 = t2.flatMap(a =>
+        evs.filter(e => e._2 == "purchase" && e._3 > a).map(_._3).minOption)
+      t3.map(t => uid -> (t - t1.get))
+    }
+    assert(got === expect)
   }
 }
