@@ -131,6 +131,33 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two daily
+    * aggregates keyed on a NULLABLE dimension ('click' mapped to NULL),
+    * joined so the NULL groups pair up — the semantics a plain equi-join
+    * silently drops (NULL = NULL is UNKNOWN). The groups are aggregated
+    * BEFORE the join, so each side has at most one NULL row per day — no
+    * NULL×NULL blow-up. The nullable key is coalesced to a sentinel only
+    * in the OUTPUT (the join itself is null-safe).
+    *
+    * Scale: EqualNullSafe is a legal hash-join key in Catalyst
+    * (ExtractEquiJoinKeys wraps it) — this stays a shuffled/broadcast
+    * hash join, never a nested-loop fallback; plan-pinned. */
+  def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    def base = Tables.events(s, d).select(
+      when(col("event_type") === "click", lit(null))
+        .otherwise(col("event_type")).as("etype"),
+      date_trunc("day", col("ts")).as("day"), col("value"))
+    val all = base.groupBy(col("day"), col("etype"))
+      .agg(count(lit(1)).as("n_all"))
+    val big = base.where(col("value") > 100.0)
+      .groupBy(col("day"), col("etype")).agg(count(lit(1)).as("n_big"))
+    all.join(big,
+        all("day") === big("day") && all("etype") <=> big("etype"), "left")
+      .select(all("day"), coalesce(all("etype"), lit("(null)")).as("etype"),
+        col("n_all"), coalesce(col("n_big"), lit(0L)).as("n_big"))
+      .orderBy(col("day"), col("etype"))
+  }
+
   /** Customers having at least one urgent order (left-semi ≡ EXISTS): no
     * duplication of the left side, right side reduced to its join keys. */
   def joinSemi(s: SparkSession, d: String): DataFrame =

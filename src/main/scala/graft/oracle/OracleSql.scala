@@ -1902,6 +1902,22 @@ object OracleSql {
         "date_trunc('microseconds', p.t3))::BIGINT AS us_to_convert " +
         "FROM p JOIN c ON p.user_id = c.user_id ORDER BY p.user_id"),
 
+    // null-safe equality join: NULL key groups pair up (IS NOT DISTINCT
+    // FROM); sentinel substitution happens only in the output
+    "join_null_safe" ->
+      ("WITH base AS (SELECT CASE WHEN event_type = 'click' THEN NULL " +
+        "ELSE event_type END AS etype, " +
+        "date_trunc('day', ts)::TIMESTAMP AS day, " +
+        "value FROM events), " +
+        "a AS (SELECT day, etype, count(*) AS n_all FROM base " +
+        "GROUP BY 1, 2), " +
+        "b AS (SELECT day, etype, count(*) AS n_big FROM base " +
+        "WHERE value > 100.0 GROUP BY 1, 2) " +
+        "SELECT a.day, coalesce(a.etype, '(null)') AS etype, a.n_all, " +
+        "coalesce(b.n_big, 0) AS n_big FROM a LEFT JOIN b " +
+        "ON a.day = b.day AND a.etype IS NOT DISTINCT FROM b.etype " +
+        "ORDER BY 1, 2"),
+
     // EXISTS as a projected flag (existence join)
     "join_existence" ->
       ("SELECT c_custkey, " +

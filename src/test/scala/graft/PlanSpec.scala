@@ -420,6 +420,16 @@ class PlanSpec extends SparkSpec {
       s"funnel chain should shuffle once on user_id, saw $shuffles:\n$plan")
   }
 
+  test("join_null_safe: <=> stays a hash-joinable equi key, not nested-loop") {
+    val plan = physical(graft.ops.Relational.joinNullSafe(spark, sf01))
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"null-safe join did not plan as a hash/merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality fell back to a nested-loop plan:\n$plan")
+  }
+
   test("analytics_dau: WAU range join runs over the pre-aggregated pair table, not raw events") {
     val df = graft.ops.Quant.analyticsDau(spark, sf01)
     val plan = physical(df)

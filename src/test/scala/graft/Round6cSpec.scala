@@ -732,6 +732,32 @@ class Round6cSpec extends SparkSpec {
     assert(withNull.count() === 0L, "inner NULL must empty a NOT IN")
   }
 
+  test("join_null_safe: NULL key groups pair up; a plain equi-join drops them") {
+    import graft.ops.Relational
+    val rows = Relational.joinNullSafe(spark, sf01)
+      .collect()
+      .map(r => ((r.getTimestamp(0).toString, r.getString(1)),
+        (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.nonEmpty)
+    val nullRows = rows.filter(_._1._2 == "(null)")
+    assert(nullRows.nonEmpty, "the remapped-to-NULL click group must appear")
+    // the null-safe join must have MATCHED the NULL groups: at sf0.01
+    // every day has clicks above the value cut, so n_big > 0 — a plain
+    // equi-join would have left these at the coalesced 0
+    assert(nullRows.values.exists(_._2 > 0L),
+      "NULL <=> NULL must match — every n_big=0 means the join dropped them")
+    // spot-check one day against a direct recompute
+    val base = Tables.events(spark, sf01)
+      .select(date_trunc("day", col("ts")).as("day"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getDouble(2)))
+    val day0 = base.map(_._1).min
+    val clicks = base.filter(e => e._1 == day0 && e._2 == "click")
+    assert(rows((day0, "(null)")) ===
+      ((clicks.length.toLong, clicks.count(_._3 > 100.0).toLong)))
+  }
+
   test("funnel_time_to_convert: matches a per-user driver recompute of the anchor chain") {
     val got = Analytics.funnelTimeToConvert(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
