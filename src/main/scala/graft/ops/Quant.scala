@@ -411,8 +411,13 @@ object Quant {
     *
     * Scale: the raw stream collapses FIRST to distinct (day, user) pairs
     * (one partial-aggregable shuffle bounded by days × users, not
-    * events); the 7-day window is a range join against that bounded
-    * pair table, and the month distinct reuses the same pairs. */
+    * events); the trailing-7-day count then EXPLODES each pair into its
+    * 7 covered anchor days (the stream_sliding aligned-bucket trick) and
+    * hash-aggregates on the anchor — a plain equi shape, never a
+    * day-range nested-loop join — and the month distinct reuses the same
+    * pairs. The pair table is persisted for its three readers; the bench
+    * harness owns the cache (it clears the SQL cache between queries),
+    * so the op does not unpersist. */
   def analyticsDau(s: SparkSession, d: String): DataFrame = {
     val pairs = events(s, d)
       .select(date_trunc("day", col("ts")).as("day"),
@@ -423,8 +428,13 @@ object Quant {
       .agg(countDistinct(col("user_id")).as("dau"))
     val mau = pairs.groupBy(col("month"))
       .agg(countDistinct(col("user_id")).as("mau"))
-    val wau = dau.select(col("day").as("d0"))
-      .join(pairs, datediff(col("d0"), col("day")).between(0, 6))
+    // a pair active on `day` is inside the trailing-7-day window of
+    // anchors day .. day+6; anchors past the data edge drop out in the
+    // inner join with dau below
+    val wau = pairs
+      .select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(expr("timestampadd(DAY, off, day)").as("d0"), col("user_id"))
       .groupBy(col("d0"))
       .agg(countDistinct(col("user_id")).as("wau7"))
     dau.join(mau, Seq("month"))
@@ -550,38 +560,45 @@ object Quant {
 
   /** Lorenz-curve deciles of user spend (the Pareto "top 10% drive X%"
     * rollup) — the per-user companion of agg_gini's per-doc inequality:
-    * users rank by exact total cents descending, split into 10 equal
-    * ranks (the curriculum floor formula), and each decile reports its
-    * exact share plus the running cumulative share. Shares divide exact
-    * integers; the cumulative sum runs over 10 rows.
+    * users split into 10 spend bands by the nine exact decile boundaries
+    * of total cents (decile 1 = top spenders, cents ≥ q₀.₉), and each
+    * band reports its exact share plus the running cumulative share.
+    * Shares divide exact integers; both engines interpolate percentiles
+    * identically (pinned by agg_percentile / agg_quantile_bands), so the
+    * band assignment `cents < boundary` compares identical doubles.
     *
-    * Scale: one user_id partial agg, one rank window over the (small)
-    * per-user totals, a 10-row output — nothing global touches raw
-    * events. At extreme user cardinality the rank window is the one
-    * total-order stage; approx quantile boundaries are the documented
-    * relaxation. */
+    * Scale: one user_id partial agg, ONE nine-value exact-percentile row
+    * broadcast back for bucketing (the analytics_rfm recipe — never a
+    * global rank window funneling every user through one task; approx
+    * percentile is the drop-in at extreme user cardinality). The ≤10
+    * decile rows collapse to a single sorted array for the prefix sums,
+    * so no stage anywhere — not even a bounded one — plans a
+    * partition-less WindowExec. */
   def analyticsPareto(s: SparkSession, d: String): DataFrame = {
     val perUser = events(s, d)
       .groupBy(col("user_id"))
       .agg(sum(floor(col("value") * 100 + 0.5)).as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("user_id"))
+    val bounds = perUser.agg(expr(
+      "percentile(cents, array(0.9D,0.8D,0.7D,0.6D,0.5D,0.4D,0.3D,0.2D,0.1D))")
+      .as("qs"))
     val deciles = perUser
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .crossJoin(broadcast(bounds))
       .withColumn("decile",
-        floor((col("rn") - 1).cast("double") * lit(10.0) /
-          col("n").cast("double")).cast("int") + 1)
+        size(filter(col("qs"), b => col("cents") < b)) + 1)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("dc"))
     deciles
-      .withColumn("total", sum(col("dc")).over(Window.partitionBy()))
-      .withColumn("cum", sum(col("dc")).over(Window.orderBy(col("decile"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("decile"), col("n_users"),
-        round(col("dc").cast("double") / col("total").cast("double"), 6)
-          .as("share"),
-        round(col("cum").cast("double") / col("total").cast("double"), 6)
-          .as("cum_share"))
+      .agg(sort_array(collect_list(
+        struct(col("decile"), col("n_users"), col("dc")))).as("a"))
+      .select(col("a"), posexplode(col("a")))
+      .select(col("col.decile").as("decile"), col("col.n_users").as("n_users"),
+        round(col("col.dc").cast("double") /
+          aggregate(col("a"), lit(0L), (acc, x) => acc + x.getField("dc"))
+            .cast("double"), 6).as("share"),
+        round(aggregate(slice(col("a"), lit(1), col("pos") + 1), lit(0L),
+          (acc, x) => acc + x.getField("dc")).cast("double") /
+          aggregate(col("a"), lit(0L), (acc, x) => acc + x.getField("dc"))
+            .cast("double"), 6).as("cum_share"))
       .orderBy(col("decile"))
   }
 

@@ -1681,11 +1681,10 @@ object OracleSql {
       ("WITH u AS (SELECT user_id, " +
         "sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents " +
         "FROM events GROUP BY 1), " +
-        "r AS (SELECT cents, row_number() OVER " +
-        "(ORDER BY cents DESC, user_id) AS rn, " +
-        "count(*) OVER () AS n FROM u), " +
-        "d AS (SELECT (floor((rn - 1)::DOUBLE * 10.0 / n::DOUBLE)::INT + 1) " +
-        "AS decile, cents FROM r), " +
+        "b AS (SELECT quantile_cont(cents, " +
+        "[0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]) AS qs FROM u), " +
+        "d AS (SELECT (1 + len(list_filter(b.qs, q -> u.cents < q)))::INT " +
+        "AS decile, cents FROM u, b), " +
         "g AS (SELECT decile, count(*) AS n_users, " +
         "sum(cents)::BIGINT AS dc FROM d GROUP BY 1) " +
         "SELECT decile, n_users, " +

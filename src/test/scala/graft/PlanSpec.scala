@@ -430,13 +430,29 @@ class PlanSpec extends SparkSpec {
       s"null-safe equality fell back to a nested-loop plan:\n$plan")
   }
 
-  test("analytics_dau: WAU range join runs over the pre-aggregated pair table, not raw events") {
+  test("analytics_dau: WAU is an exploded equi-aggregate, never a nested-loop range join") {
     val df = graft.ops.Quant.analyticsDau(spark, sf01)
     val plan = physical(df)
-    // the distinct (day, user) collapse must sit below the range join —
-    // raw events must never feed the theta join
+    // the distinct (day, user) collapse must sit below the WAU stage —
+    // raw events must never feed the anchor-day explode
     assert(plan.contains("InMemoryTableScan") || plan.contains("HashAggregate"),
-      s"no pair-table collapse before the WAU join:\n$plan")
-    df.unpersist()
+      s"no pair-table collapse before the WAU aggregate:\n$plan")
+    // the 7-day trailing window is the 7-offset anchor explode + hash
+    // aggregate — a day-range theta join would plan a nested loop here
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"WAU fell back to a nested-loop day-range join:\n$plan")
+  }
+
+  test("analytics_pareto: decile bucketing broadcasts boundaries — no window anywhere in the plan") {
+    val plan = physical(graft.ops.Quant.analyticsPareto(spark, sf01))
+    // the old shape ranked every user through ONE partition-less window;
+    // the scale-safe shape is a broadcast percentile row + comparison
+    // bucketing, with even the 10-row prefix sums done in array land
+    assert(!plan.contains("Window"),
+      s"pareto still plans a Window (global rank funnel at scale):\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast of the decile-boundary row:\n$plan")
   }
 }
