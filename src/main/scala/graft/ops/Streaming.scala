@@ -132,4 +132,33 @@ object Streaming {
   def streamStreamJoin(s: SparkSession, d: String): DataFrame =
     streamStreamJoinTransform(Tables.events(s, d))
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
+  /** Stream-stream LEFT OUTER join: every click, enriched with each
+    * same-user purchase in the following hour, or one null-padded row
+    * (purchase_id sentinel −1, matched 0) when none arrives — the
+    * "unconverted clicks" feed a funnel alerter tails. In streaming both
+    * inputs inherit the source watermark and the join keeps the
+    * time-range conjunct, so an unmatched click is held in state only
+    * until the watermark passes c_ts + 1 hour and is then emitted
+    * null-padded; c_ts rides along in the output so consumers (and the
+    * parity test) can reason about that emission horizon. */
+  def streamStreamLeftTransform(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("c_ts"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("purchase_id").isNotNull.cast("int").as("matched"))
+  }
+
+  def streamStreamLeftJoin(s: SparkSession, d: String): DataFrame =
+    streamStreamLeftTransform(Tables.events(s, d))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
 }

@@ -557,6 +557,20 @@ object OracleSql {
         "AND date_trunc('microseconds', p.ts) <= date_trunc('microseconds', c.ts) + INTERVAL 1 HOUR " +
         "ORDER BY c.user_id, click_id, purchase_id"),
 
+    // LEFT OUTER variant: unmatched clicks survive with a −1 sentinel
+    // and matched = 0 (the watermark-evicted null emission, batch form)
+    "stream_stream_left" ->
+      ("SELECT c.user_id, c.event_id AS click_id, " +
+        "date_trunc('microseconds', c.ts) AS c_ts, " +
+        "coalesce(p.event_id, -1) AS purchase_id, " +
+        "(p.event_id IS NOT NULL)::INT AS matched " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND date_trunc('microseconds', p.ts) >= date_trunc('microseconds', c.ts) " +
+        "AND date_trunc('microseconds', p.ts) <= date_trunc('microseconds', c.ts) + INTERVAL 1 HOUR " +
+        "ORDER BY c.user_id, click_id, purchase_id"),
+
     // -------------------------------------------------- §2.10 LLM pipeline
     "dedup_exact_sha" ->
       ("SELECT min(doc_id) AS doc_id, digest, count(*) AS n_copies FROM " +

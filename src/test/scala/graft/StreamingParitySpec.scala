@@ -182,6 +182,35 @@ class StreamingParitySpec extends SparkSpec {
       Streaming.streamStreamJoin(spark, sf001), "stream-stream")
   }
 
+  test("stream-stream LEFT OUTER join: matched rows equal batch; null emission obeys the watermark horizon") {
+    val streamed = runStream(
+      Streaming.streamStreamLeftTransform(replay.withWatermark("ts", "10 minutes")),
+      "append", "t_ssl")
+    val batch = Streaming.streamStreamLeftJoin(spark, sf001)
+    // matched rows emit as soon as both sides arrive — exact parity
+    assertSameRows(
+      streamed.where(col("matched") === 1)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id")),
+      batch.where(col("matched") === 1), "ssl-matched")
+    // a null-padded row for click c emits only once the final watermark
+    // (max ts − 10 min) passes c's join-state horizon c_ts + 1 hour;
+    // clicks inside the horizon are still held in state at termination
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sU = streamed.where(col("matched") === 0)
+      .select(col("user_id"), col("click_id"), col("c_ts"))
+    val bU = batch.where(col("matched") === 0)
+      .select(col("user_id"), col("click_id"), col("c_ts"))
+    assert(sU.count() > 0, "no null-padded rows emitted before termination")
+    // every streamed null row is a true batch null row …
+    assert(sU.except(bU).count() == 0,
+      "stream emitted a null row the batch left join does not contain")
+    // … and every batch null row safely past the horizon was emitted
+    // (1-minute margin keeps the pin off the exact eviction boundary)
+    val safe = new java.sql.Timestamp(maxTs.getTime - (10 + 60 + 1) * 60 * 1000L)
+    assert(bU.where(col("c_ts") < lit(safe)).except(sU).count() == 0,
+      "watermark-closed unmatched clicks were not emitted null-padded")
+  }
+
   test("foreachBatch bridges the stream to a batch parquet sink (sink_foreachbatch)") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-fb").toString
     val q = replay
