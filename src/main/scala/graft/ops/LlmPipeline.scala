@@ -309,6 +309,110 @@ object LlmPipeline {
       (0 until filled).map(i => (aid, id(i), sc(i)))
   }
 
+  /** Bounded (score desc, id asc) top-C insertion — the CANDIDATE stage of
+    * [[knnQuantized]]; same ordering rule as [[Top3]], capacity-
+    * parameterized. C is small (32), so the shift insert stays cheap and
+    * allocation-free. */
+  private final class TopC(cap: Int) {
+    private val sc = new Array[Double](cap)
+    private val idd = new Array[Long](cap)
+    private var filled = 0
+    def offer(score: Double, bid: Long): Unit = {
+      var pos = filled
+      while (pos > 0 &&
+        (sc(pos - 1) < score || (sc(pos - 1) == score && idd(pos - 1) > bid)))
+        pos -= 1
+      if (pos < cap) {
+        var j = math.min(filled, cap - 1)
+        while (j > pos) { sc(j) = sc(j - 1); idd(j) = idd(j - 1); j -= 1 }
+        sc(pos) = score; idd(pos) = bid
+        if (filled < cap) filled += 1
+      }
+    }
+    def ids: Array[Long] = idd.take(filled)
+  }
+
+  /** Symmetric per-vector int8 grid — the same round(x·127/amax) cells
+    * [[embeddingQuantize]] emits, as primitive arrays for the scan loop. */
+  private def int8Grid(
+      refs: Array[(Long, Array[Float])]): Array[(Long, Array[Byte], Float)] =
+    refs.map { case (id, emb) =>
+      var amax = 0f
+      var i = 0
+      while (i < emb.length) {
+        val a = math.abs(emb(i)); if (a > amax) amax = a; i += 1
+      }
+      val qs = new Array[Byte](emb.length)
+      if (amax > 0f) {
+        i = 0
+        while (i < emb.length) {
+          qs(i) = math.round(emb(i) * 127.0f / amax).toByte; i += 1
+        }
+      }
+      (id, qs, amax)
+    }
+
+  /** Quantized-rescore ANN — the production int8 two-stage retrieval
+    * pattern, composed from [[embeddingQuantize]]'s grid and
+    * [[knnCosine]]'s exact kernel:
+    *  1. CANDIDATES from an int8 scan: both sides quantize on the
+    *     symmetric per-vector grid; ranking b's for a fixed query needs
+    *     only dotInt8 · amax_b (amax_a is a per-query constant), so the
+    *     scan is pure integer multiply-adds over a 4×-smaller broadcast
+    *     matrix, keeping the top-32 per query;
+    *  2. RESCORE the survivors exactly in fp32 and rank through the
+    *     shared [[Top3]] tie rule (rounded score desc, id asc) — every
+    *     reported score is bit-identical to brute force, only recall is
+    *     subject to quantization error (pinned ≥ 0.9 in LlmOpsSpec).
+    * At broadcast-breaking scale the int8 matrix shards across executors
+    * and the rescore becomes a hash join against the fp32 vector store —
+    * the two-stage asymptotics (cheap wide scan, exact narrow rescore)
+    * are unchanged. Oracle-exempt: DuckDB has no two-stage kernel to
+    * mirror; the recall/score pins are the gate. */
+  def knnQuantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nCand = 32
+    val refs = vecs(s, d).collect().sortBy(_._1)
+    val bcQ = graft.Broadcasts.track(s.sparkContext.broadcast(int8Grid(refs)))
+    val bcF = graft.Broadcasts.track(s.sparkContext.broadcast(refs))
+    vecs(s, d).repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val qrefs = bcQ.value
+        val frefs = bcF.value
+        it.flatMap { case (aid, aemb) =>
+          var amax = 0f
+          var i = 0
+          while (i < aemb.length) {
+            val x = math.abs(aemb(i)); if (x > amax) amax = x; i += 1
+          }
+          val qa = new Array[Byte](aemb.length)
+          if (amax > 0f) {
+            i = 0
+            while (i < aemb.length) {
+              qa(i) = math.round(aemb(i) * 127.0f / amax).toByte; i += 1
+            }
+          }
+          val cand = new TopC(nCand)
+          qrefs.foreach { case (bid, qb, bmax) =>
+            if (bid != aid) {
+              var sInt = 0
+              var j = 0
+              val n = math.min(qa.length, qb.length)
+              while (j < n) { sInt += qa(j) * qb(j); j += 1 }
+              cand.offer(sInt.toDouble * bmax, bid)
+            }
+          }
+          val top = new Top3
+          cand.ids.foreach { bid =>
+            top.offer(r4(dot(aemb, vecOf(frefs, bid))), bid)
+          }
+          top.ranked(aid)
+        }
+      }
+      .toDF("vec_id", "rn", "b_id", "score")
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   /** One-shuffle merge of bucket/cell-local winners shared by the LSH and
     * IVF paths: per query vector, dedup pairs seen in several tables/cells
     * (same pair ⇒ identical rounded score ⇒ exact tuple duplicate), keep

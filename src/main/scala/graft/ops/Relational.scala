@@ -199,10 +199,19 @@ object Relational {
       .agg(approx_count_distinct(col("o_custkey")).as("n")).head().getLong(0)
     val bf = urgent.stat.bloomFilter(
       "o_custkey", math.max(1000L, approxKeys * 5L / 4L), 0.01)
-    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(bf))
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // Spark's native BloomFilterMightContain (the runtime-filter
+    // expression, codegen'd) instead of a row-at-a-time UDF: the engine
+    // exposes no public Column API for it, so GraftBridge wraps it; the
+    // serialized filter rides the plan as a literal and each executor
+    // deserializes it once, lazily.
+    val filterBytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
     Tables.customer(s, d)
-      .where(mightContain(col("c_custkey")))
+      .where(org.apache.spark.sql.GraftBridge.bloomMightContain(
+        filterBytes, col("c_custkey").cast("long")))
       .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))

@@ -12,6 +12,19 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Native bloom-membership predicate: Spark's own codegen'd
+    * `BloomFilterMightContain` (the runtime-filter expression) over a
+    * serialized `util.sketch.BloomFilter` — the engine ships no public
+    * Column API for it, so third-party bloom prefilters either pay a
+    * row-at-a-time UDF or bridge here. The filter bytes ride the plan as
+    * a Literal (each executor lazily deserializes once); the value side
+    * must be LongType. */
+  def bloomMightContain(filterBytes: Array[Byte], value: Column): Column =
+    classic.ExpressionUtils.column(
+      catalyst.expressions.BloomFilterMightContain(
+        catalyst.expressions.Literal(filterBytes, types.BinaryType),
+        classic.ExpressionUtils.expression(value)))
+
   /** Force-create the driver's StateStoreCoordinator RPC endpoint. A
     * streaming query does this on start; BATCH transformWithState also
     * needs it (its state store loads consult the coordinator) but nothing

@@ -69,6 +69,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(perQuery == Set(3), s"ragged neighbor lists: $perQuery")
   }
 
+  test("quantized-rescore kNN: high recall vs brute-force top-3, rescored scores exact") {
+    val exactRows = LlmPipeline.knnCosine(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val exact = exactRows.map(_._1).toSet
+    val qRows = LlmPipeline.knnQuantized(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val q = qRows.map(_._1).toSet
+    // 32 int8 candidates for k=3: quantization error has to displace a
+    // true neighbor past 29 imposters to lose it — recall sits near 1
+    val recall = q.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall below 0.9")
+    // stage 2 rescored in fp32 through the shared kernel: any pair both
+    // paths report must carry the IDENTICAL rounded score
+    val exactScore = exactRows.toMap
+    qRows.foreach { case (pair, score) =>
+      exactScore.get(pair).foreach(es =>
+        assert(es == score, s"rescored score drifted for $pair: $score != $es"))
+    }
+    // every query vector still gets exactly 3 ranked neighbors
+    val perQuery = qRows.groupBy(_._1._1).values.map(_.length).toSet
+    assert(perQuery == Set(3), s"ragged neighbor lists: $perQuery")
+  }
+
   test("simhash: identical texts get identical signatures; hamming distance respects similarity") {
     val sig = LlmPipeline.dedupSimhash(spark, sf01).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -444,6 +444,14 @@ class PlanSpec extends SparkSpec {
       s"WAU fell back to a nested-loop day-range join:\n$plan")
   }
 
+  test("join_bloom_prefilter: probe-side prefilter is the native might_contain expression, not a UDF") {
+    val plan = physical(Relational.joinBloomPrefilter(spark, sf001))
+    assert(plan.contains("might_contain"),
+      s"native BloomFilterMightContain missing from the probe filter:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"bloom prefilter still evaluates through a row-at-a-time UDF:\n$plan")
+  }
+
   test("analytics_pareto: decile bucketing broadcasts boundaries — no window anywhere in the plan") {
     val plan = physical(graft.ops.Quant.analyticsPareto(spark, sf01))
     // the old shape ranked every user through ONE partition-less window;
