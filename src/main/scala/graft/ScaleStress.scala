@@ -149,8 +149,13 @@ object ScaleStress {
     val qs = results.collect { case Right((k, t1, tn, r)) =>
       f""""$k":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
+    // JSON-safe error text: backslashes first, then quotes, then drop any
+    // remaining control chars — an exception message with a tab or a
+    // Windows path must not invalidate the whole output line.
     val errs = results.collect { case Left((k, msg)) =>
-      s""""$k":"${msg.replace("\"", "'")}""""
+      val safe = msg.replace("\\", "/").replace('"', '\'')
+        .filter(c => c >= ' ' && c != 0x7f)
+      s""""$k":"$safe""""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_stress","n":$n,"queries":$qs,"errors":$errs}""")
     spark.stop()

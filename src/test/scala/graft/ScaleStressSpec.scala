@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CI gate for the ScaleStress harness (SURVEY.md §4): the full 10×
+  * sf0.1 run is a manual tool, but the complexity CLASS it measures is
+  * testable at unit scale — replicate sf0.01 16× with the same id-offset
+  * horizontal growth and pin the flagged linear operators to a linear
+  * envelope PLUS an absolute ceiling. A quadratic regression (the thing
+  * the sf0.1 bench cannot see) lands at ~256× work for 16× rows: any
+  * operator with measurable base compute blows both pins, while genuine
+  * linear plans sit near 16× minus the amortized planning overhead.
+  *
+  * Ratios use min-of-2 timings and a 50 ms floor on the 1× time so a
+  * sub-planning-cost denominator can't manufacture a spurious ratio. */
+class ScaleStressSpec extends SparkSpec {
+
+  /** (ratio bound at 16× rows, absolute seconds ceiling on the 16× run).
+    * Only operators whose scale story IS linear belong here —
+    * pair-emitting dedup ops are output-bound on a duplicate-saturated
+    * stress set and live in the manual harness. */
+  private val bounds: Seq[(String, Double, Double)] = Seq(
+    ("dedup_exact_sha", 40.0, 20.0),
+    ("text_tokenize_wordcount", 40.0, 20.0),
+    ("analytics_dau", 40.0, 20.0), // r7 re-plan: 7-offset explode equi-agg
+    ("analytics_pareto", 40.0, 20.0), // r7 re-plan: broadcast boundaries
+    ("win_topk_per_group", 40.0, 20.0),
+    ("ts_gapfill", 40.0, 20.0),
+    ("join_range_bucketed", 40.0, 20.0),
+    ("agg_entropy", 40.0, 20.0))
+
+  private lazy val stressDir: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    ScaleStress.replicate(spark, sf01, out, 16)
+    out
+  }
+
+  private def timeOnce(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).count()
+    Broadcasts.destroyAll()
+    spark.catalog.clearCache()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def minOf2(name: String, dir: String): Double =
+    math.min(timeOnce(name, dir), timeOnce(name, dir))
+
+  test("flagged linear operators stay inside the linear envelope at 16x rows") {
+    // one warmup query so shuffle/codegen init lands outside every timing
+    spark.read.parquet(s"$stressDir/events.parquet")
+      .groupBy(col("event_type")).count().count()
+    val blown = bounds.flatMap { case (name, rBound, sBound) =>
+      val t1 = math.max(minOf2(name, sf01), 0.05)
+      val tn = minOf2(name, stressDir)
+      val ratio = tn / t1
+      info(f"$name%-28s t1=$t1%.2fs t16=$tn%.2fs ratio=$ratio%.1f " +
+        f"(bounds $rBound%.0fx / $sBound%.0fs)")
+      if (ratio > rBound || tn > sBound)
+        Some(f"$name t16=$tn%.2fs ratio=$ratio%.1f exceeds " +
+          f"$rBound%.0fx / $sBound%.0fs")
+      else None
+    }
+    assert(blown.isEmpty,
+      s"super-linear scaling detected:\n  ${blown.mkString("\n  ")}")
+  }
+}
