@@ -71,6 +71,10 @@ case class BitmapDistinct(
     while (it.hasNext) {
       val e = it.next()
       val mine = a.get(e.getKey)
+      // ADOPTS b's page array by reference and later merges mutate it in
+      // place — sound ONLY because TypedImperativeAggregate input buffers
+      // are freshly deserialized per merge() and never reused after it;
+      // if that lifecycle ever changes, clone() the page on adoption.
       if (mine == null) a.put(e.getKey, e.getValue)
       else {
         var i = 0

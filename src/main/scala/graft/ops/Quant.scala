@@ -210,6 +210,10 @@ object Quant {
     val ev = events(s, d)
       .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
         floor(col("value") * 100 + 0.5).as("xc"))
+    // persisted for its two readers (grid build + join-back); the bench
+    // harness owns the cache — it clears the SQL cache between queries —
+    // so the op does not unpersist (unpersisting the OUTPUT would be a
+    // no-op anyway: this internal frame holds the entry).
     val agg = ev.groupBy(col("h"), col("event_type"))
       .agg(sum(col("xc")).as("cents")).persist()
     val hours = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))

@@ -169,6 +169,8 @@ object SqlApi {
     val e0 = Analytics.coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    // the bench harness owns this cache entry (it clears the SQL cache
+    // between queries); the op keeps it alive for the whole recursion
     e0.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e0.select(col("p2"), col("p1")))
       .persist()

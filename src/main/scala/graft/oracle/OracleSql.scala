@@ -791,10 +791,12 @@ object OracleSql {
         "WHERE event_type = 'click' GROUP BY user_id), " +
         "v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
         "JOIN c ON e.user_id = c.user_id " +
-        "WHERE e.event_type = 'view' AND e.ts > c.t1 GROUP BY e.user_id), " +
+        "WHERE e.event_type = 'view' AND date_trunc('microseconds', e.ts) > " +
+        "date_trunc('microseconds', c.t1) GROUP BY e.user_id), " +
         "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
         "JOIN v ON e.user_id = v.user_id " +
-        "WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY e.user_id) " +
+        "WHERE e.event_type = 'purchase' AND date_trunc('microseconds', e.ts) > " +
+        "date_trunc('microseconds', v.t2) GROUP BY e.user_id) " +
         "SELECT (SELECT count(*) FROM c) AS n_click, " +
         "(SELECT count(*) FROM v) AS n_click_view, " +
         "(SELECT count(*) FROM p) AS n_full_funnel"),
@@ -1906,10 +1908,12 @@ object OracleSql {
         "WHERE event_type = 'click' GROUP BY user_id), " +
         "v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
         "JOIN c ON e.user_id = c.user_id " +
-        "WHERE e.event_type = 'view' AND e.ts > c.t1 GROUP BY e.user_id), " +
+        "WHERE e.event_type = 'view' AND date_trunc('microseconds', e.ts) > " +
+        "date_trunc('microseconds', c.t1) GROUP BY e.user_id), " +
         "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
         "JOIN v ON e.user_id = v.user_id " +
-        "WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY e.user_id) " +
+        "WHERE e.event_type = 'purchase' AND date_trunc('microseconds', e.ts) > " +
+        "date_trunc('microseconds', v.t2) GROUP BY e.user_id) " +
         "SELECT p.user_id, date_diff('microseconds', " +
         "date_trunc('microseconds', c.t1), " +
         "date_trunc('microseconds', p.t3))::BIGINT AS us_to_convert " +
