@@ -324,6 +324,51 @@ class StreamingParitySpec extends SparkSpec {
       graft.ops.Relational.cdcUpsertLatest(spark, sf001), "stream-cdc")
   }
 
+  test("kinesis-envelope replay preserves per-shard (user_id % nShards) arrival order") {
+    // Kinesis guarantees order per shard (partition key → sequence
+    // number). The replay emulation's claim: draining time-ordered chunk
+    // files through AvailableNow yields, for every shard, an arrival
+    // sequence equal to that shard's (ts, event_id) order. Build 4 chunk
+    // files = ts quartiles (each sorted inside), then record actual
+    // arrival order via foreachBatch.
+    val nShards = 4
+    val in = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val qs = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+    val edges = Array(Long.MinValue) ++ qs.map(_.toLong) ++ Array(Long.MaxValue)
+    (0 until 4).foreach { i =>
+      val f = new java.io.File(s"$in/part$i")
+      raw.where(col("ts") > edges(i) && col("ts") <= edges(i + 1))
+        .coalesce(1).sortWithinPartitions(col("ts"), col("event_id"))
+        .write.parquet(f.toString)
+      // FileStreamSource orders by modification time — make it strict
+      f.listFiles().foreach(_.setLastModified(1600000000000L + i * 60000L))
+    }
+    val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = spark.readStream.schema(EventSource.storedSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.collect().foreach(r =>
+          arrivals.add((id, r.getLong(2) % nShards, r.getLong(0))))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val seen = arrivals.toArray(Array.empty[(Long, Long, Long)])
+    assert(seen.length == raw.count(), "replay lost or duplicated rows")
+    assert(seen.map(_._1).distinct.length >= 4, "expected >=4 micro-batches")
+    val tsOf = raw.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until nShards).foreach { sh =>
+      val arrived = seen.filter(_._2 == sh).map(_._3)
+      val expected = arrived.sortBy(id => (tsOf(id), id))
+      assert(arrived.sameElements(expected),
+        s"shard $sh replayed out of per-shard order")
+    }
+  }
+
   test("dedup within watermark drops synthetic duplicates") {
     import spark.implicits._
     val base = events.limit(50).collect()
