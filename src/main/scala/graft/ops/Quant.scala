@@ -423,14 +423,19 @@ object Quant {
     * harness owns the cache (it clears the SQL cache between queries),
     * so the op does not unpersist. */
   def analyticsDau(s: SparkSession, d: String): DataFrame = {
+    // month is functionally dependent on day — keep it OUT of the
+    // distinct key (smaller shuffle rows) and derive it by projection
     val pairs = events(s, d)
-      .select(date_trunc("day", col("ts")).as("day"),
-        date_trunc("month", col("ts")).as("month"), col("user_id"))
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .distinct()
       .persist()
-    val dau = pairs.groupBy(col("day"), col("month"))
-      .agg(countDistinct(col("user_id")).as("dau"))
-    val mau = pairs.groupBy(col("month"))
+    // pairs is already (day, user)-distinct: DAU is a plain count — no
+    // second distinct expansion
+    val dau = pairs.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .withColumn("month", date_trunc("month", col("day")))
+    val mau = pairs
+      .groupBy(date_trunc("month", col("day")).as("month"))
       .agg(countDistinct(col("user_id")).as("mau"))
     // a pair active on `day` is inside the trailing-7-day window of
     // anchors day .. day+6; anchors past the data edge drop out in the
