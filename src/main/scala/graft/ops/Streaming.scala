@@ -161,4 +161,34 @@ object Streaming {
   def streamStreamLeftJoin(s: SparkSession, d: String): DataFrame =
     streamStreamLeftTransform(Tables.events(s, d))
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
+  /** Stream-stream FULL OUTER join — both directions of
+    * [[streamStreamLeftTransform]]: clicks without a following purchase
+    * AND purchases without a preceding click each surface once,
+    * null-padded with −1 sentinels. In streaming, watermark passage over
+    * each side's state horizon (c_ts + 1 h for clicks, p_ts for
+    * purchases) triggers the null emission; matched rows emit
+    * immediately. */
+  def streamStreamFullTransform(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("uid"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        (col("click_id").isNotNull && col("purchase_id").isNotNull)
+          .cast("int").as("matched"))
+      .withColumnRenamed("uid", "user_id")
+  }
+
+  def streamStreamFullJoin(s: SparkSession, d: String): DataFrame =
+    streamStreamFullTransform(Tables.events(s, d))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
 }

@@ -571,6 +571,20 @@ object OracleSql {
         "AND date_trunc('microseconds', p.ts) <= date_trunc('microseconds', c.ts) + INTERVAL 1 HOUR " +
         "ORDER BY c.user_id, click_id, purchase_id"),
 
+    // FULL OUTER variant: unmatched rows of BOTH sides survive with −1
+    // sentinels (watermark-evicted null emission on each side's horizon)
+    "stream_stream_full" ->
+      ("SELECT coalesce(c.user_id, p.user_id) AS user_id, " +
+        "coalesce(c.event_id, -1) AS click_id, " +
+        "coalesce(p.event_id, -1) AS purchase_id, " +
+        "(c.event_id IS NOT NULL AND p.event_id IS NOT NULL)::INT AS matched " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND date_trunc('microseconds', p.ts) >= date_trunc('microseconds', c.ts) " +
+        "AND date_trunc('microseconds', p.ts) <= date_trunc('microseconds', c.ts) + INTERVAL 1 HOUR " +
+        "ORDER BY 1, 2, 3"),
+
     // -------------------------------------------------- §2.10 LLM pipeline
     "dedup_exact_sha" ->
       ("SELECT min(doc_id) AS doc_id, digest, count(*) AS n_copies FROM " +

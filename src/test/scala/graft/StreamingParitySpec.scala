@@ -324,6 +324,30 @@ class StreamingParitySpec extends SparkSpec {
       graft.ops.Relational.cdcUpsertLatest(spark, sf001), "stream-cdc")
   }
 
+  test("stream-stream FULL OUTER join: matched rows equal batch; both sides emit null-padded rows") {
+    val streamed = runStream(
+      Streaming.streamStreamFullTransform(replay.withWatermark("ts", "10 minutes")),
+      "append", "t_ssf")
+    val batch = Streaming.streamStreamFullJoin(spark, sf001)
+    assertSameRows(
+      streamed.where(col("matched") === 1)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id")),
+      batch.where(col("matched") === 1), "ssf-matched")
+    // null-padded emission is watermark-gated (not all unmatched rows are
+    // out when AvailableNow terminates) but must be a subset of the batch
+    // truth — and BOTH outer directions must actually have fired
+    val sNull = streamed.where(col("matched") === 0)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val bNull = batch.where(col("matched") === 0)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    assert(sNull.except(bNull).count() == 0,
+      "stream emitted a null row the batch full join does not contain")
+    assert(sNull.where(col("purchase_id") === -1L).count() > 0,
+      "no unmatched clicks emitted")
+    assert(sNull.where(col("click_id") === -1L).count() > 0,
+      "no unmatched purchases emitted")
+  }
+
   test("kinesis-envelope replay preserves per-shard (user_id % nShards) arrival order") {
     // Kinesis guarantees order per shard (partition key → sequence
     // number). The replay emulation's claim: draining time-ordered chunk
