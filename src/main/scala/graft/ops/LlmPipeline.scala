@@ -1035,6 +1035,63 @@ object LlmPipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Directional containment scoring — the dedup-family member that
+    * resemblance (Jaccard) misses: C(A→B) = |S_A ∩ S_B| / |S_A| is ≈1
+    * when A is quoted inside a much larger B even though their Jaccard is
+    * tiny. Emits each candidate pair once with BOTH directions (c_a,
+    * c_b); keep pairs where either direction clears 0.5 — the
+    * "document-inside-document" verdicts a decontamination/license sweep
+    * needs.
+    *
+    * Scale (unlike [[dedupNgramJaccard]]'s deliberately fixture-bounded
+    * all-pairs baseline): candidates come from an INVERTED INDEX —
+    * distinct 5-word shingles hashed to 8-byte longs pre-shuffle, groupBy
+    * shingle, bounded pair expansion (df ≤ 64 — ultra-common shingles are
+    * boilerplate, which carries no containment signal and would emit df²
+    * pairs; text_boilerplate_ratio owns that diagnosis). 5-word shingles,
+    * not 3: on a small-vocabulary corpus 3-grams hit df≈40+ on every
+    * shingle (quadratic candidate volume), while 5-grams leave only
+    * genuinely shared spans as candidates — candidate volume tracks true
+    * containment density, the same output-bound argument as minhash
+    * banding. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = split(col("text"), " ")
+    val sh5 = when(size(words) >= 5,
+      transform(sequence(lit(0), size(words) - 5),
+        i => concat_ws(" ", slice(words, i + 1, lit(5)))))
+      .otherwise(array().cast("array<string>"))
+    val docSh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(sh5)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val sizes = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val cand = docSh.groupBy(col("h"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .where(size(col("ds")).between(2, 64))
+      .select(col("ds")).as[Seq[Long]]
+      .flatMap { ds =>
+        val a = ds.toArray.sorted
+        for {
+          i <- a.indices.iterator
+          j <- (i + 1 until a.length).iterator
+        } yield (a(i), a(j))
+      }
+      .toDF("a_id", "b_id")
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 5)
+    cand
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_a").cast("double"), 4)
+          .as("c_a"),
+        round(col("n_shared").cast("double") / col("n_b").cast("double"), 4)
+          .as("c_b"))
+      .where(greatest(col("c_a"), col("c_b")) >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---------------------------------------------- corpus shaping operators
 
   /** Edit distance between per-language adjacent documents — the exact

@@ -696,6 +696,29 @@ object OracleSql {
         "FROM docs a JOIN docs b ON a.doc_id < b.doc_id) " +
         "WHERE jaccard >= 0.02 ORDER BY a_id, b_id"),
 
+    // directional containment over 5-gram shingles: candidates share a
+    // non-boilerplate shingle (2 <= df <= 64), >= 5 shared distinct
+    // shingles, either direction's containment >= 0.5 on rounded values
+    "dedup_containment" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(0, len(ws) - 4), i -> array_to_string(ws[i+1:i+5], ' ')))) AS sh " +
+        "FROM w WHERE len(ws) >= 5), " +
+        "sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1), " +
+        "df AS (SELECT sh, count(*) AS dfc FROM s GROUP BY 1 " +
+        "HAVING count(*) BETWEEN 2 AND 64), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
+        "FROM s a JOIN df ON df.sh = a.sh JOIN s b " +
+        "ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT a_id, b_id, n_shared, " +
+        "floor(n_shared::DOUBLE / na.n_sh::DOUBLE * 10000 + 0.5) / 10000.0 AS c_a, " +
+        "floor(n_shared::DOUBLE / nb.n_sh::DOUBLE * 10000 + 0.5) / 10000.0 AS c_b " +
+        "FROM p JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id " +
+        "WHERE greatest(floor(n_shared::DOUBLE / na.n_sh::DOUBLE * 10000 + 0.5) / 10000.0, " +
+        "floor(n_shared::DOUBLE / nb.n_sh::DOUBLE * 10000 + 0.5) / 10000.0) >= 0.5 " +
+        "ORDER BY a_id, b_id"),
+
     "text_edit_distance" ->
       ("SELECT doc_id, lang, levenshtein(left(text, 200), " +
         "lag(left(text, 200)) OVER (PARTITION BY lang ORDER BY doc_id))::INT AS dist " +

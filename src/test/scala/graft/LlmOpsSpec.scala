@@ -69,6 +69,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(perQuery == Set(3), s"ragged neighbor lists: $perQuery")
   }
 
+  test("dedup_containment: a document quoted inside a larger one scores containment 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val inner = (1 to 20).map(i => s"w$i").mkString(" ")
+    val outer = inner + " " + (100 to 179).map(i => s"z$i").mkString(" ")
+    val noise = (200 to 279).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, inner, "en", "synth", inner.length.toLong),
+      (2L, outer, "en", "synth", outer.length.toLong),
+      (3L, noise, "en", "synth", noise.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = LlmPipeline.dedupContainment(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // doc 1's 16 shingles all sit inside doc 2 ⇒ C(1→2) = 1.0; doc 2's
+    // containment in 1 is small; the disjoint doc 3 pairs with nothing
+    assert(got.keySet == Set((1L, 2L)), s"unexpected pairs: ${got.keySet}")
+    assert(got((1L, 2L))._1 == 1.0, s"containment of quoted doc != 1: $got")
+    assert(got((1L, 2L))._2 < 0.5)
+  }
+
   test("quantized-rescore kNN: high recall vs brute-force top-3, rescored scores exact") {
     val exactRows = LlmPipeline.knnCosine(spark, sf001).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
