@@ -1054,25 +1054,32 @@ object LlmPipeline {
     * genuinely shared spans as candidates — candidate volume tracks true
     * containment density, the same output-bound argument as minhash
     * banding. */
-  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, h): DISTINCT n-word shingles per document, hashed to 8-byte
+    * longs in a typed JVM loop — the shared shingle front-end of
+    * [[dedupContainment]], [[Quant.textBoilerplateRatio]] and
+    * [[Quant.textNgramNovelty]]. The minhash/simhash lesson applies
+    * twice: Catalyst HOF chains (transform/concat_ws) are interpreted
+    * row-at-a-time (~4× slower measured at sf0.1), and string shingles
+    * shuffle at ~20× the bytes of a long. XXH64 seed 42 keeps hash
+    * parity with the engine's xxhash64 expression (pinned in LlmOpsSpec);
+    * DuckDB twins join on the shingle STRING — equivalent up to 2⁻⁶⁴
+    * collisions. */
+  private[ops] def docShingleHashes(
+      s: SparkSession, d: String, n: Int): DataFrame = {
     import s.implicits._
-    // shingle+hash in a typed JVM loop (the minhash/simhash lesson:
-    // Catalyst HOF chains are interpreted row-at-a-time — the transform/
-    // concat_ws formulation measured ~4× slower at sf0.1); XXH64 seed 42
-    // keeps hash parity with the engine's xxhash64 expression
-    val docSh = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val words = text.split(' ')
-        if (words.length < 5) Iterator.empty
+        if (words.length < n) Iterator.empty
         else {
           val seen = scala.collection.mutable.HashSet.empty[Long]
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
           var i = 0
-          while (i + 5 <= words.length) {
+          while (i + n <= words.length) {
             val sb = new java.lang.StringBuilder(words(i))
             var k = 1
-            while (k < 5) { sb.append(' ').append(words(i + k)); k += 1 }
+            while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
             val b = sb.toString.getBytes("UTF-8")
             val h = org.apache.spark.sql.catalyst.expressions.XXH64
               .hashUnsafeBytes(b,
@@ -1085,6 +1092,11 @@ object LlmPipeline {
         }
       }
       .toDF("doc_id", "h")
+  }
+
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docSh = docShingleHashes(s, d, 5)
     val sizes = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val cand = docSh.groupBy(col("h"))
       .agg(collect_set(col("doc_id")).as("ds"))

@@ -648,15 +648,14 @@ object Quant {
     * shingle build is interpreted, not codegen'd — fine off the hot
     * path; the typed kernel is the hot-path variant. */
   def textBoilerplateRatio(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))")))
-        .as("sh"))
-    val df = sh.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    sh.join(df, Seq("sh"))
+    // shared JVM shingle-hash kernel (longs, not strings, pre-shuffle);
+    // persisted: the frame feeds both the df count and the join-back
+    val sh = LlmPipeline.docShingleHashes(s, d, 3).persist()
+    // rows are (doc, shingle)-distinct already — plain count IS the
+    // document frequency, no second distinct expansion
+    val df = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+    sh.join(df, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count_if(col("nd") >= 5).as("n_boiler"))
@@ -795,14 +794,10 @@ object Quant {
     * partial-aggregable (shingle → min doc_id) shuffle; shingles hash to
     * longs at 100 TB (decontaminate kernel). */
   def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))")))
-        .as("sh"))
-    val owner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(owner, Seq("sh"))
+    // shared JVM shingle-hash kernel; persisted for its two readers
+    val sh = LlmPipeline.docShingleHashes(s, d, 3).persist()
+    val owner = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(owner, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count_if(col("first_doc") === col("doc_id")).as("n_novel"))
