@@ -762,6 +762,48 @@ object Analytics {
     *
     * Scale: two whole-partition window aggregates on ONE user_id
     * exchange; high-cardinality key, no groupBy+join back. */
+  /** Audience overlap between event-type segments: for each type pair,
+    * the distinct-user intersection |A ∩ B|, both segment sizes, and the
+    * overlap coefficient |A∩B| / min(|A|,|B|) — the segment-similarity
+    * readout audience tooling reports (Szymkiewicz–Simpson, not Jaccard:
+    * a niche segment nested inside a broad one should score 1). Exact
+    * integer counts, one divide on rounded output.
+    *
+    * Scale: the raw stream collapses FIRST to distinct (user, type) —
+    * one partial-aggregable shuffle bounded by users × types; pair
+    * generation rides the bounded collect_set kernel (fan-out ≤ |types|
+    * per user, never a self-join of the event stream); segment sizes are
+    * a tiny broadcast. */
+  def analyticsAudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ut = events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut
+      .groupBy(col("user_id")).agg(collect_set(col("event_type")).as("ts"))
+      .select(col("ts")).as[Seq[String]]
+      .flatMap { ts0 =>
+        val ts = ts0.toArray.sorted
+        for {
+          i <- ts.indices.iterator
+          j <- (i + 1 until ts.length).iterator
+        } yield (ts(i), ts(j))
+      }
+      .toDF("type_a", "type_b")
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("overlap"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   def featureMinmaxNorm(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     events(s, d)

@@ -979,6 +979,21 @@ object OracleSql {
     // scores bucket against exact medians (quantile_cont ≡ Spark
     // percentile — the pairing agg_percentile already pins); never a
     // global ntile window
+    // distinct-user segment overlap per event-type pair; Szymkiewicz–
+    // Simpson coefficient on exact counts
+    "analytics_audience_overlap" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "count(*) AS n_both FROM ut a JOIN ut b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both, " +
+        "floor(n_both::DOUBLE / least(sa.n, sb.n)::DOUBLE * 1000000 + 0.5) " +
+        "/ 1000000.0 AS overlap " +
+        "FROM p JOIN sz sa ON sa.event_type = type_a " +
+        "JOIN sz sb ON sb.event_type = type_b ORDER BY type_a, type_b"),
+
     "analytics_rfm" ->
       ("WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders), " +
         "cust AS (SELECT o_custkey, " +
