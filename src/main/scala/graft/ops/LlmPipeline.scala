@@ -1065,9 +1065,15 @@ object LlmPipeline {
     * DuckDB twins join on the shingle STRING — equivalent up to 2⁻⁶⁴
     * collisions. */
   private[ops] def docShingleHashes(
-      s: SparkSession, d: String, n: Int): DataFrame = {
+      s: SparkSession, d: String, n: Int): DataFrame =
+    docShingleHashesOf(Tables.documents(s, d), n)
+
+  /** [[docShingleHashes]] over an explicit (doc_id, text, …) frame — the
+    * cascade stages shingle SURVIVOR sets, not the raw table. */
+  private[ops] def docShingleHashesOf(docs: DataFrame, n: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val words = text.split(' ')
@@ -1094,9 +1100,15 @@ object LlmPipeline {
       .toDF("doc_id", "h")
   }
 
-  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+  /** Scored containment candidate pairs (a_id < b_id, ≥5 shared
+    * non-boilerplate shingles, both directions Det-rounded) over an
+    * explicit document frame — the shared core of [[dedupContainment]]
+    * and [[pipelineDedupCascade]] (which scores SURVIVORS, not the raw
+    * table). */
+  private def containmentScores(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docSh = docShingleHashes(s, d, 5)
+    val docSh = docShingleHashesOf(docs, 5)
     val sizes = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val cand = docSh.groupBy(col("h"))
       .agg(collect_set(col("doc_id")).as("ds"))
@@ -1121,8 +1133,55 @@ object LlmPipeline {
           .as("c_a"),
         round(col("n_shared").cast("double") / col("n_b").cast("double"), 4)
           .as("c_b"))
+  }
+
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    containmentScores(Tables.documents(s, d))
       .where(greatest(col("c_a"), col("c_b")) >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
+
+  /** Staged dedup cascade — the composed production sweep, one verdict
+    * row per document: stage 1 drops exact copies (min-doc_id survivor
+    * per sha-256 digest, [[dedupExactSha]]'s rule), stage 2 scores
+    * containment among the SURVIVORS and drops any doc ≥0.9 contained in
+    * a partner (the quoted-inside / subset-document case exact hashing
+    * can never catch). Mutual containment (both ≥0.9 — reordered or
+    * lightly edited twins) keeps the smaller doc_id, the same survivor
+    * convention as every other dedup op; `dup_of` names the smallest
+    * qualifying partner, `stage` ∈ kept | exact | contained.
+    *
+    * Staging ORDER is the scale argument: the cheap exact pass (32-byte
+    * digest shuffle) shrinks the corpus before the shingle-pair stage
+    * runs, and containment's candidate volume tracks true near-dup
+    * density of the already-deduped set — each stage funds the next, the
+    * same reasoning as pipeline_corpus_curate's gate-before-shuffle. */
+  def pipelineDedupCascade(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val tagged = docs.withColumn("digest", sha2(col("text"), 256))
+    val shaSurv = tagged.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("surv"))
+    val withSurv = tagged.join(shaSurv, Seq("digest"))
+      .select(col("doc_id"), col("text"), col("surv"))
+      .persist()
+    val exactDrops = withSurv.where(col("doc_id") =!= col("surv"))
+      .select(col("doc_id"), lit("exact").as("stage"),
+        col("surv").as("dup_of"))
+    val survivors = withSurv.where(col("doc_id") === col("surv"))
+      .select(col("doc_id"), col("text"))
+    val sc = containmentScores(survivors)
+    val containDrops = sc
+      .where(col("c_a") >= 0.9 && col("c_b") < 0.9)
+      .select(col("a_id").as("doc_id"), col("b_id").as("dup_of"))
+      .unionAll(sc.where(col("c_b") >= 0.9)
+        .select(col("b_id").as("doc_id"), col("a_id").as("dup_of")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("dup_of")).as("dup_of"))
+      .select(col("doc_id"), lit("contained").as("stage"), col("dup_of"))
+    docs.join(exactDrops.unionAll(containDrops), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("stage"), lit("kept")).as("stage"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------- corpus shaping operators

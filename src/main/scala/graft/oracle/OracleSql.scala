@@ -719,6 +719,41 @@ object OracleSql {
         "floor(n_shared::DOUBLE / nb.n_sh::DOUBLE * 10000 + 0.5) / 10000.0) >= 0.5 " +
         "ORDER BY a_id, b_id"),
 
+    // staged dedup cascade: exact sha survivors, then containment >= 0.9
+    // among survivors (contained doc drops; mutual containment keeps the
+    // smaller id); one verdict row per document
+    "pipeline_dedup_cascade" ->
+      ("WITH dg AS (SELECT doc_id, text, sha256(text) AS digest FROM documents), " +
+        "sv AS (SELECT digest, min(doc_id) AS surv FROM dg GROUP BY 1), " +
+        "tg AS (SELECT d.doc_id, d.text, s.surv FROM dg d JOIN sv s USING (digest)), " +
+        "ex AS (SELECT doc_id, 'exact' AS stage, surv AS dup_of FROM tg " +
+        "WHERE doc_id <> surv), " +
+        "su AS (SELECT doc_id, text FROM tg WHERE doc_id = surv), " +
+        "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM su), " +
+        "s5 AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(0, len(ws) - 4), i -> array_to_string(ws[i+1:i+5], ' ')))) AS sh " +
+        "FROM w WHERE len(ws) >= 5), " +
+        "sz AS (SELECT doc_id, count(*) AS n_sh FROM s5 GROUP BY 1), " +
+        "df AS (SELECT sh FROM s5 GROUP BY sh HAVING count(*) BETWEEN 2 AND 64), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
+        "FROM s5 a JOIN df USING (sh) JOIN s5 b " +
+        "ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "sc AS (SELECT a_id, b_id, " +
+        "floor(n_shared::DOUBLE / na.n_sh::DOUBLE * 10000 + 0.5) / 10000.0 AS c_a, " +
+        "floor(n_shared::DOUBLE / nb.n_sh::DOUBLE * 10000 + 0.5) / 10000.0 AS c_b " +
+        "FROM p JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id), " +
+        "dr AS (SELECT a_id AS doc_id, b_id AS dup_of FROM sc " +
+        "WHERE c_a >= 0.9 AND c_b < 0.9 " +
+        "UNION ALL SELECT b_id, a_id FROM sc WHERE c_b >= 0.9), " +
+        "cd AS (SELECT doc_id, 'contained' AS stage, min(dup_of) AS dup_of " +
+        "FROM dr GROUP BY 1), " +
+        "al AS (SELECT * FROM ex UNION ALL SELECT * FROM cd) " +
+        "SELECT d.doc_id, coalesce(al.stage, 'kept') AS stage, " +
+        "coalesce(al.dup_of, -1) AS dup_of " +
+        "FROM documents d LEFT JOIN al ON al.doc_id = d.doc_id " +
+        "ORDER BY d.doc_id"),
+
     "text_edit_distance" ->
       ("SELECT doc_id, lang, levenshtein(left(text, 200), " +
         "lag(left(text, 200)) OVER (PARTITION BY lang ORDER BY doc_id))::INT AS dist " +

@@ -91,6 +91,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got((1L, 2L))._2 < 0.5)
   }
 
+  test("pipeline_dedup_cascade: exact copies drop in stage 1, quoted docs in stage 2, rest kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cascade").toString
+    val inner = (1 to 20).map(i => s"w$i").mkString(" ")
+    val outer = inner + " " + (100 to 179).map(i => s"z$i").mkString(" ")
+    val noise = (200 to 279).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, inner, "en", "synth", inner.length.toLong),
+      (2L, outer, "en", "synth", outer.length.toLong),
+      (3L, outer, "en", "synth", outer.length.toLong), // exact copy of 2
+      (4L, noise, "en", "synth", noise.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = LlmPipeline.pipelineDedupCascade(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(3L) == (("exact", 2L)), s"exact copy verdict: ${got(3L)}")
+    assert(got(1L) == (("contained", 2L)), s"quoted doc verdict: ${got(1L)}")
+    assert(got(2L) == (("kept", -1L)) && got(4L) == (("kept", -1L)),
+      s"survivors mis-tagged: $got")
+  }
+
   test("quantized-rescore kNN: high recall vs brute-force top-3, rescored scores exact") {
     val exactRows = LlmPipeline.knnCosine(spark, sf001).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
