@@ -62,7 +62,15 @@ object ScaleStress {
     // / graph_pagerank), both stress-tested here.
     "agg_bitmap_distinct", "assoc_rules",
     "text_keyword_logodds", "corpus_budget_select", "dq_profile",
-    "join_asof_tolerance", "embedding_centroid", "feature_minmax_norm")
+    "join_asof_tolerance", "embedding_centroid", "feature_minmax_norm",
+    // r7: inverted-index containment + staged cascade (candidate volume
+    // tracks true near-dup density — output-bound on the replicated
+    // stress set like the other pair emitters), quantized-rescore ANN
+    // (same broadcast-matrix boundary as knn_cosine), segment-overlap
+    // pair kernel, outer stream-stream joins, shingle-stat rebuilds
+    "dedup_containment", "pipeline_dedup_cascade", "knn_quantized",
+    "analytics_audience_overlap", "stream_stream_left", "stream_stream_full",
+    "text_boilerplate_ratio")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

@@ -668,12 +668,15 @@ object Quant {
   /** Language-balance divergence of the corpus: KL(observed lang mix ‖
     * uniform) — the one-number skew alarm a mixture re-weighting stage
     * watches. The five per-lang terms p·ln(5p) are inexact doubles, so
-    * they accumulate via a RUNNING window in lang order (deterministic
+    * they accumulate LEFT-TO-RIGHT IN LANG ORDER (deterministic
     * accumulation both engines — groupBy partial-agg merge order is not;
-    * the stream/batch FP-parity rule), and the last row carries the sum.
+    * the stream/batch FP-parity rule): the |langs| per-lang terms
+    * collapse to one sorted array and fold in a single `aggregate`, the
+    * same IEEE addition sequence as the oracle's running window, with no
+    * partition-less WindowExec anywhere in the plan.
     *
-    * Scale: |langs| rows after one partial-aggregable count — the window
-    * is over a handful of rows whatever the corpus size. */
+    * Scale: |langs| rows after one partial-aggregable count — the array
+    * holds a handful of entries whatever the corpus size. */
   def corpusKlBalance(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.documents(s, d)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
@@ -681,14 +684,13 @@ object Quant {
         .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("k"))))
     val p = col("n_l").cast("double") / col("n").cast("double")
     val term = p * log(col("k").cast("double") * p)
-    val wo = Window.orderBy(col("lang"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts
       .withColumn("term", term)
-      .withColumn("kl_run", sum(col("term")).over(wo))
-      .withColumn("rn", row_number().over(Window.orderBy(col("lang"))))
-      .where(col("rn") === col("k"))
-      .select(col("k").as("n_langs"), round(col("kl_run"), 6).as("kl_uniform"))
+      .agg(max(col("k")).as("n_langs"),
+        sort_array(collect_list(struct(col("lang"), col("term")))).as("a"))
+      .select(col("n_langs"),
+        round(aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("kl_uniform"))
   }
 
   /** Two-way seasonal residual per event: value minus the additive
@@ -872,13 +874,15 @@ object Quant {
     val agg = Tables.documents(s, d).agg(
       count(lit(1)).as("n0"), count_if(g1).as("n1"),
       count_if(g2).as("n2"), count_if(g3).as("n3"))
+    // per-stage drops come straight off the one-row aggregate inside the
+    // stack — no lag window (even a 4-row partition-less WindowExec is a
+    // plan smell worth zero)
     agg.select(expr(
-      "stack(4, 0, 'ingest', n0, 1, 'min_length_20', n1, " +
-        "2, 'ttr_0.5', n2, 3, 'has_sentence_punct', n3) " +
-        "AS (stage, gate, n_docs)"))
-      .withColumn("n_dropped",
-        coalesce(lag(col("n_docs"), 1).over(
-          Window.orderBy(col("stage"))) - col("n_docs"), lit(0L)))
+      "stack(4, 0, 'ingest', n0, CAST(0 AS BIGINT), " +
+        "1, 'min_length_20', n1, n0 - n1, " +
+        "2, 'ttr_0.5', n2, n1 - n2, " +
+        "3, 'has_sentence_punct', n3, n2 - n3) " +
+        "AS (stage, gate, n_docs, n_dropped)"))
       .orderBy(col("stage"))
   }
 
