@@ -452,6 +452,34 @@ class PlanSpec extends SparkSpec {
       s"bloom prefilter still evaluates through a row-at-a-time UDF:\n$plan")
   }
 
+  test("NO query in the whole surface plans a partition-less Window (global funnel sweep)") {
+    // The one plan shape that silently serializes at scale: WindowExec
+    // with an empty partition spec moves ALL rows to one task. Round 7
+    // removed the last three (pareto rank, kl_balance running sum,
+    // quality_funnel lag); this sweep pins the whole surface so no new
+    // operator re-introduces one.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf001).queryExecution.executedPlan
+          val bad = plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+          Broadcasts.destroyAll()
+          spark.catalog.clearCache()
+          if (bad.nonEmpty) Some(name) else None
+        } catch {
+          case _: Throwable =>
+            Broadcasts.destroyAll()
+            spark.catalog.clearCache()
+            None // construction failures belong to the correctness gate
+        }
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window planned by: ${offenders.mkString(", ")}")
+  }
+
   test("analytics_pareto: decile bucketing broadcasts boundaries — no window anywhere in the plan") {
     val plan = physical(graft.ops.Quant.analyticsPareto(spark, sf01))
     // the old shape ranked every user through ONE partition-less window;
