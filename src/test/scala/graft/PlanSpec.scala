@@ -480,6 +480,42 @@ class PlanSpec extends SparkSpec {
       s"partition-less Window planned by: ${offenders.mkString(", ")}")
   }
 
+  test("NO query plans a CartesianProduct, and nested-loop joins appear only at one-row broadcast sites") {
+    // Companion to the Window sweep: the other silent scale-killer is a
+    // row-multiplying non-equi join. A BroadcastNestedLoopJoin is
+    // legitimate ONLY as `crossJoin(broadcast(<one-row aggregate>))` —
+    // the fold-a-scalar-back idiom — so the sweep pins the exact set of
+    // queries allowed to contain one; anything new joining non-equi must
+    // either band/bucketize into an equi join or justify itself here.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val allowedBnlj = Set(
+      // one-row broadcast crossJoins (scalar fold-back) — each verified
+      // to broadcast a single-row aggregate, bounded by construction
+      "agg_gini", "analytics_pareto", "analytics_rfm", "corpus_budget_select",
+      "corpus_kl_balance", "corpus_mixture_sample", "dq_profile",
+      "pipeline_mixture_weights", "text_bm25_topterms", "text_keyword_logodds",
+      "text_lm_score", "text_ngram_freq", "text_quality_score",
+      "text_tfidf_topterms", "ts_gapfill", "ts_interpolate_linear",
+      "ts_seasonal_residual", "win_dist",
+      // fixture-bounded all-pairs baseline, documented (scale path =
+      // minhash/containment)
+      "dedup_ngram_jaccard")
+    val found = scala.collection.mutable.Map.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf001).queryExecution.executedPlan
+        val cart = plan.collect { case c: CartesianProductExec => c }
+        val bnlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+        if (cart.nonEmpty) found(name) = "cartesian"
+        else if (bnlj.nonEmpty && !allowedBnlj.contains(name)) found(name) = "bnlj"
+      } catch { case _: Throwable => () }
+      Broadcasts.destroyAll()
+      spark.catalog.clearCache()
+    }
+    assert(found.isEmpty,
+      s"unexpected nested-loop plans: ${found.toSeq.sorted.mkString(", ")}")
+  }
+
   test("analytics_pareto: decile bucketing broadcasts boundaries — no window anywhere in the plan") {
     val plan = physical(graft.ops.Quant.analyticsPareto(spark, sf01))
     // the old shape ranked every user through ONE partition-less window;
