@@ -886,6 +886,32 @@ object Quant {
       .orderBy(col("stage"))
   }
 
+  /** Multi-grain time rollup in ONE pass: hour/day/month buckets of the
+    * event feed via GROUPING SETS over the three truncations — the
+    * dashboard-tile fan-out every metrics store materializes, planned as
+    * a single scan + Expand instead of three scans. Exact counts and
+    * cent sums; the grain label derives from which key survived.
+    *
+    * Scale: the same partial-aggregable Expand as agg_rollup — 3× rows
+    * pre-shuffle, collapsed map-side to (grain, bucket) cardinality. */
+  def aggTimeRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      date_trunc("hour", col("ts")).as("h"),
+      date_trunc("day", col("ts")).as("dy"),
+      date_trunc("month", col("ts")).as("mo"),
+      floor(col("value") * 100 + 0.5).as("cents"))
+    ev.groupingSets(Seq(Seq(col("h")), Seq(col("dy")), Seq(col("mo"))),
+        col("h"), col("dy"), col("mo"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(
+        when(col("h").isNotNull, lit("hour"))
+          .when(col("dy").isNotNull, lit("day"))
+          .otherwise(lit("month")).as("grain"),
+        coalesce(col("h"), col("dy"), col("mo")).as("bucket"),
+        col("n"), col("cents"))
+      .orderBy(col("grain"), col("bucket"))
+  }
+
   /** Several COUNT(DISTINCT ...) over different keys in ONE aggregate —
     * the multi-distinct planning surface (Catalyst rewrites it into one
     * Expand + two-phase aggregate, not one scan per distinct). Exact

@@ -1800,6 +1800,19 @@ object OracleSql {
 
     // ROLLUP + GROUPING_ID (first column = MSB in both engines); NULL
     // keys coalesce to a sentinel
+    // hour/day/month rollup via one GROUPING SETS pass; grain label from
+    // the surviving key, buckets emitted as TIMESTAMP both sides
+    "agg_time_rollup" ->
+      ("WITH e AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS h, " +
+        "date_trunc('day', ts)::TIMESTAMP AS dy, " +
+        "date_trunc('month', ts)::TIMESTAMP AS mo, " +
+        "floor(value * 100 + 0.5)::BIGINT AS c FROM events) " +
+        "SELECT CASE WHEN h IS NOT NULL THEN 'hour' " +
+        "WHEN dy IS NOT NULL THEN 'day' ELSE 'month' END AS grain, " +
+        "coalesce(h, dy, mo) AS bucket, count(*) AS n, " +
+        "sum(c)::BIGINT AS cents FROM e " +
+        "GROUP BY GROUPING SETS ((h), (dy), (mo)) ORDER BY grain, bucket"),
+
     "agg_grouping_id" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS flag, " +
         "coalesce(l_linestatus, 'ALL') AS status, " +
