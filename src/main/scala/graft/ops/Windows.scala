@@ -190,4 +190,23 @@ object Windows {
       .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** ntile quartiles of event value within each type — the equal-COUNT
+    * bucketing window (vs agg_quantile_bands' value-boundary buckets;
+    * both engines implement the SQL-standard larger-first-buckets rule).
+    * Unique (value, event_id) order makes bucket edges deterministic.
+    *
+    * Scale: one window on the event_type partition key — at production
+    * cardinality the partition key is the stratum, so no global funnel;
+    * a GLOBAL equal-count split belongs to the broadcast-percentile
+    * recipe (analytics_pareto / analytics_rfm), never a partition-less
+    * ntile. */
+  def winNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    events(s, d)
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -390,6 +390,12 @@ object OracleSql {
         "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC)::INT AS rn " +
         "FROM events) WHERE rn <= 3 ORDER BY user_id, rn"),
 
+    // SQL-standard ntile (larger buckets first) on a unique order
+    "win_ntile" ->
+      ("SELECT event_id, event_type, ntile(4) OVER (" +
+        "PARTITION BY event_type ORDER BY value, event_id)::INT AS quartile " +
+        "FROM events ORDER BY event_id"),
+
     "win_first_last" ->
       ("SELECT DISTINCT user_id, first_value(event_type) OVER w AS first_type, " +
         "last_value(event_type) OVER w AS last_type FROM events " +
