@@ -691,6 +691,30 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Schema-evolution-tolerant union: two feeds whose projections drifted
+    * (clicks carry `value`, purchases carry a day stamp) merge by COLUMN
+    * NAME with missing columns null-filled — `unionByName(allowMissing
+    * Columns = true)`, the ingestion-side member of the set family
+    * (positional union corrupts silently the day one side adds a
+    * column). Nulls coalesce to sentinels for the scalar comparator.
+    *
+    * Scale: a union is plan-level concatenation — no shuffle but the
+    * output sort. */
+  def setUnionByName(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("day", col("ts")).as("day"))
+    clicks.unionByName(purchases, allowMissingColumns = true)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("value"), lit(-1.0)).as("value"),
+        coalesce(col("day"), lit("1970-01-01").cast("timestamp")).as("day"))
+      .orderBy(col("event_id"))
+  }
+
   /** Clickers ∩ purchasers (INTERSECT = distinct semantics). */
   def setIntersect(s: SparkSession, d: String): DataFrame = {
     val clicks = Tables.events(s, d).where(col("event_type") === "click")

@@ -315,6 +315,19 @@ object OracleSql {
         "LIMIT 25 OFFSET 100"),
 
     // -------------------------------------------------------- §2.7 set ops
+    // name-matched union of drifted projections, missing columns
+    // null-filled then coalesced to sentinels
+    "set_union_by_name" ->
+      ("SELECT event_id, user_id, coalesce(value, -1.0) AS value, " +
+        "coalesce(day, TIMESTAMP '1970-01-01') AS day FROM (" +
+        "SELECT event_id, user_id, " +
+        "floor(value * 100 + 0.5) / 100.0 AS value FROM events " +
+        "WHERE event_type = 'click' " +
+        "UNION ALL BY NAME " +
+        "SELECT event_id, user_id, " +
+        "date_trunc('day', ts)::TIMESTAMP AS day FROM events " +
+        "WHERE event_type = 'purchase') ORDER BY event_id"),
+
     "set_union" ->
       ("SELECT DISTINCT user_id FROM (" +
         "SELECT user_id FROM events WHERE event_type = 'click' " +
