@@ -364,11 +364,15 @@ object LlmPipeline {
     *     shared [[Top3]] tie rule (rounded score desc, id asc) — every
     *     reported score is bit-identical to brute force, only recall is
     *     subject to quantization error (pinned ≥ 0.9 in LlmOpsSpec).
-    * At broadcast-breaking scale the int8 matrix shards across executors
-    * and the rescore becomes a hash join against the fp32 vector store —
-    * the two-stage asymptotics (cheap wide scan, exact narrow rescore)
-    * are unchanged. Oracle-exempt: DuckDB has no two-stage kernel to
-    * mirror; the recall/score pins are the gate. */
+    * NOTE on broadcast bytes: at this scale the fp32 matrix rides along
+    * in a second broadcast (total ≈ 1.25× the fp32-only [[knnCosine]]
+    * broadcast) because the rescore touches ≤ 32 fp32 vectors per query
+    * and an in-map lookup is cheaper than a join. The
+    * only-the-int8-grid-is-broadcast shape — candidates as an ids-only
+    * shuffle, fp32 re-attached by hash join — is exactly what
+    * [[knnSharded]] implements; beyond broadcast that variant IS the
+    * plan. Oracle-exempt: DuckDB has no two-stage kernel to mirror; the
+    * recall/score pins are the gate. */
   def knnQuantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nCand = 32
@@ -468,6 +472,42 @@ object LlmPipeline {
       }
       .toDF("vec_id", "rn", "b_id", "score")
       .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** Beyond-broadcast exact kNN — [[knnCosine]]'s kernel with the
+    * reference matrix PARTITIONED ACROSS EXECUTORS instead of broadcast
+    * (the r7 "what's missing" item made runnable). The reference side is
+    * hash-sharded into P id-keyed shards; queries explode to one row per
+    * (shard, query) — an EQUI-join shape, no Cartesian — and each
+    * cogroup task scores its queries against ONE shard in the same tight
+    * fp32 loop, keeping a shard-local top-3; a single groupByKey merge
+    * takes the global top-3 under the shared [[Top3]] tie rule. Top-k is
+    * mergeable, so the output is BIT-IDENTICAL to [[knnCosine]] and this
+    * key is gated by the SAME DuckDB oracle, not merely recall-pinned.
+    * Memory per task = one shard (matrixBytes/P), never the full matrix;
+    * P trades query-replication shuffle (n·P rows) for shard residency —
+    * at 100 TB, P = matrixBytes / executorBudget and queries stream
+    * through each shard. ZERO driver collect()/broadcast in this path. */
+  def knnSharded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = s.sparkContext.defaultParallelism
+    val shards = vecs(s, d)
+      .map { case (id, e) => (math.floorMod(id, p.toLong).toInt, id, e) }
+      .groupByKey(_._1)
+    val queries = vecs(s, d)
+      .flatMap { case (id, e) => Iterator.range(0, p).map(sh => (sh, id, e)) }
+      .groupByKey(_._1)
+    val local = queries.cogroup(shards) { (_, qs, rs) =>
+      val shard = rs.map { case (_, bid, bemb) => (bid, bemb) }.toArray
+      qs.flatMap { case (_, aid, aemb) =>
+        val top = new Top3
+        shard.foreach { case (bid, bemb) =>
+          if (bid != aid) top.offer(r4(dot(aemb, bemb)), bid)
+        }
+        top.triples(aid)
+      }
+    }
+    mergeTop3(local)
   }
 
   /** All similar vector pairs: cosine ≥ 0.3, each pair once. Same
@@ -1076,7 +1116,9 @@ object LlmPipeline {
     docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val words = text.split(' ')
+        // split(" ", -1) keeps trailing empty tokens — parity with
+        // Catalyst split(text, " ") (limit -1) and DuckDB string_split.
+        val words = text.split(" ", -1)
         if (words.length < n) Iterator.empty
         else {
           val seen = scala.collection.mutable.HashSet.empty[Long]

@@ -674,6 +674,18 @@ object OracleSql {
         "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)) " +
         "WHERE rn <= 3 ORDER BY vec_id, rn"),
 
+    // knn_sharded merges shard-local top-3s exactly, so it answers the
+    // SAME question as knn_cosine and shares its oracle verbatim.
+    "knn_sharded" ->
+      ("SELECT vec_id, rn, b_id, score FROM (" +
+        "SELECT vec_id, b_id, score, " +
+        "(row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, b_id ASC))::INT AS rn FROM (" +
+        "SELECT a.vec_id AS vec_id, b.vec_id AS b_id, " +
+        "floor((list_sum(list_transform(range(1, 65), " +
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)) " +
+        "WHERE rn <= 3 ORDER BY vec_id, rn"),
+
     "sim_threshold" ->
       ("SELECT a_id, b_id, score FROM (" +
         "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +

@@ -250,6 +250,15 @@ class LlmOpsSpec extends SparkSpec {
       LlmPipeline.knnLshBucketed(spark, sf001), "lsh-joined")
   }
 
+  test("knn_sharded (no collect, no broadcast) == knn_cosine row-for-row") {
+    // shard-local top-3s merge exactly under the shared tie rule, so the
+    // partitioned-reference form must be bit-identical to brute force —
+    // this pins the beyond-broadcast exact-kNN migration path
+    assertSameRows(
+      LlmPipeline.knnSharded(spark, sf001),
+      LlmPipeline.knnCosine(spark, sf001), "knn-sharded")
+  }
+
   test("dedup_embedding_lsh: near-1 recall in the high-cosine regime it targets") {
     // The fixture corpus has no pairs above cosine 0.8, so the query key
     // only exercises the worst case (τ=0.3, ~56% collision). Build the

@@ -47,18 +47,26 @@ class ScaleStressSpec extends SparkSpec {
     math.min(timeOnce(name, dir), timeOnce(name, dir))
 
   test("flagged linear operators stay inside the linear envelope at 16x rows") {
-    // one warmup query so shuffle/codegen init lands outside every timing
+    // Warmup doubles as a machine-speed calibration: the absolute
+    // ceiling scales with how fast THIS machine runs a fixed 16×-rows
+    // aggregate, so a loaded/slow CI host can't blow the gate without a
+    // code regression (r7 ADVICE). On the reference machine the warmup
+    // lands well under 1 s, so the floor keeps the ceilings at their
+    // nominal seconds there; a 3×-slower host gets 3× the ceiling.
+    val c0 = System.nanoTime()
     spark.read.parquet(s"$stressDir/events.parquet")
       .groupBy(col("event_type")).count().count()
+    val calib = math.max((System.nanoTime() - c0) / 1e9, 1.0)
     val blown = bounds.flatMap { case (name, rBound, sBound) =>
+      val ceiling = sBound * calib
       val t1 = math.max(minOf2(name, sf01), 0.05)
       val tn = minOf2(name, stressDir)
       val ratio = tn / t1
       info(f"$name%-28s t1=$t1%.2fs t16=$tn%.2fs ratio=$ratio%.1f " +
-        f"(bounds $rBound%.0fx / $sBound%.0fs)")
-      if (ratio > rBound || tn > sBound)
+        f"(bounds $rBound%.0fx / $ceiling%.0fs)")
+      if (ratio > rBound || tn > ceiling)
         Some(f"$name t16=$tn%.2fs ratio=$ratio%.1f exceeds " +
-          f"$rBound%.0fx / $sBound%.0fs")
+          f"$rBound%.0fx / $ceiling%.0fs")
       else None
     }
     assert(blown.isEmpty,
