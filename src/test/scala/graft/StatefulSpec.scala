@@ -8,8 +8,14 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.io.Tables
 import graft.ops.{Stateful, Streaming}
 
-/** Custom stateful operator + late-data semantics (SURVEY.md §2.9). */
-class StatefulSpec extends SparkSpec {
+/** Custom stateful operator + late-data semantics (SURVEY.md §2.9),
+  * parameterized over the state-store backend: every test in this base
+  * runs once under the in-heap default ([[StatefulSpec]]) and once under
+  * the production RocksDB provider ([[StatefulRocksDbSpec]]) — at 100 TB
+  * the feed's state lives on RocksDB (local-disk spill, state scales
+  * with active keys not heap), so both backends must produce identical
+  * sessions, including across a checkpointed restart. */
+abstract class StatefulSpecBase extends SparkSpec with StateStoreVariant {
 
   test("flatMapGroupsWithState sessionization == declarative gaps-and-islands (batch)") {
     val stateful = Stateful.streamStatefulSession(spark, sf001)
@@ -426,4 +432,16 @@ class StatefulSpec extends SparkSpec {
       assert(math.abs(v - rv) < 1e-9 + 1e-4, s"user $u var $v vs $rv")
     }
   }
+}
+
+/** The in-heap default backend (HDFSBackedStateStoreProvider). */
+class StatefulSpec extends StatefulSpecBase {
+  protected def providerClass: String =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+}
+
+/** The production backend: state in RocksDB, spilling to local disk. */
+class StatefulRocksDbSpec extends StatefulSpecBase {
+  protected def providerClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 }

@@ -10,7 +10,7 @@ import graft.ops.Streaming
   * the AvailableNow replay source must produce exactly the rows its batch
   * form produces. DuckDB can't run a stream — this parity IS the streaming
   * correctness gate; the batch forms are the oracle-gated entries. */
-class StreamingParitySpec extends SparkSpec {
+abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant {
 
   private def runStream(streamDf: DataFrame, mode: String, name: String): DataFrame = {
     val q = streamDf.writeStream
@@ -401,4 +401,17 @@ class StreamingParitySpec extends SparkSpec {
       spark.sparkContext.parallelize(dup.toSeq), events.schema)
     assert(Streaming.dedupTransform(dupDf).count() == 50)
   }
+}
+
+/** The in-heap default backend (HDFSBackedStateStoreProvider). */
+class StreamingParitySpec extends StreamingParitySpecBase {
+  protected def providerClass: String =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+}
+
+/** The production backend: every stream-batch parity result — including
+  * checkpoint-recovery resume — must be identical with state in RocksDB. */
+class StreamingParityRocksDbSpec extends StreamingParitySpecBase {
+  protected def providerClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 }
