@@ -563,22 +563,25 @@ object Analytics {
     * (n_nodes, n_edges, n_triangles). Triangles are the clustering signal
     * dedup/community passes read off co-occurrence graphs.
     *
-    * Scale: edges are oriented p1 < p2, so each triangle {a<b<c} is
-    * counted exactly once as wedge (a,b)+(b,c) closed by (a,c) — two
-    * equi-joins, no theta join. The first join shuffles on single part
-    * keys; at 100 TB you'd additionally orient low-degree → high-degree
-    * (bounds wedge fan-out by arboricity, O(m^1.5) total) — same plan
-    * shape, one extra degree join. */
+    * Scale: DEGREE-ORDERED wedge counting, the O(m^1.5) plan. Edges are
+    * re-oriented low-degree → high-degree (id tiebreak), so every
+    * triangle has exactly ONE pivot node with two out-edges and the
+    * wedge join fans out by OUT-degree, which the orientation bounds by
+    * O(√m) — a star node with a million neighbors contributes ~zero
+    * wedges as a pivot because almost all its edges point AT it. The
+    * id-oriented form (p1 < p2) this replaces was quadratic in hub
+    * degree: wedge volume Σ in·out over id order, unbounded under skew.
+    * Still two equi-joins + one degree groupBy — no theta join. */
   def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
     // Pair build shared with assoc_pairs (coOrderPairs): one orderkey
     // shuffle + bounded map-side expansion — the declarative alternative
     // (distinct + self-join per order) costs two extra 600 k-row
     // exchanges for the same pair stream (measured 1.9 → 1.3 s at sf0.1).
     val pairs = coOrderPairs(s, d)
-    // persist: the edge set is referenced five times (three triangle-join
-    // legs + node and edge counts) and Spark's exchange reuse does not
-    // collapse the five alias-renamed subtrees — without this the whole
-    // pair pipeline runs 5× (same multi-reference pattern as pagerank's
+    // persist: the edge set is referenced four times (degree build + node
+    // and edge counts + orientation) and Spark's exchange reuse does not
+    // collapse the alias-renamed subtrees — without this the whole
+    // pair pipeline runs 4× (same multi-reference pattern as pagerank's
     // iterate-persist). The edge set itself is tiny (pairs co-ordered
     // ≥2×), and the harness clears the SQL cache between queries.
     val e = pairs
@@ -586,12 +589,28 @@ object Analytics {
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
       .persist()
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
-      .join(e.as("e3"),
-        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-    val nodes = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
-      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    // orient (p1,p2) toward the (deg, id)-larger endpoint; p1 < p2
+    // already, so a degree tie keeps p1 → p2
+    val fwd = col("da") < col("db") || (col("da") === col("db"))
+    val dir = e
+      .join(deg.withColumnRenamed("p", "pa").withColumnRenamed("deg", "da"),
+        col("p1") === col("pa"))
+      .join(deg.withColumnRenamed("p", "pb").withColumnRenamed("deg", "db"),
+        col("p2") === col("pb"))
+      .select(when(fwd, col("p1")).otherwise(col("p2")).as("src"),
+        when(fwd, col("p2")).otherwise(col("p1")).as("dst"))
+      .persist()
+    // pivot wedges (a→b, a→c, b ≠ c) closed by the directed edge b→c:
+    // exactly one of the wedge's two orderings closes, so each triangle
+    // counts once
+    val tri = dir.as("e1")
+      .join(dir.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
+      .join(dir.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     nodes.crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }

@@ -590,13 +590,31 @@ object Quant {
     * decile rows collapse to a single sorted array for the prefix sums,
     * so no stage anywhere — not even a bounded one — plans a
     * partition-less WindowExec. */
-  def analyticsPareto(s: SparkSession, d: String): DataFrame = {
+  def analyticsPareto(s: SparkSession, d: String): DataFrame =
+    paretoCore(s, d,
+      "percentile(cents, array(0.9D,0.8D,0.7D,0.6D,0.5D,0.4D,0.3D,0.2D,0.1D))")
+
+  /** [[analyticsPareto]] with approx_percentile boundaries — the drop-in
+    * the exact form's scale note promises for extreme user cardinality:
+    * the KLL-style sketch merges map-side in O(1/ε) state instead of
+    * funneling every distinct cents value through the exact percentile's
+    * single-reduce array build. Identical recipe otherwise (one-row
+    * boundary broadcast, comparison bucketing, prefix sums in array
+    * land). Oracle-exempt: sketch boundaries are engine-specific;
+    * Round8Spec pins decile mass within ε of the exact form and total
+    * user count equal (accuracy 10000 ⇒ boundary rank error ≤ n/10000,
+    * so band populations drift by at most that many users per edge). */
+  def analyticsParetoApprox(s: SparkSession, d: String): DataFrame =
+    paretoCore(s, d,
+      "approx_percentile(cents, " +
+        "array(0.9D,0.8D,0.7D,0.6D,0.5D,0.4D,0.3D,0.2D,0.1D), 10000)")
+
+  private def paretoCore(
+      s: SparkSession, d: String, boundaryExpr: String): DataFrame = {
     val perUser = events(s, d)
       .groupBy(col("user_id"))
       .agg(sum(floor(col("value") * 100 + 0.5)).as("cents"))
-    val bounds = perUser.agg(expr(
-      "percentile(cents, array(0.9D,0.8D,0.7D,0.6D,0.5D,0.4D,0.3D,0.2D,0.1D))")
-      .as("qs"))
+    val bounds = perUser.agg(expr(boundaryExpr).as("qs"))
     val deciles = perUser
       .crossJoin(broadcast(bounds))
       .withColumn("decile",
