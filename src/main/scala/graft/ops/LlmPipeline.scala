@@ -1190,6 +1190,63 @@ object LlmPipeline {
       .where(greatest(col("c_a"), col("c_b")) >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Inverted containment index over a corpus frame: shingle hash →
+    * capped distinct-doc set. Hub shingles (> 64 docs — boilerplate,
+    * not identity) are EXCLUDED here exactly as in [[containmentScores]]'
+    * band cap, so index fan-out per arriving shingle is bounded. The
+    * caller persists this once; it is the static asset incremental
+    * batches join against ([[dedupIncremental]]'s corpus-digest-set
+    * role, lifted from exact digests to shingle sets — at 100 TB it is
+    * a bucketed table keyed on h). */
+  private[graft] def containmentIndexOf(corpus: DataFrame): DataFrame =
+    docShingleHashesOf(corpus, 5)
+      .groupBy(col("h"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .where(size(col("ds")) <= 64)
+
+  /** Containment verdicts for a batch of NEW documents against a
+    * prebuilt [[containmentIndexOf]] index: one row per new doc ≥ 0.5
+    * contained in some corpus doc — dup_of = the smallest qualifying
+    * corpus id, with that pair's shared-shingle count and Det-rounded
+    * containment. Only the new batch is shingled per call; the corpus
+    * side ships (h, ids) index rows, never bodies. */
+  private[graft] def scoreAgainstIndex(
+      newDocs: DataFrame, idx: DataFrame): DataFrame = {
+    val newSh = docShingleHashesOf(newDocs, 5)
+    val sizes = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    newSh.join(idx, Seq("h"))
+      .select(col("doc_id"), explode(col("ds")).as("corpus_id"))
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 5)
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("corpus_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_sh").cast("double"), 4)
+          .as("c_new"))
+      .where(col("c_new") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"),
+        min_by(col("n_shared"), col("corpus_id")).as("n_shared"),
+        min_by(col("c_new"), col("corpus_id")).as("c_new"))
+  }
+
+  /** Incremental CONTAINMENT dedup — [[pipelineDedupCascade]]'s
+    * expensive stage composed with [[dedupIncremental]]'s arrival shape:
+    * a new batch (odd doc_ids) is scored ONLY against the existing
+    * corpus's survivor shingle index (even doc_ids), never against
+    * itself — the full pairwise sweep already ran when the corpus was
+    * built, so steady-state ingest cost is one index join per batch,
+    * proportional to batch size, not corpus². This batch form is the
+    * oracle-gated twin; Round8Spec drives the same kernel through
+    * foreachBatch micro-batches against the once-persisted index and
+    * pins the union equal to this. */
+  def dedupContainmentIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val idx = containmentIndexOf(docs.where(col("doc_id") % 2 === 0))
+    scoreAgainstIndex(docs.where(col("doc_id") % 2 === 1), idx)
+      .orderBy(col("doc_id"))
+  }
+
   /** Staged dedup cascade — the composed production sweep, one verdict
     * row per document: stage 1 drops exact copies (min-doc_id survivor
     * per sha-256 digest, [[dedupExactSha]]'s rule), stage 2 scores

@@ -750,6 +750,29 @@ object OracleSql {
         "floor(n_shared::DOUBLE / nb.n_sh::DOUBLE * 10000 + 0.5) / 10000.0) >= 0.5 " +
         "ORDER BY a_id, b_id"),
 
+    // incremental containment: odd docs (the arriving batch) scored only
+    // against the even-doc corpus shingle index; hub shingles (> 64
+    // corpus docs) excluded as in dedup_containment's band cap
+    "dedup_containment_incremental" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(0, len(ws) - 4), i -> array_to_string(ws[i+1:i+5], ' ')))) AS sh " +
+        "FROM w WHERE len(ws) >= 5), " +
+        "snew AS (SELECT * FROM s WHERE doc_id % 2 = 1), " +
+        "scorp AS (SELECT * FROM s WHERE doc_id % 2 = 0), " +
+        "sz AS (SELECT doc_id, count(*) AS n_sh FROM snew GROUP BY 1), " +
+        "keep AS (SELECT sh FROM scorp GROUP BY 1 HAVING count(*) <= 64), " +
+        "p AS (SELECT a.doc_id, b.doc_id AS corpus_id, count(*) AS n_shared " +
+        "FROM snew a JOIN keep k ON k.sh = a.sh JOIN scorp b ON b.sh = a.sh " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "q AS (SELECT p.doc_id, corpus_id, n_shared, " +
+        "floor(n_shared::DOUBLE / sz.n_sh::DOUBLE * 10000 + 0.5) / 10000.0 AS c_new " +
+        "FROM p JOIN sz ON sz.doc_id = p.doc_id) " +
+        "SELECT doc_id, min(corpus_id) AS dup_of, " +
+        "arg_min(n_shared, corpus_id) AS n_shared, " +
+        "arg_min(c_new, corpus_id) AS c_new " +
+        "FROM q WHERE c_new >= 0.5 GROUP BY 1 ORDER BY 1"),
+
     // staged dedup cascade: exact sha survivors, then containment >= 0.9
     // among survivors (contained doc drops; mutual containment keeps the
     // smaller id); one verdict row per document

@@ -27,7 +27,17 @@ class ScaleStressSpec extends SparkSpec {
     ("win_topk_per_group", 40.0, 20.0),
     ("ts_gapfill", 40.0, 20.0),
     ("join_range_bucketed", 40.0, 20.0),
-    ("agg_entropy", 40.0, 20.0))
+    ("agg_entropy", 40.0, 20.0),
+    // r7 ops promoted from the manual harness (10× ratios 0.9×/0.7×/0.9×
+    // recorded in README): pair emitters whose candidate volume is
+    // bounded by the ≤64 per-shingle cap / per-user type-set², so on the
+    // replicated stress set they stay inside the linear envelope — a
+    // quadratic regression in the candidate build would blow the pin
+    ("dedup_containment", 40.0, 20.0),
+    ("pipeline_dedup_cascade", 40.0, 25.0),
+    ("analytics_audience_overlap", 40.0, 20.0),
+    // r8: the incremental form rides the same capped index join
+    ("dedup_containment_incremental", 40.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
@@ -53,10 +63,16 @@ class ScaleStressSpec extends SparkSpec {
     // code regression (r7 ADVICE). On the reference machine the warmup
     // lands well under 1 s, so the floor keeps the ceilings at their
     // nominal seconds there; a 3×-slower host gets 3× the ceiling.
-    val c0 = System.nanoTime()
-    spark.read.parquet(s"$stressDir/events.parquet")
-      .groupBy(col("event_type")).count().count()
-    val calib = math.max((System.nanoTime() - c0) / 1e9, 1.0)
+    // min-of-2: the first run right after the in-test 16× replication
+    // pays one-time shuffle init + post-replication GC pressure and can
+    // run 20×+ slower than steady state, which would inflate the
+    // ceilings into vacuity
+    val calib = math.max((1 to 2).map { _ =>
+      val c0 = System.nanoTime()
+      spark.read.parquet(s"$stressDir/events.parquet")
+        .groupBy(col("event_type")).count().count()
+      (System.nanoTime() - c0) / 1e9
+    }.min, 1.0)
     val blown = bounds.flatMap { case (name, rBound, sBound) =>
       val ceiling = sBound * calib
       val t1 = math.max(minOf2(name, sf01), 0.05)
