@@ -261,6 +261,71 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew split fires on join_sortmerge's real path under a hot key; feature_snapshot is skew-immune by pre-agg") {
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence, when}
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // A 256×-replicated sf0.001 with ONE hot key owning ~half the rows —
+      // the production-skew fixture, but run through the REAL SparkEntry
+      // query paths, not a synthetic frame. The price jitter de-dups the
+      // replicated doubles so compressed SHUFFLE sizes — what the skew
+      // detector reads — reflect genuine row volume.
+      val dir = java.nio.file.Files.createTempDirectory("graft-skewop").toString
+      val rep = explode(sequence(lit(1), lit(256))).as("rep")
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val hotOk = spark.read.parquet(s"$sf001/orders.parquet")
+        .selectExpr("min(o_orderkey)").head().getLong(0)
+      li.select(rep, col("*"))
+        .withColumn("l_orderkey",
+          when(col("l_orderkey") % 2 === 0, lit(hotOk))
+            .otherwise(col("l_orderkey")))
+        .withColumn("l_extendedprice",
+          col("l_extendedprice") + col("rep") * lit(1e-6))
+        // many input splits ⇒ many mappers: a skewed reduce partition is
+        // split at MAP granularity, so a single-mapper shuffle is
+        // unsplittable no matter how skewed
+        .drop("rep").repartition(8).write.parquet(s"$dir/lineitem.parquet")
+      spark.read.parquet(s"$sf001/orders.parquet")
+        .write.parquet(s"$dir/orders.parquet")
+      val ev = spark.read.parquet(s"$sf001/events.parquet")
+      val hotUser = ev.selectExpr("min(user_id)").head().getLong(0)
+      ev.select(rep, col("*"))
+        .withColumn("user_id",
+          when(col("user_id") % 2 === 0, lit(hotUser))
+            .otherwise(col("user_id")))
+        .withColumn("event_id",
+          col("event_id") + col("rep").cast("long") * 100000000L)
+        .withColumn("value", col("value") + col("rep") * lit(1e-6))
+        .drop("rep").repartition(8).write.parquet(s"$dir/events.parquet")
+      // join_sortmerge: the hot orderkey partition must be runtime-split
+      val smj = graft.ops.Relational.joinSortmerge(spark, dir)
+      smj.collect()
+      assert(physical(smj).contains("skew=true"),
+        s"no runtime skew split on join_sortmerge:\n${physical(smj)}")
+      // feature_snapshot: the SAME hot user never reaches a join as raw
+      // rows — every join input is pre-aggregated to one row per user,
+      // so AQE finds nothing to split. That absence IS the design.
+      val fs = LlmPipeline.pipelineFeatureSnapshot(spark, dir)
+      fs.collect()
+      assert(!physical(fs).contains("skew=true"),
+        "feature_snapshot joined raw skewed rows — pre-agg shield lost:\n" +
+          physical(fs))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("source_kinesis_envelope decode path has no UDFs and aggregates after a single scan") {
     val plan = physical(graft.io.Formats.sourceKinesisEnvelope(spark, sf001))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
