@@ -589,15 +589,20 @@ object Analytics {
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
       .persist()
+    // persisted: three readers (two orientation joins + node count), each
+    // of which would otherwise re-run the union+groupBy over e
     val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .persist()
     // orient (p1,p2) toward the (deg, id)-larger endpoint; p1 < p2
-    // already, so a degree tie keeps p1 → p2
+    // already, so a degree tie keeps p1 → p2. The degree table is
+    // |V| rows — broadcast, so orientation is MAP-SIDE over e (at
+    // extreme |V| it becomes two shuffles on p1/p2; still O(m))
     val fwd = col("da") < col("db") || (col("da") === col("db"))
     val dir = e
-      .join(deg.withColumnRenamed("p", "pa").withColumnRenamed("deg", "da"),
+      .join(broadcast(deg.select(col("p").as("pa"), col("deg").as("da"))),
         col("p1") === col("pa"))
-      .join(deg.withColumnRenamed("p", "pb").withColumnRenamed("deg", "db"),
+      .join(broadcast(deg.select(col("p").as("pb"), col("deg").as("db"))),
         col("p2") === col("pb"))
       .select(when(fwd, col("p1")).otherwise(col("p2")).as("src"),
         when(fwd, col("p2")).otherwise(col("p1")).as("dst"))

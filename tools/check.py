@@ -94,6 +94,21 @@ for name in names:
         fails.append((name, msg + dtw))
 for name, n in exempt:
     print(f"  --  {name} (oracle-exempt, {n} rows)")
+
+# machine-readable summary for tools/gen_catalog.py (the README catalog
+# is generated from this + BENCH_FULL.json, never hand-edited)
+summary = {}
+failed_names = {name for name, _ in fails}
+exempt_names = {name for name, _ in exempt}
+for name in names:
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    rows = pq.read_table(files[0]).num_rows if files else 0
+    status = ("fail" if name in failed_names
+              else "exempt" if name in exempt_names else "pass")
+    summary[name] = {"status": status, "rows": rows}
+with open(f"{out}/check_summary.json", "w") as f:
+    json.dump(summary, f, indent=0, sort_keys=True)
+
 print()
 if fails:
     print(f"FAILED {len(fails)}/{len(names)}:")
