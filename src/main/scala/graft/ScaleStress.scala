@@ -70,7 +70,15 @@ object ScaleStress {
     // pair kernel, outer stream-stream joins, shingle-stat rebuilds
     "dedup_containment", "pipeline_dedup_cascade", "knn_quantized",
     "analytics_audience_overlap", "stream_stream_left", "stream_stream_full",
-    "text_boilerplate_ratio")
+    "text_boilerplate_ratio",
+    // r8: sharded exact kNN (quadratic compute by design — its ratio vs
+    // the ANN tiers is the same crossover story as knn_cosine, but the
+    // memory-per-task stays matrixBytes/P at any scale), index-join
+    // incremental containment, approx pareto
+    "knn_sharded", "dedup_containment_incremental", "analytics_pareto_approx",
+    // r8 second wave: iterative peeling (rounds × shrinking edge set),
+    // single-pass moment PCA (row-count-independent driver payload)
+    "graph_kcore", "embedding_pca_project")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

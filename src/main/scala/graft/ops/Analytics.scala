@@ -620,6 +620,60 @@ object Analytics {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** 3-core of the co-order part graph — iterative peeling: repeatedly
+    * drop every node with degree < 3 (each removal lowers neighbors'
+    * degrees, so peeling cascades) until fixpoint; output = surviving
+    * nodes with their IN-CORE degree. The k-core is the dense backbone
+    * community/robustness passes run on after pruning the tree-like
+    * fringe the triangle/wedge counts are diluted by.
+    *
+    * Scale: the graph_pagerank / dedup_cluster_cc loop shape — each
+    * round is one degree groupBy + two left-anti joins (all equi,
+    * partial-aggregable); rounds are bounded by the peeling depth
+    * (degeneracy ordering), NOT |V|, and the edge set only shrinks.
+    * `localCheckpoint` per round truncates lineage; superseded
+    * checkpoint blocks are freed once the next round materializes
+    * (pagerank's eager-free convention). Oracle-exempt (iterative
+    * global fixpoint — not expressible as a recursive CTE over rows);
+    * Round8Spec pins the result against driver-side brute peeling and
+    * the invariant min(core_deg) ≥ 3. */
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    def freeRdd(df: DataFrame): Unit =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(blocking = false))
+    var e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+      .localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 64) {
+      val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      val low = deg.where(col("deg") < k).select(col("p")).localCheckpoint()
+      if (low.isEmpty) done = true
+      else {
+        val next = e
+          .join(low.select(col("p").as("p1")), Seq("p1"), "left_anti")
+          .join(low.select(col("p").as("p2")), Seq("p2"), "left_anti")
+          .localCheckpoint()
+        freeRdd(e)
+        e = next
+      }
+      freeRdd(low)
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(s"graphKcore: no fixpoint in $rounds rounds")
+    val out = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("p"))
+    out
+  }
+
   /** Per-language skewness + excess kurtosis of document length, computed
     * from EXACT integer power sums (Σx..Σx⁴ as BIGINT — n_chars ≤ ~600,
     * so Σx⁴ < 2⁶³ by orders of magnitude). The double-valued moment

@@ -1944,6 +1944,136 @@ object LlmPipeline {
           6).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** PCA projection of the embedding corpus onto its top-2 principal
+    * components — the drift-visualization / whitening primitive next to
+    * [[embeddingDimStats]]'s per-axis view (axis-aligned stats miss
+    * correlated drift; the principal axes don't).
+    *
+    * Scale: ONE pass over the vectors — each partition folds its rows
+    * into (n, Σx, upper-triangular Σxxᵀ), so the driver receives
+    * P·(1+64+2080) doubles regardless of row count (the classic
+    * mergeable-moment shape, same class as the Welford aggregator). The
+    * 64×64 eigen problem is O(d³) DRIVER math — microseconds, and
+    * independent of corpus size; projection is then a map with the two
+    * component vectors broadcast. Sign convention: each component's
+    * largest-magnitude entry is positive (lowest index on ties), so the
+    * output is deterministic. Oracle-exempt (no eigensolver in DuckDB);
+    * Round8Spec pins the PCA optimality properties: projection
+    * covariance is diagonal, Var(pc1) ≥ Var(pc2), and Var(pc1) ≥ the
+    * best single original axis. */
+  def embeddingPcaProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val parts = vecs(s, d).mapPartitions { it =>
+      var c = 0L
+      val s1 = new Array[Double](dim)
+      val s2 = new Array[Double](dim * dim) // upper triangle used
+      it.foreach { case (_, e) =>
+        var i = 0
+        while (i < dim) {
+          val xi = e(i).toDouble
+          s1(i) += xi
+          var j = i
+          while (j < dim) { s2(i * dim + j) += xi * e(j); j += 1 }
+          i += 1
+        }
+        c += 1
+      }
+      Iterator.single((c, s1, s2))
+    }.collect()
+    val n = parts.map(_._1).sum
+    require(n > 1, "embeddingPcaProject: need at least 2 vectors")
+    val s1 = new Array[Double](dim)
+    val s2 = new Array[Double](dim * dim)
+    parts.foreach { case (_, a, b) =>
+      var i = 0
+      while (i < dim) { s1(i) += a(i); i += 1 }
+      i = 0
+      while (i < dim * dim) { s2(i) += b(i); i += 1 }
+    }
+    val mean = s1.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = (s2(i * dim + j) - n * mean(i) * mean(j)) / (n - 1)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (p1, p2) = topTwoEigenvectors(cov)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast((mean, p1, p2)))
+    vecs(s, d)
+      .map { case (id, e) =>
+        val (mu, u1, u2) = bc.value
+        var a = 0.0; var b = 0.0; var i = 0
+        while (i < dim) {
+          val x = e(i).toDouble - mu(i); a += x * u1(i); b += x * u2(i); i += 1
+        }
+        (id, math.floor(a * 1e6 + 0.5) / 1e6, math.floor(b * 1e6 + 0.5) / 1e6)
+      }
+      .toDF("vec_id", "pc1", "pc2")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Top-2 eigenvectors of a symmetric matrix by cyclic Jacobi rotation
+    * (deterministic sweep order, fixed convergence threshold) —
+    * dimension is model-sized (64), so this is driver-side scalar math.
+    * Each returned vector is sign-normalized: largest-|entry| positive,
+    * lowest index winning ties. */
+  private def topTwoEigenvectors(
+      a0: Array[Array[Double]]): (Array[Double], Array[Double]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag: Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (offDiag > 1e-18 && sweep < 100) {
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        val apq = a(p)(q)
+        if (math.abs(apq) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1))
+          val c = 1.0 / math.sqrt(t * t + 1)
+          val s = t * c
+          var i = 0
+          while (i < n) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+            i += 1
+          }
+          i = 0
+          while (i < n) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+            i += 1
+          }
+          i = 0
+          while (i < n) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    def vecAt(k: Int): Array[Double] = {
+      val u = Array.tabulate(n)(j => v(j)(order(k)))
+      var best = 0
+      for (j <- 1 until n) if (math.abs(u(j)) > math.abs(u(best))) best = j
+      if (u(best) < 0) u.map(-_) else u
+    }
+    (vecAt(0), vecAt(1))
+  }
+
   def textTtr(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))

@@ -261,6 +261,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("knn_sharded plans ZERO broadcast — the beyond-broadcast claim, mechanically") {
+    val df = LlmPipeline.knnSharded(spark, sf001)
+    df.collect() // finalize AQE so runtime join selection is visible
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastExchange") &&
+      !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn_sharded must never build a driver/executor broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("AQE skew split fires on join_sortmerge's real path under a hot key; feature_snapshot is skew-immune by pre-agg") {
     import org.apache.spark.sql.functions.{col, explode, lit, sequence, when}
     val conf = spark.conf

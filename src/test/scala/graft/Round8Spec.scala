@@ -43,6 +43,62 @@ class Round8Spec extends SparkSpec {
       s"foreachBatch union differs from batch twin:\n$streamed\nvs\n$batchTwin")
   }
 
+  test("graph_kcore == driver-side brute peeling; every surviving degree >= 3") {
+    import spark.implicits._
+    val got = graft.ops.Analytics.graphKcore(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "vacuous: empty 3-core at sf0.001")
+    assert(got.values.min >= 3, s"in-core degree < 3: $got")
+    // brute reference: same edge set, peel on the driver until fixpoint
+    val edges = graft.ops.Analytics.coOrderPairs(spark, sf001)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("p1"), col("p2"))
+      .as[(Long, Long)].collect().toSet
+    var e = edges
+    var changed = true
+    while (changed) {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val low = deg.filter(_._2 < 3).keySet
+      val next = e.filter(p => !low.contains(p._1) && !low.contains(p._2))
+      changed = next.size != e.size
+      e = next
+    }
+    val want = e.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want, s"kcore mismatch:\n got=$got\nwant=$want")
+  }
+
+  test("embedding_pca_project: diagonal projection covariance, ordered variance, beats best single axis") {
+    import spark.implicits._
+    val proj = graft.ops.LlmPipeline.embeddingPcaProject(spark, sf001)
+      .as[(Long, Double, Double)].collect()
+    val n = proj.length
+    assert(n > 10, "vacuous: too few projections")
+    def stats(xs: Array[Double]): (Double, Double) = {
+      val m = xs.sum / n
+      (m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (m1, v1) = stats(proj.map(_._2))
+    val (m2, v2) = stats(proj.map(_._3))
+    val cross = proj.map { case (_, a, b) => (a - m1) * (b - m2) }.sum / (n - 1)
+    // principal axes are uncorrelated and variance-ordered
+    assert(math.abs(cross) < 1e-3 * math.sqrt(v1 * v2) + 1e-6,
+      s"projections correlated: $cross (v1=$v1 v2=$v2)")
+    assert(v1 >= v2 && v2 > 0, s"variance order violated: $v1 < $v2")
+    // PCA optimality: pc1 captures at least what the best ORIGINAL
+    // axis does (strictly more unless the data is axis-aligned)
+    val embs = graft.io.Tables.embeddings(spark, sf001)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val bestAxis = (0 until 64).map { i =>
+      val xs = embs.map(_(i).toDouble)
+      val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+    }.max
+    assert(v1 >= bestAxis - 1e-9,
+      s"pc1 variance $v1 below best single axis $bestAxis")
+  }
+
   test("analytics_pareto_approx: decile mass within epsilon of the exact form") {
     val exact = Quant.analyticsPareto(spark, sf01).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
