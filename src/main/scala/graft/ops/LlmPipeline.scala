@@ -54,6 +54,71 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** URL-canonicalization dedup — the C4-style crawl-dedup step that
+    * exact text hashing cannot do: the SAME logical page arrives under
+    * cased hosts, trailing slashes, utm tracking params and fragments,
+    * and must collapse to one canonical key. Raw URLs here are derived
+    * deterministically from (source, doc_id) with doc_id-mod noise (the
+    * fn_url_parse / text_pii_redact convention — both engines rebuild
+    * identical inputs); canonical = lowercase, fragment stripped, utm
+    * query stripped, trailing slash stripped. Survivor = min doc_id per
+    * canonical key, with the collapse count.
+    *
+    * Scale: canonicalization is a map-side codegen regexp chain; the
+    * dedup is one partial-aggregable groupBy on the canonical string —
+    * [[dedupExactSha]]'s shuffle shape with the key derived instead of
+    * hashed. */
+  def dedupUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val host = concat(
+      when(col("doc_id") % 2 === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".Example.COM"))
+    val raw = concat(lit("https://"), host, lit("/p/"),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("?utm_source=feed&utm_medium=x"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+    doc.select(col("doc_id"), raw.as("url"))
+      .withColumn("canonical", lower(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("url"), "#.*$", ""),
+            "\\?utm[^#]*$", ""),
+          "/+$", "")))
+      .groupBy(col("canonical"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("canonical"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition — the Gopher-style rep-2gram quality
+    * signal: the fraction of a doc's word bigrams occupied by its single
+    * most frequent bigram (template/boilerplate-heavy docs score high and
+    * get filtered before training). Exact integer counts, one divide,
+    * Det-rounded.
+    *
+    * Scale: bigrams explode map-side; both aggregations are
+    * partial-aggregable groupBys keyed by doc_id (the second collapses
+    * to one row per doc before the exchange). */
+  def textRepetitionRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_n"),
+        round(col("top_n").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("top_share"))
+      .orderBy(col("doc_id"))
+
   /** Bigram frequency — the n-gram language-statistics table (top 50 by
     * count, total order). The bigram array builds map-side from one
     * split; only (bigram, partial count) pairs shuffle, and the top-50

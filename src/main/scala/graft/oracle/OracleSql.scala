@@ -1057,6 +1057,34 @@ object OracleSql {
         "(SELECT 1 FROM docs c WHERE c.doc_id % 2 = 0 AND c.digest = b.digest) " +
         "ORDER BY b.doc_id"),
 
+    // url-canonicalization dedup: raw URLs derived deterministically from
+    // (source, doc_id) with doc_id-mod noise; canonical = lower + strip
+    // fragment/utm-query/trailing slash; survivor = min doc_id per key
+    "dedup_url_canonical" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || " +
+        "CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END || " +
+        "'.Example.COM/p/' || (doc_id % 50)::VARCHAR || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_medium=x' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url FROM documents), " +
+        "c AS (SELECT doc_id, lower(regexp_replace(regexp_replace(" +
+        "regexp_replace(url, '#.*$', ''), '\\?utm[^#]*$', ''), '/+$', '')) " +
+        "AS canonical FROM u) " +
+        "SELECT min(doc_id) AS doc_id, canonical, count(*) AS n_copies " +
+        "FROM c GROUP BY canonical ORDER BY 1"),
+
+    // Gopher rep-2gram: share of a doc's bigrams held by its most
+    // frequent bigram
+    "text_repetition_ratio" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w), " +
+        "g AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2) " +
+        "SELECT doc_id, sum(n)::BIGINT AS n_bigrams, max(n) AS top_n, " +
+        "floor(max(n)::DOUBLE / sum(n)::DOUBLE * 10000 + 0.5) / 10000.0 " +
+        "AS top_share FROM g GROUP BY 1 ORDER BY 1"),
+
     "text_ngram_freq" ->
       ("WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents " +
         "WHERE len(string_split(text, ' ')) >= 2), " +

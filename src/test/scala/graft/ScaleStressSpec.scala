@@ -37,7 +37,10 @@ class ScaleStressSpec extends SparkSpec {
     ("pipeline_dedup_cascade", 40.0, 25.0),
     ("analytics_audience_overlap", 40.0, 20.0),
     // r8: the incremental form rides the same capped index join
-    ("dedup_containment_incremental", 40.0, 20.0))
+    ("dedup_containment_incremental", 40.0, 20.0),
+    // r8 second wave: map-side canonicalize + one groupBy each
+    ("dedup_url_canonical", 40.0, 20.0),
+    ("text_repetition_ratio", 40.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString

@@ -18,20 +18,32 @@ trait StateStoreVariant extends BeforeAndAfterEach with BeforeAndAfterAll {
   /** Fully-qualified state-store provider this variant runs under. */
   protected def providerClass: String
 
+  /** Extra per-variant streaming confs. The RocksDB variant turns on
+    * changelog checkpointing — the production-recommended mode (commit
+    * uploads the per-batch changelog instead of snapshotting the full
+    * store; snapshots happen async in the background), which exercises
+    * the changelog REPLAY path on every checkpoint recovery test. */
+  protected def extraConf: Map[String, String] = Map.empty
+
   private val confKey = "spark.sql.streaming.stateStore.providerClass"
-  private var saved: Option[String] = None
+  private var saved: Map[String, Option[String]] = Map.empty
   private var savedSet = false
 
   override def beforeEach(): Unit = {
     super.beforeEach()
-    if (!savedSet) { saved = spark.conf.getOption(confKey); savedSet = true }
+    if (!savedSet) {
+      saved = (extraConf.keySet + confKey)
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      savedSet = true
+    }
     spark.conf.set(confKey, providerClass)
+    extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   override def afterAll(): Unit = {
-    if (savedSet) saved match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
+    if (savedSet) saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
     super.afterAll()
   }

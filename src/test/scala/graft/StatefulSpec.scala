@@ -440,8 +440,13 @@ class StatefulSpec extends StatefulSpecBase {
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 }
 
-/** The production backend: state in RocksDB, spilling to local disk. */
+/** The production backend: state in RocksDB, spilling to local disk,
+  * with changelog checkpointing (commit = changelog upload; recovery =
+  * snapshot + changelog replay). */
 class StatefulRocksDbSpec extends StatefulSpecBase {
   protected def providerClass: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  override protected def extraConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 }

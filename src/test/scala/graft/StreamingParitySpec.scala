@@ -410,8 +410,12 @@ class StreamingParitySpec extends StreamingParitySpecBase {
 }
 
 /** The production backend: every stream-batch parity result — including
-  * checkpoint-recovery resume — must be identical with state in RocksDB. */
+  * checkpoint-recovery resume, which here exercises changelog REPLAY —
+  * must be identical with state in RocksDB. */
 class StreamingParityRocksDbSpec extends StreamingParitySpecBase {
   protected def providerClass: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  override protected def extraConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 }
