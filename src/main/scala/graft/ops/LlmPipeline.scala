@@ -93,6 +93,92 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Paragraph-level (sub-document) global dedup — the C4-style step doc
+    * hashing cannot do: a boilerplate PARAGRAPH repeated across thousands
+    * of otherwise-distinct pages must be removed everywhere except its
+    * first occurrence, and the documents re-assembled. The synthetic
+    * corpus has no newline structure, so the segmenter is positional
+    * (consecutive 8-word chunks, last chunk ragged) — deterministic on
+    * both engines; survivorship is first occurrence in (doc_id, pos)
+    * order.
+    *
+    * Scale: segments explode map-side; the only shuffle is keyed by the
+    * segment (at 100 TB the segment would hash to an 8-byte long first —
+    * the [[docShingleHashesOf]] move; here the string IS the oracle join
+    * key). The survivor window partitions by segment — bounded by copy
+    * count per segment — and reassembly is one partial-aggregable groupBy
+    * on doc_id with a sort_array'd collect_list (per-doc segment count is
+    * bounded by document length, never corpus size). */
+  def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / $n.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(ws, i * $n + 1, $n)))")))
+      .toDF("doc_id", "pos", "seg")
+    val firstSeen = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("pos"))
+    segs
+      .withColumn("keep", row_number().over(firstSeen) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(" +
+            "case when keep then struct(pos, seg) end)), x -> x.seg)"))
+          .as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-relative quality filter — the Gopher-style rule battery as a
+    * FILTER verdict, not just scores ([[textQualityScore]] emits absolute
+    * ratios; this op decides). Word-count bounds are corpus-relative
+    * (5th/95th exact percentiles, broadcast as one row — the
+    * analytics_pareto recipe), the rest are the published absolute rules:
+    * mean word length in [3, 10], distinct-word ratio ≥ 0.2, alpha-word
+    * ratio ≥ 0.8. keep = all four.
+    *
+    * Scale: the per-doc stat battery is map-side; the percentile bounds
+    * are ONE one-row aggregate broadcast back (BNLJ whitelisted in
+    * PlanSpec) — at extreme cardinality approx_percentile drops in
+    * unchanged, the [[graft.ops.Quant]] pareto_approx precedent. */
+  def corpusQualityFilter(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).as("n_letters"),
+      size(array_distinct(words)).as("n_distinct"),
+      size(filter(words, w => w.rlike("^[a-z]+$"))).as("n_alpha"))
+    val bounds = base.agg(
+      percentile(col("n_words"), lit(0.05)).as("lo"),
+      percentile(col("n_words"), lit(0.95)).as("hi"))
+    base.crossJoin(broadcast(bounds))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("n_letters").cast("double") / col("n_words"), 4)
+          .as("mean_wlen"),
+        round(col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("distinct_ratio"),
+        round(col("n_alpha").cast("double") / col("n_words"), 4)
+          .as("alpha_ratio"),
+        (col("n_words") >= col("lo") && col("n_words") <= col("hi"))
+          .as("ok_words"),
+        col("lo"), col("hi"))
+      .withColumn("ok_wlen",
+        col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+      .withColumn("ok_distinct", col("distinct_ratio") >= 0.2)
+      .withColumn("ok_alpha", col("alpha_ratio") >= 0.8)
+      .withColumn("keep",
+        col("ok_words") && col("ok_wlen") && col("ok_distinct") &&
+          col("ok_alpha"))
+      .drop("lo", "hi")
+      .orderBy(col("doc_id"))
+  }
+
   /** Intra-document repetition — the Gopher-style rep-2gram quality
     * signal: the fraction of a doc's word bigrams occupied by its single
     * most frequent bigram (template/boilerplate-heavy docs score high and

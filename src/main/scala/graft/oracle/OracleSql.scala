@@ -1073,6 +1073,49 @@ object OracleSql {
         "SELECT min(doc_id) AS doc_id, canonical, count(*) AS n_copies " +
         "FROM c GROUP BY canonical ORDER BY 1"),
 
+    // C4-style paragraph (8-word positional segment) global dedup:
+    // survivor = first (doc_id, pos) occurrence per segment; docs
+    // reassembled from kept segments in position order
+    "dedup_paragraph" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents " +
+        "WHERE len(string_split(text, ' ')) > 0), " +
+        "e AS (SELECT doc_id, ws, " +
+        "unnest(range(0, cast(ceil(len(ws) / 8.0) AS INT))) AS i FROM w), " +
+        "s AS (SELECT doc_id, i AS pos, " +
+        "array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ') AS seg FROM e), " +
+        "k AS (SELECT doc_id, pos, seg, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1 AS keep " +
+        "FROM s) " +
+        "SELECT doc_id, count(*) AS n_seg, " +
+        "sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos), '') " +
+        "AS cleaned_text FROM k GROUP BY 1 ORDER BY 1"),
+
+    // Gopher-style corpus-relative quality filter: word-count inside the
+    // exact 5th..95th corpus percentiles + absolute mean-word-length /
+    // distinct-ratio / alpha-ratio rules; keep = all four
+    "corpus_quality_filter" ->
+      ("WITH b AS (SELECT doc_id, len(string_split(text, ' '))::INT AS n_words, " +
+        "len(replace(text, ' ', '')) AS n_letters, " +
+        "len(list_distinct(string_split(text, ' '))) AS n_distinct, " +
+        "len(list_filter(string_split(text, ' '), " +
+        "w -> regexp_matches(w, '^[a-z]+$'))) AS n_alpha FROM documents), " +
+        "q AS (SELECT quantile_cont(n_words, 0.05) AS lo, " +
+        "quantile_cont(n_words, 0.95) AS hi FROM b), " +
+        "r AS (SELECT doc_id, n_words, " +
+        "floor(n_letters::DOUBLE / n_words * 10000 + 0.5) / 10000.0 AS mean_wlen, " +
+        "floor(n_distinct::DOUBLE / n_words * 10000 + 0.5) / 10000.0 AS distinct_ratio, " +
+        "floor(n_alpha::DOUBLE / n_words * 10000 + 0.5) / 10000.0 AS alpha_ratio, " +
+        "(n_words >= q.lo AND n_words <= q.hi) AS ok_words FROM b, q) " +
+        "SELECT doc_id, n_words, mean_wlen, distinct_ratio, alpha_ratio, " +
+        "ok_words, " +
+        "(mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_wlen, " +
+        "(distinct_ratio >= 0.2) AS ok_distinct, " +
+        "(alpha_ratio >= 0.8) AS ok_alpha, " +
+        "(ok_words AND mean_wlen >= 3.0 AND mean_wlen <= 10.0 " +
+        "AND distinct_ratio >= 0.2 AND alpha_ratio >= 0.8) AS keep " +
+        "FROM r ORDER BY 1"),
+
     // Gopher rep-2gram: share of a doc's bigrams held by its most
     // frequent bigram
     "text_repetition_ratio" ->

@@ -568,6 +568,7 @@ class PlanSpec extends SparkSpec {
       // one-row broadcast crossJoins (scalar fold-back) — each verified
       // to broadcast a single-row aggregate, bounded by construction
       "agg_gini", "analytics_pareto", "analytics_rfm", "corpus_budget_select",
+      "corpus_quality_filter",
       "corpus_kl_balance", "corpus_mixture_sample", "dq_profile",
       "pipeline_mixture_weights", "text_bm25_topterms", "text_keyword_logodds",
       "text_lm_score", "text_ngram_freq", "text_quality_score",

@@ -40,7 +40,11 @@ class ScaleStressSpec extends SparkSpec {
     ("dedup_containment_incremental", 40.0, 20.0),
     // r8 second wave: map-side canonicalize + one groupBy each
     ("dedup_url_canonical", 40.0, 20.0),
-    ("text_repetition_ratio", 40.0, 20.0))
+    ("text_repetition_ratio", 40.0, 20.0),
+    // segment window fan-out bounded by copies-per-segment; filter is
+    // map-side + one broadcast percentile row
+    ("dedup_paragraph", 40.0, 25.0),
+    ("corpus_quality_filter", 40.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
