@@ -686,6 +686,55 @@ object Analytics {
     out
   }
 
+  /** Community detection on the co-order part graph by synchronous label
+    * propagation: every node starts labeled with itself; each round a
+    * node adopts the most frequent label among its neighbors (ties →
+    * smallest label). FOUR fixed synchronous rounds — bounded and fully
+    * deterministic (no convergence test, so bipartite-flip oscillation
+    * cannot make the result run-dependent).
+    *
+    * Scale: the pagerank loop shape — per round one equi join (messages:
+    * each directed edge carries its endpoint's current label) and two
+    * partial-aggregable groupBys (per-(node, label) histogram, then
+    * per-node argmax via min_by over the unique (-count, label) key).
+    * Labels shuffle by node id, never broadcast — |V| scales past memory.
+    * `localCheckpoint` per round truncates lineage (graphKcore's
+    * eager-free convention). Oracle-exempt (iterative global fixpoint);
+    * Round8Spec pins exact equality with driver-side brute propagation
+    * under the same rule. */
+  def graphLabelPropagation(s: SparkSession, d: String): DataFrame = {
+    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("p")).distinct()
+      .withColumn("label", col("p"))
+      .localCheckpoint()
+    (1 to 4).foreach { _ =>
+      val prev = rddOf(labels)
+      labels = und
+        .join(labels.select(col("p").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("src"))
+        .agg(min_by(col("label"),
+          struct((-col("n")).as("nn"), col("label"))).as("label"))
+        .select(col("src").as("p"), col("label"))
+        .localCheckpoint()
+      prev.foreach(_.unpersist(blocking = false))
+    }
+    labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .orderBy(col("p"))
+  }
+
   /** Per-language skewness + excess kurtosis of document length, computed
     * from EXACT integer power sums (Σx..Σx⁴ as BIGINT — n_chars ≤ ~600,
     * so Σx⁴ < 2⁶³ by orders of magnitude). The double-valued moment

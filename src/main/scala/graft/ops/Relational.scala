@@ -105,6 +105,38 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("o_orderstatus"))
 
+  /** Skew-immune large ⋈ large equi join via EXPLICIT salting — the manual
+    * fallback when AQE's skew split can't help (e.g. the hot key's rows sit
+    * in one unsplittable map output, or the engine predates runtime
+    * re-planning). Fact rows fan the hot key across 8 salt buckets (salt
+    * derived from non-key columns, uniform by hash); the dim side
+    * replicates ×8 via explode, and the join key becomes (key, salt) — a
+    * hot key's probe rows now land on 8 reducers instead of 1. Results are
+    * provably identical to the unsalted join: each fact row matches exactly
+    * the one dim copy carrying its salt. The oracle twin IS the plain
+    * join — parity is the test. Cents-exact sum (BIGINT) so the aggregate
+    * is merge-order-independent.
+    *
+    * Scale: replication factor 8 multiplies only the DIM side's shuffle
+    * volume; pick salt ∝ observed skew. Salting composes with (doesn't
+    * replace) AQE — this key is the technique as a runnable, parity-gated
+    * plan. */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val nSalt = 8
+    val fact = Tables.lineitem(s, d)
+      .withColumn("fsalt",
+        pmod(xxhash64(col("l_partkey"), col("l_linenumber")), lit(nSalt.toLong)))
+    val dim = Tables.orders(s, d)
+      .withColumn("dsalt", explode(sequence(lit(0L), lit(nSalt - 1L))))
+    fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Left outer join manufacturing nulls: all customers, their order counts;
     * customers without orders keep null-safe zero counts. */
   def joinLeft(s: SparkSession, d: String): DataFrame =

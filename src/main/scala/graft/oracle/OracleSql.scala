@@ -100,6 +100,14 @@ object OracleSql {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
 
+    // parity gate for the SALTED join: the oracle is the PLAIN equi join —
+    // salting must be result-invisible; cents-exact BIGINT sum
+    "join_salted" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "sum((floor(l_extendedprice * 100 + 0.5))::BIGINT)::BIGINT::DOUBLE / 100.0 " +
+        "AS sum_price FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+
     "join_shuffledhash" ->
       ("SELECT o_orderstatus, count(*) AS n_items, " +
         "floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty " +

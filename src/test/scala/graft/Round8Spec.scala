@@ -126,4 +126,32 @@ class Round8Spec extends SparkSpec {
     assert(approx.values.map(_._2).max == topShare,
       "top decile is not the largest band")
   }
+
+  test("graph_label_propagation == driver-side brute propagation (4 sync rounds, min-tie)") {
+    import spark.implicits._
+    val got = graft.ops.Analytics.graphLabelPropagation(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "vacuous: empty label-propagation result at sf0.001")
+    // brute reference: same edge set, same synchronous rule on the driver
+    val edges = graft.ops.Analytics.coOrderPairs(spark, sf001)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("p1"), col("p2"))
+      .as[(Long, Long)].collect()
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var lab: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+    (1 to 4).foreach { _ =>
+      lab = adj.map { case (v, ns) =>
+        val hist = ns.map(lab).groupBy(identity)
+          .map { case (l, xs) => l -> xs.size }
+        v -> hist.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    val size = lab.values.toSeq.groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    val want = lab.toSeq.map { case (v, l) => (v, l, size(l)) }.toSet
+    assert(got == want, s"LPA mismatch:\n got=$got\nwant=$want")
+    // non-vacuous: labels actually propagated — some community has > 1 member
+    assert(size.values.max > 1L, "no label spread beyond its own node")
+  }
 }
