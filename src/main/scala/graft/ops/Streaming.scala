@@ -38,6 +38,34 @@ object Streaming {
     tumblingTransform(Tables.events(s, d))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Maintained state of the hourly top-k readout: (hour window, type)
+    * counts — a plain streamable aggregation (bounded state per window ×
+    * type, watermark-evictable). Shared by [[streamTopkPerWindow]] and
+    * the parity test, which ranks the COMPLETE-mode result table. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** Per-hour top-3 event types by count — the streaming-dashboard top-k.
+    * Rank functions don't run inside a streaming agg; the production
+    * shape is exactly this split: the STREAM maintains the (window, type)
+    * counts, the READOUT ranks the maintained table (here the batch twin
+    * ranks the same transform over the stored events — parity-tested
+    * across 4 micro-batches under both state-store backends).
+    *
+    * Scale: the rank window partitions by hour — fan-in bounded by
+    * |event types| per partition, never row count. */
+  def streamTopkPerWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("hour_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    hourlyTypeCounts(Tables.events(s, d))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy(col("hour_start"), col("rn"))
+  }
+
   /** Sliding 1-hour window every 15 minutes: each event lands in 4
     * windows. Batch equivalent of `window(ts, "1 hour", "15 minutes")`. */
   def slidingTransform(events: DataFrame): DataFrame =

@@ -549,6 +549,15 @@ object OracleSql {
         "count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value " +
         "FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type"),
 
+    // per-hour top-3 event types: rank over the maintained hourly counts
+    "stream_topk_per_window" ->
+      ("WITH h AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, " +
+        "event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT hour_start, event_type, n, row_number() OVER " +
+        "(PARTITION BY hour_start ORDER BY n DESC, event_type)::INT AS rn FROM h) " +
+        "SELECT hour_start, event_type, n, rn FROM r WHERE rn <= 3 " +
+        "ORDER BY hour_start, rn"),
+
     "stream_sliding" ->
       ("SELECT win_start, event_type, count(*) AS n, " +
         "floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value FROM (" +

@@ -53,6 +53,38 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       Streaming.streamTumbling1h(spark, sf001), "multibatch")
   }
 
+  test("streaming hourly counts + rank read-off across 4 micro-batches == batch stream_topk_per_window") {
+    // The dashboard top-k split: the STREAM maintains (hour, type)
+    // counts incrementally; the rank read-off runs over the maintained
+    // COMPLETE-mode table — and must equal the one-shot batch twin.
+    val in = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    (0 until 4).foreach { i =>
+      raw.where(col("event_id") % 4 === i).coalesce(1)
+        .write.parquet(s"$in/part$i")
+    }
+    val stream = spark.readStream.schema(EventSource.storedSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val counts = Streaming.hourlyTypeCounts(
+      stream.withWatermark("ts", "10 minutes"))
+    val q = counts.writeStream.format("memory").queryName("t_topk_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "expected >=4 non-empty micro-batches")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start")).orderBy(col("n").desc, col("event_type"))
+    val ranked = spark.table("t_topk_counts")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+    assertSameRows(
+      ranked.orderBy(col("hour_start"), col("rn")),
+      Streaming.streamTopkPerWindow(spark, sf001), "topk-per-window")
+  }
+
   test("streaming CDC latest-state across 4 micro-batches == batch cdc_upsert_latest") {
     // The feature-store current-state table maintained INCREMENTALLY:
     // the same max_by aggregate runs over 4 arrival batches (complete
