@@ -150,6 +150,51 @@ object Analytics {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Point-in-time join against the SCD2 state history — the feature-store
+    * lookup [[cdcScd2]]'s validity intervals exist FOR: "what was each
+    * user's state at every day boundary?" (training labels must join
+    * features AS OF label time, never current state — the classic leakage
+    * bug). Implemented as the merge-sorted as-of: probes (per-user day
+    * grid) union with the state-change events, ONE per-user window pass
+    * carries the last state forward into each probe row — no interval
+    * join, no row multiplication.
+    *
+    * Scale: the union shuffles once on user_id; the probe grid is
+    * days-per-user rows (time-bounded, not event-bounded); both
+    * last(ignoreNulls) columns share one window spec → one exchange. */
+  def joinScd2Pit(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      .where(col("d1") > col("d0"))
+      .select(col("user_id"), explode(sequence(
+        expr("d0 + interval 1 day"), col("d1"),
+        expr("interval 1 day"))).as("pt"))
+    val tagged = ev
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("event_id"), col("event_type"))
+      .unionByName(grid.select(col("user_id"), col("pt").as("ts"),
+        lit(1).as("tag"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type")))
+    // events at exactly the day boundary sort BEFORE the probe (tag 0 <
+    // 1): as-of semantics are `state at ts <= probe`; event_id breaks
+    // same-timestamp event ties deterministically
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("state_event",
+        last(col("event_id"), ignoreNulls = true).over(w))
+      .withColumn("state_type",
+        last(col("event_type"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("state_event"), col("state_type"))
+      .orderBy(col("user_id"), col("snap_ts"))
+  }
+
   /** Daily OHLC resample per event_type: open/close are the values of the
     * earliest/latest event in the bucket (arg-min/arg-max over the
     * (ts, event_id) composite key — deterministic under timestamp ties,

@@ -51,6 +51,34 @@ object SqlApi {
     """)
   }
 
+  /** TPC-H-Q5-shaped 6-table join composite — the join-ORDER stress case:
+    * three fact-sized hops (customer→orders→lineitem) closed by the
+    * local-supplier condition (c_nationkey = s_nationkey, a second equi
+    * key on the supplier join) and two dim hops to the region filter.
+    * The planner must push the region predicate down the dim chain and
+    * broadcast every sub-threshold side; revenue is cents-snapped BEFORE
+    * the sum (BIGINT), so the big-group aggregate is merge-order-exact
+    * on both engines (the q3 per-order groups are small enough to dodge
+    * double-sum nondeterminism; per-NATION groups are not). */
+  def sqlTpchQ5(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT n.n_name,
+             sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)) / 1e2 AS revenue
+      FROM customer c
+      JOIN orders o    ON c.c_custkey = o.o_custkey
+      JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey AND c.c_nationkey = s2.s_nationkey
+      JOIN nation n    ON s2.s_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= timestamp '1996-01-01'
+        AND o.o_orderdate <  timestamp '1997-01-01'
+      GROUP BY n.n_name
+      ORDER BY revenue DESC, n_name
+    """)
+  }
+
   /** Uncorrelated scalar subquery: orders priced above the global average.
     * Plans as a one-row subquery broadcast into the filter — no join
     * explosion, one extra tiny job. */

@@ -165,6 +165,22 @@ object OracleSql {
         "GROUP BY o.o_orderkey, c.c_mktsegment " +
         "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"),
 
+    // Q5: cents snapped BEFORE the sum (per-nation groups are big enough
+    // for double-sum merge order to matter); HUGEINT pinned ::BIGINT
+    "sql_tpch_q5" ->
+      ("SELECT n_name, " +
+        "sum((floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))::BIGINT)" +
+        "::BIGINT::DOUBLE / 100.0 AS revenue " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "WHERE r.r_name = 'ASIA' " +
+        "AND o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
     "sql_subquery_scalar" ->
       ("SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100.0 AS o_totalprice " +
         "FROM orders " +
@@ -976,6 +992,26 @@ object OracleSql {
         "FROM events WINDOW w AS (PARTITION BY user_id " +
         "ORDER BY ts ASC, event_id ASC) " +
         "ORDER BY user_id, valid_from, event_id"),
+
+    // PIT state at per-user day boundaries via the merge-sorted as-of:
+    // probes (tag 1) union state events (tag 0, sorting first on ties =
+    // `<=` as-of), one last_value IGNORE NULLS pass per user
+    "join_scd2_pit" ->
+      ("WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events), " +
+        "b AS (SELECT user_id, date_trunc('day', min(ts)) AS d0, " +
+        "date_trunc('day', max(ts)) AS d1 FROM ev GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(range(d0 + INTERVAL 1 DAY, " +
+        "d1 + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS pt FROM b WHERE d1 > d0), " +
+        "u AS (SELECT user_id, ts, 0 AS tag, event_id, event_type FROM ev " +
+        "UNION ALL SELECT user_id, pt AS ts, 1 AS tag, NULL::BIGINT, " +
+        "NULL::VARCHAR FROM grid), " +
+        "w AS (SELECT user_id, ts, tag, " +
+        "last_value(event_id IGNORE NULLS) OVER pw AS state_event, " +
+        "last_value(event_type IGNORE NULLS) OVER pw AS state_type FROM u " +
+        "WINDOW pw AS (PARTITION BY user_id ORDER BY ts, tag, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, ts AS snap_ts, state_event, state_type FROM w " +
+        "WHERE tag = 1 ORDER BY user_id, snap_ts"),
 
     // open/close via the fixed-width (ts ‖ id) composite key — same
     // encoding as cdc_upsert_latest (arg-min/max refuse struct keys).

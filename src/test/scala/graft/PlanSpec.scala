@@ -46,6 +46,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-10 ran a global sort:\n$plan")
   }
 
+  test("sql_tpch_q5: region filter pushed, dims broadcast, no nested loop") {
+    val df = graft.ops.SqlApi.sqlTpchQ5(spark, sf001)
+    df.collect() // finalize AQE so runtime join selection is visible
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate,"),
+      s"orderdate range not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"6-table composite degraded to a nested loop:\n$plan")
+  }
+
   test("join_shuffledhash honors the SHUFFLE_HASH hint") {
     val plan = physical(Relational.joinShuffledhash(spark, sf001))
     assert(plan.contains("ShuffledHashJoin"), plan)
