@@ -780,6 +780,59 @@ object Analytics {
       .orderBy(col("p"))
   }
 
+  /** Multi-source BFS over the co-order part graph: hop distance from the
+    * seed set (nodes with p % 50 == 0 — a deterministic, collect-free
+    * seed rule) to every node reachable within 12 hops. The frontier
+    * loop is the canonical distributed BFS: each round expands the
+    * current frontier one hop (equi join on src), drops already-visited
+    * nodes (shuffled anti join — the visited set is NEVER broadcast or
+    * collected, so |V| scales past driver memory), and a node's FIRST
+    * discovery level is its exact shortest-hop distance (level-synchronous
+    * expansion). The 12-hop cap is part of the semantics on BOTH engines
+    * (the oracle's recursive CTE carries the same bound), so results
+    * match even on graphs with a larger diameter.
+    *
+    * Scale: per round one join keyed by src + one distinct + one anti
+    * join, all shuffles on node id; frontier size is bounded by the
+    * graph's expansion, rounds by the cap. localCheckpoint per round
+    * truncates the growing lineage (graphKcore's eager-free convention). */
+  def graphBfsFrontier(s: SparkSession, d: String): DataFrame = {
+    val maxHops = 12
+    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    var visited = und.select(col("src").as("p")).distinct()
+      .where(col("p") % 50 === 0)
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var frontier = visited
+    var pendingFree = List.empty[org.apache.spark.rdd.RDD[_]]
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.select(col("p").as("src"))
+        .join(und, Seq("src"))
+        .select(col("dst").as("p")).distinct()
+        .join(visited.select(col("p")), Seq("p"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      pendingFree = pendingFree ++ rddOf(visited) ++ rddOf(frontier)
+      visited = visited.union(next).localCheckpoint()
+      pendingFree.foreach(_.unpersist(blocking = false))
+      pendingFree = Nil
+      frontier = next
+    }
+    visited.orderBy(col("p"))
+  }
+
   /** Per-language skewness + excess kurtosis of document length, computed
     * from EXACT integer power sums (Σx..Σx⁴ as BIGINT — n_chars ≤ ~600,
     * so Σx⁴ < 2⁶³ by orders of magnitude). The double-valued moment

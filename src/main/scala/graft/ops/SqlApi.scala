@@ -79,6 +79,33 @@ object SqlApi {
     """)
   }
 
+  /** TPC-H-Q18-shaped large-order probe — the big-group HAVING pattern:
+    * the inner aggregate sums quantity over EVERY order (the full fact
+    * cardinality), keeps the rare heavy tail (> 250), and the outer query
+    * semi-joins the fact tables back to that key set. The plan stress is
+    * the opposite of Q5's: not join order but aggregate-then-rejoin —
+    * the HAVING subquery must plan as ONE shuffle on l_orderkey that the
+    * outer lineitem join reuses (same key), never a broadcast of an
+    * unbounded key set. Quantities are integral doubles → BIGINT sums
+    * are exact on both engines; o_totalprice cents-snapped. */
+  def sqlTpchQ18(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+             floor(o.o_totalprice * 100 + 0.5) / 1e2 AS o_totalprice,
+             sum(cast(l.l_quantity as bigint)) AS total_qty
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(cast(l_quantity as bigint)) > 250)
+      GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      ORDER BY total_qty DESC, o_orderkey
+    """)
+  }
+
   /** Uncorrelated scalar subquery: orders priced above the global average.
     * Plans as a one-row subquery broadcast into the filter — no join
     * explosion, one extra tiny job. */

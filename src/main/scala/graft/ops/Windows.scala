@@ -67,6 +67,30 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Trailing-1h DISTINCT event-type count per user — the sliding
+    * distinct aggregate (rolling-unique-visitors shape), the window
+    * Spark has no native `count(DISTINCT) OVER` for: the frame's values
+    * collect into an in-frame list and dedup per row. The frame is an
+    * integer RANGE over epoch MICROSECONDS (not seconds), so frame
+    * membership is decided on the full µs timestamp and matches the
+    * oracle's INTERVAL arithmetic exactly; same-µs peers share a frame,
+    * so the set (and its size) is peer-order-independent.
+    *
+    * Scale: one user_id exchange; window state per row is bounded by the
+    * 1-hour frame population, never the partition — the time bound is
+    * the memory bound. (A per-row HLL sketch is the extreme-frame
+    * fallback; the exact form IS the contract here.) */
+  def winRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        size(array_distinct(collect_list(col("event_type")).over(w)))
+          .as("n_types_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Top-3 events per user by value (classic top-k-per-group). */
   def winTopkPerGroup(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -181,6 +181,18 @@ object OracleSql {
         "AND o.o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
 
+    // Q18: integral quantities → BIGINT sums exact; totalprice cents snap
+    "sql_tpch_q18" ->
+      ("SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, " +
+        "floor(o.o_totalprice * 100 + 0.5) / 100.0 AS o_totalprice, " +
+        "sum(l.l_quantity::BIGINT)::BIGINT AS total_qty " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+        "GROUP BY l_orderkey HAVING sum(l_quantity::BIGINT) > 250) " +
+        "GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice " +
+        "ORDER BY total_qty DESC, o_orderkey"),
+
     "sql_subquery_scalar" ->
       ("SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100.0 AS o_totalprice " +
         "FROM orders " +
@@ -413,6 +425,17 @@ object OracleSql {
         "WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT " +
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
         "ORDER BY user_id, event_id"),
+
+    // sliding distinct: in-frame list dedup'd per row; frame bounds on
+    // epoch µs integers == Spark's rangeBetween over unix_micros
+    "win_rolling_distinct" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(date_trunc('microseconds', ts)) AS eu FROM events) " +
+        "SELECT user_id, event_id, " +
+        "len(list_distinct(list(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY eu RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)))" +
+        "::INT AS n_types_1h " +
+        "FROM e ORDER BY user_id, event_id"),
 
     "win_topk_per_group" ->
       ("SELECT user_id, rn, event_id, value FROM (" +
@@ -2078,6 +2101,22 @@ object OracleSql {
 
     // component-size histogram over the same recursive-CTE closure the
     // dedup_cluster_cc twin uses
+    // multi-source BFS hop distances, 12-hop cap carried by the
+    // recursion guard (dist < 12) — same bound as the frontier loop;
+    // UNION dedups (p, dist) pairs so the capped recursion terminates
+    "graph_bfs_frontier" ->
+      ("WITH RECURSIVE dl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 " +
+        "FROM dl a JOIN dl b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "ed AS (SELECT p1 AS src, p2 AS dst FROM e " +
+        "UNION ALL SELECT p2, p1 FROM e), " +
+        "bfs(p, dist) AS (SELECT DISTINCT src, 0 FROM ed WHERE src % 50 = 0 " +
+        "UNION SELECT ed.dst, b.dist + 1 FROM bfs b " +
+        "JOIN ed ON ed.src = b.p WHERE b.dist < 12) " +
+        "SELECT p, min(dist)::INT AS dist FROM bfs GROUP BY p ORDER BY p"),
+
     "graph_cc_sizes" ->
       ("WITH RECURSIVE pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +

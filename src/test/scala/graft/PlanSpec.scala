@@ -60,6 +60,17 @@ class PlanSpec extends SparkSpec {
       s"6-table composite degraded to a nested loop:\n$plan")
   }
 
+  test("sql_tpch_q18: HAVING subquery plans as a semi join, no nested loop") {
+    val df = graft.ops.SqlApi.sqlTpchQ18(spark, sf001)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("LeftSemi"),
+      s"IN-subquery did not decorrelate to a semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q18 degraded to a nested loop:\n$plan")
+  }
+
   test("join_shuffledhash honors the SHUFFLE_HASH hint") {
     val plan = physical(Relational.joinShuffledhash(spark, sf001))
     assert(plan.contains("ShuffledHashJoin"), plan)
