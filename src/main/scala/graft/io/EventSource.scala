@@ -1,7 +1,6 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
 
 /** Streaming ingestion abstraction (SURVEY.md §2.9).
@@ -25,11 +24,15 @@ trait EventSource {
 
 object EventSource {
 
-  /** Envelope schema as stored (ts is raw nanos → converted after read;
-    * Spark 4 cannot read TIMESTAMP(NANOS) parquet natively). */
+  /** NORMALIZED envelope schema (ts already TimestampType) — what specs
+    * that re-write `Tables.normalizeTs`-ed fixture slices as streaming
+    * input declare to readStream. The on-disk fixture itself has shipped
+    * as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS); [[ParquetReplay]]
+    * reads the actual footer and normalizes, so only files WE wrote go
+    * through this constant. */
   val storedSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -48,10 +51,13 @@ object EventSource {
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(sfDir, "events.parquet"))
       link.toFile.deleteOnExit()
-      spark.readStream
-        .schema(storedSchema)
-        .parquet(dir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // the stream source cannot infer schema — read the footer via the
+      // batch reader, then normalize whichever ts vintage it declares
+      val onDisk = spark.read.parquet(link.toString).schema
+      Tables.normalizeTs(
+        spark.readStream
+          .schema(onDisk)
+          .parquet(dir.toString))
     }
   }
 

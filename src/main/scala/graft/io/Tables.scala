@@ -47,16 +47,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true so the column arrives as
-    * LongType nanos; this reader truncates to µs (integer div — never
-    * double division, ns since epoch exceeds 2^53) and restores
-    * TimestampType, matching DuckDB's µs TIMESTAMP read of the same file
-    * (SURVEY.md §1.2 µs-or-coarser rule). */
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds ≤ 7)
+    * and plain TIMESTAMP(MICROS) (round 8 regeneration) — this reader
+    * normalizes either layout to session-zoned TimestampType:
+    *  - NANOS: Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL) unless
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set by our sessions),
+    *    which lands it as LongType nanos → truncate to µs (integer div —
+    *    never double division, ns since epoch exceeds 2^53) and restore
+    *    TimestampType;
+    *  - MICROS with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ →
+    *    cast to TimestampType (sessions run UTC, so the instant is
+    *    unchanged and DuckDB's read of the same file agrees).
+    * Branching on the footer schema (not a config) keeps every operator
+    * agnostic to which vintage of the fixture directory it gets. */
   def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(apply(s, d, "events"))
+
+  /** Normalize any events-shaped frame's `ts` to session-zoned
+    * TimestampType regardless of fixture vintage (see [[events]]) —
+    * shared by the batch reader, the streaming replay source, and every
+    * spec that re-writes fixture slices as streaming input. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -244,7 +244,8 @@ abstract class StatefulSpecBase extends SparkSpec with StateStoreVariant {
     // time-ordered file sequence: ntile(4) over ts → each micro-batch
     // advances event time monotonically, like a live feed would
     val in = java.nio.file.Files.createTempDirectory("graft-sess-mb").toString
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
     val tiled = raw.withColumn("tile", ntile(4).over(w)).cache()
     (1 to 4).foreach { i =>
@@ -256,7 +257,6 @@ abstract class StatefulSpecBase extends SparkSpec with StateStoreVariant {
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = Stateful.sessionizeStream(
         stream.withWatermark("ts", "0 seconds").as[Stateful.Event])
       .writeStream.format("memory").queryName("t_sess_mb")
@@ -289,7 +289,8 @@ abstract class StatefulSpecBase extends SparkSpec with StateStoreVariant {
     val root = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
     val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
     val tiled = raw.withColumn("tile", ntile(4).over(w)).cache()
     def writeTile(i: Int): Unit =
@@ -300,7 +301,6 @@ abstract class StatefulSpecBase extends SparkSpec with StateStoreVariant {
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", 1)
         .parquet(in)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val q = Stateful.sessionizeStream(
           stream.withWatermark("ts", "0 seconds").as[Stateful.Event])
         .writeStream.format("parquet")

@@ -31,7 +31,8 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
     // windowed state must carry across batches and the final COMPLETE-mode
     // table must equal the one-shot batch aggregation.
     val in = java.nio.file.Files.createTempDirectory("graft-mb").toString
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
     (0 until 4).foreach { i =>
       raw.where(col("event_id") % 4 === i).coalesce(1)
         .write.parquet(s"$in/part$i")
@@ -40,7 +41,6 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val agg = Streaming.tumblingTransform(stream.withWatermark("ts", "10 minutes"))
     val q = agg.writeStream.format("memory").queryName("t_multibatch")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -58,7 +58,8 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
     // counts incrementally; the rank read-off runs over the maintained
     // COMPLETE-mode table — and must equal the one-shot batch twin.
     val in = java.nio.file.Files.createTempDirectory("graft-topk").toString
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
     (0 until 4).foreach { i =>
       raw.where(col("event_id") % 4 === i).coalesce(1)
         .write.parquet(s"$in/part$i")
@@ -67,7 +68,6 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val counts = Streaming.hourlyTypeCounts(
       stream.withWatermark("ts", "10 minutes"))
     val q = counts.writeStream.format("memory").queryName("t_topk_counts")
@@ -92,7 +92,8 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
     // batch compaction exactly — latest-wins must survive keys whose
     // winner arrives in an earlier batch than later losers.
     val in = java.nio.file.Files.createTempDirectory("graft-cdc").toString
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
     (0 until 4).foreach { i =>
       raw.where(col("event_id") % 4 === i).coalesce(1)
         .write.parquet(s"$in/part$i")
@@ -101,7 +102,6 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val state = graft.ops.Relational.upsertLatestTransform(stream)
     val q = state.writeStream.format("memory").queryName("t_cdc_state")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -138,7 +138,8 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
     raw.where(col("event_id") % 2 === 0)
       .coalesce(1).write.parquet(s"$in/batch1")
     def runOnce(): Unit = {
@@ -267,7 +268,8 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
     // recompute. Integer-cents accumulation makes merge order irrelevant.
     val in = java.nio.file.Files.createTempDirectory("graft-mv-in").toString
     val mvDir = java.nio.file.Files.createTempDirectory("graft-mv").toString + "/mv"
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
     (0 until 4).foreach { i =>
       raw.where(col("event_id") % 4 === i).coalesce(1)
         .write.parquet(s"$in/part$i")
@@ -315,7 +317,8 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
     // stream drains must equal the one-shot batch upsert.
     val in = java.nio.file.Files.createTempDirectory("graft-cdc-in").toString
     val stDir = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/state"
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
     (0 until 4).foreach { i =>
       raw.where(col("event_id") % 4 === i).coalesce(1)
         .write.parquet(s"$in/part$i")
@@ -324,7 +327,6 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val key = graft.ops.Relational.latestTsIdKey(col("ts"), col("event_id"))
@@ -389,12 +391,17 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
     // arrival order via foreachBatch.
     val nShards = 4
     val in = java.nio.file.Files.createTempDirectory("graft-shard").toString
-    val raw = spark.read.parquet(s"$sf001/events.parquet")
-    val qs = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
+    // quantile-cut on epoch µs (approxQuantile needs a numeric column)
+    val tsus = unix_micros(col("ts"))
+    val withUs = raw.withColumn("tsus", tsus)
+    val qs = withUs.stat.approxQuantile("tsus", Array(0.25, 0.5, 0.75), 0.0)
     val edges = Array(Long.MinValue) ++ qs.map(_.toLong) ++ Array(Long.MaxValue)
     (0 until 4).foreach { i =>
       val f = new java.io.File(s"$in/part$i")
-      raw.where(col("ts") > edges(i) && col("ts") <= edges(i + 1))
+      withUs.where(col("tsus") > edges(i) && col("tsus") <= edges(i + 1))
+        .drop("tsus")
         .coalesce(1).sortWithinPartitions(col("ts"), col("event_id"))
         .write.parquet(f.toString)
       // FileStreamSource orders by modification time — make it strict
@@ -416,7 +423,8 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
     val seen = arrivals.toArray(Array.empty[(Long, Long, Long)])
     assert(seen.length == raw.count(), "replay lost or duplicated rows")
     assert(seen.map(_._1).distinct.length >= 4, "expected >=4 micro-batches")
-    val tsOf = raw.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tsOf = withUs.select(col("event_id"), col("tsus")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L until nShards).foreach { sh =>
       val arrived = seen.filter(_._2 == sh).map(_._3)
       val expected = arrived.sortBy(id => (tsOf(id), id))
