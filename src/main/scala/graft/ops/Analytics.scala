@@ -618,6 +618,18 @@ object Analytics {
     * degree: wedge volume Σ in·out over id order, unbounded under skew.
     * Still two equi-joins + one degree groupBy — no theta join. */
   def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val (e, deg, tri) = coOrderTriangles(s, d)
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Shared degree-ordered triangle kernel: the persisted edge set, the
+    * degree table, and the one-row-per-triangle join (corner columns
+    * e1.src / e1.dst / e2.dst) — read off by [[graphTriangleCount]]
+    * (global counts) and [[graphClusteringCoeff]] (per-corner credit). */
+  private def coOrderTriangles(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     // Pair build shared with assoc_pairs (coOrderPairs): one orderkey
     // shuffle + bounded map-side expansion — the declarative alternative
     // (distinct + self-join per order) costs two extra 600 k-row
@@ -660,9 +672,34 @@ object Analytics {
         col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
       .join(dir.as("e3"),
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
-    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
-    nodes.crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    (e, deg, tri)
+  }
+
+  /** Per-node local clustering coefficient over the same co-order graph:
+    * coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — the
+    * node-level clustering signal community/dedup passes threshold on,
+    * where [[graphTriangleCount]] only reports the global total.
+    *
+    * Scale: rides the identical degree-ordered O(m^1.5) kernel — each
+    * triangle is materialized ONCE and credited to its three corners by
+    * a 3-way explode, so per-node credit costs one map-side expansion
+    * over the triangle stream (3·|T| rows) + one corner groupBy; never
+    * a per-node neighborhood intersection (which re-does each triangle
+    * 3× and dies on hub nodes). The divide is spelled in the identical
+    * operand order as the DuckDB twin so the rounded doubles match. */
+  def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val (_, deg, tri) = coOrderTriangles(s, d)
+    val perNode = tri
+      .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst")))
+        .as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("tri_cnt"))
+    deg.where(col("deg") >= 2)
+      .join(perNode, Seq("p"), "left")
+      .select(col("p"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        round(lit(2.0) * coalesce(col("tri_cnt"), lit(0L)) /
+          (col("deg") * (col("deg") - lit(1.0))), 4).as("coeff"))
+      .orderBy(col("p"))
   }
 
   /** 3-core of the co-order part graph — iterative peeling: repeatedly

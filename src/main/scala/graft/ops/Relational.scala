@@ -458,6 +458,37 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Exact DECIMAL money aggregation — the alternative to cents-snapping:
+    * prices cast to decimal(18,2) at the scan (HALF_UP, same rule as
+    * DuckDB's ::DECIMAL cast on the identical doubles) and summed in
+    * decimal128 space, where addition is associative — merge order
+    * CANNOT perturb the result, unlike double sums. At 100 TB this is
+    * the money-column contract: a sum over a trillion rows is exact and
+    * partial-aggregable (decimal sums carry a 10^(38-18) overflow
+    * headroom here), with no per-row floor() gymnastics. */
+  def aggDecimalExact(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+        col("l_quantity").cast("decimal(18,2)").as("qty_dec"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("price_dec")).as("sum_price_dec"),
+        sum(col("qty_dec")).as("sum_qty_dec"),
+        max(col("price_dec")).as("max_price_dec"),
+        count(lit(1)).as("n"))
+      // the SUM happens in decimal space (exact, associative); the final
+      // cast to double is presentation only — both engines convert the
+      // identical decimal to its nearest double (exact here: cents stay
+      // under 2^53), sidestepping the two readers' decimal render
+      // differences ("253942.00" vs "253942.0")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_price_dec").cast("double").as("sum_price"),
+        col("sum_qty_dec").cast("double").as("sum_qty"),
+        col("max_price_dec").cast("double").as("max_price"),
+        col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** Grand totals, no grouping keys: single-row global aggregate (partial
     * per partition, final on one reducer — constant shuffle volume). */
   def aggGlobal(s: SparkSession, d: String): DataFrame =

@@ -106,6 +106,66 @@ object SqlApi {
     """)
   }
 
+  /** TPC-H-Q10-shaped returned-item report — the wide-group top-k stress:
+    * a quarter's returned lineitems roll up revenue per CUSTOMER (a
+    * group-by key near customer cardinality, unlike Q5's 5-nation
+    * groups), decorated by the nation dim, top-20 by lost revenue. The
+    * plan wants the date+returnflag predicates pushed into both fact
+    * scans, nation broadcast, and a TakeOrderedAndProject instead of a
+    * global sort — the aggregate's width (|customers| rows) is exactly
+    * why the final ORDER BY must stay a top-k, never a full exchange.
+    * Revenue cents-snapped per row before the BIGINT sum (merge-order
+    * exact); c_acctbal snapped for the hash compare. */
+  def sqlTpchQ10(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT c.c_custkey, c.c_name,
+             sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)) / 1e2 AS revenue,
+             floor(c.c_acctbal * 100 + 0.5) / 1e2 AS c_acctbal,
+             n.n_name
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= timestamp '1996-01-01'
+        AND o.o_orderdate <  timestamp '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    """)
+  }
+
+  /** TPC-H-Q7-shaped cross-nation volume report — the DISJUNCTIVE dim
+    * filter stress: nation joins BOTH fact sides (supplier's and
+    * customer's nation via two aliases of the same dim) and the
+    * predicate ((n1=A and n2=B) or (n1=B and n2=A)) spans the two
+    * aliases, so it cannot push into either dim scan alone — the
+    * optimizer must keep both tiny nation sides broadcast and apply the
+    * cross-alias residual after the last join, while the shipdate range
+    * still pushes into the fact scan. Cents snapped per row before the
+    * per-(nation,nation,year) BIGINT sum. */
+  def sqlTpchQ7(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)) / 1e2 AS revenue
+      FROM lineitem l
+      JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation n1   ON s2.s_nationkey = n1.n_nationkey
+      JOIN nation n2   ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= timestamp '1996-01-01'
+        AND l.l_shipdate <  timestamp '1998-01-01'
+      GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year
+    """)
+  }
+
   /** Uncorrelated scalar subquery: orders priced above the global average.
     * Plans as a one-row subquery broadcast into the filter — no join
     * explosion, one extra tiny job. */

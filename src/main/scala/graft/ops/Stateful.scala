@@ -232,6 +232,87 @@ object Stateful {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Per-event anomaly verdict from the events BEFORE it (never itself —
+    * a self-including z-score dilutes the very outlier it should flag). */
+  case class AnomalyOut(
+      event_id: Long, user_id: Long, n_prior: Long, z: Double,
+      is_anomaly: Boolean)
+
+  /** Constant-size per-key running moments (Welford: count, mean, M2) —
+    * 24 bytes per user in the state store, independent of history length;
+    * the shape that lets a feed score EVERY arriving event against its
+    * user's full past at 100 TB without retaining any of that past. */
+  case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  /** Same deterministic 4-dp rule as graft.Det.round, in JVM scalar form. */
+  private def r4d(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  /** The shared scoring fold: sort the chunk by (ts, event_id), score each
+    * event against the PRIOR moments (z vs population σ of the prefix;
+    * needs ≥ 8 priors and σ > 0), then Welford-update. Identical bits
+    * whether the chunk is a whole history (batch) or one micro-batch
+    * resumed from carried state (stream) — which is what makes the
+    * stream-batch parity test exact rather than approximate. */
+  private def scoreFold(
+      user: Long, evs: Array[Event], st: WelfordState)
+      : (Array[AnomalyOut], WelfordState) = {
+    val sorted = evs.sortBy(e => (micros(e.ts), e.event_id))
+    var n = st.n; var mean = st.mean; var m2 = st.m2
+    val out = sorted.map { e =>
+      val o =
+        if (n >= 8 && m2 > 0.0) {
+          val z = (e.value - mean) / math.sqrt(m2 / n)
+          AnomalyOut(e.event_id, user, n, r4d(z), math.abs(z) > 3.0)
+        } else AnomalyOut(e.event_id, user, n, 0.0, is_anomaly = false)
+      n += 1
+      val delta = e.value - mean
+      mean += delta / n
+      m2 += delta * (e.value - mean)
+      o
+    }
+    (out, WelfordState(n, mean, m2))
+  }
+
+  /** Batch form: one shuffle on user_id, per-user sorted fold. */
+  def anomalyWelford(events: Dataset[Event]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups {
+      (u: Long, it: Iterator[Event]) =>
+        scoreFold(u, it.toArray, WelfordState(0L, 0.0, 0.0))._1.iterator
+    }
+  }
+
+  /** INCREMENTAL form: the moments live in the state store and each
+    * micro-batch resumes the fold exactly where the last one stopped.
+    * Precondition (Kinesis per-shard ordering, shard key = user): a
+    * user's events arrive in ts order ACROSS batches; within a batch any
+    * order is fine (the fold sorts its chunk). State never times out —
+    * three numbers per user is the cheapest state this engine holds, and
+    * an idle user's moments are exactly what makes their return
+    * scoreable; a deployment that must bound keys adds a TTL here. */
+  def anomalyWelfordStream(events: Dataset[Event]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[Event], state: GroupState[WelfordState]) =>
+          val (out, st2) = scoreFold(u, it.toArray,
+            state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0)))
+          state.update(st2)
+          out.iterator
+      }
+  }
+
+  /** Query entry (oracle-exempt: Welford's incremental moments are not
+    * SQL-window-reproducible bit-for-bit; Round8Spec pins multi-batch
+    * stream == batch and an injected-outlier verdict). */
+  def streamAnomalyWelford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    anomalyWelford(Tables.events(s, d).as[Event])
+      .toDF()
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** The same sessionization through `transformWithState` — Spark 4.x's
     * arbitrary-stateful-processing API (successor to
     * flatMapGroupsWithState): explicit `StatefulProcessor` lifecycle with

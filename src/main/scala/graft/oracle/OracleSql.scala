@@ -193,6 +193,52 @@ object OracleSql {
         "GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice " +
         "ORDER BY total_qty DESC, o_orderkey"),
 
+    // Q10: quarter of returned items, revenue per customer, top-20;
+    // cents snapped before the sum (customer groups span many rows)
+    "sql_tpch_q10" ->
+      ("SELECT c.c_custkey, c.c_name, " +
+        "sum((floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))::BIGINT)" +
+        "::BIGINT::DOUBLE / 100.0 AS revenue, " +
+        "floor(c.c_acctbal * 100 + 0.5) / 100.0 AS c_acctbal, n.n_name " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o.o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND l.l_returnflag = 'R' " +
+        "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+
+    // Q7: disjunctive cross-alias nation filter; cents snapped per row
+    "sql_tpch_q7" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "year(l.l_shipdate)::INT AS l_year, " +
+        "sum((floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))::BIGINT)" +
+        "::BIGINT::DOUBLE / 100.0 AS revenue " +
+        "FROM lineitem l " +
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "JOIN customer c ON c.c_custkey = o.o_custkey " +
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+        "AND l.l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l.l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate) " +
+        "ORDER BY supp_nation, cust_nation, l_year"),
+
+    // decimal128 sums: associative, so no merge-order caveat — the cast
+    // rounding rule (HALF_UP on the same input doubles) matches Spark's
+    "agg_decimal_exact" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price, " +
+        "sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, " +
+        "max(l_extendedprice::DECIMAL(18,2))::DOUBLE AS max_price, " +
+        "count(*)::BIGINT AS n " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
     "sql_subquery_scalar" ->
       ("SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100.0 AS o_totalprice " +
         "FROM orders " +
@@ -1423,6 +1469,27 @@ object OracleSql {
         "(SELECT count(*) FROM e) AS n_edges, " +
         "(SELECT count(*) FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
         "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS n_triangles"),
+
+    // per-node clustering coefficient: ordered a<b<c enumeration credits
+    // each triangle to all three corners (same per-node counts as the
+    // engine's degree-ordered orientation); divide spelled in the
+    // engine's operand order, count pinned ::BIGINT
+    "graph_clustering_coeff" ->
+      ("WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 FROM d a " +
+        "JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "deg AS (SELECT p, count(*)::BIGINT AS deg FROM " +
+        "(SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e) GROUP BY p), " +
+        "tri AS (SELECT p, count(*)::BIGINT AS tri_cnt FROM " +
+        "(SELECT unnest([e1.p1, e1.p2, e2.p2]) AS p " +
+        "FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
+        "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) GROUP BY p) " +
+        "SELECT d.p, d.deg, coalesce(t.tri_cnt, 0)::BIGINT AS tri_cnt, " +
+        "floor(2.0 * coalesce(t.tri_cnt, 0) / (d.deg * (d.deg - 1.0)) " +
+        "* 10000 + 0.5) / 10000.0 AS coeff " +
+        "FROM deg d LEFT JOIN tri t ON d.p = t.p WHERE d.deg >= 2 " +
+        "ORDER BY d.p"),
 
     // moments from EXACT BIGINT power sums (DuckDB's int sums widen to
     // HUGEINT — ::BIGINT pins the lattice Spark's long sums live on); the

@@ -127,6 +127,50 @@ class Round8Spec extends SparkSpec {
       "top decile is not the largest band")
   }
 
+  test("stream_anomaly_welford: 4 ts-ordered micro-batches == batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.io.Tables.events(spark, sf001)
+      .as[graft.ops.Stateful.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[graft.ops.Stateful.Event]
+    val q = graft.ops.Stateful.anomalyWelfordStream(mem.toDS())
+      .writeStream.format("memory").queryName("t_welford")
+      .outputMode("append").start()
+    // 4 genuine micro-batches, globally ts-ordered → per-user order holds
+    all.grouped(all.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val key = (o: graft.ops.Stateful.AnomalyOut) => (o.user_id, o.event_id)
+    val streamed = spark.table("t_welford")
+      .as[graft.ops.Stateful.AnomalyOut].collect().sortBy(key).toSeq
+    val batch = graft.ops.Stateful.streamAnomalyWelford(spark, sf001)
+      .as[graft.ops.Stateful.AnomalyOut].collect().sortBy(key).toSeq
+    assert(batch.nonEmpty, "vacuous: batch fold produced no rows")
+    assert(batch.count(_.n_prior >= 8) > 0, "vacuous: nobody reached 8 priors")
+    assert(streamed == batch,
+      s"stream/batch mismatch: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+    // warmup contract: the first 8 events per user are never scored
+    assert(batch.filter(_.n_prior < 8).forall(o => o.z == 0.0 && !o.is_anomaly))
+  }
+
+  test("stream_anomaly_welford flags an injected outlier, and only after 8 priors") {
+    import spark.implicits._
+    def ev(id: Long, tsSec: Long, v: Double) = graft.ops.Stateful.Event(
+      id, new java.sql.Timestamp(tsSec * 1000L), 7L, "click", v, "{}")
+    val base = (1 to 9).map(i => ev(i.toLong, i * 60L, 10.0 + (i % 3) * 0.5))
+    val out = graft.ops.Stateful
+      .anomalyWelford((base :+ ev(10L, 600L, 1000.0)).toDS())
+      .collect().sortBy(_.event_id)
+    assert(out.take(8).forall(o => !o.is_anomaly && o.z == 0.0),
+      "warmup rows must be unscored")
+    assert(!out(8).is_anomaly, "a normal 9th value must not be flagged")
+    assert(out.last.is_anomaly && out.last.z > 3.0,
+      s"injected outlier not flagged: ${out.last}")
+  }
+
   test("graph_label_propagation == driver-side brute propagation (4 sync rounds, min-tie)") {
     import spark.implicits._
     val got = graft.ops.Analytics.graphLabelPropagation(spark, sf001).collect()
