@@ -702,6 +702,47 @@ object Analytics {
       .orderBy(col("p"))
   }
 
+  /** Degree assortativity of the co-order graph — one scalar in [-1, 1]:
+    * do high-degree parts co-occur with other hubs (r > 0) or with
+    * leaves (r < 0)? The skew diagnostic that decides whether the
+    * triangle/k-core passes face hub-hub wedge pressure.
+    *
+    * Pearson correlation of endpoint degrees over the DIRECTED edge
+    * list (each undirected edge contributes both orientations, the
+    * standard definition — so Σx = Σy and Σx² = Σy² collapse to one
+    * pass): every moment is an exact BIGINT sum over |E| rows (map-side
+    * broadcast degree decoration, one global aggregate, no shuffle
+    * beyond the edge build), and the closed form runs in double with
+    * the identical operand order as the oracle. */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+      .persist()
+    val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val sums = e
+      .join(broadcast(deg.select(col("p").as("pa"), col("deg").as("da"))),
+        col("p1") === col("pa"))
+      .join(broadcast(deg.select(col("p").as("pb"), col("deg").as("db"))),
+        col("p2") === col("pb"))
+      .agg(
+        count(lit(1)).as("m_edges"),
+        sum(col("da") * col("db")).as("sxy1"),
+        sum(col("da") + col("db")).as("sx"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sxx"))
+    val md = col("m_edges").cast("double")
+    val sxyd = col("sxy1").cast("double")
+    val sxd = col("sx").cast("double")
+    val sxxd = col("sxx").cast("double")
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(sums.select(
+        col("m_edges").as("n_edges"),
+        round(((lit(2.0) * md) * (lit(2.0) * sxyd) - sxd * sxd) /
+          ((lit(2.0) * md) * sxxd - sxd * sxd), 6).as("assortativity")))
+  }
+
   /** 3-core of the co-order part graph — iterative peeling: repeatedly
     * drop every node with degree < 3 (each removal lowers neighbors'
     * degrees, so peeling cascades) until fixpoint; output = surviving

@@ -127,6 +127,44 @@ object Quant {
     * Scale: one user_id exchange for the lead, one (cur,nxt) partial
     * agg; the margins ride windows over the |types|²-row count table
     * (tiny at any data volume), N joins back as a one-row broadcast. */
+  /** Per-user sequence perplexity under the corpus bigram LM — the
+    * sequence-level twin of text_lm_score's document scoring, and the
+    * perplexity-filter signal corpus curation ranks sessions by: each
+    * user's event-type chain is scored by avg −ln P(next|cur) where the
+    * transition matrix comes from ALL transitions.
+    *
+    * Scale: the model is |types|² rows — broadcast; scoring is one lag
+    * window (the shuffle the sequence build already needs) + a map-side
+    * join + one user groupBy. Each transition's −ln p is snapped to a
+    * 1e-6 integer grid BEFORE the per-user sum, so accumulation is
+    * exact integer addition — merge order (and any last-ulp libm ln
+    * disagreement between engines) provably cannot flip the 4-dp round,
+    * the same trick as the exact-cents session sums. */
+  def seqMarkovPerplexity(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(wo))
+      .where(col("b").isNotNull)
+    val trans = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val model = trans
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
+      .select(col("a"), col("b"),
+        floor(-log(col("n_ab").cast("double") / col("n_a").cast("double"))
+          * lit(1000000L) + lit(0.5)).cast("long").as("nll_u"))
+    pairs
+      .join(broadcast(model), Seq("a", "b"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("nll_u")).as("snll"))
+      .select(col("user_id"), col("n_transitions"),
+        round(col("snll").cast("double") / lit(1000000.0) /
+          col("n_transitions").cast("double"), 4).as("avg_nll"))
+      .orderBy(col("user_id"))
+  }
+
   def seqPmiBigrams(s: SparkSession, d: String): DataFrame = {
     val wo = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -1491,6 +1491,48 @@ object OracleSql {
         "FROM deg d LEFT JOIN tri t ON d.p = t.p WHERE d.deg >= 2 " +
         "ORDER BY d.p"),
 
+    // degree assortativity: exact BIGINT moments over the directed edge
+    // list, closed form in double with the engine's operand order
+    "graph_assortativity" ->
+      ("WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 FROM d a " +
+        "JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "deg AS (SELECT p, count(*)::BIGINT AS deg FROM " +
+        "(SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e) GROUP BY p), " +
+        "s AS (SELECT count(*)::BIGINT AS m_edges, " +
+        "sum(da.deg * db.deg)::BIGINT AS sxy1, " +
+        "sum(da.deg + db.deg)::BIGINT AS sx, " +
+        "sum(da.deg * da.deg + db.deg * db.deg)::BIGINT AS sxx " +
+        "FROM e JOIN deg da ON e.p1 = da.p JOIN deg db ON e.p2 = db.p) " +
+        "SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes, " +
+        "m_edges AS n_edges, " +
+        "floor(((2.0 * m_edges::DOUBLE) * (2.0 * sxy1::DOUBLE) " +
+        "- sx::DOUBLE * sx::DOUBLE) / " +
+        "((2.0 * m_edges::DOUBLE) * sxx::DOUBLE " +
+        "- sx::DOUBLE * sx::DOUBLE) * 1000000 + 0.5) / 1000000.0 " +
+        "AS assortativity FROM s"),
+
+    // bigram-LM sequence scoring: per-transition -ln p snapped to a 1e-6
+    // integer grid BEFORE the per-user sum (exact integer accumulation)
+    "seq_markov_perplexity" ->
+      ("WITH seq AS (SELECT user_id, event_type AS a, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b " +
+        "FROM events), " +
+        "pr AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM seq " +
+        "WHERE b IS NOT NULL GROUP BY a, b), " +
+        "tot AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM pr GROUP BY a), " +
+        "p AS (SELECT pr.a, pr.b, " +
+        "floor(-ln(pr.n_ab::DOUBLE / t.n_a::DOUBLE) * 1000000 + 0.5)::BIGINT " +
+        "AS nll_u FROM pr JOIN tot t ON pr.a = t.a), " +
+        "u AS (SELECT s.user_id, count(*)::BIGINT AS n_transitions, " +
+        "sum(p.nll_u)::BIGINT AS snll FROM seq s " +
+        "JOIN p ON s.a = p.a AND s.b = p.b GROUP BY s.user_id) " +
+        "SELECT user_id, n_transitions, " +
+        "floor(snll::DOUBLE / 1000000.0 / n_transitions::DOUBLE " +
+        "* 10000 + 0.5) / 10000.0 AS avg_nll " +
+        "FROM u ORDER BY user_id"),
+
     // moments from EXACT BIGINT power sums (DuckDB's int sums widen to
     // HUGEINT — ::BIGINT pins the lattice Spark's long sums live on); the
     // double algebra is then spelled in Analytics.aggSkewKurt's exact
