@@ -594,6 +594,45 @@ object Quant {
     *
     * Scale: the running window, the row index, and the two
     * whole-partition aggregates all stack on ONE user_id exchange. */
+  /** Holt double exponential smoothing (level + trend) per user — the
+    * short-horizon feed forecaster. α = 1/2, β = 1/4 (exact binary
+    * fractions: the per-step products introduce no representation error
+    * of their own, so the recurrence is the same double arithmetic on
+    * both engines as long as it runs in the same ORDER — the whole
+    * correctness question for a sequential fold).
+    *
+    * One event shuffle keyed by user, then a typed in-partition fold
+    * (the recurrence l_i = αx + (1−α)(l+b), b_i = β(l_i−l) + (1−β)b is
+    * inherently sequential — state is 2 doubles, rows stream through);
+    * the oracle replays the identical recurrence as a recursive CTE
+    * stepping row_number order. Emits only the per-user tail (n, level,
+    * trend, one-step forecast), so output is |users| not |events|. */
+  def tsHoltLinear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (u: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)]) =>
+        val xs = it.toArray.sortBy(e => (us(e._2), e._3)).map(_._4)
+        var l = xs(0)
+        var b = 0.0
+        var i = 1
+        while (i < xs.length) {
+          val l2 = 0.5 * xs(i) + 0.5 * (l + b)
+          b = 0.25 * (l2 - l) + 0.75 * b
+          l = l2
+          i += 1
+        }
+        def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+        (u, xs.length.toLong, r4(l), r4(b), r4(l + b))
+      }
+      .toDF("user_id", "n_obs", "level", "trend", "forecast_next")
+      .orderBy(col("user_id"))
+  }
+
   def tsCusum(s: SparkSession, d: String): DataFrame = {
     val wp = Window.partitionBy(col("user_id"))
     val wo = wp.orderBy(col("ts"), col("event_id"))

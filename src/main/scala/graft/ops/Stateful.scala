@@ -313,6 +313,60 @@ object Stateful {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Holt level+trend carried in the state store — ts_holt_linear's
+    * recurrence lifted to the arriving-data shape: 3 values per user
+    * (n, level, trend), each micro-batch folds its chunk in (ts,
+    * event_id) order and emits the user's refreshed one-step forecast.
+    * Update-mode semantics: downstream reads the LATEST row per user. */
+  case class HoltState(n: Long, l: Double, b: Double)
+  case class HoltOut(
+      user_id: Long, n_obs: Long, level: Double, trend: Double,
+      forecast_next: Double)
+
+  private def holtFold(evs: Array[Event], st: HoltState): HoltState = {
+    val sorted = evs.sortBy(e => (micros(e.ts), e.event_id))
+    var n = st.n; var l = st.l; var b = st.b
+    sorted.foreach { e =>
+      if (n == 0L) { l = e.value; b = 0.0 }
+      else {
+        val l2 = 0.5 * e.value + 0.5 * (l + b)
+        b = 0.25 * (l2 - l) + 0.75 * b
+        l = l2
+      }
+      n += 1
+    }
+    HoltState(n, l, b)
+  }
+
+  private def holtOut(u: Long, st: HoltState): HoltOut =
+    HoltOut(u, st.n, r4d(st.l), r4d(st.b), r4d(st.l + st.b))
+
+  /** Works in batch mode too (state starts empty, one chunk = the whole
+    * history), which is what the query entry runs — the STREAMING form
+    * resuming mid-series is what Round8Spec pins against ts_holt_linear. */
+  def holtStream(events: Dataset[Event]): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[Event], state: GroupState[HoltState]) =>
+          val st = holtFold(it.toArray,
+            state.getOption.getOrElse(HoltState(0L, 0.0, 0.0)))
+          state.update(st)
+          Iterator.single(holtOut(u, st))
+      }
+  }
+
+  /** Query entry (oracle-exempt; the batch-mode run of the stateful
+    * operator must equal ts_holt_linear bit-for-bit — same fold — and
+    * the multi-batch streaming run is pinned in Round8Spec). */
+  def streamHoltForecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    holtStream(Tables.events(s, d).as[Event])
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
   /** The same sessionization through `transformWithState` — Spark 4.x's
     * arbitrary-stateful-processing API (successor to
     * flatMapGroupsWithState): explicit `StatefulProcessor` lifecycle with

@@ -1491,6 +1491,25 @@ object OracleSql {
         "FROM deg d LEFT JOIN tri t ON d.p = t.p WHERE d.deg >= 2 " +
         "ORDER BY d.p"),
 
+    // Holt level+trend: the recursive CTE replays the engine's sequential
+    // fold step-for-step — identical double arithmetic in identical order
+    "ts_holt_linear" ->
+      ("WITH RECURSIVE x AS (SELECT user_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i " +
+        "FROM events), " +
+        "nn AS (SELECT user_id, max(i)::BIGINT AS n_obs FROM x GROUP BY user_id), " +
+        "r AS (SELECT user_id, i, value AS l, 0.0::DOUBLE AS b FROM x WHERE i = 1 " +
+        "UNION ALL SELECT x.user_id, x.i, " +
+        "0.5 * x.value + 0.5 * (r.l + r.b) AS l, " +
+        "0.25 * ((0.5 * x.value + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b " +
+        "FROM r JOIN x ON x.user_id = r.user_id AND x.i = r.i + 1) " +
+        "SELECT r.user_id, nn.n_obs, " +
+        "floor(r.l * 10000 + 0.5) / 10000.0 AS level, " +
+        "floor(r.b * 10000 + 0.5) / 10000.0 AS trend, " +
+        "floor((r.l + r.b) * 10000 + 0.5) / 10000.0 AS forecast_next " +
+        "FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n_obs " +
+        "ORDER BY r.user_id"),
+
     // degree assortativity: exact BIGINT moments over the directed edge
     // list, closed form in double with the engine's operand order
     "graph_assortativity" ->

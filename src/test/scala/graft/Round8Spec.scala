@@ -171,6 +171,37 @@ class Round8Spec extends SparkSpec {
       s"injected outlier not flagged: ${out.last}")
   }
 
+  test("stream_holt_forecast: 4 ts-ordered micro-batches converge to the batch recurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.io.Tables.events(spark, sf001)
+      .as[graft.ops.Stateful.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[graft.ops.Stateful.Event]
+    val q = graft.ops.Stateful.holtStream(mem.toDS())
+      .writeStream.format("memory").queryName("t_holt")
+      .outputMode("update").start()
+    all.grouped(all.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // update mode: keep each user's LAST emission (max n_obs)
+    val streamed = spark.table("t_holt")
+      .as[graft.ops.Stateful.HoltOut].collect()
+      .groupBy(_.user_id).map { case (_, v) => v.maxBy(_.n_obs) }
+      .toSeq.sortBy(_.user_id)
+    val batch = graft.ops.Quant.tsHoltLinear(spark, sf001)
+      .as[graft.ops.Stateful.HoltOut].collect().toSeq.sortBy(_.user_id)
+    assert(batch.nonEmpty, "vacuous: no users")
+    assert(streamed == batch,
+      s"stream tail != batch recurrence: ${streamed.diff(batch).take(3)}")
+    // and the batch-mode run of the stateful operator is the same fold
+    val batchMode = graft.ops.Stateful.streamHoltForecast(spark, sf001)
+      .as[graft.ops.Stateful.HoltOut].collect().toSeq.sortBy(_.user_id)
+    assert(batchMode == batch, "batch-mode stateful run diverges")
+  }
+
   test("graph_label_propagation == driver-side brute propagation (4 sync rounds, min-tie)") {
     import spark.implicits._
     val got = graft.ops.Analytics.graphLabelPropagation(spark, sf001).collect()
