@@ -150,6 +150,58 @@ object Analytics {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** One incremental SCD2 MERGE step — how a feature store actually
+    * maintains [[cdcScd2]]'s history under an arriving feed instead of
+    * recomputing it: the arriving chunk chains internally (lead over the
+    * chunk), each affected user's OPEN row closes at that user's first
+    * arriving ts, and everything else passes through untouched.
+    * Precondition: per-user ts-ordered arrival (the Kinesis per-shard
+    * guarantee, shard key = user).
+    *
+    * Scale: cost per step ∝ |batch| + |open rows of affected users| —
+    * the closed history (the unbounded part) is never rewritten, only
+    * unioned through; with the history table partitioned on is_current
+    * the pass-through is a metadata-only move. One user_id shuffle for
+    * the chunk window + one join against the open slice. */
+  def scd2ApplyBatch(hist: DataFrame, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val newRows = batch
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int")
+          .as("is_current"))
+    val firstTs = batch.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    val closed = hist.where(col("is_current") === 1)
+      .join(firstTs, Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("first_ts").as("valid_to"),
+        lit(0).cast("int").as("is_current"))
+    val untouched = hist
+      .join(firstTs, Seq("user_id"), "left_anti")
+      .unionByName(hist.where(col("is_current") === 0)
+        .join(firstTs, Seq("user_id"), "left_semi"))
+    untouched.unionByName(closed).unionByName(newRows)
+  }
+
+  /** Query entry: ONE apply against an empty history must equal the
+    * monolithic [[cdcScd2]] recompute row-for-row (same oracle SQL) —
+    * the algebraic base case the multi-batch foreachBatch parity test
+    * (Round8Spec) extends to arbitrary chunkings. */
+  def cdcScd2Incremental(s: SparkSession, d: String): DataFrame = {
+    val empty = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("ts").as("valid_to"),
+        lit(0).cast("int").as("is_current"))
+      .where(lit(false))
+    scd2ApplyBatch(empty,
+      events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts")))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   /** Point-in-time join against the SCD2 state history — the feature-store
     * lookup [[cdcScd2]]'s validity intervals exist FOR: "what was each
     * user's state at every day boundary?" (training labels must join

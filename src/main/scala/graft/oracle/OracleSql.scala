@@ -1062,6 +1062,15 @@ object OracleSql {
         "ORDER BY ts ASC, event_id ASC) " +
         "ORDER BY user_id, valid_from, event_id"),
 
+    // base case of the incremental MERGE == the monolithic recompute
+    "cdc_scd2_incremental" ->
+      ("SELECT user_id, event_id, event_type, ts AS valid_from, " +
+        "lead(ts) OVER w AS valid_to, " +
+        "(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END)::INT AS is_current " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC) " +
+        "ORDER BY user_id, valid_from, event_id"),
+
     // PIT state at per-user day boundaries via the merge-sorted as-of:
     // probes (tag 1) union state events (tag 0, sorting first on ties =
     // `<=` as-of), one last_value IGNORE NULLS pass per user

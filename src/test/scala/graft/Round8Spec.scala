@@ -202,6 +202,66 @@ class Round8Spec extends SparkSpec {
     assert(batchMode == batch, "batch-mode stateful run diverges")
   }
 
+  test("cdc_scd2 incremental apply over 4 ts-ordered micro-batches == monolithic recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val all = graft.io.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)].collect()
+      .sortBy(e => (usOf(e._4), e._2))
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft-scd2-inc").toString + "/hist"
+    def emptyHist(b: org.apache.spark.sql.DataFrame) = b
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("ts").as("valid_to"),
+        lit(0).cast("int").as("is_current"))
+      .where(lit(false))
+    var batches = 0
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // read-modify-REPLACE on the history table: never overwrite the
+        // path a lazy plan still reads — write versioned, then swap
+        val histFile = new java.io.File(histDir)
+        val hist =
+          if (histFile.exists) batch.sparkSession.read.parquet(histDir)
+          else emptyHist(batch)
+        val tmp = histDir + s"-v$id"
+        graft.ops.Analytics.scd2ApplyBatch(hist, batch)
+          .write.mode("overwrite").parquet(tmp)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        if (histFile.exists) rm(histFile)
+        assert(new java.io.File(tmp).renameTo(histFile), "history swap failed")
+        batches += 1
+      }
+      .queryName("t_scd2_inc").start()
+    all.grouped(all.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(batches >= 4, s"expected >=4 micro-batches, got $batches")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getInt(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val maintained = keyed(spark.read.parquet(histDir))
+    val monolithic = keyed(graft.ops.Analytics.cdcScd2(spark, sf001))
+    assert(monolithic.nonEmpty, "vacuous: empty SCD2 history")
+    assert(maintained == monolithic,
+      s"incremental history diverged: ${maintained.diff(monolithic).take(3)} " +
+        s"vs ${monolithic.diff(maintained).take(3)}")
+  }
+
   test("graph_label_propagation == driver-side brute propagation (4 sync rounds, min-tie)") {
     import spark.implicits._
     val got = graft.ops.Analytics.graphLabelPropagation(spark, sf001).collect()
