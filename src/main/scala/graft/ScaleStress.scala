@@ -78,7 +78,15 @@ object ScaleStress {
     "knn_sharded", "dedup_containment_incremental", "analytics_pareto_approx",
     // r8 second wave: iterative peeling (rounds × shrinking edge set),
     // single-pass moment PCA (row-count-independent driver payload)
-    "graph_kcore", "embedding_pca_project")
+    "graph_kcore", "embedding_pca_project",
+    // r8 third wave: corner-credited triangles + exact-moment scalar
+    // (both wedge-bound like triangle_count), broadcast-model sequence
+    // scoring, per-key constant-state folds, decimal partial aggs, and
+    // the wide-group TPC-H composites
+    "graph_clustering_coeff", "graph_assortativity",
+    "seq_markov_perplexity", "ts_holt_linear", "stream_anomaly_welford",
+    "stream_holt_forecast", "cdc_scd2_incremental", "agg_decimal_exact",
+    "sql_tpch_q10", "sql_tpch_q7")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

@@ -150,6 +150,30 @@ object Analytics {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Per-session feature vector — the session-level training-example
+    * builder: gaps-and-islands sessionization (the shared 30-min kernel)
+    * rolled up to one row per (user, session) with the features a
+    * ranking/abuse model trains on. Everything exact: integer-cents sum,
+    * floor-second duration, first/last event via the shared sortable
+    * (ts, event_id) string key (same tie rule as cdc_upsert_latest).
+    * Scale: ONE user_id shuffle serves both the session window and the
+    * rollup (the groupBy key extends the window's partition key). */
+  def winSessionFeatures(s: SparkSession, d: String): DataFrame = {
+    val key = Relational.latestTsIdKey(col("ts"), col("event_id"))
+    Streaming.withSessionIdx(events(s, d), 1800)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_s"),
+        (sum(col("cents")).cast("double") / lit(1e2)).as("sum_value"),
+        countDistinct(col("event_type")).as("n_types"),
+        min_by(col("event_type"), key).as("first_type"),
+        max_by(col("event_type"), key).as("last_type"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** One incremental SCD2 MERGE step — how a feature store actually
     * maintains [[cdcScd2]]'s history under an arriving feed instead of
     * recomputing it: the arriving chunk chains internally (lead over the

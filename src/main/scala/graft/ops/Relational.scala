@@ -509,6 +509,32 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Discrete percentiles (the value AT rank ⌈p·n⌉, never interpolated —
+    * what "show me a real p95 event" dashboards want, and the semantics
+    * `percentile_disc` has in ANSI SQL) via explicit rank selection so
+    * BOTH engines share one definition: row_number over (value,
+    * event_id) breaks duplicate-value ties identically, and the three
+    * target ranks fall out of one conditional aggregation — no second
+    * scan per percentile. Scale: one event_type shuffle (window + rollup
+    * share the key), group state is 3 doubles. */
+  def aggPercentileDisc(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    def at(p: Double) =
+      round(max(when(col("rnk") === ceil(lit(p) * col("n")), col("value"))), 2)
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"))
+      .orderBy(col("event_type"))
+  }
+
   /** HLL++ approximate distinct — mergeable sketch, single shuffle of
     * constant-size state per key; THE scale answer for distinct counts.
     * Oracle-exempt (sketch): ScalaTest asserts ±2% of exact. */

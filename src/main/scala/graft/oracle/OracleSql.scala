@@ -1062,6 +1062,36 @@ object OracleSql {
         "ORDER BY ts ASC, event_id ASC) " +
         "ORDER BY user_id, valid_from, event_id"),
 
+    // session rollup over the shared gaps-and-islands kernel; first/last
+    // via the same sortable (ts,event_id) varchar key as cdc_upsert_latest
+    "win_session_features" ->
+      ("WITH se AS (SELECT user_id, ts, event_id, event_type, value, " +
+        "(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx FROM (" +
+        "SELECT *, CASE WHEN floor(epoch(ts))::BIGINT - " +
+        "(lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
+        "THEN 1 ELSE 0 END AS new_session FROM events)) " +
+        "SELECT user_id, session_idx, count(*)::BIGINT AS n_events, " +
+        "(floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) AS duration_s, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_value, " +
+        "count(DISTINCT event_type)::BIGINT AS n_types, " +
+        "arg_min(event_type, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')) AS first_type, " +
+        "arg_max(event_type, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')) AS last_type " +
+        "FROM se GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+
+    // discrete percentiles by explicit rank selection — one shared
+    // definition on both engines (value at rank ceil(p*n), ties by
+    // (value, event_id))
+    "agg_percentile_disc" ->
+      ("WITH r AS (SELECT event_type, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS rnk, " +
+        "count(*) OVER (PARTITION BY event_type)::BIGINT AS n FROM events) " +
+        "SELECT event_type, max(n)::BIGINT AS n, " +
+        "floor(max(CASE WHEN rnk = ceil(0.25 * n)::BIGINT THEN value END) * 100 + 0.5) / 100.0 AS p25, " +
+        "floor(max(CASE WHEN rnk = ceil(0.5 * n)::BIGINT THEN value END) * 100 + 0.5) / 100.0 AS p50, " +
+        "floor(max(CASE WHEN rnk = ceil(0.75 * n)::BIGINT THEN value END) * 100 + 0.5) / 100.0 AS p75 " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
+
     // base case of the incremental MERGE == the monolithic recompute
     "cdc_scd2_incremental" ->
       ("SELECT user_id, event_id, event_type, ts AS valid_from, " +

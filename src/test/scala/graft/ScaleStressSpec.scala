@@ -44,7 +44,14 @@ class ScaleStressSpec extends SparkSpec {
     // segment window fan-out bounded by copies-per-segment; filter is
     // map-side + one broadcast percentile row
     ("dedup_paragraph", 40.0, 25.0),
-    ("corpus_quality_filter", 40.0, 20.0))
+    ("corpus_quality_filter", 40.0, 20.0),
+    // r8 third wave: per-key constant-state folds (one shuffle + linear
+    // scan each) and the broadcast-model sequence scorer — a quadratic
+    // regression in any of these is a state-shape bug, not data growth
+    ("stream_anomaly_welford", 40.0, 20.0),
+    ("ts_holt_linear", 40.0, 20.0),
+    ("seq_markov_perplexity", 40.0, 20.0),
+    ("cdc_scd2_incremental", 40.0, 25.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
