@@ -101,6 +101,42 @@ object Formats {
       .orderBy(col("event_type"))
   }
 
+  /** Dynamic Partition Pruning — THE 100 TB star-join feature: the fact
+    * written `partitionBy(event_date)`, joined to a small GENERATED date
+    * dim (a calendar the fact's scan cannot see statically) carrying a
+    * selective filter (day-of-month ≤ 5). At planning time the filter
+    * only exists on the dim; DPP injects the dim's surviving keys as a
+    * runtime subquery into the fact scan's PartitionFilters, so only the
+    * matching date DIRECTORIES are read — on a 1000-executor cluster the
+    * difference between scanning 5/31ths of the fact and all of it.
+    * PlanSpec pins `dynamicpruning` on the fact scan; the oracle
+    * aggregates the raw events under the equivalent date predicate (the
+    * generated calendar covers every fact date, so join ≡ filter). */
+  def joinDppPruned(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val dir = tmpDir("dpp", d)
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      events.withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val fact = s.read.parquet(dir)
+    val dim = s.range(1)
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf("2024-01-01")),
+        lit(java.sql.Date.valueOf("2024-12-31")),
+        expr("interval 1 day"))).as("event_date"))
+      .where(dayofmonth(col("event_date")) <= 5)
+    fact.join(dim, Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double") /
+          lit(1e2)).as("sum_value"))
+      // DATE cells render differently across the two parquet readers —
+      // present as midnight timestamps (the comparator normalizes those)
+      .select(col("event_date").cast("timestamp").as("event_date"),
+        col("n"), col("sum_value"))
+      .orderBy(col("event_date"))
+  }
+
   /** Small-files COMPACTION — the most common 100 TB layout maintenance
     * job: a fragmented table (64 splinter files here — streaming sinks
     * and over-parallel writes produce exactly this) rewritten to a few

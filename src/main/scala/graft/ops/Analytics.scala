@@ -819,6 +819,43 @@ object Analytics {
           ((lit(2.0) * md) * sxxd - sxd * sxd), 6).as("assortativity")))
   }
 
+  /** Modularity Q of the LPA communities — the score that says whether
+    * [[graphLabelPropagation]]'s labels actually found structure
+    * (Q ≈ 0: no better than random; Q > 0.3: strong communities).
+    *
+    * The textbook per-community sum Σ_c [in_c/m − (tot_c/2m)²] is
+    * algebraically collapsed to W/m − T/(4m²) with W = within-community
+    * edge count and T = Σ_c (degree mass)² — BOTH exact BIGINT
+    * aggregates, so the whole score is two integer sums and ONE double
+    * expression: no per-community double accumulation whose merge order
+    * could wobble the result. Labels join the edge list by node id
+    * (|V|-row sides, shuffle or broadcast as the planner sizes them). */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+    val lab = graphLabelPropagation(s, d).select(col("p"), col("label"))
+    val withL = e
+      .join(lab.select(col("p").as("p1"), col("label").as("l1")), Seq("p1"))
+      .join(lab.select(col("p").as("p2"), col("label").as("l2")), Seq("p2"))
+      .persist()
+    val wm = withL.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as("w"))
+    val tot = withL.select(col("l1").as("l"))
+      .union(withL.select(col("l2").as("l")))
+      .groupBy(col("l")).agg(count(lit(1)).as("tot"))
+      .agg(sum(col("tot") * col("tot")).as("t2"),
+        count(lit(1)).as("n_communities"))
+    wm.crossJoin(tot).select(
+      col("m").as("n_edges"), col("n_communities"),
+      round(col("w").cast("double") / col("m").cast("double") -
+        col("t2").cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+        .as("modularity"))
+  }
+
   /** 3-core of the co-order part graph — iterative peeling: repeatedly
     * drop every node with degree < 3 (each removal lowers neighbors'
     * degrees, so peeling cascades) until fixpoint; output = surviving
@@ -1069,6 +1106,35 @@ object Analytics {
     * the key column), so no payload ever shuffles. */
   def dqProfile(s: SparkSession, d: String): DataFrame =
     dqProfileFrom(events(s, d), Tables.lineitem(s, d), Tables.orders(s, d))
+
+  /** DQ counters via the Observation API — [[dqProfile]]'s column checks
+    * collected as a SIDE EFFECT of a pass the pipeline already makes,
+    * which is how production jobs get ingest metrics without paying a
+    * second scan: `observe` attaches accumulator-backed aggregates to
+    * the plan, the action drives them, and the metrics row comes back on
+    * the driver for free. The noop sink stands in for "whatever the
+    * pipeline was writing anyway". Same-named SQL aggregates gate the
+    * values against DuckDB. */
+  def dqObserveMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    events(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+      min(col("event_id")).as("min_event_id"),
+      max(col("event_id")).as("max_event_id"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((
+      m("n_rows").asInstanceOf[Long],
+      m("sum_cents").asInstanceOf[Long].toDouble / 100.0,
+      m("min_event_id").asInstanceOf[Long],
+      m("max_event_id").asInstanceOf[Long],
+      m("n_null_props").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_value", "min_event_id", "max_event_id",
+        "n_null_props")
+  }
 
   /** Frame-parameterized kernel: the fixture data is CLEAN (all violation
     * counters 0 at every sf — verified), so DqSpec proves detection by

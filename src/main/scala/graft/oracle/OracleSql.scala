@@ -1062,6 +1062,22 @@ object OracleSql {
         "ORDER BY ts ASC, event_id ASC) " +
         "ORDER BY user_id, valid_from, event_id"),
 
+    // DPP join == date filter (the generated calendar covers every fact
+    // date, so the dim join is result-equivalent to the predicate)
+    "join_dpp_pruned" ->
+      ("SELECT date_trunc('day', ts) AS event_date, count(*)::BIGINT AS n, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_value " +
+        "FROM events WHERE date_part('day', ts) <= 5 " +
+        "GROUP BY date_trunc('day', ts) ORDER BY event_date"),
+
+    // the observe() accumulators must equal a plain global aggregate
+    "dq_observe_metrics" ->
+      ("SELECT count(*)::BIGINT AS n_rows, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_value, " +
+        "min(event_id) AS min_event_id, max(event_id) AS max_event_id, " +
+        "sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_props " +
+        "FROM events"),
+
     // session rollup over the shared gaps-and-islands kernel; first/last
     // via the same sortable (ts,event_id) varchar key as cdc_upsert_latest
     "win_session_features" ->

@@ -30,6 +30,14 @@ class PlanSpec extends SparkSpec {
       s"column pruning failed: $readSchema")
   }
 
+  test("join_dpp_pruned: the fact scan carries a dynamic-pruning partition filter") {
+    val df = graft.io.Formats.joinDppPruned(spark, sf001)
+    df.collect() // DPP decorates the scan at planning; force the run too
+    val plan = physical(df).toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no DynamicPruningSubquery on the partitioned fact scan:\n${physical(df)}")
+  }
+
   test("join_broadcast plans BroadcastHashJoin for both dims, no shuffle of the fact side") {
     val plan = physical(Relational.joinBroadcast(spark, sf001))
     assert(plan.contains("BroadcastHashJoin"), plan)

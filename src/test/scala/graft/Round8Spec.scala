@@ -289,4 +289,36 @@ class Round8Spec extends SparkSpec {
     // non-vacuous: labels actually propagated — some community has > 1 member
     assert(size.values.max > 1L, "no label spread beyond its own node")
   }
+
+  test("graph_modularity == brute Q from brute LPA labels (sf0.01 — sf0.001 is one component, Q=0 exactly)") {
+    import spark.implicits._
+    val edges = graft.ops.Analytics.coOrderPairs(spark, sf01)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("p1"), col("p2"))
+      .as[(Long, Long)].collect()
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var lab: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+    (1 to 4).foreach { _ =>
+      lab = adj.map { case (v, ns) =>
+        val hist = ns.map(lab).groupBy(identity)
+          .map { case (l, xs) => l -> xs.size }
+        v -> hist.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    val m = edges.length.toLong
+    val w = edges.count(e => lab(e._1) == lab(e._2)).toLong
+    val tot = edges.flatMap(e => Seq(lab(e._1), lab(e._2)))
+      .groupBy(identity).map { case (_, xs) => xs.size.toLong }
+    val t2 = tot.map(t => t * t).sum
+    val q = math.floor((w.toDouble / m.toDouble -
+      t2.toDouble / (4.0 * m.toDouble * m.toDouble)) * 1e6 + 0.5) / 1e6
+    val gotQ = graft.ops.Analytics.graphModularity(spark, sf01).collect()(0)
+    assert(gotQ.getLong(0) == m, s"edge count ${gotQ.getLong(0)} != $m")
+    assert(gotQ.getLong(1) == tot.size.toLong,
+      s"community count ${gotQ.getLong(1)} != ${tot.size}")
+    assert(gotQ.getDouble(2) == q,
+      s"modularity ${gotQ.getDouble(2)} != brute $q")
+    assert(gotQ.getDouble(2) > 0.0, "vacuous: no community structure found")
+  }
 }
