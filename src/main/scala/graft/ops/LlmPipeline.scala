@@ -625,6 +625,46 @@ object LlmPipeline {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** FILTERED vector search — top-3 among vectors sharing the query's
+    * label, the metadata-constrained retrieval every production vector
+    * store must answer ("nearest neighbors WHERE tenant/category = X").
+    * Semantics are PRE-filter: the eligible set is restricted BEFORE
+    * ranking, so every query gets its full k from its own stratum —
+    * post-filtering a global top-k silently returns fewer/wrong rows
+    * whenever the global neighbors are label-mismatched.
+    *
+    * Execution: the broadcast reference matrix is grouped by label on
+    * the driver, so each query scans exactly its label's sub-matrix
+    * (total broadcast bytes unchanged; per-query work divided by the
+    * label fan-out). At scale this becomes label-partitioned ANN
+    * indexes — each stratum gets its own [[knnSharded]]/IVF tier, same
+    * composition as here. Oracle: knn_cosine's brute SQL with the label
+    * equi-condition added. */
+  def knnFiltered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withLabel = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(
+      withLabel.collect().groupBy(_._3)
+        .map { case (l, arr) =>
+          l -> arr.map(t => (t._1, t._2)).sortBy(_._1)
+        }))
+    withLabel.repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val byLabel = bc.value
+        it.flatMap { case (aid, aemb, lbl) =>
+          val top = new Top3
+          byLabel.getOrElse(lbl, Array.empty).foreach { case (bid, bemb) =>
+            if (bid != aid) top.offer(r4(dot(aemb, bemb)), bid)
+          }
+          top.ranked(aid).map(t => (t._1, lbl, t._2, t._3, t._4))
+        }
+      }
+      .toDF("vec_id", "label", "rn", "b_id", "score")
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   /** Beyond-broadcast exact kNN — [[knnCosine]]'s kernel with the
     * reference matrix PARTITIONED ACROSS EXECUTORS instead of broadcast
     * (the r7 "what's missing" item made runnable). The reference side is
@@ -1722,6 +1762,44 @@ object LlmPipeline {
         floor((col("cum") - col("n_tokens")) / budget).as("bin"),
         ((col("cum") - col("n_tokens")) % budget).as("bin_offset"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Length-BUCKETED packing — [[packSequences]] upgraded to the shape
+    * training actually batches with: docs of similar token length pack
+    * together, so a 4096-token bin of shorts doesn't strand space behind
+    * one giant doc and attention padding stays low. Buckets come from
+    * the nine exact token-length deciles BROADCAST as one row (the
+    * analytics_pareto recipe — map-side comparisons, never a global
+    * ntile window, which the plan sweep bans); within a bucket the same
+    * cumulative bin assignment as pack_sequences runs under a
+    * bucket-partitioned window. Output is the per-bucket packing
+    * summary incl. fill_ratio — the padding-waste metric the bucketing
+    * exists to raise. */
+  def packLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bounds = toks.agg(expr(
+      "percentile(n_tokens, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("qs"))
+    val bucket = (lit(1) +
+      (1 to 9).map(i =>
+        when(col("n_tokens") > element_at(col("qs"), i), 1).otherwise(0))
+        .reduce((a, b) => a + b)).cast("int")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(4096L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin")) + 1).as("n_bins"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_bins"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double") /
+          (col("n_bins") * lit(4096L)).cast("double"), 4).as("fill_ratio"))
+      .orderBy(col("bucket"))
   }
 
   // ------------------------------------------------------------ multimodal

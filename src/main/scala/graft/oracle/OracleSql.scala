@@ -776,6 +776,47 @@ object OracleSql {
         "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)) " +
         "WHERE rn <= 3 ORDER BY vec_id, rn"),
 
+    // length-bucketed packing: exact decile bounds, map-side bucket
+    // assignment, within-bucket cumulative bins, per-bucket fill ratio
+    "pack_length_buckets" ->
+      ("WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens " +
+        "FROM documents), " +
+        "q AS (SELECT quantile_cont(n_tokens, " +
+        "[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM t), " +
+        "b AS (SELECT doc_id, n_tokens, (1 " +
+        "+ (CASE WHEN n_tokens > qs[1] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN n_tokens > qs[2] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN n_tokens > qs[3] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN n_tokens > qs[4] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN n_tokens > qs[5] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN n_tokens > qs[6] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN n_tokens > qs[7] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN n_tokens > qs[8] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN n_tokens > qs[9] THEN 1 ELSE 0 END))::INT AS bucket " +
+        "FROM t, q), " +
+        "c AS (SELECT bucket, doc_id, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM b), " +
+        "g AS (SELECT bucket, count(*)::BIGINT AS n_docs, " +
+        "(max(floor((cum - n_tokens) / 4096))::BIGINT + 1) AS n_bins, " +
+        "sum(n_tokens)::BIGINT AS sum_tokens FROM c GROUP BY bucket) " +
+        "SELECT bucket, n_docs, n_bins, sum_tokens, " +
+        "floor(sum_tokens::DOUBLE / (n_bins * 4096)::DOUBLE * 10000 + 0.5) " +
+        "/ 10000.0 AS fill_ratio FROM g ORDER BY bucket"),
+
+    // filtered search: the same brute ranking restricted to the query's
+    // label stratum BEFORE the top-3 cut (pre-filter semantics)
+    "knn_filtered" ->
+      ("SELECT vec_id, label, rn, b_id, score FROM (" +
+        "SELECT vec_id, label, b_id, score, " +
+        "(row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, b_id ASC))::INT AS rn FROM (" +
+        "SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS b_id, " +
+        "floor((list_sum(list_transform(range(1, 65), " +
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS score " +
+        "FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id <> b.vec_id AND a.label = b.label)) " +
+        "WHERE rn <= 3 ORDER BY vec_id, rn"),
+
     // knn_sharded merges shard-local top-3s exactly, so it answers the
     // SAME question as knn_cosine and shares its oracle verbatim.
     "knn_sharded" ->
