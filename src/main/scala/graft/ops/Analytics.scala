@@ -791,11 +791,15 @@ object Analytics {
     * beyond the edge build), and the closed form runs in double with
     * the identical operand order as the oracle. */
   def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the edge set feeds the degree union (2 reads) and
+    // the moment join (1 more) — without the cut the whole co-order pair
+    // build re-executes 3x (persist alone leaves the first readers racing
+    // the same uncached plan in one job)
     val e = coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
-      .persist()
+      .localCheckpoint()
     val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
     val sums = e
@@ -835,7 +839,8 @@ object Analytics {
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
-    val lab = graphLabelPropagation(s, d).select(col("p"), col("label"))
+      .localCheckpoint() // one pair build feeds BOTH the LPA loop and the scoring joins
+    val lab = lpaLabels(e)
     val withL = e
       .join(lab.select(col("p").as("p1"), col("label").as("l1")), Seq("p1"))
       .join(lab.select(col("p").as("p2"), col("label").as("l2")), Seq("p2"))
@@ -939,14 +944,25 @@ object Analytics {
     * Round8Spec pins exact equality with driver-side brute propagation
     * under the same rule. */
   def graphLabelPropagation(s: SparkSession, d: String): DataFrame = {
-    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.logical.collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }
     val e = coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
+    lpaLabels(e)
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .orderBy(col("p"))
+  }
+
+  /** LPA core over a prebuilt thresholded edge set — shared by
+    * [[graphLabelPropagation]] (which adds community sizes) and
+    * [[graphModularity]] (which would otherwise pay the whole co-order
+    * pair build a second time just to rebuild the same edges). */
+  private def lpaLabels(e: DataFrame): DataFrame = {
+    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     val und = e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
       .localCheckpoint()
@@ -966,9 +982,6 @@ object Analytics {
       prev.foreach(_.unpersist(blocking = false))
     }
     labels
-      .withColumn("community_size",
-        count(lit(1)).over(Window.partitionBy(col("label"))))
-      .orderBy(col("p"))
   }
 
   /** Multi-source BFS over the co-order part graph: hop distance from the

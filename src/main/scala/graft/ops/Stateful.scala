@@ -253,7 +253,7 @@ object Stateful {
     * whether the chunk is a whole history (batch) or one micro-batch
     * resumed from carried state (stream) — which is what makes the
     * stream-batch parity test exact rather than approximate. */
-  private def scoreFold(
+  private[graft] def scoreFold(
       user: Long, evs: Array[Event], st: WelfordState)
       : (Array[AnomalyOut], WelfordState) = {
     val sorted = evs.sortBy(e => (micros(e.ts), e.event_id))
@@ -323,7 +323,7 @@ object Stateful {
       user_id: Long, n_obs: Long, level: Double, trend: Double,
       forecast_next: Double)
 
-  private def holtFold(evs: Array[Event], st: HoltState): HoltState = {
+  private[graft] def holtFold(evs: Array[Event], st: HoltState): HoltState = {
     val sorted = evs.sortBy(e => (micros(e.ts), e.event_id))
     var n = st.n; var l = st.l; var b = st.b
     sorted.foreach { e =>

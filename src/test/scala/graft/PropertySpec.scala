@@ -296,4 +296,78 @@ class PropertySpec extends SparkSpec {
       .where(col("n") =!= col("maxr")).count()
     assert(perSrc == 0, "sample ranks are not contiguous 1..quota")
   }
+
+  test("stateful folds are chunking-invariant: any ts-ordered split == one-shot fold (Welford + Holt)") {
+    // THE property the streaming forms rely on: resuming from carried
+    // state over arbitrary micro-batch boundaries must be bit-identical
+    // to folding the whole history at once. 50 seeded trials, random
+    // series and random cut points.
+    val rnd = new scala.util.Random(4242)
+    (1 to 50).foreach { trial =>
+      val n = 5 + rnd.nextInt(40)
+      val evs = (1 to n).map { i =>
+        graft.ops.Stateful.Event(i.toLong,
+          new java.sql.Timestamp(1700000000000L + i * 60000L + rnd.nextInt(999)),
+          7L, "click", rnd.nextDouble() * 200 - 100, "{}")
+      }.toArray
+      val cuts = (0 until 1 + rnd.nextInt(4))
+        .map(_ => rnd.nextInt(n + 1)).sorted.distinct
+      val chunks = (Seq(0) ++ cuts ++ Seq(n)).distinct.sliding(2)
+        .map { case Seq(a, b) => evs.slice(a, b) }.filter(_.nonEmpty).toSeq
+      // Welford
+      val oneW = graft.ops.Stateful.scoreFold(7L, evs,
+        graft.ops.Stateful.WelfordState(0L, 0.0, 0.0))
+      val manyW = chunks.foldLeft(
+        (Vector.empty[graft.ops.Stateful.AnomalyOut],
+          graft.ops.Stateful.WelfordState(0L, 0.0, 0.0))) {
+        case ((acc, st), chunk) =>
+          val (out, st2) = graft.ops.Stateful.scoreFold(7L, chunk, st)
+          (acc ++ out, st2)
+      }
+      assert(manyW._1 == oneW._1.toVector && manyW._2 == oneW._2,
+        s"Welford chunk split diverges (trial $trial, cuts $cuts)")
+      // Holt
+      val oneH = graft.ops.Stateful.holtFold(evs,
+        graft.ops.Stateful.HoltState(0L, 0.0, 0.0))
+      val manyH = chunks.foldLeft(graft.ops.Stateful.HoltState(0L, 0.0, 0.0)) {
+        (st, chunk) => graft.ops.Stateful.holtFold(chunk, st)
+      }
+      assert(manyH == oneH,
+        s"Holt chunk split diverges (trial $trial, cuts $cuts)")
+    }
+  }
+
+  test("scd2ApplyBatch is chunking-invariant over ts-ordered splits (random trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 40).map { i =>
+        (1L + rnd.nextInt(4),  // user
+          i.toLong,            // event_id (ts-aligned: ordered arrival)
+          s"t${rnd.nextInt(3)}",
+          new java.sql.Timestamp(1700000000000L + i * 3600000L))
+      }.sortBy(r => (r._4.getTime, r._2))
+      def df(rs: Seq[(Long, Long, String, java.sql.Timestamp)]) =
+        rs.toDF("user_id", "event_id", "event_type", "ts")
+      val empty = df(rows).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts").as("valid_from"),
+        col("ts").as("valid_to"), lit(0).cast("int").as("is_current"))
+        .where(lit(false))
+      val oneShot = graft.ops.Analytics.scd2ApplyBatch(empty, df(rows))
+      val cut1 = 1 + rnd.nextInt(38)
+      val cut2 = cut1 + 1 + rnd.nextInt(39 - cut1)
+      val chunked = Seq(rows.take(cut1), rows.slice(cut1, cut2), rows.drop(cut2))
+        .filter(_.nonEmpty)
+        .foldLeft(empty) { (hist, chunk) =>
+          graft.ops.Analytics.scd2ApplyBatch(hist, df(chunk))
+            .localCheckpoint()
+        }
+      def keyed(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), Option(r.getTimestamp(4)), r.getInt(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(keyed(chunked) == keyed(oneShot),
+        s"scd2ApplyBatch chunking diverges (trial $trial, cuts $cut1/$cut2)")
+    }
+  }
 }
