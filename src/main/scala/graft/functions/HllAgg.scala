@@ -99,4 +99,77 @@ object HllSketch {
       "graft_hll",
       (children: Seq[Expression]) => HllSketch(children.head).toAggregateExpression(),
       "built-in")
+
+  /** The estimator over raw registers — shared by the aggregate's eval
+    * and driver-side sketch ALGEBRA (union-merge of returned register
+    * arrays; see audience_overlap_hll). */
+  def estimate(buf: Array[Byte]): Long = {
+    val m = buf.length
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += math.pow(2.0, -buf(i).toDouble)
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    var e = alpha * m * m / sum
+    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
+    math.round(e)
+  }
+
+  /** Register-wise max — |A ∪ B| comes free from two sketches, which is
+    * the whole point of HLL as an algebra, not just a counter. */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = if (b(i) > a(i)) b(i) else a(i); i += 1
+    }
+    out
+  }
+}
+
+/** [[HllSketch]] evaluating to its RAW REGISTER ARRAY (BinaryType)
+  * instead of the point estimate — what a sketch STORE persists so later
+  * queries can merge/intersect without rescanning the data. */
+case class HllRegisters(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val delegate = HllSketch(child)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_hll_regs"
+
+  override def createAggregationBuffer(): Array[Byte] =
+    delegate.createAggregationBuffer()
+  override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] =
+    delegate.update(buf, input)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    delegate.merge(a, b)
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object HllRegisters {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_regs",
+      (children: Seq[Expression]) => HllRegisters(children.head).toAggregateExpression(),
+      "built-in")
 }

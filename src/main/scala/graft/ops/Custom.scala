@@ -53,6 +53,42 @@ object Custom {
       .orderBy(col("event_type"))
   }
 
+  /** Audience overlap from HLL sketch ALGEBRA — the scale tier of
+    * analytics_audience_overlap: one scan builds a register sketch per
+    * event type (graft_hll_regs, mergeable partial aggregation), then
+    * every pairwise overlap falls out of register-max unions on the
+    * DRIVER via inclusion–exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) — T tiny
+    * sketches answer T² audience questions with no second scan and no
+    * per-user pair expansion at all, which is the 100 TB shape when the
+    * exact pair kernel's per-user type-set work is already too much.
+    * Oracle-exempt (sketch); CustomSurfaceSpec pins every estimated
+    * overlap coefficient within ±0.05 of the exact kernel's. */
+  def audienceOverlapHll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.HllRegisters.register(s)
+    val sketches = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_hll_regs", col("user_id")).as("regs"))
+      .as[(String, Array[Byte])].collect().sortBy(_._1)
+    val H = graft.functions.HllSketch
+    val rows = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (ta, ra) = sketches(i)
+      val (tb, rb) = sketches(j)
+      val ea = H.estimate(ra)
+      val eb = H.estimate(rb)
+      val eu = H.estimate(H.union(ra, rb))
+      val inter = math.max(0L, ea + eb - eu)
+      (ta, tb, ea, eb, eu,
+        math.floor(inter.toDouble / math.min(ea, eb).toDouble * 1e6 + 0.5) / 1e6)
+    }
+    rows.toDF("type_a", "type_b", "est_a", "est_b", "est_union",
+      "est_overlap")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** The HLL sketch under ROLLUP — the property that makes sketches the
     * 100 TB distinct-count answer is MERGEABILITY, and grouping sets are
     * its sharpest test: every subtotal level re-merges the same partial

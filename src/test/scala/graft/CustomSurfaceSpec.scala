@@ -20,6 +20,20 @@ class CustomSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("audience_overlap_hll: sketch-algebra overlap within 0.05 of the exact pair kernel") {
+    val est = Custom.audienceOverlapHll(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val exact = graft.ops.Analytics.analyticsAudienceOverlap(spark, sf01)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(est.nonEmpty && est.keySet == exact.keySet,
+      s"pair sets differ: ${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (pair, ov) =>
+      assert(math.abs(est(pair) - ov) <= 0.05,
+        s"$pair: sketch ${est(pair)} vs exact $ov")
+    }
+  }
+
   test("graft_hll under ROLLUP: every subtotal level within 5% of exact, one Expand") {
     val approx = Custom.aggHllRollup(spark, sf01).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
