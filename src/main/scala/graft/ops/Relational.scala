@@ -509,6 +509,26 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Hot-dimension CACHING — the serving-layer idiom for a dim every
+    * query touches: `.cache()` pins nation in executor memory and BOTH
+    * readers below (the customer rollup and the region decoration) scan
+    * the InMemoryRelation instead of re-reading parquet. PlanSpec pins
+    * InMemoryTableScan in the executed plan. At 100 TB this is the
+    * catalog-bounded dim tier (nations/regions/parts metadata), never
+    * the fact — facts flow through, dims sit hot. */
+  def cacheHotDim(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).cache()
+    val perNation = Tables.customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("n_regionkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    perNation
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"), col("n_cust"))
+      .orderBy(col("n_name"))
+  }
+
   /** Discrete percentiles (the value AT rank ⌈p·n⌉, never interpolated —
     * what "show me a real p95 event" dashboards want, and the semantics
     * `percentile_disc` has in ANSI SQL) via explicit rank selection so

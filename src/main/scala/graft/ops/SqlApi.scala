@@ -293,6 +293,70 @@ object SqlApi {
     s.sql(SqlApi.recursiveBfsCore("graft_co_edges"))
   }
 
+  /** SQL DDL round-trip — CREATE TABLE ... USING parquet AS SELECT, then
+    * read the catalog table back: the materialize-then-serve pattern a
+    * SQL-first user runs daily, exercising the session catalog + the
+    * datasource writer through the SQL front door (not the DataFrame
+    * writer API the sink_* keys use). The location is wiped first so the
+    * key is idempotent under the bench's min-of-3 protocol; cents
+    * snapped per row before the BIGINT sum as usual. */
+  def sqlCtasReadback(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    val enc = d.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_ctas_$enc"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    s.sql("DROP TABLE IF EXISTS g_ctas_priority")
+    rm(new java.io.File(loc))
+    s.sql(s"""
+      CREATE TABLE g_ctas_priority USING parquet LOCATION '$loc' AS
+      SELECT o.o_orderpriority,
+             count(*) AS n_orders,
+             sum(cast(floor(o.o_totalprice * 100 + 0.5) as bigint)) / 1e2 AS sum_price
+      FROM orders o
+      GROUP BY o.o_orderpriority
+    """)
+    s.sql("""
+      SELECT o_orderpriority, n_orders, sum_price
+      FROM g_ctas_priority
+      ORDER BY o_orderpriority
+    """)
+  }
+
+  /** SQL optimizer HINTS — the knob a SQL-first user reaches for when
+    * the planner guesses wrong at scale: `/*+ BROADCAST(n) */` pins the
+    * dim to a broadcast join regardless of size estimates. The result
+    * must be hint-invariant (same rows as the unhinted form — that is
+    * what the oracle certifies); the PLAN must actually honor the hint
+    * (PlanSpec pins BroadcastHashJoin here and SortMergeJoin under a
+    * MERGE hint on the same query). */
+  def sqlJoinHints(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT /*+ BROADCAST(n) */ n.n_name, count(*) AS n_cust,
+             sum(cast(floor(c.c_acctbal * 100 + 0.5) as bigint)) / 1e2 AS sum_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+      ORDER BY n.n_name
+    """)
+  }
+
+  /** The MERGE-hinted twin of [[sqlJoinHints]] (not a query key — the
+    * PlanSpec pin runs it to assert the planner obeys the opposite
+    * instruction on the identical query). */
+  def sqlJoinHintsMerge(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT /*+ MERGE(n) */ n.n_name, count(*) AS n_cust,
+             sum(cast(floor(c.c_acctbal * 100 + 0.5) as bigint)) / 1e2 AS sum_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+      ORDER BY n.n_name
+    """)
+  }
+
   /** The recursion statement, shared with OracleSql up to the edge-table
     * source name — both engines run the identical loop. */
   def recursiveBfsCore(edges: String): String =

@@ -239,6 +239,26 @@ object OracleSql {
         "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus"),
 
+    // CTAS readback == the SELECT it materialized
+    "sql_ctas_readback" ->
+      ("SELECT o_orderpriority, count(*)::BIGINT AS n_orders, " +
+        "sum((floor(o_totalprice * 100 + 0.5))::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_price " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // hints must be result-invisible: the oracle is the PLAIN join
+    "sql_join_hints" ->
+      ("SELECT n.n_name, count(*)::BIGINT AS n_cust, " +
+        "sum((floor(c.c_acctbal * 100 + 0.5))::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_bal " +
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_name ORDER BY n.n_name"),
+
+    // caching must be result-invisible: the oracle re-reads the parquet
+    "cache_hot_dim" ->
+      ("SELECT n.n_name, r.r_name, count(*)::BIGINT AS n_cust " +
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY n.n_name, r.r_name ORDER BY n.n_name"),
+
     "sql_subquery_scalar" ->
       ("SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100.0 AS o_totalprice " +
         "FROM orders " +

@@ -38,6 +38,25 @@ class PlanSpec extends SparkSpec {
       s"no DynamicPruningSubquery on the partitioned fact scan:\n${physical(df)}")
   }
 
+  test("SQL join hints are obeyed: BROADCAST -> BHJ, MERGE -> SMJ on the identical query") {
+    val bhj = physical(graft.ops.SqlApi.sqlJoinHints(spark, sf001))
+    assert(bhj.contains("BroadcastHashJoin"), s"BROADCAST hint ignored:\n$bhj")
+    val smj = physical(graft.ops.SqlApi.sqlJoinHintsMerge(spark, sf001))
+    assert(smj.contains("SortMergeJoin"),
+      s"MERGE hint ignored (planner still chose broadcast):\n$smj")
+    // and the hint is result-invisible
+    assert(graft.ops.SqlApi.sqlJoinHints(spark, sf001).collect().toSeq ==
+      graft.ops.SqlApi.sqlJoinHintsMerge(spark, sf001).collect().toSeq)
+  }
+
+  test("cache_hot_dim: both readers scan the InMemoryRelation") {
+    val df = Relational.cacheHotDim(spark, sf001)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("Scan In-memory"),
+      s"cached dim not read from memory:\n$plan")
+  }
+
   test("join_broadcast plans BroadcastHashJoin for both dims, no shuffle of the fact side") {
     val plan = physical(Relational.joinBroadcast(spark, sf001))
     assert(plan.contains("BroadcastHashJoin"), plan)
