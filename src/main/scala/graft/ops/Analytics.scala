@@ -1274,6 +1274,57 @@ object Analytics {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** A/B lift report — the experimentation readout every feed pipeline
+    * ends in: users split into two arms by a deterministic id rule
+    * (user_id parity stands in for the production bucket hash — the
+    * assignment just has to be a pure function of the id on both
+    * engines), conversion per event_type = "user did ≥15 such events"
+    * (engagement-depth conversion — the ≥1 form is saturated in these
+    * fixtures, every user touches every type), then per metric the arm
+    * rates, absolute lift, and the two-proportion z statistic (pooled
+    * p̂, identical operand order both engines; every input to the double
+    * math is an exact integer count, so the formula is bit-deterministic
+    * through sqrt).
+    *
+    * Scale: two partial-aggregable aggregates (distinct users; per
+    * user×type counts) keyed by user — one shuffle each; the population
+    * row is a one-row broadcast (whitelisted scalar-fold BNLJ). Output
+    * is |event_types| rows. */
+  def abTestLift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
+    val pop = ev.select(col("user_id")).distinct()
+      .select((col("user_id") % 2).as("arm"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val conv = ev
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .where(col("n_ev") >= 15)
+      .select(col("event_type"), (col("user_id") % 2).as("arm"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("conv_b"))
+    val rateA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val rateB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pHat = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pHat * (lit(1.0) - pHat) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    conv.crossJoin(broadcast(pop))
+      .select(
+        col("event_type"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        round(rateA, 6).as("rate_a"),
+        round(rateB, 6).as("rate_b"),
+        round(rateB - rateA, 6).as("lift"),
+        when(se === 0.0, 0.0)
+          .otherwise(round((rateB - rateA) / se, 6)).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   def featureMinmaxNorm(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     events(s, d)

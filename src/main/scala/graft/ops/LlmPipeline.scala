@@ -481,6 +481,10 @@ object LlmPipeline {
       }
     }
     def ids: Array[Long] = idd.take(filled)
+    /** (id, score) pairs in rank order — the partial-fold emission shape
+      * of [[searchHybridRrf]]'s dense stage. */
+    def scored: IndexedSeq[(Long, Double)] =
+      (0 until filled).map(i => (idd(i), sc(i)))
   }
 
   /** Symmetric per-vector int8 grid — the same round(x·127/amax) cells
@@ -2312,4 +2316,109 @@ object LlmPipeline {
       .withColumn("ttr", graft.Det.round(
         col("n_uniq").cast("double") / col("n_tok").cast("double"), 4))
       .orderBy(col("doc_id"))
+
+  /** Sliding-window document chunking — the RAG/context-window prep step:
+    * each document splits into 64-token chunks on a 48-token stride
+    * (16-token overlap carries context across boundaries). Chunk starts
+    * come from `sequence(0, n-1, 48)` so every token lands in ≥1 chunk
+    * and the final (possibly short) tail chunk is always emitted; both
+    * engines share that start rule and the 1-based 64-length slice.
+    *
+    * Scale: entirely map-side — split once, explode starts, slice; no
+    * shuffle at all until the output sort. Chunk rows inherit the input's
+    * partitioning, so a downstream embed/index stage parallelizes per
+    * chunk for free. */
+  def textChunkOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(48))).as("start_tok"))
+      .select(
+        col("doc_id"),
+        (col("start_tok") / 48).cast("int").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(64), col("n") - col("start_tok")).cast("long")
+          .as("chunk_len"),
+        concat_ws(" ", slice(col("ws"), col("start_tok") + 1, lit(64)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion — the standard
+    * lexical+dense ensemble (RRF: Cormack/Clarke/Buettcher, SIGIR'09):
+    * for a deterministic query panel (every 25th document, via the 1:1
+    * doc_id↔vec_id link) fuse
+    *  - a DENSE ranking: exact top-10 by embedding dot product, and
+    *  - a LEXICAL ranking: top-10 by distinct-shared-word count
+    *    (inverted-index join, the BM25-family candidate generator),
+    * scoring each candidate Σ 1/(60 + rank) over the lists it appears in
+    * (k=60, the published constant) and keeping the top-5 per query.
+    *
+    * Scale: the dense stage broadcasts the QUERY panel (the small side —
+    * |Q| = n/25) and folds partition-local top-10s per query over the
+    * distributed corpus, so only P·|Q|·10 candidate rows shuffle to the
+    * final per-query merge — never an n×|Q| pair materialization. The
+    * lexical stage is a posting-list equi-join keyed by word whose
+    * volume tracks shared-vocabulary density (at open-web scale the
+    * standard df-cap/stopword prune bounds the hot posting lists, the
+    * dedup_containment precedent). Fusion itself joins two ≤10-row/query
+    * lists — negligible. Ranks are exact integers and the two 1/(60+r)
+    * terms add in a fixed order, so the fused score is bit-identical
+    * across engines. */
+  def searchHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qPanel = vecs(s, d).filter(_._1 % 25 == 0).collect().sortBy(_._1)
+    val bcQ = graft.Broadcasts.track(s.sparkContext.broadcast(qPanel))
+    // dense: per-partition TopC(10) fold per query, then one small merge
+    val partial = vecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val acc = qs.map { case (qid, _) => qid -> new TopC(10) }.toMap
+        it.foreach { case (cid, emb) =>
+          qs.foreach { case (qid, qemb) =>
+            if (cid != qid) acc(qid).offer(r4(dot(qemb, emb)), cid)
+          }
+        }
+        acc.iterator.flatMap { case (qid, top) =>
+          top.scored.map { case (cid, sc) => (qid, cid, sc) }
+        }
+      }
+    val dense = partial
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        rows.toSeq.sortBy { case (_, cid, sc) => (-sc, cid) }
+          .take(10).zipWithIndex
+          .map { case ((_, cid, _), i) => (qid, cid, i + 1) }
+      }
+      .toDF("qid", "cid", "rnk_d")
+    // lexical: distinct words, inverted-index join, overlap-count rank
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("w"))
+    val overlap = words.where(col("doc_id") % 25 === 0)
+      .withColumnRenamed("doc_id", "qid")
+      .join(words.withColumnRenamed("doc_id", "cid"), Seq("w"))
+      .where(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(count(lit(1)).as("ov"))
+    val lex = overlap
+      .withColumn("rnk_l", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("ov").desc, col("cid"))))
+      .where(col("rnk_l") <= 10)
+      .select(col("qid"), col("cid"), col("rnk_l"))
+    dense.join(lex, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        (coalesce(lit(1.0) / (lit(60) + col("rnk_d")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rnk_l")), lit(0.0)))
+          .as("rrf"))
+      .withColumn("rrf", round(col("rrf"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("cid"))))
+      .where(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid"), col("rrf"))
+      .orderBy(col("qid"), col("rn"))
+  }
 }

@@ -707,6 +707,21 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Bitwise aggregates — bit_and / bit_or / bit_xor of the user-id set
+    * per event type (the bitmask-rollup surface: permission masks,
+    * feature flags, shard membership words all aggregate this way). All
+    * three are commutative+associative integer folds, so they partial-
+    * aggregate map-side and merge in any order with exact results. */
+  def aggBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("bit_and(user_id)").as("band"),
+        expr("bit_or(user_id)").as("bor"),
+        expr("bit_xor(user_id)").as("bxor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Heavy hitters via count-min sketch: one mergeable fixed-size sketch
     * over the whole stream (eps=0.001, seed pinned), then point estimates
     * for the known candidate set. CMS is THE streaming heavy-hitter

@@ -357,6 +357,106 @@ object SqlApi {
     """)
   }
 
+  /** TPC-H-Q17-shaped small-quantity probe — the CORRELATED SCALAR AGG
+    * subquery stress: every brand-filtered lineitem compares its quantity
+    * against 0.2 × the per-part average quantity, a subquery correlated on
+    * l_partkey. Catalyst must decorrelate
+    * (RewriteCorrelatedScalarSubquery) into ONE aggregate over lineitem
+    * keyed by partkey joined back to the probe side — never a per-row
+    * re-scan. Quantities are integral doubles, so the inner avg is an
+    * exact-integer-sum / count divide (merge-order-proof); revenue is
+    * cents-snapped per row before the BIGINT sum, and the final /7 is a
+    * divide of exact integers in double. (The reference Q17 filters one
+    * brand to a scalar; grouping a brand triple keeps the identical
+    * correlation shape with a non-degenerate result.) */
+  def sqlTpchQ17(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT p.p_brand,
+             sum(cast(floor(l.l_extendedprice * 100 + 0.5) as bigint)) / 7e0 / 1e2
+               AS avg_yearly
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p_brand
+    """)
+  }
+
+  /** TPC-H-Q21-shaped waiting-supplier report — the DOUBLE-correlated
+    * EXISTS + NOT EXISTS stress (the hardest decorrelation in the TPC-H
+    * suite): a supplier is "waiting" on a finished multi-supplier order
+    * when some OTHER supplier shipped on the order (EXISTS → left semi on
+    * l_orderkey) but nobody else shipped at-or-after it (NOT EXISTS with
+    * a correlated INEQUALITY → left anti on l_orderkey with the
+    * l_shipdate residual). Both rewrites must key the fact-to-fact joins
+    * on l_orderkey — one shuffle key shared by semi, anti, and the probe;
+    * a per-row subquery re-scan would be O(n²). The fixtures lack
+    * commit/receipt dates, so "kept waiting" = strictly-latest shipdate
+    * on the order (ties excluded by the >= on both engines). */
+  def sqlTpchQ21(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT s.s_name, count(*) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE o.o_orderstatus = 'F'
+        AND n.n_name IN ('NATION_1', 'NATION_2')
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate >= l1.l_shipdate)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20
+    """)
+  }
+
+  /** TPC-H-Q22-shaped dormant-customer report — uncorrelated scalar
+    * subquery + NOT EXISTS anti join: rich customers (balance above the
+    * positive-balance average) with no orders at all, rolled up per
+    * market segment. The above-average comparison is the classic
+    * cross-engine trap: avg() of doubles is merge-order-dependent, so a
+    * boundary customer could flip between engines. Instead the predicate
+    * cross-multiplies in EXACT integer space — cents(c) · |positives| >
+    * Σ cents(positives) — two uncorrelated one-row subqueries both
+    * engines evaluate exactly; no double ever carries an accumulated sum.
+    * "Dormant" = no order since 2000-01-01 (every fixture customer has
+    * SOME order, so the pure no-orders form would be vacuous); the date
+    * predicate sits INSIDE the NOT EXISTS, so the rewrite must push it
+    * into the anti join's build side, not post-filter the probe. The
+    * NOT EXISTS plans as a left anti join of customer against the
+    * filtered orders key set (broadcast at this SF, shuffled at scale —
+    * either way keyed, never looped). */
+  def sqlTpchQ22(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT c.c_mktsegment,
+             count(*) AS numcust,
+             sum(cast(floor(c.c_acctbal * 100 + 0.5) as bigint)) / 1e2 AS totacctbal
+      FROM customer c
+      WHERE cast(floor(c.c_acctbal * 100 + 0.5) as bigint)
+              * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+            > (SELECT sum(cast(floor(c3.c_acctbal * 100 + 0.5) as bigint))
+               FROM customer c3 WHERE c3.c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= timestamp '2000-01-01')
+      GROUP BY c.c_mktsegment
+      ORDER BY c_mktsegment
+    """)
+  }
+
   /** The recursion statement, shared with OracleSql up to the edge-table
     * source name — both engines run the identical loop. */
   def recursiveBfsCore(edges: String): String =

@@ -66,6 +66,33 @@ object Streaming {
       .orderBy(col("hour_start"), col("rn"))
   }
 
+  /** CHAINED stateful aggregation — two time-window aggregates in ONE
+    * query (the multiple-stateful-operator pipeline Spark supports since
+    * 3.4, append mode): hourly (window, type) counts roll up to a daily
+    * profile per type (peak hourly rate + active-hour count) via
+    * window-on-window (`window(w1, "1 day")`), so in streaming BOTH
+    * aggregates are incrementally maintained in the same state store and
+    * the intermediate hourly table never materializes to a sink.
+    *
+    * Scale: state = |hours in watermark horizon| × |types| for stage 1
+    * plus |days| × |types| for stage 2 — both watermark-evictable; the
+    * daily rollup's input is the hourly AGGREGATE stream (≤ 24×|types|
+    * rows/day), not the raw feed. Parity across 4 micro-batches under
+    * both state-store backends is the streaming gate; this batch twin is
+    * the oracle-gated entry. */
+  def chainedAggTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("w1"), "1 day").as("w2"), col("event_type"))
+      .agg(max(col("n")).as("peak_hourly"), count(lit(1)).as("active_hours"))
+      .select(col("w2.start").as("day_start"), col("event_type"),
+        col("peak_hourly"), col("active_hours"))
+
+  def streamChainedAgg(s: SparkSession, d: String): DataFrame =
+    chainedAggTransform(Tables.events(s, d))
+      .orderBy(col("day_start"), col("event_type"))
+
   /** Sliding 1-hour window every 15 minutes: each event lands in 4
     * windows. Batch equivalent of `window(ts, "1 hour", "15 minutes")`. */
   def slidingTransform(events: DataFrame): DataFrame =

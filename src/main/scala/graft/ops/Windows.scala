@@ -233,4 +233,5 @@ object Windows {
         ntile(4).over(w).as("quartile"))
       .orderBy(col("event_id"))
   }
+
 }

@@ -154,6 +154,36 @@ object OracleSql {
         "AND a.event_id <> b.event_id " +
         "ORDER BY a.user_id, a_id, b_id"),
 
+    // A/B lift: every double input is an exact integer count and the
+    // z formula shares operand order with the Spark side, so the math is
+    // bit-deterministic through sqrt
+    "ab_test_lift" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "pop AS (SELECT " +
+        "sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a, " +
+        "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b " +
+        "FROM u), " +
+        "c AS (SELECT event_type, " +
+        "sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS conv_a, " +
+        "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS conv_b " +
+        "FROM (SELECT event_type, user_id FROM events " +
+        "GROUP BY event_type, user_id HAVING count(*) >= 15) " +
+        "GROUP BY event_type), " +
+        "r AS (SELECT event_type, n_a, n_b, conv_a, conv_b, " +
+        "conv_a::DOUBLE / n_a::DOUBLE AS ra, " +
+        "conv_b::DOUBLE / n_b::DOUBLE AS rb, " +
+        "(conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE AS ph " +
+        "FROM c, pop), " +
+        "f AS (SELECT *, sqrt(ph * (1.0 - ph) " +
+        "* (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS se FROM r) " +
+        "SELECT event_type, n_a, n_b, conv_a, conv_b, " +
+        "floor(ra * 1000000 + 0.5) / 1000000.0 AS rate_a, " +
+        "floor(rb * 1000000 + 0.5) / 1000000.0 AS rate_b, " +
+        "floor((rb - ra) * 1000000 + 0.5) / 1000000.0 AS lift, " +
+        "CASE WHEN se = 0.0 THEN 0.0 ELSE " +
+        "floor((rb - ra) / se * 1000000 + 0.5) / 1000000.0 END AS z " +
+        "FROM f ORDER BY event_type"),
+
     // -------------------------------------------- SQL front door (SqlApi)
     "sql_tpch_q3" ->
       ("SELECT o.o_orderkey, " +
@@ -227,6 +257,51 @@ object OracleSql {
         "AND l.l_shipdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate) " +
         "ORDER BY supp_nation, cust_nation, l_year"),
+
+    // Q17: correlated scalar avg subquery; integral quantities make the
+    // inner avg exact, cents snapped before the BIGINT revenue sum
+    "sql_tpch_q17" ->
+      ("SELECT p.p_brand, " +
+        "sum((floor(l.l_extendedprice * 100 + 0.5))::BIGINT)::BIGINT" +
+        "::DOUBLE / 7.0 / 100.0 AS avg_yearly " +
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+        "WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') " +
+        "AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 " +
+        "WHERE l2.l_partkey = l.l_partkey) " +
+        "GROUP BY p.p_brand ORDER BY p_brand"),
+
+    // Q21: EXISTS + NOT EXISTS double correlation with a shipdate
+    // inequality residual; ties on the latest shipdate excluded by >=
+    "sql_tpch_q21" ->
+      ("SELECT s.s_name, count(*)::BIGINT AS numwait " +
+        "FROM supplier s " +
+        "JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l1.l_orderkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "WHERE o.o_orderstatus = 'F' " +
+        "AND n.n_name IN ('NATION_1', 'NATION_2') " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate >= l1.l_shipdate) " +
+        "GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+
+    // Q22: the above-average predicate cross-multiplied into exact
+    // integer space (cents·count > sum-of-cents) so no engine ever
+    // compares against an accumulated double
+    "sql_tpch_q22" ->
+      ("SELECT c.c_mktsegment, count(*)::BIGINT AS numcust, " +
+        "sum((floor(c.c_acctbal * 100 + 0.5))::BIGINT)::BIGINT" +
+        "::DOUBLE / 100.0 AS totacctbal " +
+        "FROM customer c " +
+        "WHERE (floor(c.c_acctbal * 100 + 0.5))::BIGINT " +
+        "* (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0) " +
+        "> (SELECT sum((floor(c3.c_acctbal * 100 + 0.5))::BIGINT) " +
+        "FROM customer c3 WHERE c3.c_acctbal > 0.0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY c.c_mktsegment ORDER BY c_mktsegment"),
 
     // decimal128 sums: associative, so no merge-order caveat — the cast
     // rounding rule (HALF_UP on the same input doubles) matches Spark's
@@ -457,6 +532,12 @@ object OracleSql {
         "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type) " +
         "GROUP BY user_id ORDER BY user_id"),
 
+    // commutative+associative integer folds — exact under any merge order
+    "agg_bitwise" ->
+      ("SELECT event_type, bit_and(user_id) AS band, bit_or(user_id) AS bor, " +
+        "bit_xor(user_id) AS bxor, count(*)::BIGINT AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
     "cdc_upsert_latest" ->
       ("SELECT user_id, event_type, " +
         "arg_max(event_id, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')) AS event_id, " +
@@ -654,6 +735,15 @@ object OracleSql {
         "count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value " +
         "FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type"),
 
+    // chained stateful agg: hourly counts → daily peak/active-hours
+    "stream_chained_agg" ->
+      ("WITH h AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS h, " +
+        "event_type, count(*) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT date_trunc('day', h)::TIMESTAMP AS day_start, event_type, " +
+        "max(n) AS peak_hourly, count(*) AS active_hours " +
+        "FROM h GROUP BY day_start, event_type " +
+        "ORDER BY day_start, event_type"),
+
     // per-hour top-3 event types: rank over the maintained hourly counts
     "stream_topk_per_window" ->
       ("WITH h AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, " +
@@ -795,6 +885,51 @@ object OracleSql {
         "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) * 10000 + 0.5) / 10000.0 AS score " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)) " +
         "WHERE rn <= 3 ORDER BY vec_id, rn"),
+
+    // sliding-window chunking: shared start rule sequence(0, n-1, 48),
+    // 1-based 64-length slice clamps identically in both engines
+    "text_chunk_overlap" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, " +
+        "len(string_split(text, ' '))::BIGINT AS n FROM documents) " +
+        "SELECT doc_id, (s // 48)::INT AS chunk_id, s::BIGINT AS start_tok, " +
+        "least(64, n - s)::BIGINT AS chunk_len, " +
+        "array_to_string(ws[(s + 1)::INT:(s + 64)::INT], ' ') AS chunk_text " +
+        "FROM t, unnest(generate_series(0, n - 1, 48)) AS u(s) " +
+        "ORDER BY doc_id, chunk_id"),
+
+    // hybrid RRF: dense = knn_cosine's rounded-dot rank capped at 10 on
+    // the query panel; lexical = distinct-shared-word count rank; fused
+    // score 1/(60+rd) + 1/(60+rl) in that operand order, Det-snapped
+    "search_hybrid_rrf" ->
+      ("WITH q AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id % 25 = 0), " +
+        "pairs AS (SELECT q.vec_id AS qid, b.vec_id AS cid, " +
+        "floor(list_sum(list_transform(range(1, 65), " +
+        "i -> q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) " +
+        "* 10000 + 0.5) / 10000.0 AS score " +
+        "FROM q JOIN embeddings b ON b.vec_id <> q.vec_id), " +
+        "dense AS (SELECT qid, cid, rnk_d FROM (SELECT qid, cid, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) " +
+        "AS rnk_d FROM pairs) WHERE rnk_d <= 10), " +
+        "qw AS (SELECT doc_id AS qid, " +
+        "unnest(list_distinct(string_split(text, ' '))) AS w " +
+        "FROM documents WHERE doc_id % 25 = 0), " +
+        "cw AS (SELECT doc_id AS cid, " +
+        "unnest(list_distinct(string_split(text, ' '))) AS w FROM documents), " +
+        "ov AS (SELECT qid, cid, count(*)::BIGINT AS ov FROM qw " +
+        "JOIN cw ON qw.w = cw.w AND cw.cid <> qw.qid GROUP BY qid, cid), " +
+        "lex AS (SELECT qid, cid, rnk_l FROM (SELECT qid, cid, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY ov DESC, cid ASC) " +
+        "AS rnk_l FROM ov) WHERE rnk_l <= 10), " +
+        "fused AS (SELECT coalesce(d.qid, l.qid) AS qid, " +
+        "coalesce(d.cid, l.cid) AS cid, " +
+        "floor((coalesce(1.0 / (60 + d.rnk_d), 0.0) " +
+        "+ coalesce(1.0 / (60 + l.rnk_l), 0.0)) * 1000000 + 0.5) " +
+        "/ 1000000.0 AS rrf " +
+        "FROM dense d FULL JOIN lex l ON d.qid = l.qid AND d.cid = l.cid) " +
+        "SELECT qid, rn, cid, rrf FROM (SELECT qid, cid, rrf, " +
+        "(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid ASC))" +
+        "::INT AS rn FROM fused) WHERE rn <= 5 ORDER BY qid, rn"),
 
     // length-bucketed packing: exact decile bounds, map-side bucket
     // assignment, within-bucket cumulative bins, per-bucket fill ratio

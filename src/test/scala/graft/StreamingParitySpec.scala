@@ -113,6 +113,52 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       graft.ops.Relational.cdcUpsertLatest(spark, sf001), "cdc-latest-state")
   }
 
+  test("chained hourly→daily stateful aggs across 4 micro-batches == batch stream_chained_agg") {
+    // TWO windowed aggregations in one streaming query (window-on-window,
+    // append mode — the multiple-stateful-operator feature). Append only
+    // emits a window once the watermark passes its end, so batch 4
+    // carries a far-future sentinel event that pushes the watermark past
+    // every REAL day window; the sentinel's own (incomplete) windows stay
+    // in state and must NOT surface. Expected = the batch twin over the
+    // real events only.
+    val in = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
+    // arrival must be TIME-ordered (ntile over ts), not hash-split: in
+    // append mode the watermark from an out-of-order batch 1 would mark
+    // nearly every later row late and DROP it — the complete-mode suites
+    // never see this because their state outlives the watermark.
+    val batched = raw.withColumn("b",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { i =>
+      batched.where(col("b") === i).drop("b").coalesce(1)
+        .write.parquet(s"$in/part$i")
+    }
+    val maxTs = raw.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinel = raw.limit(1).select(
+      lit(-1L).as("event_id"),
+      (lit(maxTs) + expr("INTERVAL 5 DAYS")).cast("timestamp").as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .select(raw.columns.map(col).toIndexedSeq: _*)
+    sentinel.coalesce(1).write.parquet(s"$in/part4")
+    val stream = spark.readStream.schema(EventSource.storedSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val agg = Streaming.chainedAggTransform(
+      stream.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("t_chained")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "expected >=4 non-empty micro-batches")
+    assertSameRows(
+      spark.table("t_chained").orderBy(col("day_start"), col("event_type")),
+      Streaming.streamChainedAgg(spark, sf001), "chained-agg")
+  }
+
   test("kinesis envelope wrap→decode under streaming replay == batch tumbling agg") {
     // The reference's actual shape: a stream of Kinesis-style records
     // (partition key, sequence number, base64 JSON blob) decoded and
