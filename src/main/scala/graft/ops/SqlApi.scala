@@ -386,6 +386,57 @@ object SqlApi {
     """)
   }
 
+  /** TPC-H-Q4-shaped late-shipment priority report — correlated EXISTS
+    * whose residual references an OUTER-side EXPRESSION (l_shipdate >
+    * o_orderdate + 60 days): RewritePredicateSubquery must decorrelate
+    * into a left semi join keyed on o_orderkey carrying the shipdate
+    * inequality as the join residual — one fact shuffle, no per-order
+    * probe. The quarter filter pushes into the orders scan; counts are
+    * exact integers. (Fixtures lack commit/receipt dates, so "late" =
+    * shipped over 60 days after order date.) */
+  def sqlTpchQ4(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT o.o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= timestamp '1996-01-01'
+        AND o.o_orderdate <  timestamp '1996-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+      GROUP BY o.o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  }
+
+  /** TPC-H-Q19-shaped disjunctive-predicate revenue — the OR-of-ANDs
+    * pushdown stress: three (brand, size-range, quantity-range) arms
+    * reference BOTH join sides, so the disjunction itself can only
+    * evaluate after the join; the planner must still derive the
+    * single-side implications (brand IN (…) into the part scan, the
+    * quantity envelope into the lineitem scan) instead of scanning
+    * either table fully. Grouped per brand; cents snapped before the
+    * BIGINT sum. */
+  def sqlTpchQ19(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT p.p_brand,
+             sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)) / 1e2 AS revenue,
+             count(*) AS n
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+         OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+             AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+      GROUP BY p.p_brand
+      ORDER BY p_brand
+    """)
+  }
+
   /** TPC-H-Q21-shaped waiting-supplier report — the DOUBLE-correlated
     * EXISTS + NOT EXISTS stress (the hardest decorrelation in the TPC-H
     * suite): a supplier is "waiting" on a finished multi-supplier order

@@ -270,6 +270,31 @@ object OracleSql {
         "WHERE l2.l_partkey = l.l_partkey) " +
         "GROUP BY p.p_brand ORDER BY p_brand"),
 
+    // Q4: correlated EXISTS with an outer-expression residual
+    "sql_tpch_q4" ->
+      ("SELECT o.o_orderpriority, count(*)::BIGINT AS order_count " +
+        "FROM orders o " +
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o.o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"),
+
+    // Q19: OR-of-ANDs across both join sides; per-arm brand grouping
+    "sql_tpch_q19" ->
+      ("SELECT p.p_brand, " +
+        "sum((floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))::BIGINT)" +
+        "::BIGINT::DOUBLE / 100.0 AS revenue, count(*)::BIGINT AS n " +
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+        "WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 " +
+        "AND l.l_quantity >= 1 AND l.l_quantity <= 11) " +
+        "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 " +
+        "AND l.l_quantity >= 10 AND l.l_quantity <= 20) " +
+        "OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 " +
+        "AND l.l_quantity >= 20 AND l.l_quantity <= 30) " +
+        "GROUP BY p.p_brand ORDER BY p_brand"),
+
     // Q21: EXISTS + NOT EXISTS double correlation with a shipdate
     // inequality residual; ties on the latest shipdate excluded by >=
     "sql_tpch_q21" ->
@@ -902,7 +927,7 @@ object OracleSql {
     // score 1/(60+rd) + 1/(60+rl) in that operand order, Det-snapped
     "search_hybrid_rrf" ->
       ("WITH q AS (SELECT vec_id, embedding FROM embeddings " +
-        "WHERE vec_id % 25 = 0), " +
+        "WHERE vec_id % 25 = 0 AND vec_id < 2500), " +
         "pairs AS (SELECT q.vec_id AS qid, b.vec_id AS cid, " +
         "floor(list_sum(list_transform(range(1, 65), " +
         "i -> q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) " +
@@ -913,7 +938,7 @@ object OracleSql {
         "AS rnk_d FROM pairs) WHERE rnk_d <= 10), " +
         "qw AS (SELECT doc_id AS qid, " +
         "unnest(list_distinct(string_split(text, ' '))) AS w " +
-        "FROM documents WHERE doc_id % 25 = 0), " +
+        "FROM documents WHERE doc_id % 25 = 0 AND doc_id < 2500), " +
         "cw AS (SELECT doc_id AS cid, " +
         "unnest(list_distinct(string_split(text, ' '))) AS w FROM documents), " +
         "ov AS (SELECT qid, cid, count(*)::BIGINT AS ov FROM qw " +

@@ -51,7 +51,13 @@ class ScaleStressSpec extends SparkSpec {
     ("stream_anomaly_welford", 40.0, 20.0),
     ("ts_holt_linear", 40.0, 20.0),
     ("seq_markov_perplexity", 40.0, 20.0),
-    ("cdc_scd2_incremental", 40.0, 25.0))
+    ("cdc_scd2_incremental", 40.0, 25.0),
+    // r8 fourth wave: the fused RRF pass is linear BECAUSE the query
+    // panel is fixed-size (ids < 2500) — a panel that silently grew with
+    // the corpus would reappear here as a super-linear ratio; the
+    // chained agg is two hash aggregates (hours×types, days×types)
+    ("search_hybrid_rrf", 40.0, 20.0),
+    ("stream_chained_agg", 40.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
