@@ -86,7 +86,13 @@ object ScaleStress {
     "graph_clustering_coeff", "graph_assortativity",
     "seq_markov_perplexity", "ts_holt_linear", "stream_anomaly_welford",
     "stream_holt_forecast", "cdc_scd2_incremental", "agg_decimal_exact",
-    "sql_tpch_q10", "sql_tpch_q7")
+    "sql_tpch_q10", "sql_tpch_q7",
+    // r8 fourth wave: fixed-panel fused retrieval (linear iff the panel
+    // stays fixed), cell-representative semantic dedup (one bucket-keyed
+    // shuffle + linear per-cell pass), chained double aggregation, the
+    // decorrelated EXISTS/NOT EXISTS composites
+    "search_hybrid_rrf", "dedup_semantic", "stream_chained_agg",
+    "sql_tpch_q21", "sql_tpch_q4")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

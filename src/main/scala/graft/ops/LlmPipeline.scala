@@ -2307,6 +2307,86 @@ object LlmPipeline {
     (vecAt(0), vecAt(1))
   }
 
+  /** SemDeDup-style semantic dedup — cluster-REPRESENTATIVE survivorship
+    * (Abbas et al. 2023's recipe, k-means swapped for the repo's
+    * deterministic sign-LSH cells): vectors hash into 2⁸ semantic cells
+    * on the shared plane family, each cell computes its exact centroid,
+    * and ONLY the member closest to the centroid survives — the rest are
+    * semantic duplicates of the representative. Differs from the
+    * pairwise [[dedupEmbeddingCosine]] verdicts: survivorship here is
+    * per-CLUSTER (one kept per cell), the shape that actually shrinks a
+    * corpus dominated by paraphrase mass.
+    *
+    * Determinism: centroid partial sums snap to a 1e-6 integer grid
+    * (the [[embeddingCentroid]] trick) so they merge exactly; the winner
+    * rule is (rounded cosine desc, vec_id asc). Oracle-exempt (DuckDB
+    * has no LSH/centroid kernel); LlmOpsSpec pins one-kept-per-cell and
+    * the argmax against a brute recompute.
+    *
+    * Scale: ONE bucket-keyed shuffle of (id, vector); cell fan-in is
+    * n/2^bits and the bit count follows the occupancy-targeted sizing
+    * law of [[dedupEmbeddingLshCore]] at real scale; centroid + argmax
+    * are one linear pass per cell. No driver collect. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nBits = 8
+    val planes = Array.tabulate(nBits, 64)((p, i) => math.sin(p * 64 + i))
+    val bcP = graft.Broadcasts.track(s.sparkContext.broadcast(planes))
+    vecs(s, d)
+      .map { case (id, emb) =>
+        val ps = bcP.value
+        var bits = 0L
+        var h = 0
+        while (h < nBits) {
+          val w = ps(h)
+          var proj = 0.0
+          var i = 0
+          while (i < 64 && i < emb.length) { proj += emb(i) * w(i); i += 1 }
+          if (proj >= 0) bits |= 1L << h
+          h += 1
+        }
+        (bits, id, emb)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val dim = members.iterator.map(_._3.length).max
+        val sums = new Array[Long](dim)
+        members.foreach { case (_, _, emb) =>
+          var i = 0
+          while (i < emb.length) {
+            sums(i) += math.floor(emb(i).toDouble * 1e6 + 0.5).toLong
+            i += 1
+          }
+        }
+        val n = members.length
+        val cen = Array.tabulate(dim)(i => sums(i).toDouble / n / 1e6)
+        var cnorm = 0.0
+        cen.foreach(x => cnorm += x * x)
+        cnorm = math.sqrt(cnorm)
+        val scored = members.map { case (_, id, emb) =>
+          var dp = 0.0
+          var en = 0.0
+          var i = 0
+          while (i < emb.length) {
+            dp += emb(i).toDouble * cen(i)
+            en += emb(i).toDouble * emb(i).toDouble
+            i += 1
+          }
+          val den = math.sqrt(en) * cnorm
+          val cos = if (den == 0.0) 0.0
+            else math.floor(dp / den * 1000000 + 0.5) / 1000000.0
+          (id, cos)
+        }
+        val winner = scored.minBy { case (id, cos) => (-cos, id) }._1
+        scored.iterator.map { case (id, cos) =>
+          (id, bucket, cos, id == winner)
+        }
+      }
+      .toDF("vec_id", "bucket", "cos_centroid", "kept")
+      .orderBy(col("vec_id"))
+  }
+
   def textTtr(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))

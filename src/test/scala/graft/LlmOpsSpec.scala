@@ -204,6 +204,44 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic: one representative per cell, and it IS the centroid argmax (brute recompute)") {
+    val rows = LlmPipeline.dedupSemantic(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_._2)
+    assert(byBucket.size > 1, "vacuous: everything hashed to one cell")
+    // brute recompute: per cell, mean vector in plain double (the 1e-6
+    // grid only changes merge EXACTness, not the winner at test scale),
+    // cosine argmax under (score desc, id asc)
+    val embs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    byBucket.foreach { case (bucket, members) =>
+      assert(members.count(_._4) == 1,
+        s"cell $bucket kept ${members.count(_._4)} members, expected exactly 1")
+      val ids = members.map(_._1).sorted
+      val dim = ids.map(embs(_).length).max
+      val sums = new Array[Long](dim)
+      ids.foreach { id =>
+        val e = embs(id)
+        var i = 0
+        while (i < e.length) {
+          sums(i) += math.floor(e(i).toDouble * 1e6 + 0.5).toLong; i += 1
+        }
+      }
+      val cen = Array.tabulate(dim)(i => sums(i).toDouble / ids.length / 1e6)
+      val cnorm = math.sqrt(cen.map(x => x * x).sum)
+      val want = ids.map { id =>
+        val e = embs(id)
+        val dp = e.indices.map(i => e(i).toDouble * cen(i)).sum
+        val en = math.sqrt(e.map(x => x.toDouble * x.toDouble).sum)
+        (id, math.floor(dp / (en * cnorm) * 1e6 + 0.5) / 1e6)
+      }.minBy { case (id, cos) => (-cos, id) }._1
+      assert(members.find(_._4).get._1 == want,
+        s"cell $bucket kept ${members.find(_._4).get._1}, brute argmax is $want")
+    }
+  }
+
   test("dedup_embedding_lsh: precision 1 vs exact verdicts, recall floor (deterministic planes)") {
     val exact = LlmPipeline.dedupEmbeddingCosine(spark, sf001).collect()
       .map(r => r.getLong(0) ->
