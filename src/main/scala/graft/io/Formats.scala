@@ -289,4 +289,44 @@ object Formats {
         max(col("ts")).as("max_ts"))
       .orderBy(col("event_type"))
   }
+
+  /** binaryFile roundtrip — the MULTIMODAL ingestion path: opaque payload
+    * files land on storage, `format("binaryFile")` lifts them into (path,
+    * length, content) rows, and identity joins on a key parsed from the
+    * path (the layout every image/audio corpus uses). Here each document
+    * body is staged as `doc_<id>.bin` (one task per partition writes its
+    * slice — the distributed sink shape), read back through binaryFile,
+    * and re-keyed by parsing the filename; output (doc_id, n_bytes) is
+    * ORACLE-gated against octet_length(text) on the parquet side, so a
+    * hash match certifies byte fidelity of the whole stage→scan→parse
+    * loop, not just row counts. pathGlobFilter prunes non-payload files
+    * at the LISTING, before any read.
+    *
+    * Scale: listing parallelizes across the driver's file index; content
+    * never shuffles (the only exchange is the final sort of 2-column
+    * rows). At real scale the decode step chains here as mapPartitions
+    * over `content` — [[graft.ops.LlmPipeline.multimodalBatchInfer]]'s
+    * shape. */
+  def sourceBinaryFiles(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("bin", d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val base = new java.io.File(dir)
+        base.mkdirs()
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
 }

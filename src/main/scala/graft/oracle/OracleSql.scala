@@ -66,6 +66,11 @@ object OracleSql {
         "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus"),
 
+    // binaryFile roundtrip: staged payload bytes == UTF-8 text bytes
+    "source_binary_files" ->
+      ("SELECT doc_id, strlen(text)::BIGINT AS n_bytes " +
+        "FROM documents ORDER BY doc_id"),
+
     // -------------------------------------------------- §2.2 project/filter
     "project_compute" ->
       ("SELECT l_orderkey, l_linenumber, " +
