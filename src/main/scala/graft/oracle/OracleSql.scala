@@ -941,11 +941,16 @@ object OracleSql {
         "dense AS (SELECT qid, cid, rnk_d FROM (SELECT qid, cid, " +
         "row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) " +
         "AS rnk_d FROM pairs) WHERE rnk_d <= 10), " +
-        "qw AS (SELECT doc_id AS qid, " +
-        "unnest(list_distinct(string_split(text, ' '))) AS w " +
-        "FROM documents WHERE doc_id % 25 = 0 AND doc_id < 2500), " +
-        "cw AS (SELECT doc_id AS cid, " +
-        "unnest(list_distinct(string_split(text, ' '))) AS w FROM documents), " +
+        // the retrieval corpus IS the vector-indexed one: both lexical
+        // arms scope to docs that have an embedding (at sf0.1 only a
+        // prefix of documents is embedded)
+        "qw AS (SELECT d.doc_id AS qid, " +
+        "unnest(list_distinct(string_split(d.text, ' '))) AS w " +
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id " +
+        "WHERE d.doc_id % 25 = 0 AND d.doc_id < 2500), " +
+        "cw AS (SELECT d.doc_id AS cid, " +
+        "unnest(list_distinct(string_split(d.text, ' '))) AS w " +
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id), " +
         "ov AS (SELECT qid, cid, count(*)::BIGINT AS ov FROM qw " +
         "JOIN cw ON qw.w = cw.w AND cw.cid <> qw.qid GROUP BY qid, cid), " +
         "lex AS (SELECT qid, cid, rnk_l FROM (SELECT qid, cid, " +

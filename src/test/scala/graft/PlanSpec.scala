@@ -532,6 +532,38 @@ class PlanSpec extends SparkSpec {
       s"multi-distinct re-scanned the source:\n$plan")
   }
 
+  test("sql_tpch_q21: EXISTS/NOT EXISTS decorrelate to semi + anti joins, never nested-loop") {
+    val plan = physical(graft.ops.SqlApi.sqlTpchQ21(spark, sf01))
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS did not decorrelate to a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS did not decorrelate to an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"double-correlated subqueries fell back to a nested loop:\n$plan")
+  }
+
+  test("sql_tpch_q17: correlated scalar avg decorrelates to ONE partkey aggregate, no re-scan per row") {
+    val plan = physical(graft.ops.SqlApi.sqlTpchQ17(spark, sf01))
+    // the rewrite's signature: an aggregate over l_partkey joined back —
+    // visible as exactly one avg() aggregate in the physical plan
+    assert(plan.contains("avg("),
+      s"inner avg missing — subquery not planned as an aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated scalar subquery fell back to a nested loop:\n$plan")
+  }
+
+  test("sql_tpch_q4/q22: outer-expression EXISTS and date-scoped NOT EXISTS both stay keyed joins") {
+    val q4 = physical(graft.ops.SqlApi.sqlTpchQ4(spark, sf01))
+    assert(q4.contains("LeftSemi") && !q4.contains("CartesianProduct") &&
+      !q4.contains("BroadcastNestedLoopJoin"),
+      s"q4 EXISTS with outer-expression residual lost its equi key:\n$q4")
+    val q22 = physical(graft.ops.SqlApi.sqlTpchQ22(spark, sf01))
+    assert(q22.contains("LeftAnti") && !q22.contains("CartesianProduct"),
+      s"q22 NOT EXISTS fell out of the anti-join shape:\n$q22")
+  }
+
   test("sql_subquery_not_in: nullable NOT IN plans null-aware, not nested-loop") {
     val plan = physical(graft.ops.SqlApi.sqlSubqueryNotIn(spark, sf01))
     assert(plan.contains("LeftAnti"),
