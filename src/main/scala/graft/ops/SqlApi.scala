@@ -343,6 +343,43 @@ object SqlApi {
     """)
   }
 
+  /** SQL PIVOT clause through the front door — the wide-report surface
+    * (the DataFrame twin is agg_pivot; this pins the PARSER path:
+    * Catalyst rewrites PIVOT into the same conditional aggregation).
+    * Cents stay BIGINT inside the pivot aggregate; the outer select does
+    * the presentation divide, so every bucket sum is merge-order-exact. */
+  def sqlPivot(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT event_type,
+             q0 / 1e2 AS v0, q1 / 1e2 AS v1, q2 / 1e2 AS v2, q3 / 1e2 AS v3
+      FROM (
+        SELECT event_type, user_id % 4 AS quad,
+               cast(floor(value * 100 + 0.5) as bigint) AS cents
+        FROM events)
+      PIVOT (sum(cents) FOR quad IN (0 AS q0, 1 AS q1, 2 AS q2, 3 AS q3))
+      ORDER BY event_type
+    """)
+  }
+
+  /** SQL UNPIVOT clause — the wide→long normalization surface (DataFrame
+    * twin: agg_unpivot via stack()). The wide row is built from exact
+    * integer/cents aggregates first, so unpivoting only reshapes. */
+  def sqlUnpivot(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT event_type, metric, val
+      FROM (
+        SELECT event_type,
+               cast(count(*) as double) AS n,
+               sum(cast(floor(value * 100 + 0.5) as bigint)) / 1e2 AS sum_v,
+               floor(max(value) * 100 + 0.5) / 1e2 AS max_v
+        FROM events GROUP BY event_type)
+      UNPIVOT (val FOR metric IN (n, sum_v, max_v))
+      ORDER BY event_type, metric
+    """)
+  }
+
   /** The MERGE-hinted twin of [[sqlJoinHints]] (not a query key — the
     * PlanSpec pin runs it to assert the planner obeys the opposite
     * instruction on the identical query). */

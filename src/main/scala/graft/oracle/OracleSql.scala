@@ -333,6 +333,32 @@ object OracleSql {
         "AND o.o_orderdate >= TIMESTAMP '2000-01-01') " +
         "GROUP BY c.c_mktsegment ORDER BY c_mktsegment"),
 
+    // PIVOT == conditional aggregation (no ELSE: an empty bucket is NULL
+    // in both engines); cents summed BIGINT, divided for presentation
+    "sql_pivot" ->
+      ("SELECT event_type, " +
+        "sum(CASE WHEN user_id % 4 = 0 THEN (floor(value * 100 + 0.5))::BIGINT END)" +
+        "::BIGINT::DOUBLE / 100.0 AS v0, " +
+        "sum(CASE WHEN user_id % 4 = 1 THEN (floor(value * 100 + 0.5))::BIGINT END)" +
+        "::BIGINT::DOUBLE / 100.0 AS v1, " +
+        "sum(CASE WHEN user_id % 4 = 2 THEN (floor(value * 100 + 0.5))::BIGINT END)" +
+        "::BIGINT::DOUBLE / 100.0 AS v2, " +
+        "sum(CASE WHEN user_id % 4 = 3 THEN (floor(value * 100 + 0.5))::BIGINT END)" +
+        "::BIGINT::DOUBLE / 100.0 AS v3 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // UNPIVOT == UNION ALL of the long rows
+    "sql_unpivot" ->
+      ("WITH wide AS (SELECT event_type, count(*)::DOUBLE AS n, " +
+        "sum((floor(value * 100 + 0.5))::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_v, " +
+        "floor(max(value) * 100 + 0.5) / 100.0 AS max_v " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_type, metric, val FROM (" +
+        "SELECT event_type, 'n' AS metric, n AS val FROM wide " +
+        "UNION ALL SELECT event_type, 'sum_v', sum_v FROM wide " +
+        "UNION ALL SELECT event_type, 'max_v', max_v FROM wide) " +
+        "ORDER BY event_type, metric"),
+
     // decimal128 sums: associative, so no merge-order caveat — the cast
     // rounding rule (HALF_UP on the same input doubles) matches Spark's
     "agg_decimal_exact" ->

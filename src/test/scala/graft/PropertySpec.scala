@@ -149,6 +149,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text_chunk_overlap invariants: every token covered, 16-token overlap, tail lengths exact") {
+    val rows = graft.ops.LlmPipeline.textChunkOverlap(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (docId, chunks) =>
+      val toks = docs(docId).split(" ", -1)
+      val sorted = chunks.sortBy(_._2)
+      // starts form the exact 48-stride grid, ids contiguous from 0
+      sorted.zipWithIndex.foreach { case ((_, cid, start, len, text), i) =>
+        assert(cid == i && start == i.toLong * 48)
+        assert(len == math.min(64, toks.length - start),
+          s"doc $docId chunk $cid: len $len")
+        assert(text == toks.slice(start.toInt, start.toInt + 64).mkString(" "),
+          s"doc $docId chunk $cid text mismatch")
+      }
+      // coverage: last chunk reaches the final token
+      val (_, _, lastStart, lastLen, _) = sorted.last
+      assert(lastStart + lastLen == toks.length,
+        s"doc $docId: tail not covered")
+      // chunk count == |{0, 48, 96, …} ∩ [0, n)| == ceil(n/48); the
+      // 48-stride grid with 64-length slices IS the 16-token overlap
+      assert(sorted.size == (toks.length + 47) / 48,
+        s"doc $docId: ${sorted.size} chunks for ${toks.length} tokens")
+    }
+  }
+
+  test("ab_test_lift population identity: arms partition the distinct users; conversions bounded") {
+    val rows = graft.ops.Analytics.abTestLift(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf001)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val (na, nb) = (users.count(_ % 2 == 0).toLong, users.count(_ % 2 == 1).toLong)
+    rows.foreach { r =>
+      assert(r.getLong(1) == na && r.getLong(2) == nb,
+        s"${r.getString(0)}: population ${r.getLong(1)}/${r.getLong(2)} != $na/$nb")
+      assert(r.getLong(3) <= na && r.getLong(4) <= nb,
+        s"${r.getString(0)}: conversions exceed arm population")
+    }
+  }
+
   test("dedup is idempotent; dedup(x) size <= x size") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
