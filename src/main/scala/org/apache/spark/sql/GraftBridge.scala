@@ -25,6 +25,27 @@ object GraftBridge {
         catalyst.expressions.Literal(filterBytes, types.BinaryType),
         classic.ExpressionUtils.expression(value)))
 
+  /** Flatten a physical plan INCLUDING adaptive wrappers. Under AQE
+    * (default-on), `executedPlan` is an `AdaptiveSparkPlanExec` — a
+    * LeafExecNode, so `plan.collect` on the wrapper sees NOTHING inside:
+    * any tree-shape assertion silently passes. Plan-shape tests must
+    * traverse through the wrapper (its current physical plan) and
+    * through materialized query stages; both members are private[sql],
+    * hence this bridge. Subquery plans ride along via plan expressions. */
+  def deepPlanNodes(p: execution.SparkPlan): Seq[execution.SparkPlan] = {
+    val children = p match {
+      case a: execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    val subqueries = p.expressions.flatMap(_.collect {
+      case sub: execution.ScalarSubquery => sub.plan
+      case sub: execution.InSubqueryExec => sub.plan
+    })
+    p +: (children ++ subqueries).flatMap(deepPlanNodes)
+  }
+
   /** Force-create the driver's StateStoreCoordinator RPC endpoint. A
     * streaming query does this on start; BATCH transformWithState also
     * needs it (its state store loads consult the coordinator) but nothing

@@ -622,10 +622,13 @@ class PlanSpec extends SparkSpec {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
+          // deepPlanNodes: AQE wraps shuffled plans in a LEAF node, so a
+          // plain plan.collect inspects nothing — the sweep must unwrap
           val plan = fn(spark, sf001).queryExecution.executedPlan
-          val bad = plan.collect {
-            case w: WindowExec if w.partitionSpec.isEmpty => w
-          }
+          val bad = org.apache.spark.sql.GraftBridge.deepPlanNodes(plan)
+            .collect {
+              case w: WindowExec if w.partitionSpec.isEmpty => w
+            }
           Broadcasts.destroyAll()
           spark.catalog.clearCache()
           if (bad.nonEmpty) Some(name) else None
@@ -658,15 +661,29 @@ class PlanSpec extends SparkSpec {
       "text_lm_score", "text_ngram_freq", "text_quality_score",
       "text_tfidf_topterms", "ts_gapfill", "ts_interpolate_linear",
       "ts_seasonal_residual", "win_dist",
+      // sites below surfaced when the sweep learned to see through the
+      // AQE wrapper (deepPlanNodes — the plain collect saw nothing inside
+      // AdaptiveSparkPlanExec, so any wrapped plan silently passed); each
+      // re-audited this round: one-row scalar folds all
+      "ab_test_lift",            // (n_a, n_b) population row
+      "analytics_pareto_approx", // approx decile-boundary row
+      "assoc_rules",             // total-order-count row
+      "graph_assortativity",     // exact-moment row
+      "graph_modularity",        // two scalar rows: W and Σd²/m
+      "graph_triangle_count",    // global triangle-count fold
+      "join_interval_overlap",   // avg-errors threshold row (join is banded)
+      "pack_length_buckets",     // nine-decile boundary row
+      "seq_pmi_bigrams",         // total-bigram-count row
       // fixture-bounded all-pairs baseline, documented (scale path =
       // minhash/containment)
       "dedup_ngram_jaccard")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sf001).queryExecution.executedPlan
-        val cart = plan.collect { case c: CartesianProductExec => c }
-        val bnlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+        val nodes = org.apache.spark.sql.GraftBridge.deepPlanNodes(
+          fn(spark, sf001).queryExecution.executedPlan)
+        val cart = nodes.collect { case c: CartesianProductExec => c }
+        val bnlj = nodes.collect { case b: BroadcastNestedLoopJoinExec => b }
         if (cart.nonEmpty) found(name) = "cartesian"
         else if (bnlj.nonEmpty && !allowedBnlj.contains(name)) found(name) = "bnlj"
       } catch { case _: Throwable => () }
