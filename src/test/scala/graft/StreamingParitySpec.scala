@@ -159,6 +159,58 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       Streaming.streamChainedAgg(spark, sf001), "chained-agg")
   }
 
+  test("chained stateful aggs survive a checkpoint restart: both state stores recover, windows emit exactly once") {
+    // The production restart story for MULTIPLE stateful operators in one
+    // query: run 1 drains the first (time-ordered) half and emits the
+    // day windows its watermark finalizes; run 2 restarts from the SAME
+    // checkpoint with the second half + a watermark-push sentinel. Both
+    // aggregation stages' state AND the watermark must recover — the
+    // union of the two runs' append output must equal the batch twin
+    // exactly once, with no window emitted twice and none lost.
+    val root = java.nio.file.Files.createTempDirectory("graft-chain-ckpt").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
+    val batched = raw.withColumn("b",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(EventSource.storedSchema)
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = Streaming.chainedAggTransform(
+        stream.withWatermark("ts", "10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    batched.where(col("b") === 1).drop("b").coalesce(1)
+      .write.parquet(s"$in/half1")
+    runOnce()
+    val firstRunRows = spark.read.parquet(out).count()
+    batched.where(col("b") === 2).drop("b").coalesce(1)
+      .write.parquet(s"$in/half2")
+    val maxTs = raw.agg(max(col("ts"))).head.getTimestamp(0)
+    raw.limit(1).select(
+      lit(-1L).as("event_id"),
+      (lit(maxTs) + expr("INTERVAL 5 DAYS")).cast("timestamp").as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .select(raw.columns.map(col).toIndexedSeq: _*)
+      .coalesce(1).write.parquet(s"$in/half3")
+    runOnce()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() > firstRunRows,
+      "restart emitted nothing — second half lost")
+    assert(sunk.groupBy(col("day_start"), col("event_type")).count()
+      .where(col("count") > 1).count() == 0,
+      "a window emitted twice across the restart")
+    assertSameRows(
+      sunk.orderBy(col("day_start"), col("event_type")),
+      Streaming.streamChainedAgg(spark, sf001), "chained-ckpt-recovery")
+  }
+
   test("kinesis envelope wrap→decode under streaming replay == batch tumbling agg") {
     // The reference's actual shape: a stream of Kinesis-style records
     // (partition key, sequence number, base64 JSON blob) decoded and
