@@ -572,6 +572,83 @@ object LlmPipeline {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** IVF × int8 two-stage retrieval — the production ANN composition
+    * (FAISS's IVF-PQ shape with the repo's symmetric int8 grid standing
+    * in for PQ codebooks): [[knnIvf]]'s √n-cell coarse quantizer bounds
+    * WHICH vectors each query scores, and inside every probed cell the
+    * scan runs in int8 ([[knnQuantized]]'s kernel) with only the top-32
+    * candidates rescored exactly in fp32. The two approximations compose
+    * orthogonally — cell recall × quantization recall — and every
+    * reported score is still bit-identical to brute force (the shared
+    * r4·dot → [[Top3]] rule), so the cross-cell merge dedups exactly.
+    *
+    * Scale: per-cell work drops from O(√n) fp32 mults to O(√n) int8
+    * mults + ≤32 fp32 rescores per probe; the int8 member grid
+    * quantizes once per cell per batch, amortized across that cell's
+    * probes. Same two shuffles as [[knnIvf]] (cell tag, winner merge),
+    * no driver collect beyond the centroid table. Oracle-exempt;
+    * LlmOpsSpec pins recall vs brute force and per-query list shape. */
+  def knnIvfQuantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nProbe = 3
+    val nCand = 32
+    val nVec = vecs(s, d).count()
+    val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
+    val cents: Array[(Long, Array[Float])] =
+      vecs(s, d).orderBy(col("vec_id")).limit(nCells).collect().sortBy(_._1)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
+    val tagged = vecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (id, emb) =>
+        val cs = bc.value
+        val byDist = cs.map { case (cid, c) => (cid, dot(emb, c)) }
+          .sortBy { case (cid, sim) => (-sim, cid) }
+        (byDist.head._1, false, id, emb) +:
+          byDist.take(nProbe).map { case (cid, _) => (cid, true, id, emb) }.toSeq
+      }
+    val local = tagged
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val members = rows.filter(!_._2).map(r => (r._3, r._4)).sortBy(_._1)
+        val grid = int8Grid(members)
+        val n = members.length
+        rows.iterator.filter(_._2).flatMap { case (_, _, aid, aemb) =>
+          var amax = 0f
+          var i = 0
+          while (i < aemb.length) {
+            val x = math.abs(aemb(i)); if (x > amax) amax = x; i += 1
+          }
+          val qa = new Array[Byte](aemb.length)
+          if (amax > 0f) {
+            i = 0
+            while (i < aemb.length) {
+              qa(i) = math.round(aemb(i) * 127.0f / amax).toByte; i += 1
+            }
+          }
+          val cand = new TopC(nCand)
+          var bi = 0
+          while (bi < n) {
+            val (bid, qb, bmax) = grid(bi)
+            if (bid != aid) {
+              var sInt = 0
+              var j = 0
+              val m = math.min(qa.length, qb.length)
+              while (j < m) { sInt += qa(j) * qb(j); j += 1 }
+              cand.offer(sInt.toDouble * bmax, bid)
+            }
+            bi += 1
+          }
+          val top = new Top3
+          cand.ids.foreach { bid =>
+            top.offer(r4(dot(aemb, vecOf(members, bid))), bid)
+          }
+          top.triples(aid)
+        }
+      }
+    mergeTop3(local)
+  }
+
   /** One-shuffle merge of bucket/cell-local winners shared by the LSH and
     * IVF paths: per query vector, dedup pairs seen in several tables/cells
     * (same pair ⇒ identical rounded score ⇒ exact tuple duplicate), keep

@@ -204,6 +204,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF x int8 two-stage kNN: recall vs brute force, scores bit-identical on shared pairs") {
+    val exact = LlmPipeline.knnCosine(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val rows = LlmPipeline.knnIvfQuantized(spark, sf001).collect()
+    val got = rows.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val recall = got.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    // two orthogonal approximations stack (cell recall x int8 recall):
+    // the floor sits between the IVF pin (0.5) and the int8 pin (0.9)
+    assert(recall >= 0.5, s"IVF+int8 recall $recall suspiciously low")
+    got.keySet.intersect(exact.keySet).foreach { k =>
+      assert(got(k) == exact(k),
+        s"pair $k: rescored score ${got(k)} != brute ${exact(k)}")
+    }
+    val perQuery = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery == Set(3), s"ragged neighbor lists: $perQuery")
+  }
+
   test("dedup_semantic: one representative per cell, and it IS the centroid argmax (brute recompute)") {
     val rows = LlmPipeline.dedupSemantic(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
