@@ -92,7 +92,9 @@ object ScaleStress {
     // shuffle + linear per-cell pass), chained double aggregation, the
     // decorrelated EXISTS/NOT EXISTS composites
     "search_hybrid_rrf", "dedup_semantic", "stream_chained_agg",
-    "sql_tpch_q21", "sql_tpch_q4")
+    "sql_tpch_q21", "sql_tpch_q4",
+    // wedge-bound like triangle_count (Σ deg² through the pivot node)
+    "graph_adamic_adar")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

@@ -194,6 +194,47 @@ object Quant {
     * Scale: edges reuse the bounded coOrderPairs kernel; degrees are one
     * partial-aggregable groupBy over 2·|E| key rows; the histogram
     * collapses to ≤ max-degree rows. */
+  /** Adamic–Adar link prediction over the co-order graph — the
+    * "customers also bought" recommendation primitive: for every
+    * NON-edge pair (a, b) reachable through a common neighbor w, score
+    * Σ_w 1/ln(deg(w)) (rare shared neighbors weigh more than hubs); the
+    * top-50 highest-scoring absent edges are the link candidates.
+    * Per-wedge contributions snap to a 1e-6 integer grid BEFORE the sum
+    * (seq_markov_perplexity's trick), so accumulation is exact integer
+    * addition in any merge order; a common neighbor always has degree
+    * ≥ 2, so ln never sees 1.
+    *
+    * Scale: the wedge join is Σ deg² work keyed on the pivot node — the
+    * same class as graph_triangle_count, with the same degree-capping
+    * mitigation at hub skew; existing edges leave via a keyed anti join;
+    * broadcast degree decoration; top-50 is TakeOrdered, not a sort. */
+  def graphAdamicAdar(s: SparkSession, d: String): DataFrame = {
+    val edges = Analytics.coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .select(col("p1"), col("p2"))
+    val nbrs = edges.select(col("p1").as("u"), col("p2").as("v"))
+      .union(edges.select(col("p2").as("u"), col("p1").as("v")))
+    val deg = nbrs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("u", "w")
+    val wedges = nbrs.select(col("v").as("a"), col("u").as("w"))
+      .join(nbrs.select(col("u").as("w"), col("v").as("b")), Seq("w"))
+      .where(col("a") < col("b"))
+    wedges
+      .join(edges, wedges("a") === edges("p1") && wedges("b") === edges("p2"),
+        "left_anti")
+      .join(broadcast(deg), Seq("w"))
+      .select(col("a"), col("b"),
+        floor(lit(1e6) / log(col("deg").cast("double")) + 0.5)
+          .cast("long").as("aa_grid"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        (sum(col("aa_grid")).cast("double") / 1e6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   def graphDegreeStats(s: SparkSession, d: String): DataFrame = {
     val edges = Analytics.coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2"))

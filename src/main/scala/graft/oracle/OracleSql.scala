@@ -1423,6 +1423,29 @@ object OracleSql {
         "GROUP BY 1, 2 HAVING count(*) >= 2 " +
         "ORDER BY n_orders DESC, p1, p2"),
 
+    // Adamic–Adar: per-wedge 1/ln(deg) snapped to a 1e-6 grid before the
+    // sum (exact integer accumulation); NOT EXISTS = the left anti join
+    "graph_adamic_adar" ->
+      ("WITH e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 " +
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a " +
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "nb AS (SELECT p1 AS u, p2 AS v FROM e " +
+        "UNION ALL SELECT p2 AS u, p1 AS v FROM e), " +
+        "deg AS (SELECT u AS w, count(*) AS deg FROM nb GROUP BY 1), " +
+        "wg AS (SELECT n1.v AS a, n1.u AS w, n2.v AS b " +
+        "FROM nb n1 JOIN nb n2 ON n1.u = n2.u AND n1.v < n2.v), " +
+        "cand AS (SELECT wg.a, wg.b, wg.w FROM wg " +
+        "WHERE NOT EXISTS (SELECT 1 FROM e " +
+        "WHERE e.p1 = wg.a AND e.p2 = wg.b)), " +
+        "scored AS (SELECT c.a, c.b, count(*)::BIGINT AS n_common, " +
+        "sum((floor(1000000.0 / ln(d.deg::DOUBLE) + 0.5))::BIGINT)" +
+        "::BIGINT::DOUBLE / 1000000.0 AS aa_score " +
+        "FROM cand c JOIN deg d ON d.w = c.w GROUP BY 1, 2) " +
+        "SELECT a, b, n_common, aa_score FROM scored " +
+        "ORDER BY aa_score DESC, a, b LIMIT 50"),
+
     // Knuth multiplicative hash in pure BIGINT arithmetic — engine-
     // portable by construction (no murmur/xxhash dependency).
     "split_train_test" ->
