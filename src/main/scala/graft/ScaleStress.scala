@@ -94,7 +94,9 @@ object ScaleStress {
     "search_hybrid_rrf", "dedup_semantic", "stream_chained_agg",
     "sql_tpch_q21", "sql_tpch_q4",
     // wedge-bound like triangle_count (Σ deg² through the pivot node)
-    "graph_adamic_adar")
+    "graph_adamic_adar",
+    // the sampled tier: wedge work ÷ k² on the same saturated set
+    "graph_triangle_approx")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

@@ -700,12 +700,34 @@ object Analytics {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** DOULION-sampled triangle estimate (Tsourakakis et al., KDD'09) —
+    * the declared scale tier for the wedge-bound class: the 10× stress
+    * harness shows exact wedge counting is output-bound when
+    * co-occurrence densifies (~15× per 10× rows), and the standard
+    * answer is edge sampling — keep each edge with probability 1/k
+    * (deterministic endpoint hash, reproducible under any partitioning),
+    * count triangles on the thinned graph with the SAME degree-ordered
+    * kernel, rescale by k³. Wedge work drops ~k²; the estimator is
+    * unbiased with relative error ~ √(k³/T). k = 2 here; at open-web
+    * scale k tracks the densification factor. Oracle-exempt (sampling
+    * has no DuckDB twin obligation); the ε pin vs the exact count lives
+    * in Round8Spec. */
+  def graphTriangleApprox(s: SparkSession, d: String): DataFrame = {
+    val k = 2L
+    val (e, _, tri) = coOrderTriangles(s, d, sampleOneIn = Some(2))
+    e.agg(count(lit(1)).as("n_edges_sampled"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_tri_sampled")))
+      .select(col("n_edges_sampled"), col("n_tri_sampled"),
+        (col("n_tri_sampled") * lit(k * k * k)).as("est_triangles"))
+  }
+
   /** Shared degree-ordered triangle kernel: the persisted edge set, the
     * degree table, and the one-row-per-triangle join (corner columns
     * e1.src / e1.dst / e2.dst) — read off by [[graphTriangleCount]]
     * (global counts) and [[graphClusteringCoeff]] (per-corner credit). */
-  private def coOrderTriangles(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private def coOrderTriangles(
+      s: SparkSession, d: String,
+      sampleOneIn: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
     // Pair build shared with assoc_pairs (coOrderPairs): one orderkey
     // shuffle + bounded map-side expansion — the declarative alternative
     // (distinct + self-join per order) costs two extra 600 k-row
@@ -717,11 +739,18 @@ object Analytics {
     // pair pipeline runs 4× (same multi-reference pattern as pagerank's
     // iterate-persist). The edge set itself is tiny (pairs co-ordered
     // ≥2×), and the harness clears the SQL cache between queries.
-    val e = pairs
+    val full = pairs
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
-      .persist()
+    // DOULION-style deterministic edge sampling (keep 1-in-k by a pure
+    // hash of the endpoints — reproducible under any partitioning);
+    // wedge work drops ~k², the estimator rescales by k³
+    val e = sampleOneIn.fold(full) { k =>
+      full.where(
+        pmod(col("p1") * lit(2654435761L) + col("p2") * lit(40503L),
+          lit(k.toLong)) === 0)
+    }.persist()
     // persisted: three readers (two orientation joins + node count), each
     // of which would otherwise re-run the union+groupBy over e
     val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))

@@ -671,6 +671,7 @@ class PlanSpec extends SparkSpec {
       "graph_assortativity",     // exact-moment row
       "graph_modularity",        // two scalar rows: W and Σd²/m
       "graph_triangle_count",    // global triangle-count fold
+      "graph_triangle_approx",   // sampled-count + edge-count folds
       "join_interval_overlap",   // avg-errors threshold row (join is banded)
       "pack_length_buckets",     // nine-decile boundary row
       "seq_pmi_bigrams",         // total-bigram-count row

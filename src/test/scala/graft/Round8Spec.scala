@@ -43,6 +43,31 @@ class Round8Spec extends SparkSpec {
       s"foreachBatch union differs from batch twin:\n$streamed\nvs\n$batchTwin")
   }
 
+  test("graph_triangle_approx: deterministic DOULION estimate lands near the exact count (k=2, sf0.01)") {
+    // The edge sample is a FIXED hash draw, so the estimate is a stable
+    // number, not a random variable — the current draw lands within 5%
+    // of exact (64 vs 61). The [1/3, 3] band regression-locks the kernel
+    // and the k³ rescale (a wrong rescale is off by 8×) without betting
+    // the gate on sampling luck if the fixture regenerates.
+    val exactRow = graft.ops.Analytics.graphTriangleCount(spark, sf01)
+      .collect()(0)
+    val exact = exactRow.getLong(2)
+    val nEdges = exactRow.getLong(1)
+    val row = graft.ops.Analytics.graphTriangleApprox(spark, sf01).collect()(0)
+    val est = row.getLong(2)
+    assert(exact > 0, "fixture has no triangles at sf0.01")
+    assert(est > exact / 3 && est < exact * 3,
+      s"estimate $est outside [1/3, 3] x exact $exact")
+    // the 1-in-2 hash sample must keep ~half the edges (binomial bound)
+    val kept = row.getLong(0)
+    assert(math.abs(kept - nEdges / 2.0) < nEdges * 0.05,
+      s"sampled $kept of $nEdges edges — hash sample not ~1/2")
+    // determinism: the hash-sampled estimate is a pure function of data
+    val again = graft.ops.Analytics.graphTriangleApprox(spark, sf01)
+      .collect()(0).getLong(2)
+    assert(again == est, "sampled estimate not deterministic")
+  }
+
   test("graph_kcore == driver-side brute peeling; every surviving degree >= 3") {
     import spark.implicits._
     val got = graft.ops.Analytics.graphKcore(spark, sf001).collect()
