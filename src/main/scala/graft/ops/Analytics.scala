@@ -743,17 +743,26 @@ object Analytics {
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
+      .persist()
     // DOULION-style deterministic edge sampling (keep 1-in-k by a pure
     // hash of the endpoints — reproducible under any partitioning);
-    // wedge work drops ~k², the estimator rescales by k³
+    // wedge work drops ~k², the estimator rescales by k³. xxhash64 mixes
+    // bits nonlinearly BEFORE the modulus — a linear combination of the
+    // endpoints (the r8 form) let low-bit parity decide membership for
+    // k = 2 (both multipliers odd ⇒ the filter kept exactly the
+    // same-parity pairs), which correlates triangle survival and biases
+    // the k³ rescale; with a real mixer membership is hash-uniform.
     val e = sampleOneIn.fold(full) { k =>
-      full.where(
-        pmod(col("p1") * lit(2654435761L) + col("p2") * lit(40503L),
-          lit(k.toLong)) === 0)
-    }.persist()
-    // persisted: three readers (two orientation joins + node count), each
-    // of which would otherwise re-run the union+groupBy over e
-    val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
+      full.where(pmod(xxhash64(col("p1"), col("p2")), lit(k.toLong)) === 0)
+        .persist()
+    }
+    // degrees ALWAYS come from the full edge set (persisted above): in
+    // the unsampled path this is the same table as before; in the
+    // sampled path the approx tiers need TRUE degrees for their
+    // per-node/per-pair denominators, and the orientation below only
+    // needs a consistent total order, which full-graph degrees provide
+    // for any sample.
+    val deg = full.select(col("p1").as("p")).union(full.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
       .persist()
     // orient (p1,p2) toward the (deg, id)-larger endpoint; p1 < p2
@@ -804,6 +813,36 @@ object Analytics {
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
         round(lit(2.0) * coalesce(col("tri_cnt"), lit(0L)) /
           (col("deg") * (col("deg") - lit(1.0))), 4).as("coeff"))
+      .orderBy(col("p"))
+  }
+
+  /** DOULION-sampled per-node clustering coefficient — the scale tier for
+    * [[graphClusteringCoeff]]'s wedge-bound kernel (the r8 stress harness
+    * measured the exact form ~15× per 10× rows on densified
+    * co-occurrence). Edges are kept 1-in-k by the same deterministic
+    * xxhash64 draw as [[graphTriangleApprox]]; a triangle survives with
+    * probability 1/k³, so each surviving corner credit rescales by k³ —
+    * but the DENOMINATOR deg(v)·(deg(v)−1) uses the TRUE degree (the
+    * full edge set is O(m) to aggregate; only the wedge join is thinned),
+    * so the estimate is unbiased per node, not per sampled subgraph.
+    * Wedge work drops ~k²; per-node relative error shrinks as the node's
+    * triangle count grows — the hub nodes that make exact counting
+    * expensive are exactly the ones estimated tightest. Oracle-exempt
+    * (sampling has no DuckDB twin); Round9Spec pins the aggregate
+    * estimate against the exact coefficients and determinism. */
+  def graphClusteringCoeffApprox(s: SparkSession, d: String): DataFrame = {
+    val k3 = 8L // k = 2 edge sampling ⇒ triangle survival 1/k³
+    val (_, deg, tri) = coOrderTriangles(s, d, sampleOneIn = Some(2))
+    val perNode = tri
+      .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst")))
+        .as("p"))
+      .groupBy(col("p")).agg((count(lit(1)) * lit(k3)).as("tri_est"))
+    deg.where(col("deg") >= 2)
+      .join(perNode, Seq("p"), "left")
+      .select(col("p"), col("deg"),
+        coalesce(col("tri_est"), lit(0L)).as("tri_est"),
+        round(lit(2.0) * coalesce(col("tri_est"), lit(0L)) /
+          (col("deg") * (col("deg") - lit(1.0))), 4).as("coeff_est"))
       .orderBy(col("p"))
   }
 

@@ -208,20 +208,66 @@ object Quant {
     * same class as graph_triangle_count, with the same degree-capping
     * mitigation at hub skew; existing edges leave via a keyed anti join;
     * broadcast degree decoration; top-50 is TakeOrdered, not a sort. */
-  def graphAdamicAdar(s: SparkSession, d: String): DataFrame = {
+  def graphAdamicAdar(s: SparkSession, d: String): DataFrame =
+    adamicAdarScored(s, d, sampleOneIn = None)
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(50)
+
+  /** DOULION-sampled Adamic–Adar — the scale tier for the SCORED
+    * wedge-bound class (the r8 stress harness measured exact AA at ~15×
+    * per 10× rows on densified co-occurrence; the count-only sampled
+    * tier, graph_triangle_approx, does not help a link-prediction user
+    * who needs per-pair scores). Edges are thinned 1-in-k by the shared
+    * deterministic xxhash64 draw; a wedge a–w–b survives iff BOTH its
+    * edges survive (probability 1/k²), so per-pair score and
+    * common-neighbor count rescale by k². Three things stay EXACT:
+    * degrees (the 1/ln(deg w) weight uses the full O(m) degree table),
+    * the existing-edge anti join (a sampled-away edge must not
+    * resurface as a "predicted" link), and the 1e-6 integer grid (the
+    * k² multiply happens on the grid sum BEFORE the one float divide).
+    * Wedge work drops ~k²; per-pair relative error ~√(k²/n_common), so
+    * the dense pairs that dominate the top-50 are estimated tightest.
+    * Oracle-exempt (sampling); Round9Spec pins total-mass agreement
+    * with the exact scores and determinism. */
+  def graphAdamicAdarApprox(s: SparkSession, d: String): DataFrame =
+    adamicAdarScored(s, d, sampleOneIn = Some(2L))
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(50)
+
+  /** Shared Adamic–Adar wedge-scoring kernel: full (a, b, n_common,
+    * aa_score) over absent edges, exact when `sampleOneIn` is None,
+    * k²-rescaled DOULION estimate when Some(k). The edge set and the
+    * sampled neighbor list are persisted — edges feed the neighbor
+    * build (×2), the anti join, and the degree table, and Spark's
+    * exchange reuse does not collapse the alias-renamed subtrees
+    * (coOrderTriangles' documented multi-reference pattern), so without
+    * the pin the whole coOrderPairs pipeline re-executes ~5×. */
+  private[graft] def adamicAdarScored(
+      s: SparkSession, d: String, sampleOneIn: Option[Long]): DataFrame = {
     val edges = Analytics.coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .where(col("n_orders") >= 2)
       .select(col("p1"), col("p2"))
+      .persist()
+    // TRUE degrees from the full edge set — cheap (O(m) aggregate) and
+    // required for an unbiased 1/ln(deg) weight under edge sampling
     val nbrs = edges.select(col("p1").as("u"), col("p2").as("v"))
       .union(edges.select(col("p2").as("u"), col("p1").as("v")))
     val deg = nbrs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("u", "w")
-    val wedges = nbrs.select(col("v").as("a"), col("u").as("w"))
-      .join(nbrs.select(col("u").as("w"), col("v").as("b")), Seq("w"))
+    // only the WEDGE JOIN runs on the thinned graph — that is the
+    // quadratic-in-degree stage the sample exists to bound
+    val nbrsW = sampleOneIn.fold(nbrs) { k =>
+      val kept = edges
+        .where(pmod(xxhash64(col("p1"), col("p2")), lit(k)) === 0)
+      kept.select(col("p1").as("u"), col("p2").as("v"))
+        .union(kept.select(col("p2").as("u"), col("p1").as("v")))
+    }.persist()
+    val wedges = nbrsW.select(col("v").as("a"), col("u").as("w"))
+      .join(nbrsW.select(col("u").as("w"), col("v").as("b")), Seq("w"))
       .where(col("a") < col("b"))
-    wedges
+    val graded = wedges
       .join(edges, wedges("a") === edges("p1") && wedges("b") === edges("p2"),
         "left_anti")
       .join(broadcast(deg), Seq("w"))
@@ -229,10 +275,18 @@ object Quant {
         floor(lit(1e6) / log(col("deg").cast("double")) + 0.5)
           .cast("long").as("aa_grid"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_common"),
-        (sum(col("aa_grid")).cast("double") / 1e6).as("aa_score"))
-      .orderBy(col("aa_score").desc, col("a"), col("b"))
-      .limit(50)
+    sampleOneIn match {
+      case None =>
+        // exact path spelled EXACTLY as before the refactor — the DuckDB
+        // oracle hashes these doubles
+        graded.agg(count(lit(1)).as("n_common"),
+          (sum(col("aa_grid")).cast("double") / 1e6).as("aa_score"))
+      case Some(k) =>
+        val k2 = k * k
+        graded.agg((count(lit(1)) * lit(k2)).as("n_common"),
+          ((sum(col("aa_grid")) * lit(k2)).cast("double") / 1e6)
+            .as("aa_score"))
+    }
   }
 
   def graphDegreeStats(s: SparkSession, d: String): DataFrame = {

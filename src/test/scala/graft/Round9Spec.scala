@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Quant}
+
+/** Round-9 pins: DOULION-sampled SCORED wedge tiers (the r8 weak class),
+  * the de-degenerated edge-sample hash, and the k-core peel fallback. */
+class Round9Spec extends SparkSpec {
+
+  test("DOULION edge-sample hash is not parity-degenerate (the r8 k=2 bug)") {
+    // r8's linear hash (odd·p1 + odd·p2 mod 2) kept exactly the
+    // same-parity edge pairs, so triangle survival was fully correlated.
+    // With a real mixer the kept set must contain BOTH endpoint parities.
+    val edges = Analytics.coOrderPairs(spark, sf01)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+      .select(col("p1"), col("p2"))
+    val kept = edges
+      .where(pmod(xxhash64(col("p1"), col("p2")), lit(2L)) === 0)
+      .select(pmod(col("p1") + col("p2"), lit(2L)).as("parity"))
+      .groupBy(col("parity")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set(0L, 1L),
+      s"kept edges are parity-monochromatic: $kept — sampler degenerate")
+    // and neither parity class dominates beyond sampling noise: on a
+    // parity-balanced fixture each class keeps ~half its edges
+    val (a, b) = (kept(0L).toDouble, kept(1L).toDouble)
+    assert(math.min(a, b) / math.max(a, b) > 0.5,
+      s"kept-parity split $kept too lopsided for a uniform hash")
+  }
+
+  test("graph_adamic_adar_approx: k2-rescaled total mass tracks exact; deterministic") {
+    // Per-pair estimates are noisy at k=2; TOTAL score mass over all
+    // absent pairs is the unbiased-estimator pin (a wrong k² rescale is
+    // off by 4x; correlated survival — the r8 hash bug — skews it too).
+    val exact = Quant.adamicAdarScored(spark, sf01, None)
+      .agg(sum(col("aa_score")).as("m"), count(lit(1)).as("n"))
+      .collect()(0)
+    val est = Quant.adamicAdarScored(spark, sf01, Some(2L))
+      .agg(sum(col("aa_score")).as("m"), count(lit(1)).as("n"))
+      .collect()(0)
+    val (me, ma) = (exact.getDouble(0), est.getDouble(0))
+    assert(me > 0, "vacuous: exact AA mass is zero at sf0.01")
+    assert(ma > me / 3 && ma < me * 3,
+      s"estimated AA mass $ma outside [1/3, 3] x exact $me")
+    // the sampled wedge set is ~1/k² of the full one (both edges must
+    // survive) — pair coverage shrinks accordingly but must be nonzero
+    assert(est.getLong(1) > 0, "vacuous: sampled tier scored no pairs")
+    // determinism: pure hash draw ⇒ bit-stable output
+    val t1 = Quant.graphAdamicAdarApprox(spark, sf01).collect().toSeq
+    val t2 = Quant.graphAdamicAdarApprox(spark, sf01).collect().toSeq
+    assert(t1 == t2, "sampled top-50 not deterministic")
+    assert(t1.nonEmpty, "vacuous: empty sampled top-50")
+  }
+
+  test("graph_clustering_coeff_approx: true-degree rows, k3-rescaled credit tracks exact; deterministic") {
+    val exact = Analytics.graphClusteringCoeff(spark, sf01)
+      .select(col("p"), col("deg"), col("tri_cnt")).collect()
+    val est = Analytics.graphClusteringCoeffApprox(spark, sf01)
+      .select(col("p"), col("deg"), col("tri_est")).collect()
+    // row set and degrees are EXACT in the approx tier (full-graph
+    // degrees, only the wedge join is thinned)
+    val exDeg = exact.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val esDeg = est.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(esDeg == exDeg,
+      "approx tier row set / degrees diverge from the full graph")
+    val sumEx = exact.map(_.getLong(2)).sum.toDouble
+    val sumEs = est.map(_.getLong(2)).sum.toDouble
+    assert(sumEx > 0, "vacuous: no triangle credit at sf0.01")
+    assert(sumEs > sumEx / 3 && sumEs < sumEx * 3,
+      s"k3-rescaled corner credit $sumEs outside [1/3, 3] x exact $sumEx")
+    val again = Analytics.graphClusteringCoeffApprox(spark, sf01)
+      .select(col("p"), col("deg"), col("tri_est")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == est.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "sampled coefficients not deterministic")
+  }
+}
