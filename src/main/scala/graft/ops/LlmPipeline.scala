@@ -507,6 +507,68 @@ object LlmPipeline {
       (id, qs, amax)
     }
 
+  /** Executor-side IVF coarse-quantizer build — the index construction
+    * itself is distributed (at 100 TB the training vectors never visit
+    * the driver; only the √n-row centroid table — the index METADATA —
+    * is collected for broadcast):
+    *  1. SEEDS: the min-id vector per id-hash bucket, one mergeable
+    *     reduceGroups shuffle (deterministic under any partitioning);
+    *  2. one LLOYD STEP: every vector assigns to its nearest seed
+    *     map-side (seeds broadcast), then per-cell per-dimension means
+    *     via partial aggregation — sums ride a 1e-6 integer grid so
+    *     shuffle-fetch merge order cannot perturb the low bits
+    *     (seq_markov_perplexity's determinism trick);
+    *  3. centroids L2-normalize on the driver (√n rows) so dot-ranking
+    *     is cosine against the cell DIRECTION — unnormalized cell means
+    *     would let cell-norm skew decide assignments.
+    * Production swaps step 2 for a few sampled-k-means rounds; the
+    * broadcast/assign shape is identical. */
+  private def ivfCentroids(
+      s: SparkSession, d: String, nCells: Int): Array[(Long, Array[Float])] = {
+    import s.implicits._
+    val seeds = vecs(s, d)
+      .groupByKey { case (id, _) => math.floorMod(id, nCells.toLong) }
+      .reduceGroups((a, b) => if (a._1 <= b._1) a else b)
+      .map { case (cell, (_, e)) => (cell, e) }
+      .collect().sortBy(_._1)
+    val bcSeeds = graft.Broadcasts.track(s.sparkContext.broadcast(seeds))
+    val assigned = vecs(s, d).map { case (_, e) =>
+      val ss = bcSeeds.value
+      var best = 0
+      var bs = Double.MinValue
+      var i = 0
+      while (i < ss.length) {
+        val sim = dot(e, ss(i)._2)
+        if (sim > bs) { bs = sim; best = i }
+        i += 1
+      }
+      (ss(best)._1, e)
+    }.toDF("cell", "embedding")
+    val means = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum((col("v").cast("double") * 1e6).cast("long")).cast("double") /
+        (lit(1e6) * count(lit(1)))).as("m"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(col("cell"),
+        expr("transform(array_sort(pm), x -> cast(x.m as float))").as("c"))
+      .as[(Long, Array[Float])].collect()
+    means.sortBy(_._1).flatMap { case (cid, c) =>
+      var n2 = 0.0
+      var i = 0
+      while (i < c.length) { n2 += c(i).toDouble * c(i); i += 1 }
+      if (n2 <= 0) None
+      else {
+        val inv = (1.0 / math.sqrt(n2)).toFloat
+        val u = new Array[Float](c.length)
+        i = 0
+        while (i < c.length) { u(i) = c(i) * inv; i += 1 }
+        Some((cid, u))
+      }
+    }
+  }
+
   /** Quantized-rescore ANN — the production int8 two-stage retrieval
     * pattern, composed from [[embeddingQuantize]]'s grid and
     * [[knnCosine]]'s exact kernel:
@@ -519,56 +581,61 @@ object LlmPipeline {
     *     shared [[Top3]] tie rule (rounded score desc, id asc) — every
     *     reported score is bit-identical to brute force, only recall is
     *     subject to quantization error (pinned ≥ 0.9 in LlmOpsSpec).
-    * NOTE on broadcast bytes: at this scale the fp32 matrix rides along
-    * in a second broadcast (total ≈ 1.25× the fp32-only [[knnCosine]]
-    * broadcast) because the rescore touches ≤ 32 fp32 vectors per query
-    * and an in-map lookup is cheaper than a join. The
-    * only-the-int8-grid-is-broadcast shape — candidates as an ids-only
-    * shuffle, fp32 re-attached by hash join — is exactly what
-    * [[knnSharded]] implements; beyond broadcast that variant IS the
-    * plan. Oracle-exempt: DuckDB has no two-stage kernel to mirror; the
-    * recall/score pins are the gate. */
+    * ONLY the int8 grid is broadcast (the r8 form co-broadcast the fp32
+    * matrix for an in-map rescore — ≈ 1.25× the fp32-only bytes,
+    * defeating the 4×-smaller narrative): the grid is quantized ON
+    * EXECUTORS and the driver collects just the 4×-smaller codes;
+    * candidates leave stage 1 as an ids-only shuffle and the fp32
+    * vectors re-attach by hash join against the vector table
+    * ([[knnLshJoined]]'s re-attach shape), touching exactly the ≤ 32
+    * candidate rows per query. Oracle-exempt: DuckDB has no two-stage
+    * kernel to mirror; the recall/score pins are the gate. */
   def knnQuantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.DotProduct.register(s)
     val nCand = 32
-    val refs = vecs(s, d).collect().sortBy(_._1)
-    val bcQ = graft.Broadcasts.track(s.sparkContext.broadcast(int8Grid(refs)))
-    val bcF = graft.Broadcasts.track(s.sparkContext.broadcast(refs))
-    vecs(s, d).repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
+    // index build is executor-side: per-partition quantization, the
+    // driver only ever holds (id, int8 codes, scale) — never fp32
+    val grid: Array[(Long, Array[Byte], Float)] = vecs(s, d)
+      .mapPartitions(it => int8Grid(it.toArray).iterator)
+      .collect().sortBy(_._1)
+    val bcQ = graft.Broadcasts.track(s.sparkContext.broadcast(grid))
+    val cand = vecs(s, d).repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (aid, aemb) =>
         val qrefs = bcQ.value
-        val frefs = bcF.value
-        it.flatMap { case (aid, aemb) =>
-          var amax = 0f
-          var i = 0
-          while (i < aemb.length) {
-            val x = math.abs(aemb(i)); if (x > amax) amax = x; i += 1
-          }
-          val qa = new Array[Byte](aemb.length)
-          if (amax > 0f) {
-            i = 0
-            while (i < aemb.length) {
-              qa(i) = math.round(aemb(i) * 127.0f / amax).toByte; i += 1
-            }
-          }
-          val cand = new TopC(nCand)
-          qrefs.foreach { case (bid, qb, bmax) =>
-            if (bid != aid) {
-              var sInt = 0
-              var j = 0
-              val n = math.min(qa.length, qb.length)
-              while (j < n) { sInt += qa(j) * qb(j); j += 1 }
-              cand.offer(sInt.toDouble * bmax, bid)
-            }
-          }
-          val top = new Top3
-          cand.ids.foreach { bid =>
-            top.offer(r4(dot(aemb, vecOf(frefs, bid))), bid)
-          }
-          top.ranked(aid)
+        var amax = 0f
+        var i = 0
+        while (i < aemb.length) {
+          val x = math.abs(aemb(i)); if (x > amax) amax = x; i += 1
         }
+        val qa = new Array[Byte](aemb.length)
+        if (amax > 0f) {
+          i = 0
+          while (i < aemb.length) {
+            qa(i) = math.round(aemb(i) * 127.0f / amax).toByte; i += 1
+          }
+        }
+        val top = new TopC(nCand)
+        qrefs.foreach { case (bid, qb, bmax) =>
+          if (bid != aid) {
+            var sInt = 0
+            var j = 0
+            val n = math.min(qa.length, qb.length)
+            while (j < n) { sInt += qa(j) * qb(j); j += 1 }
+            top.offer(sInt.toDouble * bmax, bid)
+          }
+        }
+        top.ids.iterator.map(bid => (aid, bid))
       }
-      .toDF("vec_id", "rn", "b_id", "score")
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val scored = cand.toDF("a_id", "b_id")
+      .join(emb.toDF("a_id", "a_emb"), "a_id")
+      .join(emb.toDF("b_id", "b_emb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (floor(expr("graft_dot(a_emb, b_emb)") * 10000 + 0.5) / 10000)
+          .as("score"))
+    graft.plans.TopKPerGroup.topK(scored, "a_id", "score", "b_id", 3)
+      .select(col("a_id").as("vec_id"), col("rn"), col("b_id"), col("score"))
       .orderBy(col("vec_id"), col("rn"))
   }
 
@@ -594,8 +661,7 @@ object LlmPipeline {
     val nCand = 32
     val nVec = vecs(s, d).count()
     val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
-    val cents: Array[(Long, Array[Float])] =
-      vecs(s, d).orderBy(col("vec_id")).limit(nCells).collect().sortBy(_._1)
+    val cents: Array[(Long, Array[Float])] = ivfCentroids(s, d, nCells)
     val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
     val tagged = vecs(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -714,35 +780,52 @@ object LlmPipeline {
     * post-filtering a global top-k silently returns fewer/wrong rows
     * whenever the global neighbors are label-mismatched.
     *
-    * Execution: the broadcast reference matrix is grouped by label on
-    * the driver, so each query scans exactly its label's sub-matrix
-    * (total broadcast bytes unchanged; per-query work divided by the
-    * label fan-out). At scale this becomes label-partitioned ANN
-    * indexes — each stratum gets its own [[knnSharded]]/IVF tier, same
-    * composition as here. Oracle: knn_cosine's brute SQL with the label
-    * equi-condition added. */
+    * Execution: [[knnSharded]]'s cogroup kernel PER LABEL STRATUM — the
+    * reference side hash-shards WITHIN each label, queries replicate
+    * only across their own label's shards, and each cogroup task scores
+    * one (label, shard) cell in the tight fp32 loop with a shard-local
+    * [[Top3]]; one groupByKey merge takes the global top-3 (top-k is
+    * mergeable, so the result is bit-identical to the brute per-label
+    * scan). ZERO driver collect/broadcast: at 100 TB each stratum's
+    * matrix stays partitioned across executors, P per label =
+    * stratumBytes / executorBudget. The r8 form collected the whole
+    * labeled matrix to the driver and broadcast a per-label map — fine
+    * at dim-table scale, but the index build belongs on executors.
+    * Oracle: knn_cosine's brute SQL with the label equi-condition
+    * added. */
   def knnFiltered(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val p = s.sparkContext.defaultParallelism
     val withLabel = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
-    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(
-      withLabel.collect().groupBy(_._3)
-        .map { case (l, arr) =>
-          l -> arr.map(t => (t._1, t._2)).sortBy(_._1)
-        }))
-    withLabel.repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val byLabel = bc.value
-        it.flatMap { case (aid, aemb, lbl) =>
-          val top = new Top3
-          byLabel.getOrElse(lbl, Array.empty).foreach { case (bid, bemb) =>
-            if (bid != aid) top.offer(r4(dot(aemb, bemb)), bid)
-          }
-          top.ranked(aid).map(t => (t._1, lbl, t._2, t._3, t._4))
-        }
+    val shards = withLabel
+      .map { case (id, e, l) =>
+        ((l, math.floorMod(id, p.toLong).toInt), id, e)
       }
-      .toDF("vec_id", "label", "rn", "b_id", "score")
+      .groupByKey(_._1)
+    val queries = withLabel
+      .flatMap { case (id, e, l) =>
+        Iterator.range(0, p).map(sh => ((l, sh), id, e))
+      }
+      .groupByKey(_._1)
+    val local = queries.cogroup(shards) { (_, qs, rs) =>
+      val shard = rs.map { case (_, bid, bemb) => (bid, bemb) }.toArray
+      qs.flatMap { case (_, aid, aemb) =>
+        val top = new Top3
+        shard.foreach { case (bid, bemb) =>
+          if (bid != aid) top.offer(r4(dot(aemb, bemb)), bid)
+        }
+        top.triples(aid)
+      }
+    }
+    // re-attach the label column (the oracle emits it) by a keyed join —
+    // ids-only, never the vectors
+    mergeTop3(local)
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "vec_id")
+      .select(col("vec_id"), col("label"), col("rn"), col("b_id"),
+        col("score"))
       .orderBy(col("vec_id"), col("rn"))
   }
 
@@ -1123,12 +1206,11 @@ object LlmPipeline {
     // Cell count ∝ √n keeps occupancy (and per-query scoring) at O(√n) —
     // the classical IVF sizing; a fixed cell count degrades to quadratic
     // as the collection grows (measured 18× at a 10× replication before
-    // this). Centroids: lowest-id vectors — deterministic; production
-    // swaps in a sampled k-means fit, same broadcast shape.
+    // this). Centroids: executor-built (seed + one Lloyd step,
+    // ivfCentroids) — only the √n-row index metadata reaches the driver.
     val nVec = vecs(s, d).count()
     val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
-    val cents: Array[(Long, Array[Float])] =
-      vecs(s, d).orderBy(col("vec_id")).limit(nCells).collect().sortBy(_._1)
+    val cents: Array[(Long, Array[Float])] = ivfCentroids(s, d, nCells)
     val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
     // tag: home rows (indexed members) vs probe rows (queries)
     val tagged = vecs(s, d)
@@ -1190,8 +1272,17 @@ object LlmPipeline {
   /** Word-level 3-gram shingles, JVM-side (the Catalyst HOF variant is
     * interpreted row-at-a-time — measured 17 s at sf0.1 for the signature
     * stage; this tight loop is ~1 s). */
-  private def shingleSet(text: String): Array[String] = {
-    val words = text.split(' ')
+  /** The ONE whitespace tokenizer every JVM shingle/signature kernel
+    * shares: split(" ", -1) KEEPS trailing empty tokens — parity with
+    * Catalyst split(text, " ") (limit -1) and DuckDB string_split, and
+    * with [[docShingleHashesOf]]'s hashed-shingle kernel. r8 shipped two
+    * kernels on split(' ') (drops trailing empties), so the two shingle
+    * definitions silently disagreed on trailing-space docs. */
+  private[graft] def wsTokens(text: String): Array[String] =
+    text.split(" ", -1)
+
+  private[graft] def shingleSet(text: String): Array[String] = {
+    val words = wsTokens(text)
     if (words.length < 3) Array.empty
     else {
       val out = new Array[String](words.length - 2)
@@ -1261,7 +1352,7 @@ object LlmPipeline {
     * forces the columns; this loop is <100 ms. */
   private def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
-    text.split(' ').foreach { w =>
+    wsTokens(text).foreach { w =>
       val b = w.getBytes("UTF-8")
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
@@ -1388,9 +1479,7 @@ object LlmPipeline {
     docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        // split(" ", -1) keeps trailing empty tokens — parity with
-        // Catalyst split(text, " ") (limit -1) and DuckDB string_split.
-        val words = text.split(" ", -1)
+        val words = wsTokens(text)
         if (words.length < n) Iterator.empty
         else {
           val seen = scala.collection.mutable.HashSet.empty[Long]
@@ -2031,7 +2120,7 @@ object LlmPipeline {
     * 32-bit token hash caps shingle collision resistance at 2⁻³² per
     * differing-token pair), FNV-1a combine across each w-token window. */
   private[graft] def shingleHashes64(text: String, w: Int): Array[Long] = {
-    val t = text.split(" ", -1)
+    val t = wsTokens(text)
     if (t.length < w) Array.emptyLongArray
     else {
       val th = new Array[Long](t.length)

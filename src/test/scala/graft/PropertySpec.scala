@@ -414,4 +414,29 @@ class PropertySpec extends SparkSpec {
         s"scd2ApplyBatch chunking diverges (trial $trial, cuts $cut1/$cut2)")
     }
   }
+
+  test("shingle tokenizers agree on trailing-space docs (one split(\" \", -1) everywhere)") {
+    // r8 regression class: shingleSet/simhash used split(' ') (drops
+    // trailing empties) while the hashed-shingle kernel used
+    // split(" ", -1) — the two shingle definitions silently disagreed on
+    // any doc ending in a space. All kernels now share wsTokens.
+    import graft.ops.LlmPipeline
+    val docs = Seq("alpha beta gamma delta ", "x y z  ", "a b ", " lead in",
+      "no trailing here", "double  inner space ")
+    for (doc <- docs) {
+      val toks = LlmPipeline.wsTokens(doc)
+      assert(toks.length == doc.count(_ == ' ') + 1,
+        s"wsTokens dropped tokens on <$doc>")
+      // string shingles (minhash path) and hashed shingles
+      // (decontaminate path, w=3) must see the SAME 3-token windows
+      val strSh = LlmPipeline.shingleSet(doc).toSeq
+      val expect =
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(strSh == expect, s"shingleSet windows diverge on <$doc>")
+      val nHashed = LlmPipeline.shingleHashes64(doc, 3).length
+      assert(nHashed == expect.length,
+        s"hashed-shingle kernel window count ${nHashed} != ${expect.length} on <$doc>")
+    }
+  }
 }
