@@ -708,13 +708,13 @@ object Analytics {
     * (deterministic endpoint hash, reproducible under any partitioning),
     * count triangles on the thinned graph with the SAME degree-ordered
     * kernel, rescale by k³. Wedge work drops ~k²; the estimator is
-    * unbiased with relative error ~ √(k³/T). k = 2 here; at open-web
-    * scale k tracks the densification factor. Oracle-exempt (sampling
-    * has no DuckDB twin obligation); the ε pin vs the exact count lives
-    * in Round8Spec. */
+    * unbiased with relative error ~ √(k³/T). k ADAPTS to the measured
+    * wedge density ([[adaptiveK]]: √(Σdeg²/(8·m)), floor 2), so the
+    * thinned join stays linear-in-m however the graph densifies.
+    * Oracle-exempt (sampling has no DuckDB twin obligation); the ε pin
+    * vs the exact count lives in Round8Spec. */
   def graphTriangleApprox(s: SparkSession, d: String): DataFrame = {
-    val k = 2L
-    val (e, _, tri) = coOrderTriangles(s, d, sampleOneIn = Some(2))
+    val (e, _, tri, k) = coOrderTrianglesSampled(s, d)
     e.agg(count(lit(1)).as("n_edges_sampled"))
       .crossJoin(tri.agg(count(lit(1)).as("n_tri_sampled")))
       .select(col("n_edges_sampled"), col("n_tri_sampled"),
@@ -726,8 +726,44 @@ object Analytics {
     * e1.src / e1.dst / e2.dst) — read off by [[graphTriangleCount]]
     * (global counts) and [[graphClusteringCoeff]] (per-corner credit). */
   private def coOrderTriangles(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val (e, deg, tri, _) = coOrderTrianglesCore(s, d, sampled = false)
+    (e, deg, tri)
+  }
+
+  /** Sampled variant for the approx tiers; also returns the ADAPTIVE
+    * sample rate k chosen from the measured wedge density (callers need
+    * it for the k² / k³ rescale). */
+  private def coOrderTrianglesSampled(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, Long) =
+    coOrderTrianglesCore(s, d, sampled = true)
+
+  /** Adaptive DOULION rate: bound the THINNED wedge join to ~[[WedgeBudgetPerEdge]]
+    * wedges per edge. Sampled wedge volume is Σdeg²/k², so
+    * k = √(wedges / (budget · m)) tracks densification — on a graph
+    * whose wedge count grows 15× per 10× edges (the r8 stress measure),
+    * a FIXED k only shifts the constant while the ratio stays
+    * super-linear; the adaptive rate keeps the join linear-in-m at any
+    * density. Floors at 2 (always a genuine sample); at fixture scale
+    * (sf0.01: 13.4k wedges / 3.4k edges) the floor binds, so the
+    * Round8/9 determinism and edge-share pins see k = 2. Estimator
+    * error grows with k (~√(k³/T) for counts) — the documented price of
+    * a bounded join; both aggregates run on the small persisted
+    * degree/edge tables. */
+  private val WedgeBudgetPerEdge = 8.0
+
+  private[ops] def adaptiveK(deg: DataFrame, m: Long): Long = {
+    val w2 = deg.agg(sum(col("deg") * (col("deg") - lit(1L))).as("w2"))
+      .collect()(0).getLong(0)
+    val wedges = w2 / 2.0
+    math.max(2L,
+      math.ceil(math.sqrt(wedges / (WedgeBudgetPerEdge * math.max(1L, m))))
+        .toLong)
+  }
+
+  private def coOrderTrianglesCore(
       s: SparkSession, d: String,
-      sampleOneIn: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
+      sampled: Boolean): (DataFrame, DataFrame, DataFrame, Long) = {
     // Pair build shared with assoc_pairs (coOrderPairs): one orderkey
     // shuffle + bounded map-side expansion — the declarative alternative
     // (distinct + self-join per order) costs two extra 600 k-row
@@ -744,18 +780,6 @@ object Analytics {
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
       .persist()
-    // DOULION-style deterministic edge sampling (keep 1-in-k by a pure
-    // hash of the endpoints — reproducible under any partitioning);
-    // wedge work drops ~k², the estimator rescales by k³. xxhash64 mixes
-    // bits nonlinearly BEFORE the modulus — a linear combination of the
-    // endpoints (the r8 form) let low-bit parity decide membership for
-    // k = 2 (both multipliers odd ⇒ the filter kept exactly the
-    // same-parity pairs), which correlates triangle survival and biases
-    // the k³ rescale; with a real mixer membership is hash-uniform.
-    val e = sampleOneIn.fold(full) { k =>
-      full.where(pmod(xxhash64(col("p1"), col("p2")), lit(k.toLong)) === 0)
-        .persist()
-    }
     // degrees ALWAYS come from the full edge set (persisted above): in
     // the unsampled path this is the same table as before; in the
     // sampled path the approx tiers need TRUE degrees for their
@@ -765,6 +789,20 @@ object Analytics {
     val deg = full.select(col("p1").as("p")).union(full.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
       .persist()
+    // DOULION-style deterministic edge sampling (keep 1-in-k by a pure
+    // hash of the endpoints — reproducible under any partitioning);
+    // wedge work drops ~k², the estimator rescales by k³. xxhash64 mixes
+    // bits nonlinearly BEFORE the modulus — a linear combination of the
+    // endpoints (the r8 form) let low-bit parity decide membership for
+    // k = 2 (both multipliers odd ⇒ the filter kept exactly the
+    // same-parity pairs), which correlates triangle survival and biases
+    // the k³ rescale; with a real mixer membership is hash-uniform.
+    // k itself is ADAPTIVE — see [[adaptiveK]].
+    val k = if (!sampled) 1L else adaptiveK(deg, full.count())
+    val e =
+      if (!sampled) full
+      else full.where(pmod(xxhash64(col("p1"), col("p2")), lit(k)) === 0)
+        .persist()
     // orient (p1,p2) toward the (deg, id)-larger endpoint; p1 < p2
     // already, so a degree tie keeps p1 → p2. The degree table is
     // |V| rows — broadcast, so orientation is MAP-SIDE over e (at
@@ -786,7 +824,7 @@ object Analytics {
         col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
       .join(dir.as("e3"),
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
-    (e, deg, tri)
+    (e, deg, tri, k)
   }
 
   /** Per-node local clustering coefficient over the same co-order graph:
@@ -831,8 +869,8 @@ object Analytics {
     * (sampling has no DuckDB twin); Round9Spec pins the aggregate
     * estimate against the exact coefficients and determinism. */
   def graphClusteringCoeffApprox(s: SparkSession, d: String): DataFrame = {
-    val k3 = 8L // k = 2 edge sampling ⇒ triangle survival 1/k³
-    val (_, deg, tri) = coOrderTriangles(s, d, sampleOneIn = Some(2))
+    val (_, deg, tri, k) = coOrderTrianglesSampled(s, d)
+    val k3 = k * k * k // 1-in-k edge sampling ⇒ triangle survival 1/k³
     val perNode = tri
       .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst")))
         .as("p"))
@@ -946,7 +984,19 @@ object Analytics {
     * global fixpoint — not expressible as a recursive CTE over rows);
     * Round8Spec pins the result against driver-side brute peeling and
     * the invariant min(core_deg) ≥ 3. */
-  def graphKcore(s: SparkSession, d: String): DataFrame = {
+  def graphKcore(s: SparkSession, d: String): DataFrame =
+    graphKcoreImpl(s, d, bcPeelThreshold = 5_000_000L)
+
+  /** Peel loop with an explicit broadcast budget on the peel set —
+    * `bcPeelThreshold` is the max ids a round may broadcast; a bigger
+    * peel set falls back to shuffled anti joins. Round one of a
+    * low-degree-heavy graph can peel O(|V|) ids (hundreds of millions
+    * at 1e9 nodes) — unconditionally broadcasting that through the
+    * driver is the r8 scale hole. 5M ids ≈ 80 MB fits the default
+    * broadcast budget; both paths produce identical cores (Round9Spec
+    * pins parity with threshold 0, which forces the shuffled path). */
+  private[graft] def graphKcoreImpl(
+      s: SparkSession, d: String, bcPeelThreshold: Long): DataFrame = {
     val k = 3
     def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.logical.collectFirst {
@@ -968,19 +1018,24 @@ object Analytics {
       val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
         .groupBy(col("p")).agg(count(lit(1)).as("deg"))
       val low = deg.where(col("deg") < k).select(col("p")).localCheckpoint()
-      if (low.isEmpty) done = true
+      val nLow = low.count()
+      if (nLow == 0) done = true
       else {
-        // the peel set is ≤ |V| ids — broadcast both anti joins so each
-        // round's edge filter is MAP-SIDE; the only shuffle per round is
-        // the degree groupBy (9.2 s → 6.7 s at sf0.1 stress protocol vs
-        // shuffled anti joins). Checkpointing every round beats sparser
-        // checkpoints: the skipped-materialization variant re-executes
-        // the filter chain once per degree pass and measured 2× worse at
-        // 10× rows.
+        // small peel set — broadcast both anti joins so each round's
+        // edge filter is MAP-SIDE; the only shuffle per round is the
+        // degree groupBy (9.2 s → 6.7 s at sf0.1 stress protocol vs
+        // shuffled anti joins). Beyond the broadcast budget the SAME
+        // anti joins run shuffled (keyed on p1/p2) — O(m) per round,
+        // never a peel set through the driver. Checkpointing every
+        // round beats sparser checkpoints: the skipped-materialization
+        // variant re-executes the filter chain once per degree pass and
+        // measured 2× worse at 10× rows.
         pendingFree = pendingFree ++ rddOf(e) ++ rddOf(low)
+        val hint: DataFrame => DataFrame =
+          if (nLow <= bcPeelThreshold) broadcast else identity
         e = e
-          .join(broadcast(low.select(col("p").as("p1"))), Seq("p1"), "left_anti")
-          .join(broadcast(low.select(col("p").as("p2"))), Seq("p2"), "left_anti")
+          .join(hint(low.select(col("p").as("p1"))), Seq("p1"), "left_anti")
+          .join(hint(low.select(col("p").as("p2"))), Seq("p2"), "left_anti")
           .localCheckpoint()
         pendingFree.foreach(_.unpersist(blocking = false))
         pendingFree = Nil

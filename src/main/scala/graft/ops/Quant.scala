@@ -209,7 +209,7 @@ object Quant {
     * mitigation at hub skew; existing edges leave via a keyed anti join;
     * broadcast degree decoration; top-50 is TakeOrdered, not a sort. */
   def graphAdamicAdar(s: SparkSession, d: String): DataFrame =
-    adamicAdarScored(s, d, sampleOneIn = None)
+    adamicAdarScored(s, d, sampled = false)
       .orderBy(col("aa_score").desc, col("a"), col("b"))
       .limit(50)
 
@@ -227,23 +227,27 @@ object Quant {
     * k² multiply happens on the grid sum BEFORE the one float divide).
     * Wedge work drops ~k²; per-pair relative error ~√(k²/n_common), so
     * the dense pairs that dominate the top-50 are estimated tightest.
+    * k is ADAPTIVE (Analytics.adaptiveK: √(Σdeg²/(8·m)), floor 2) so
+    * the thinned wedge join stays linear-in-m however co-occurrence
+    * densifies — a fixed k only shifts the constant on a graph whose
+    * wedge count grows 15× per 10× edges (the r8 stress measure).
     * Oracle-exempt (sampling); Round9Spec pins total-mass agreement
     * with the exact scores and determinism. */
   def graphAdamicAdarApprox(s: SparkSession, d: String): DataFrame =
-    adamicAdarScored(s, d, sampleOneIn = Some(2L))
+    adamicAdarScored(s, d, sampled = true)
       .orderBy(col("aa_score").desc, col("a"), col("b"))
       .limit(50)
 
   /** Shared Adamic–Adar wedge-scoring kernel: full (a, b, n_common,
-    * aa_score) over absent edges, exact when `sampleOneIn` is None,
-    * k²-rescaled DOULION estimate when Some(k). The edge set and the
+    * aa_score) over absent edges — exact, or the k²-rescaled DOULION
+    * estimate at the adaptive rate when `sampled`. The edge set and the
     * sampled neighbor list are persisted — edges feed the neighbor
     * build (×2), the anti join, and the degree table, and Spark's
     * exchange reuse does not collapse the alias-renamed subtrees
     * (coOrderTriangles' documented multi-reference pattern), so without
     * the pin the whole coOrderPairs pipeline re-executes ~5×. */
   private[graft] def adamicAdarScored(
-      s: SparkSession, d: String, sampleOneIn: Option[Long]): DataFrame = {
+      s: SparkSession, d: String, sampled: Boolean): DataFrame = {
     val edges = Analytics.coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
@@ -256,14 +260,18 @@ object Quant {
       .union(edges.select(col("p2").as("u"), col("p1").as("v")))
     val deg = nbrs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("u", "w")
+      .persist()
     // only the WEDGE JOIN runs on the thinned graph — that is the
-    // quadratic-in-degree stage the sample exists to bound
-    val nbrsW = sampleOneIn.fold(nbrs) { k =>
+    // quadratic-in-degree stage the sample exists to bound; the rate
+    // adapts to the measured wedge density so the join is linear-in-m
+    val k = if (!sampled) 1L else Analytics.adaptiveK(deg, edges.count())
+    val nbrsW = if (!sampled) nbrs else {
       val kept = edges
         .where(pmod(xxhash64(col("p1"), col("p2")), lit(k)) === 0)
       kept.select(col("p1").as("u"), col("p2").as("v"))
         .union(kept.select(col("p2").as("u"), col("p1").as("v")))
-    }.persist()
+        .persist()
+    }
     val wedges = nbrsW.select(col("v").as("a"), col("u").as("w"))
       .join(nbrsW.select(col("u").as("w"), col("v").as("b")), Seq("w"))
       .where(col("a") < col("b"))
@@ -275,17 +283,16 @@ object Quant {
         floor(lit(1e6) / log(col("deg").cast("double")) + 0.5)
           .cast("long").as("aa_grid"))
       .groupBy(col("a"), col("b"))
-    sampleOneIn match {
-      case None =>
-        // exact path spelled EXACTLY as before the refactor — the DuckDB
-        // oracle hashes these doubles
-        graded.agg(count(lit(1)).as("n_common"),
-          (sum(col("aa_grid")).cast("double") / 1e6).as("aa_score"))
-      case Some(k) =>
-        val k2 = k * k
-        graded.agg((count(lit(1)) * lit(k2)).as("n_common"),
-          ((sum(col("aa_grid")) * lit(k2)).cast("double") / 1e6)
-            .as("aa_score"))
+    if (!sampled)
+      // exact path spelled EXACTLY as before the refactor — the DuckDB
+      // oracle hashes these doubles
+      graded.agg(count(lit(1)).as("n_common"),
+        (sum(col("aa_grid")).cast("double") / 1e6).as("aa_score"))
+    else {
+      val k2 = k * k
+      graded.agg((count(lit(1)) * lit(k2)).as("n_common"),
+        ((sum(col("aa_grid")) * lit(k2)).cast("double") / 1e6)
+          .as("aa_score"))
     }
   }
 

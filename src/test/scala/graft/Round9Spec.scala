@@ -33,10 +33,10 @@ class Round9Spec extends SparkSpec {
     // Per-pair estimates are noisy at k=2; TOTAL score mass over all
     // absent pairs is the unbiased-estimator pin (a wrong k² rescale is
     // off by 4x; correlated survival — the r8 hash bug — skews it too).
-    val exact = Quant.adamicAdarScored(spark, sf01, None)
+    val exact = Quant.adamicAdarScored(spark, sf01, sampled = false)
       .agg(sum(col("aa_score")).as("m"), count(lit(1)).as("n"))
       .collect()(0)
-    val est = Quant.adamicAdarScored(spark, sf01, Some(2L))
+    val est = Quant.adamicAdarScored(spark, sf01, sampled = true)
       .agg(sum(col("aa_score")).as("m"), count(lit(1)).as("n"))
       .collect()(0)
     val (me, ma) = (exact.getDouble(0), est.getDouble(0))
@@ -74,5 +74,18 @@ class Round9Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(again == est.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
       "sampled coefficients not deterministic")
+  }
+
+  test("graph_kcore: broadcast peel path == shuffled fallback path (threshold 0)") {
+    // threshold 0 forces EVERY round onto the shuffled anti-join form —
+    // the path a low-degree flood takes at scale; cores must be identical
+    def cores(threshold: Long): Seq[(Long, Long)] =
+      Analytics.graphKcoreImpl(spark, sf01, threshold).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bcast = cores(5_000_000L)
+    val shuffled = cores(0L)
+    assert(bcast.nonEmpty, "vacuous: empty 3-core at sf0.01")
+    assert(bcast == shuffled,
+      "broadcast and shuffled peel paths disagree on the 3-core")
   }
 }
