@@ -310,14 +310,26 @@ object Formats {
   def sourceBinaryFiles(s: SparkSession, d: String): DataFrame = {
     val dir = tmpDir("bin", d)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // Executors write payloads through the HADOOP FILESYSTEM resolved
+    // from the staging path — on a cluster that is the shared store
+    // (HDFS/S3A) the driver-side binaryFile listing reads from, so the
+    // stage→scan loop is distributed-correct, not a local-mode accident
+    // (the r8 form wrote via java.nio to java.io.tmpdir, which only a
+    // single-machine session can read back).
     docs.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-        val base = new java.io.File(dir)
-        base.mkdirs()
-        it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes("UTF-8"))
+        if (it.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(conf)
+          fs.mkdirs(base)
+          it.foreach { r =>
+            val p = new org.apache.hadoop.fs.Path(
+              base, s"doc_${r.getLong(0)}.bin")
+            val out = fs.create(p, true)
+            try out.write(r.getString(1).getBytes("UTF-8"))
+            finally out.close()
+          }
         }
     }
     s.read.format("binaryFile")
