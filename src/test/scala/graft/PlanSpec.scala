@@ -544,11 +544,36 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sql_tpch_q17: correlated scalar avg decorrelates to ONE partkey aggregate, no re-scan per row") {
-    val plan = physical(graft.ops.SqlApi.sqlTpchQ17(spark, sf01))
-    // the rewrite's signature: an aggregate over l_partkey joined back —
-    // visible as exactly one avg() aggregate in the physical plan
-    assert(plan.contains("avg("),
-      s"inner avg missing — subquery not planned as an aggregate:\n$plan")
+    // Assert the decorrelation SIGNATURE on the node tree (the r8 pin
+    // substring-matched "avg(", which a renamed function or a
+    // per-reference re-plan could satisfy/defeat on string luck):
+    // exactly one logical Average aggregate grouped on l_partkey —
+    // ≤ 2 physical HashAggregateExec nodes (partial + final) — sitting
+    // UNDER a join (the joined-back decorrelated subquery), and no
+    // nested loop anywhere.
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+    val df = graft.ops.SqlApi.sqlTpchQ17(spark, sf01)
+    df.count() // materialize so AQE finalizes its stages
+    val nodes = org.apache.spark.sql.GraftBridge
+      .deepPlanNodes(df.queryExecution.executedPlan)
+    val pkAvgAggs = nodes.collect {
+      case h: HashAggregateExec
+          if h.groupingExpressions.exists(_.references.exists(
+            _.name == "l_partkey")) &&
+            h.aggregateExpressions.exists(
+              _.aggregateFunction.isInstanceOf[Average]) => h
+    }
+    assert(pkAvgAggs.nonEmpty,
+      "no avg aggregate grouped on l_partkey — subquery not decorrelated")
+    assert(pkAvgAggs.size <= 2, // one logical agg = partial + final pair
+      s"${pkAvgAggs.size} partkey avg aggregates — subquery re-planned per reference")
+    val joins = nodes.filter(n =>
+      n.nodeName.contains("Join") && org.apache.spark.sql.GraftBridge
+        .deepPlanNodes(n).exists(c => pkAvgAggs.exists(_ eq c)))
+    assert(joins.nonEmpty,
+      "decorrelated partkey aggregate does not feed a join")
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"correlated scalar subquery fell back to a nested loop:\n$plan")

@@ -57,7 +57,22 @@ class ScaleStressSpec extends SparkSpec {
     // the corpus would reappear here as a super-linear ratio; the
     // chained agg is two hash aggregates (hours×types, days×types)
     ("search_hybrid_rrf", 40.0, 20.0),
-    ("stream_chained_agg", 40.0, 20.0))
+    ("stream_chained_agg", 40.0, 20.0),
+    // r9: the graph family. kcore/lpa/modularity/bfs/pagerank are
+    // linear-per-round with a bounded round count, and id-offset
+    // replication grows the co-order graph as DISJOINT copies (no
+    // densification), so their envelope is linear. The wedge-bound
+    // class enters via its DOULION tiers: the thinned wedge join must
+    // track EDGE growth on this set — a super-linear ratio here means
+    // the sample stopped bounding the join, not that the data densified.
+    ("graph_kcore", 40.0, 30.0),
+    ("graph_label_propagation", 40.0, 30.0),
+    ("graph_modularity", 40.0, 30.0),
+    ("graph_bfs_frontier", 40.0, 30.0),
+    ("graph_pagerank", 40.0, 30.0),
+    ("graph_triangle_approx", 40.0, 25.0),
+    ("graph_adamic_adar_approx", 40.0, 25.0),
+    ("graph_clustering_coeff_approx", 40.0, 25.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
