@@ -95,8 +95,11 @@ object ScaleStress {
     "sql_tpch_q21", "sql_tpch_q4",
     // wedge-bound like triangle_count (Σ deg² through the pivot node)
     "graph_adamic_adar",
-    // the sampled tier: wedge work ÷ k² on the same saturated set
-    "graph_triangle_approx")
+    // the sampled tiers: wedge work ÷ k² at the ADAPTIVE k on the same
+    // densified set — these must hold a near-linear ratio where their
+    // exact twins measure ~15× per 10×
+    "graph_triangle_approx",
+    "graph_adamic_adar_approx", "graph_clustering_coeff_approx")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(
