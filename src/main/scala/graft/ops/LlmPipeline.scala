@@ -795,18 +795,30 @@ object LlmPipeline {
     * added. */
   def knnFiltered(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val p = s.sparkContext.defaultParallelism
-    val withLabel = Tables.embeddings(s, d)
+    // Shard count tracks the STRATUM, not the cluster: p_l =
+    // ⌈n_l / 4096⌉ shards per label, so query replication (the cogroup
+    // shuffle's cost) is proportional to each stratum's own size — a
+    // global defaultParallelism fan-out would replicate every query
+    // ×cores even when its whole stratum fits one task. 4096×(dim
+    // floats) ≈ 1 MB per shard at dim 64; at 100 TB the constant is
+    // executorBudget / rowBytes.
+    val shardRows = 4096L
+    val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
-      .as[(Long, Array[Float], Int)]
-    val shards = withLabel
-      .map { case (id, e, l) =>
-        ((l, math.floorMod(id, p.toLong).toInt), id, e)
+    val sized = emb
+      .join(broadcast(emb.groupBy(col("label")).agg(
+        greatest(lit(1L), ceil(count(lit(1)) / lit(shardRows.toDouble))
+          .cast("long")).as("p_l"))), "label")
+      .select(col("vec_id"), col("embedding"), col("label"), col("p_l"))
+      .as[(Long, Array[Float], Int, Long)]
+    val shards = sized
+      .map { case (id, e, l, pl) =>
+        ((l, math.floorMod(id, pl).toInt), id, e)
       }
       .groupByKey(_._1)
-    val queries = withLabel
-      .flatMap { case (id, e, l) =>
-        Iterator.range(0, p).map(sh => ((l, sh), id, e))
+    val queries = sized
+      .flatMap { case (id, e, l, pl) =>
+        Iterator.range(0, pl.toInt).map(sh => ((l, sh), id, e))
       }
       .groupByKey(_._1)
     val local = queries.cogroup(shards) { (_, qs, rs) =>

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source lint: `.collect()` in the operator library is a DRIVER
+  * funnel — legitimate only for broadcast-kernel tiers (which declare a
+  * beyond-broadcast twin), bounded index METADATA (√n centroid tables,
+  * int8 grids), or row-count-independent summaries. Round 9 moved the
+  * ANN index builds executor-side; this pin keeps the property: a new
+  * operator that sneaks a data-sized collect fails CI until it is
+  * declared here WITH its scale justification. */
+class CollectLintSpec extends AnyFunSuite {
+
+  /** (file basename, enclosing def) → why the driver round-trip is
+    * scale-safe. Keep justifications honest: every entry must be either
+    * O(small) by construction or a declared broadcast tier. */
+  private val whitelist: Map[(String, String), String] = Map(
+    ("Custom.scala", "audienceOverlapHll") ->
+      "|event_types| register sketches (KB each), pairwise union algebra",
+    ("Analytics.scala", "adaptiveK") ->
+      "one-row aggregate (wedge count) sizing the DOULION rate",
+    ("LlmPipeline.scala", "ivfCentroids") ->
+      "sqrt(n)-row index metadata: seeds + Lloyd-step means, built on executors",
+    ("LlmPipeline.scala", "knnQuantized") ->
+      "4x-smaller int8 grid quantized on executors; fp32 rescore is a join",
+    ("LlmPipeline.scala", "knnCosine") ->
+      "DECLARED broadcast-matrix tier; knn_sharded is the beyond-broadcast twin",
+    ("LlmPipeline.scala", "simThreshold") ->
+      "DECLARED broadcast-matrix tier; LSH pair path is the scale twin",
+    ("LlmPipeline.scala", "dedupEmbeddingCosine") ->
+      "broadcast-matrix verdict kernel; dedup_embedding_lsh is the scale twin",
+    ("LlmPipeline.scala", "dedupEmbeddingLsh") ->
+      "broadcast tier of the LSH verdict; cell shuffle carries ids only",
+    ("LlmPipeline.scala", "knnLshBucketed") ->
+      "DECLARED broadcast tier; knn_lsh_joined is the no-broadcast twin",
+    ("LlmPipeline.scala", "embeddingPcaProject") ->
+      "mergeable moment partials: P*2145 doubles, row-count-independent",
+    ("LlmPipeline.scala", "searchHybridRrf") ->
+      "fixed-size query panel (ids < 2500), not corpus-sized")
+
+  test("collect() appears only in declared broadcast-tier / metadata functions") {
+    val defRe = """\s*(?:override\s+)?(?:private(?:\[\w+\])?\s+)?def (\w+)""".r
+    val files = {
+      def walk(dir: java.io.File): Seq[java.io.File] =
+        Option(dir.listFiles).toSeq.flatten.flatMap { f =>
+          if (f.isDirectory) walk(f)
+          else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+        }
+      walk(new java.io.File("src/main/scala/graft"))
+    }
+    assert(files.nonEmpty, "source tree not found — lint is vacuous")
+    val offenders = files.flatMap { f =>
+      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+      lines.zipWithIndex.collect {
+        case (line, i) if line.contains(".collect()") =>
+          val enclosing = (i to 0 by -1).iterator
+            .map(j => defRe.findPrefixMatchOf(lines(j)))
+            .collectFirst { case Some(m) => m.group(1) }
+            .getOrElse("<top-level>")
+          (f.getName, enclosing, i + 1)
+      }
+    }
+    val undeclared = offenders.filterNot { case (file, fn, _) =>
+      whitelist.contains((file, fn))
+    }
+    assert(undeclared.isEmpty,
+      "collect() outside the declared broadcast/metadata whitelist — " +
+        "either remove the driver funnel or declare it WITH a scale " +
+        s"justification:\n  ${undeclared.mkString("\n  ")}")
+    // and the whitelist must not rot: every entry still has a live site
+    val live = offenders.map { case (file, fn, _) => (file, fn) }.toSet
+    val stale = whitelist.keySet.diff(live)
+    assert(stale.isEmpty, s"whitelist entries with no remaining collect(): $stale")
+  }
+}
