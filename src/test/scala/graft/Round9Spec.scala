@@ -76,6 +76,42 @@ class Round9Spec extends SparkSpec {
       "sampled coefficients not deterministic")
   }
 
+  test("adaptive DOULION rate exceeds the floor on a dense graph and the estimate still tracks exact") {
+    // The fixtures are wedge-sparse (sf0.01: 13.4k wedges / 3.4k edges),
+    // so every fixture-driven test sees the k=2 floor — this synthetic
+    // DENSE co-order set (orders share a small part pool, the
+    // densification shape the stress harness builds at 10×) drives the
+    // k>2 branch: wedges/edges must push √(Σdeg²/(8m)) past the floor,
+    // the sampled edge share must track the chosen 1/k, and the k³
+    // rescale must still land on the exact count.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dense").toString
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      o <- 1 to 1200
+      p <- Seq.fill(12)(rnd.nextInt(120)).distinct
+    } yield (o.toLong, p.toLong)
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val exact = Analytics.graphTriangleCount(spark, dir).collect()(0)
+    val (nEdges, nTri) = (exact.getLong(1), exact.getLong(2))
+    assert(nTri > 1000, s"synthetic graph not dense enough: $nTri triangles")
+    val est = Analytics.graphTriangleApprox(spark, dir).collect()(0)
+    val kept = est.getLong(0)
+    // the chosen k is observable through the kept-edge share
+    val kChosen = math.round(nEdges.toDouble / math.max(1L, kept))
+    assert(kChosen > 2,
+      s"dense graph did not push k past the floor (kept $kept of $nEdges)")
+    assert(math.abs(kept - nEdges.toDouble / kChosen) < nEdges * 0.1,
+      s"kept share $kept does not track 1/$kChosen of $nEdges")
+    val e = est.getLong(2).toDouble
+    assert(e > nTri / 3.0 && e < nTri * 3.0,
+      s"k>2 estimate $e outside [1/3, 3] x exact $nTri")
+    // determinism on the adaptive path too
+    val again = Analytics.graphTriangleApprox(spark, dir).collect()(0).getLong(2)
+    assert(again == est.getLong(2), "adaptive-k estimate not deterministic")
+  }
+
   test("graph_kcore: broadcast peel path == shuffled fallback path (threshold 0)") {
     // threshold 0 forces EVERY round onto the shuffled anti-join form —
     // the path a low-degree flood takes at scale; cores must be identical
