@@ -112,6 +112,85 @@ class Round9Spec extends SparkSpec {
     assert(again == est.getLong(2), "adaptive-k estimate not deterministic")
   }
 
+  test("dedup_minhash_incremental == index-free brute sweep (banding loses no >=0.8 pair)") {
+    import graft.ops.LlmPipeline
+    val docs = graft.io.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+    val got = LlmPipeline.dedupMinhashIncremental(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(got.nonEmpty, "vacuous: no odd-vs-even near-dup at sf0.01")
+    // brute twin: candidates = EVERY odd/even pair sharing >=1 shingle
+    // (a pair sharing none has Jaccard 0 and cannot pass 0.8), same
+    // verification, no banding — equality proves the band index lost
+    // nothing at this fixture (the batch op's recall pin, arrival-shaped)
+    val oddSh = LlmPipeline.docShingleHashesOf(
+      docs.where(col("doc_id") % 2 === 1), 3)
+    val evenSh = LlmPipeline.docShingleHashesOf(
+      docs.where(col("doc_id") % 2 === 0), 3)
+    val nA = oddSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val nB = evenSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+      .withColumnRenamed("doc_id", "corpus_id")
+    val brute = oddSh
+      .join(evenSh.toDF("corpus_id", "h"), Seq("h"))
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nA, Seq("doc_id")).join(nB, Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"),
+        min_by(col("n_shared"), col("corpus_id")).as("n_shared"),
+        min_by(col("jaccard"), col("corpus_id")).as("jaccard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == brute,
+      s"incremental banded verdicts diverge from brute:\n$got\nvs\n$brute")
+  }
+
+  test("dedup_minhash_incremental: foreachBatch micro-batches over persisted indexes == batch twin") {
+    import spark.implicits._
+    import graft.ops.LlmPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    // the static assets: built ONCE, persisted, reused by every batch
+    val bandIdx = LlmPipeline.minhashBandsOf(corpus).persist()
+    val shIdx = LlmPipeline.docShingleHashesOf(corpus, 3).persist()
+    val arriving = docs.where(col("doc_id") % 2 === 1)
+      .as[(Long, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Double)]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        LlmPipeline.scoreAgainstMinhashIndex(batch, bandIdx, shIdx)
+          .collect().foreach { r =>
+            acc.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          }
+      }
+      .queryName("t_minc").start()
+    arriving.grouped(math.max(1, arriving.length / 4 + 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    bandIdx.unpersist(); shIdx.unpersist()
+    val streamed = acc.toArray(Array.empty[(Long, Long, Long, Double)])
+      .sortBy(_._1).toSeq
+    val batchTwin = LlmPipeline.dedupMinhashIncremental(spark, sf01)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(batchTwin.nonEmpty, "vacuous: batch twin found no near-dups")
+    assert(streamed == batchTwin,
+      s"foreachBatch union differs from batch twin:\n$streamed\nvs\n$batchTwin")
+  }
+
   test("graph_kcore: broadcast peel path == shuffled fallback path (threshold 0)") {
     // threshold 0 forces EVERY round onto the shuffled anti-join form —
     // the path a low-degree flood takes at scale; cores must be identical

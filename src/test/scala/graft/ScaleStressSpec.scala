@@ -38,6 +38,9 @@ class ScaleStressSpec extends SparkSpec {
     ("analytics_audience_overlap", 40.0, 20.0),
     // r8: the incremental form rides the same capped index join
     ("dedup_containment_incremental", 40.0, 20.0),
+    // r9: the minhash twin — two index joins whose candidate volume
+    // tracks band-collision density, not corpus²
+    ("dedup_minhash_incremental", 40.0, 25.0),
     // r8 second wave: map-side canonicalize + one groupBy each
     ("dedup_url_canonical", 40.0, 20.0),
     ("text_repetition_ratio", 40.0, 20.0),
