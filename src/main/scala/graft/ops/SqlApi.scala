@@ -545,6 +545,145 @@ object SqlApi {
     """)
   }
 
+  /** TPC-H Q1 through the SQL front door — the pricing summary as the
+    * reference user writes it (agg_pricing_summary is the DataFrame
+    * twin, different column set): per-row cents snapping BEFORE every
+    * money sum (BIGINT, merge-order-exact), quantity summed as BIGINT,
+    * the one avg as exact-sum ÷ count in a single double divide. */
+  def sqlTpchQ1(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             sum(cast(l_quantity as bigint)) AS sum_qty,
+             sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) / 1e2 AS sum_base_price,
+             sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)) / 1e2 AS sum_disc_price,
+             sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) as bigint)) / 1e2 AS sum_charge,
+             cast(sum(cast(l_quantity as bigint)) as double) / count(*) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= timestamp '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """)
+  }
+
+  /** TPC-H Q6 — the forecasting-revenue scan: ONE pass, no join, the
+    * predicate trio (date range + discount band + quantity cap) must
+    * reach the parquet scan as pushed filters; a single global sum of
+    * per-row cents-snapped BIGINTs. */
+  def sqlTpchQ6(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT sum(cast(floor(l_extendedprice * l_discount * 100 + 0.5) as bigint)) / 1e2 AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '1997-01-01' AND l_shipdate < timestamp '1998-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24
+    """)
+  }
+
+  /** TPC-H Q8 (adapted to the fixture's flat p_type vocabulary and
+    * NATION_n names) — the market-share composite: an 8-table join
+    * with nation aliased TWICE (customer's nation chains to the region
+    * filter, supplier's nation is the share dimension), conditional and
+    * total cents sums in one aggregate, one double divide per year.
+    * The planner must keep both nation hops broadcast and derive the
+    * date/type filters into the scans. */
+  def sqlTpchQ8(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT o_year,
+             floor(1e6 * share_rev / total_rev + 0.5) / 1e6 AS mkt_share
+      FROM (
+        SELECT cast(year(o.o_orderdate) as bigint) AS o_year,
+               sum(CASE WHEN n2.n_name = 'NATION_1'
+                   THEN cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)
+                   ELSE cast(0 as bigint) END) AS share_rev,
+               sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)) AS total_rev
+        FROM part p
+        JOIN lineitem l  ON p.p_partkey = l.l_partkey
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+        JOIN region r    ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= timestamp '1995-01-01'
+          AND o.o_orderdate <  timestamp '1997-01-01'
+        GROUP BY year(o.o_orderdate)
+      )
+      ORDER BY o_year
+    """)
+  }
+
+  /** TPC-H Q13 (fixture carries no o_comment, so the NOT LIKE clause is
+    * dropped — the SHAPE is the point): customer order-count
+    * distribution via LEFT join + double grouping; count(o_orderkey)
+    * counts only matched rows, so no-order customers land in the
+    * c_count = 0 bucket instead of vanishing. Integer-exact end to
+    * end. */
+  def sqlTpchQ13(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+      )
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """)
+  }
+
+  /** TPC-H Q14 — promo revenue share: conditional vs total cents sums
+    * in ONE aggregate over the month's lineitem×part join (never two
+    * scans), one double divide, floor-rounded to 4 places in the
+    * identical operand order as the twin. */
+  def sqlTpchQ14(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT floor(1e2 * promo_rev / total_rev * 1e4 + 0.5) / 1e4 AS promo_revenue
+      FROM (
+        SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)
+                   ELSE cast(0 as bigint) END) AS promo_rev,
+               sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)) AS total_rev
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= timestamp '1997-09-01'
+          AND l.l_shipdate <  timestamp '1997-10-01'
+      )
+    """)
+  }
+
+  /** TPC-H Q15 — top supplier by quarter revenue: the revenue CTE is
+    * referenced twice (join probe + scalar max), the classic
+    * aggregate-then-argmax-by-subquery pattern; revenue keys stay
+    * BIGINT cents so the max-equality join is exact, divided to dollars
+    * only at presentation. */
+  def sqlTpchQ15(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1996-01-01'
+          AND l_shipdate <  timestamp '1996-04-01'
+        GROUP BY l_suppkey
+      )
+      SELECT s.s_suppkey, s.s_name, r.total_rev / 1e2 AS total_revenue
+      FROM supplier s
+      JOIN revenue r ON s.s_suppkey = r.supplier_no
+      WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+      ORDER BY s.s_suppkey
+    """)
+  }
+
   /** The recursion statement, shared with OracleSql up to the edge-table
     * source name — both engines run the identical loop. */
   def recursiveBfsCore(edges: String): String =

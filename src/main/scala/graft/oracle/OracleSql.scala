@@ -216,6 +216,83 @@ object OracleSql {
         "AND o.o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
 
+    // Q1: every money sum over per-row cents snaps; HUGEINT pinned
+    // ::BIGINT (pandas renders HUGEINT as object and the hash diverges);
+    // the one avg = exact sum ÷ count in a single double divide, same
+    // operand order as the Spark text
+    "sql_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "sum(l_quantity::BIGINT)::BIGINT AS sum_qty, " +
+        "sum((floor(l_extendedprice * 100 + 0.5))::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_base_price, " +
+        "sum((floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_disc_price, " +
+        "sum((floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5))::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_charge, " +
+        "sum(l_quantity::BIGINT)::BIGINT::DOUBLE / count(*) AS avg_qty, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
+    // Q6: one snapped global sum, no join
+    "sql_tpch_q6" ->
+      ("SELECT sum((floor(l_extendedprice * l_discount * 100 + 0.5))::BIGINT)" +
+        "::BIGINT::DOUBLE / 100.0 AS revenue " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+
+    // Q8: conditional + total cents sums, one double divide per year;
+    // year() is BIGINT here and cast(...as bigint) on the Spark side
+    "sql_tpch_q8" ->
+      ("SELECT o_year, floor(1e6 * share_rev / total_rev + 0.5) / 1e6 AS mkt_share FROM (" +
+        "SELECT year(o.o_orderdate) AS o_year, " +
+        "sum(CASE WHEN n2.n_name = 'NATION_1' " +
+        "THEN (floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))::BIGINT " +
+        "ELSE 0::BIGINT END) AS share_rev, " +
+        "sum((floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))::BIGINT) AS total_rev " +
+        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey " +
+        "JOIN region r ON n1.n_regionkey = r.r_regionkey " +
+        "JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey " +
+        "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey " +
+        "WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY' " +
+        "AND o.o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY year(o.o_orderdate)) ORDER BY o_year"),
+
+    // Q13 (no o_comment in the fixture → filterless shape): pure counts
+    "sql_tpch_q13" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c.c_custkey, count(o.o_orderkey) AS c_count " +
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "GROUP BY c.c_custkey) " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+
+    // Q14: promo share, identical operand order in the one divide
+    "sql_tpch_q14" ->
+      ("SELECT floor(1e2 * promo_rev / total_rev * 1e4 + 0.5) / 1e4 AS promo_revenue FROM (" +
+        "SELECT sum(CASE WHEN p.p_type = 'PROMO' " +
+        "THEN (floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))::BIGINT " +
+        "ELSE 0::BIGINT END) AS promo_rev, " +
+        "sum((floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))::BIGINT) AS total_rev " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' " +
+        "AND l.l_shipdate < TIMESTAMP '1997-10-01')"),
+
+    // Q15: BIGINT cents keys make the max-equality join exact
+    "sql_tpch_q15" ->
+      ("WITH revenue AS (" +
+        "SELECT l_suppkey AS supplier_no, " +
+        "sum((floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))::BIGINT)::BIGINT AS total_rev " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' " +
+        "GROUP BY l_suppkey) " +
+        "SELECT s.s_suppkey, s.s_name, r.total_rev::BIGINT::DOUBLE / 100.0 AS total_revenue " +
+        "FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no " +
+        "WHERE r.total_rev = (SELECT max(total_rev) FROM revenue) " +
+        "ORDER BY s.s_suppkey"),
+
     // Q18: integral quantities → BIGINT sums exact; totalprice cents snap
     "sql_tpch_q18" ->
       ("SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, " +
