@@ -579,6 +579,32 @@ class PlanSpec extends SparkSpec {
       s"correlated scalar subquery fell back to a nested loop:\n$plan")
   }
 
+  test("sql_tpch_q6: the predicate trio reaches the parquet scan; no join, no exchange beyond the global agg") {
+    // formatted explain prints the FULL PushedFilters list (the plan
+    // toString elides it past ~100 chars)
+    val plan = formatted(graft.ops.SqlApi.sqlTpchQ6(spark, sf01))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      plan.contains("LessThan(l_quantity,24.0)"),
+      s"Q6's predicate trio did not push to the scan:\n$plan")
+    assert(!plan.contains("Join"), s"single-table Q6 planned a join:\n$plan")
+  }
+
+  test("sql_tpch_q8: both nation hops and every dim broadcast; the only shuffles key the fact chain") {
+    val df = graft.ops.SqlApi.sqlTpchQ8(spark, sf01)
+    df.count() // finalize AQE
+    val nodes = org.apache.spark.sql.GraftBridge
+      .deepPlanNodes(df.queryExecution.executedPlan)
+    val bhj = nodes.count(_.nodeName.contains("BroadcastHashJoin"))
+    assert(bhj >= 5,
+      s"Q8 should broadcast its dim chain (nation x2, region, supplier, part); saw $bhj BHJs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q8 fell back to a nested loop:\n$plan")
+  }
+
   test("sql_tpch_q4/q22: outer-expression EXISTS and date-scoped NOT EXISTS both stay keyed joins") {
     val q4 = physical(graft.ops.SqlApi.sqlTpchQ4(spark, sf01))
     assert(q4.contains("LeftSemi") && !q4.contains("CartesianProduct") &&
