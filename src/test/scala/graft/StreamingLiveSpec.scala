@@ -114,6 +114,68 @@ abstract class StreamingLiveSpecBase extends SparkSpec with StateStoreVariant {
     assert(sunk > 0, "append-mode sink emitted no finalized windows")
   }
 
+  test("live ProcessingTime query restarts from its checkpoint: offsets resume, exactly-once windows") {
+    // The AvailableNow restart test proves state/watermark recovery; this
+    // one proves the same through the PROCESSING-TIME scheduler — the
+    // path a production feed actually takes when an executor rolls: run 1
+    // drains the first ts-ordered half under a live trigger and stops;
+    // run 2 restarts from the SAME checkpoint with the second half + a
+    // watermark-push sentinel. Offsets must resume (batch ids advance,
+    // nothing reprocessed), and the file sink's union must equal the
+    // batch twin with no window emitted twice.
+    val root = java.nio.file.Files.createTempDirectory("graft-live-ckpt").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val raw = graft.io.Tables.normalizeTs(
+      spark.read.parquet(s"$sf001/events.parquet"))
+    val batched = raw.withColumn("b",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    def runOnce(): Long = {
+      val stream = spark.readStream
+        .schema(graft.io.EventSource.storedSchema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val q = Streaming.tumblingTransform(
+        stream.withWatermark("ts", "10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      q.processAllAvailable()
+      val last = q.recentProgress.toSeq.map(_.batchId).maxOption.getOrElse(-1L)
+      q.stop()
+      last
+    }
+    batched.where(col("b") === 1).drop("b").coalesce(1)
+      .write.parquet(s"$in/half1")
+    val lastBatch1 = runOnce()
+    val firstRunRows = spark.read.parquet(out).count()
+    batched.where(col("b") === 2).drop("b").coalesce(1)
+      .write.parquet(s"$in/half2")
+    val maxTs = raw.agg(max(col("ts"))).head.getTimestamp(0)
+    raw.limit(1).select(
+      lit(-1L).as("event_id"),
+      (lit(maxTs) + expr("INTERVAL 5 DAYS")).cast("timestamp").as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .select(raw.columns.map(col).toIndexedSeq: _*)
+      .coalesce(1).write.parquet(s"$in/half3")
+    val lastBatch2 = runOnce()
+    assert(lastBatch2 > lastBatch1,
+      s"restart did not advance past the stored offset ($lastBatch1 -> $lastBatch2)")
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() > firstRunRows,
+      "restart emitted nothing — second half lost")
+    assert(sunk.groupBy(col("hour_start"), col("event_type")).count()
+      .where(col("count") > 1).count() == 0,
+      "a window emitted twice across the live restart")
+    assertSameRows(
+      sunk.orderBy(col("hour_start"), col("event_type")),
+      Streaming.streamTumbling1h(spark, sf001), "live-ckpt-recovery")
+  }
+
   test("live ProcessingTime chained agg: BOTH stateful stages report state in one query") {
     val dir = stageChunks(4)
     val agg = Streaming.chainedAggTransform(
