@@ -1427,6 +1427,73 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end INCREMENTAL corpus curation — the steady-state ingest
+    * pipeline composed from the arrival-shaped pieces, one verdict row
+    * per arriving document (odd doc_ids) against the existing corpus
+    * (even doc_ids): stage 1 gates on corpus-calibrated quality
+    * (Gopher-style ratios + the corpus's 5%/95% word-count band — the
+    * bounds are a property of the CORPUS, broadcast as one row, so an
+    * arriving batch of any size cannot shift its own acceptance bar);
+    * stage 2 drops exact copies against the corpus digest index (32-byte
+    * keys, min corpus id as dup_of); stage 3 scores only the survivors
+    * against the minhash band + shingle indexes
+    * ([[scoreAgainstMinhashIndex]]); everything left is accepted.
+    * verdict ∈ rejected_quality | dup_exact | dup_near | accepted.
+    *
+    * Scale: staging order is the cost argument (the cascade's
+    * gate-before-shuffle rule) — the map-side quality gate and the
+    * digest anti join thin the batch before the only expensive stage
+    * (band collisions) runs; every corpus-side asset (bounds row, digest
+    * index, band index, shingle index) is a once-built persisted/bucketed
+    * table, so steady-state ingest cost is ∝ batch, never corpus².
+    * Oracle-exempt (murmur3 banding in stage 3); Round9Spec pins the
+    * verdict partition against independently recomputed stages. */
+  def pipelineIncrementalCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val arriving = docs.where(col("doc_id") % 2 === 1)
+    val words = split(col("text"), " ")
+    val corpusBounds = corpus.select(size(words).as("n_words"))
+      .agg(percentile(col("n_words"), lit(0.05)).as("lo"),
+        percentile(col("n_words"), lit(0.95)).as("hi"))
+    val digestIdx = corpus
+      .select(sha2(col("text"), 256).as("digest"), col("doc_id"))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("exact_of"))
+    val graded = arriving.select(col("doc_id"), col("text"),
+        size(words).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("n_letters"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.rlike("^[a-z]+$"))).as("n_alpha"))
+      .crossJoin(broadcast(corpusBounds))
+      .withColumn("q_ok",
+        col("n_words") >= col("lo") && col("n_words") <= col("hi") &&
+          col("n_letters").cast("double") / col("n_words") >= 3.0 &&
+          col("n_letters").cast("double") / col("n_words") <= 10.0 &&
+          col("n_distinct").cast("double") / col("n_words") >= 0.2 &&
+          col("n_alpha").cast("double") / col("n_words") >= 0.8)
+      .persist()
+    val qFail = graded.where(!col("q_ok"))
+      .select(col("doc_id"), lit("rejected_quality").as("verdict"),
+        lit(null).cast("long").as("dup_of"))
+    val withDigest = graded.where(col("q_ok"))
+      .select(col("doc_id"), col("text"),
+        sha2(col("text"), 256).as("digest"))
+    val exact = withDigest.join(digestIdx, Seq("digest"))
+      .select(col("doc_id"), lit("dup_exact").as("verdict"),
+        col("exact_of").as("dup_of"))
+    val exactSurv = withDigest.join(digestIdx, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    val near = scoreAgainstMinhashIndex(exactSurv,
+      minhashBandsOf(corpus), docShingleHashesOf(corpus, 3))
+      .select(col("doc_id"), lit("dup_near").as("verdict"), col("dup_of"))
+    val accepted = exactSurv
+      .join(near.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("accepted").as("verdict"),
+        lit(null).cast("long").as("dup_of"))
+    qFail.unionByName(exact).unionByName(near).unionByName(accepted)
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash of whitespace words, JVM-side: per word the SAME
     * xxhash64 (seed 42) Spark's `xxhash64` expression computes, +1/-1 per
     * bit position summed over words, sign → signature bit. A Catalyst

@@ -191,6 +191,66 @@ class Round9Spec extends SparkSpec {
       s"foreachBatch union differs from batch twin:\n$streamed\nvs\n$batchTwin")
   }
 
+  test("pipeline_incremental_curate: verdicts partition the batch and every stage matches independent recomputation") {
+    import graft.ops.LlmPipeline
+    val docs = graft.io.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+    val arriving = docs.where(col("doc_id") % 2 === 1)
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val out = LlmPipeline.pipelineIncrementalCurate(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // exactly one verdict per arriving doc
+    assert(out.map(_._1).toSet == arriving.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet,
+      "verdicts do not partition the arriving batch")
+    val byVerdict = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byVerdict.getOrElse("accepted", Set()).nonEmpty &&
+      byVerdict.getOrElse("rejected_quality", Set()).nonEmpty,
+      s"vacuous stage split: ${byVerdict.view.mapValues(_.size).toMap}")
+    // stage 1: quality bar recomputed independently (corpus bounds,
+    // Gopher ratios) — the rejected set must match exactly
+    val w = split(col("text"), " ")
+    val b = corpus.select(size(w).as("n"))
+      .agg(percentile(col("n"), lit(0.05)).as("lo"),
+        percentile(col("n"), lit(0.95)).as("hi")).collect()(0)
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val expectReject = arriving.select(col("doc_id"),
+        size(w).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("n_letters"),
+        size(array_distinct(w)).as("n_distinct"),
+        size(filter(w, x => x.rlike("^[a-z]+$"))).as("n_alpha"))
+      .where(!(col("n_words") >= lo && col("n_words") <= hi &&
+        col("n_letters").cast("double") / col("n_words") >= 3.0 &&
+        col("n_letters").cast("double") / col("n_words") <= 10.0 &&
+        col("n_distinct").cast("double") / col("n_words") >= 0.2 &&
+        col("n_alpha").cast("double") / col("n_words") >= 0.8))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(byVerdict.getOrElse("rejected_quality", Set()) == expectReject,
+      "quality stage diverges from independent recomputation")
+    // stage 2: exact dups = digest intersection of the quality survivors
+    val expectExact = arriving.withColumn("digest", sha2(col("text"), 256))
+      .join(corpus.select(sha2(col("text"), 256).as("digest")).distinct(),
+        Seq("digest"), "left_semi")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      .diff(expectReject)
+    assert(byVerdict.getOrElse("dup_exact", Set()) == expectExact,
+      "exact stage diverges from the digest intersection")
+    // stage 3: near dups = the standalone incremental minhash verdicts,
+    // restricted to docs that survived stages 1–2; dup_of must agree
+    // (the index-scored verdict of a doc is independent of its batch)
+    val mingled = LlmPipeline.dedupMinhashIncremental(spark, sf01)
+      .select(col("doc_id"), col("dup_of")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectNear = mingled.keySet.diff(expectReject).diff(expectExact)
+    assert(byVerdict.getOrElse("dup_near", Set()) == expectNear,
+      "near stage diverges from the standalone minhash verdicts")
+    val gotNearDup = out.filter(_._2 == "dup_near")
+      .map(t => t._1 -> t._3).toMap
+    assert(expectNear.forall(id => gotNearDup(id) == mingled(id)),
+      "dup_of diverges from the standalone minhash verdicts")
+  }
+
   test("graph_kcore: broadcast peel path == shuffled fallback path (threshold 0)") {
     // threshold 0 forces EVERY round onto the shuffled anti-join form —
     // the path a low-degree flood takes at scale; cores must be identical
