@@ -99,7 +99,13 @@ object ScaleStress {
     // densified set — these must hold a near-linear ratio where their
     // exact twins measure ~15× per 10×
     "graph_triangle_approx",
-    "graph_adamic_adar_approx", "graph_clustering_coeff_approx")
+    "graph_adamic_adar_approx", "graph_clustering_coeff_approx",
+    // r9 arrival-shaped ops: index joins whose cost tracks batch size ×
+    // collision density; the curate composition gates before the band
+    // join. knn_filtered re-enters after the cogroup rewrite — its
+    // stratum shard count must grow with the replicated label strata.
+    "dedup_minhash_incremental", "pipeline_incremental_curate",
+    "knn_filtered")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

@@ -251,6 +251,28 @@ class Round9Spec extends SparkSpec {
       "dup_of diverges from the standalone minhash verdicts")
   }
 
+  test("arrival-shaped scorers are total on empty batches and empty indexes") {
+    // A quiet ingest tick (zero arriving docs) and a cold-start corpus
+    // (empty indexes) are both normal production states — the scorers
+    // must return empty frames, not throw on empty aggregates/joins.
+    import spark.implicits._
+    import graft.ops.LlmPipeline
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val corpus = graft.io.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    assert(LlmPipeline.scoreAgainstMinhashIndex(empty,
+      LlmPipeline.minhashBandsOf(corpus),
+      LlmPipeline.docShingleHashesOf(corpus, 3)).count() == 0,
+      "minhash scorer emitted rows for an empty batch")
+    assert(LlmPipeline.scoreAgainstIndex(empty,
+      LlmPipeline.containmentIndexOf(corpus)).count() == 0,
+      "containment scorer emitted rows for an empty batch")
+    assert(LlmPipeline.scoreAgainstMinhashIndex(corpus.limit(5),
+      LlmPipeline.minhashBandsOf(empty),
+      LlmPipeline.docShingleHashesOf(empty, 3)).count() == 0,
+      "cold-start (empty index) should score no partners")
+  }
+
   test("graph_kcore: broadcast peel path == shuffled fallback path (threshold 0)") {
     // threshold 0 forces EVERY round onto the shuffled anti-join form —
     // the path a low-degree flood takes at scale; cores must be identical
