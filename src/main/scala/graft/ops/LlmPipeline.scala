@@ -944,6 +944,75 @@ object LlmPipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental SEMANTIC dedup — the third modality of the
+    * arrival-shaped family (exact digests → [[dedupIncremental]],
+    * lexical near-dup → [[dedupMinhashIncremental]], embeddings →
+    * here): arriving vectors (odd vec_ids) are scored ONLY against the
+    * existing corpus's persisted sign-LSH CELL INDEX (even vec_ids) —
+    * candidates are cell-key collisions (ids only), the exact cosine
+    * re-attaches both embeddings by hash join against the vector table
+    * (graft_dot, the [[knnLshJoined]] shape — ZERO broadcast/collect in
+    * this path), and each arriving vector reports its smallest corpus
+    * partner ≥ 0.3. Bits-per-table sizes off the CORPUS occupancy (a
+    * property of the index, not the batch). Precision is 1 by
+    * construction (every verdict is exact-rescored); recall is the LSH
+    * collision curve — ~1 in the near-duplicate regime dedup targets,
+    * pinned on synthetic near-identical vectors; ingest cost ∝ batch ×
+    * collision density, never corpus². Oracle-exempt (hyperplane LSH);
+    * Round9Spec pins precision vs brute + high-cosine recall. */
+  def dedupEmbeddingIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    dedupEmbeddingIncrementalCore(s,
+      all.where(col("vec_id") % 2 === 0),
+      all.where(col("vec_id") % 2 === 1), 0.3)
+  }
+
+  private[graft] def dedupEmbeddingIncrementalCore(
+      s: SparkSession, corpus: DataFrame, arriving: DataFrame,
+      threshold: Double): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    val nCorpus = corpus.count()
+    val k = math.min(24, math.max(4,
+      (math.log(math.max(1L, nCorpus).toDouble / 64) / math.log(2)).ceil.toInt))
+    val nTables = 6
+    val planes = Array.tabulate(nTables * k, 64)((p, i) => math.sin(p * 64 + i))
+    def cellsOf(v: DataFrame): DataFrame = v
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        (0 until nTables).iterator.map { t =>
+          var bits = 0L
+          var h = 0
+          while (h < k) {
+            val w = planes(t * k + h)
+            var proj = 0.0
+            var i = 0
+            while (i < 64 && i < emb.length) { proj += emb(i) * w(i); i += 1 }
+            if (proj >= 0) bits |= (1L << h)
+            h += 1
+          }
+          ((t.toLong << 32) | bits, id)
+        }
+      }.toDF("cell", "vid")
+    // the persisted asset: (cell, corpus_id) — ids only, bucketed on
+    // cell at scale
+    val idx = cellsOf(corpus).toDF("cell", "corpus_id")
+    val cand = cellsOf(arriving).toDF("cell", "vec_id")
+      .join(idx, Seq("cell"))
+      .select(col("vec_id"), col("corpus_id")).distinct()
+    cand
+      .join(corpus.toDF("corpus_id", "b_emb"), "corpus_id")
+      .join(arriving.toDF("vec_id", "a_emb"), "vec_id")
+      .select(col("vec_id"), col("corpus_id"),
+        (floor(expr("graft_dot(a_emb, b_emb)") * 10000 + 0.5) / 10000)
+          .as("score"))
+      .where(col("score") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("corpus_id")).as("dup_of"),
+        min_by(col("score"), col("corpus_id")).as("dup_score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The SCALE path for embedding dedup — [[dedupEmbeddingCosine]]'s
     * verdict rule (dup_of = min earlier id with cosine ≥ 0.3) computed
     * over sign-LSH bucket candidates instead of all pairs. Bucket rows

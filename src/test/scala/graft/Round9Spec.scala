@@ -251,6 +251,54 @@ class Round9Spec extends SparkSpec {
       "dup_of diverges from the standalone minhash verdicts")
   }
 
+  test("dedup_embedding_incremental: precision 1 vs brute arrival-vs-corpus; recall ~1 on near-identical vectors") {
+    import spark.implicits._
+    import graft.ops.LlmPipeline
+    // precision on the fixture: every verdict's score must equal the
+    // brute cosine for that exact pair, and the pair must clear 0.3
+    val got = LlmPipeline.dedupEmbeddingIncremental(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "vacuous: no arrival-vs-corpus pair >= 0.3 at sf0.001")
+    val emb = graft.io.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s0 = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s0 += a(i).toDouble * b(i); i += 1 }
+      math.floor(s0 * 10000 + 0.5) / 10000.0
+    }
+    got.foreach { case (a, b, sc) =>
+      assert(b % 2 == 0 && a % 2 == 1, s"verdict pair ($a, $b) crosses the split wrong way")
+      assert(cos(emb(a), emb(b)) == sc && sc >= 0.3,
+        s"reported score $sc for ($a, $b) diverges from brute ${cos(emb(a), emb(b))}")
+    }
+    // recall in the regime dedup targets: corpus = 40 deterministic unit
+    // vectors (even ids), arriving = the same vectors barely perturbed
+    // (odd ids) — near-identical pairs collide in EVERY LSH table, so
+    // each arriving vector must report its source as dup_of
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 40).map(i => (i * 2L, unit()))
+    val near = base.map { case (id, v) =>
+      val w = v.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f)
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum).toFloat
+      (id + 1, w.map(_ / n))
+    }
+    val corpusDf = base.toDF("vec_id", "embedding")
+    val arrivingDf = near.toDF("vec_id", "embedding")
+    val syn = LlmPipeline
+      .dedupEmbeddingIncrementalCore(spark, corpusDf, arrivingDf, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(near.forall { case (id, _) => syn.get(id).contains(id - 1) },
+      s"near-identical recall broke: ${near.map(_._1).filterNot(id => syn.get(id).contains(id - 1))}")
+  }
+
   test("arrival-shaped scorers are total on empty batches and empty indexes") {
     // A quiet ingest tick (zero arriving docs) and a cold-start corpus
     // (empty indexes) are both normal production states — the scorers

@@ -44,6 +44,8 @@ class ScaleStressSpec extends SparkSpec {
     // r9: the composed ingest pipeline — its stages thin the batch
     // before the band join, so the whole composition is gated linear
     ("pipeline_incremental_curate", 40.0, 30.0),
+    // r9: semantic arrival dedup — cell-index join + id-keyed rescore
+    ("dedup_embedding_incremental", 40.0, 25.0),
     // r8 second wave: map-side canonicalize + one groupBy each
     ("dedup_url_canonical", 40.0, 20.0),
     ("text_repetition_ratio", 40.0, 20.0),
