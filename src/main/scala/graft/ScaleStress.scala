@@ -105,7 +105,7 @@ object ScaleStress {
     // join. knn_filtered re-enters after the cogroup rewrite — its
     // stratum shard count must grow with the replicated label strata.
     "dedup_minhash_incremental", "pipeline_incremental_curate",
-    "knn_filtered")
+    "knn_filtered", "dedup_embedding_incremental")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(
