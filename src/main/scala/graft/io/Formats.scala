@@ -315,13 +315,22 @@ object Formats {
     // (HDFS/S3A) the driver-side binaryFile listing reads from, so the
     // stage→scan loop is distributed-correct, not a local-mode accident
     // (the r8 form wrote via java.nio to java.io.tmpdir, which only a
-    // single-machine session can read back).
+    // single-machine session can read back). The SESSION's Hadoop conf
+    // ships into the closure (SerializableConfiguration) — a bare
+    // `new Configuration()` on executors would drop spark.hadoop.*
+    // credentials/endpoints and mis-resolve the scheme.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    // dir created DRIVER-side so an all-empty-partitions frame (empty
+    // documents table) still yields a listable, empty staging dir
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(serConf.value)
+      .mkdirs(new org.apache.hadoop.fs.Path(dir))
     docs.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          val conf = new org.apache.hadoop.conf.Configuration()
           val base = new org.apache.hadoop.fs.Path(dir)
-          val fs = base.getFileSystem(conf)
+          val fs = base.getFileSystem(serConf.value)
           // Scheme dispatch: on a shared store (HDFS/S3A) every payload
           // goes through the Hadoop FS API so driver-side listing sees
           // what executors wrote; when the path resolves to file:// the

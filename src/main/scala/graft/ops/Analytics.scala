@@ -753,8 +753,12 @@ object Analytics {
   private val WedgeBudgetPerEdge = 8.0
 
   private[ops] def adaptiveK(deg: DataFrame, m: Long): Long = {
-    val w2 = deg.agg(sum(col("deg") * (col("deg") - lit(1L))).as("w2"))
-      .collect()(0).getLong(0)
+    // sum() over an EMPTY degree table is NULL, not 0 — an edgeless
+    // graph (no pair co-ordered twice) must fall to the floor rate,
+    // not NPE, where the exact twins cleanly return zero counts
+    val row = deg.agg(sum(col("deg") * (col("deg") - lit(1L))).as("w2"))
+      .collect()(0)
+    val w2 = if (row.isNullAt(0)) 0L else row.getLong(0)
     val wedges = w2 / 2.0
     math.max(2L,
       math.ceil(math.sqrt(wedges / (WedgeBudgetPerEdge * math.max(1L, m))))

@@ -145,6 +145,17 @@ object LlmPipeline {
     * are ONE one-row aggregate broadcast back (BNLJ whitelisted in
     * PlanSpec) — at extreme cardinality approx_percentile drops in
     * unchanged, the [[graft.ops.Quant]] pareto_approx precedent. */
+  /** The ONE set of Gopher-rule thresholds shared by
+    * [[corpusQualityFilter]], [[pipelineIncrementalCurate]] and their
+    * spec recomputations — the rule EXPRESSIONS stay spelled per-op
+    * (the filter op thresholds its Det-rounded presentation ratios,
+    * the pipeline its raw ones; the oracle hashes the former), but a
+    * threshold tweak now reaches every consumer or none. */
+  private[graft] val QualityWlenMin = 3.0
+  private[graft] val QualityWlenMax = 10.0
+  private[graft] val QualityDistinctMin = 0.2
+  private[graft] val QualityAlphaMin = 0.8
+
   def corpusQualityFilter(s: SparkSession, d: String): DataFrame = {
     val words = split(col("text"), " ")
     val base = Tables.documents(s, d).select(
@@ -169,9 +180,10 @@ object LlmPipeline {
           .as("ok_words"),
         col("lo"), col("hi"))
       .withColumn("ok_wlen",
-        col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
-      .withColumn("ok_distinct", col("distinct_ratio") >= 0.2)
-      .withColumn("ok_alpha", col("alpha_ratio") >= 0.8)
+        col("mean_wlen") >= QualityWlenMin &&
+          col("mean_wlen") <= QualityWlenMax)
+      .withColumn("ok_distinct", col("distinct_ratio") >= QualityDistinctMin)
+      .withColumn("ok_alpha", col("alpha_ratio") >= QualityAlphaMin)
       .withColumn("keep",
         col("ok_words") && col("ok_wlen") && col("ok_distinct") &&
           col("ok_alpha"))
@@ -527,7 +539,11 @@ object LlmPipeline {
       s: SparkSession, d: String, nCells: Int): Array[(Long, Array[Float])] = {
     import s.implicits._
     val seeds = vecs(s, d)
-      .groupByKey { case (id, _) => math.floorMod(id, nCells.toLong) }
+      .groupByKey { case (id, _) =>
+        // hash-mixed buckets: strided id layouts would collapse raw
+        // floorMod onto few buckets and starve the seed set
+        math.floorMod(scala.util.hashing.byteswap64(id), nCells.toLong)
+      }
       .reduceGroups((a, b) => if (a._1 <= b._1) a else b)
       .map { case (cell, (_, e)) => (cell, e) }
       .collect().sortBy(_._1)
@@ -813,7 +829,11 @@ object LlmPipeline {
       .as[(Long, Array[Float], Int, Long)]
     val shards = sized
       .map { case (id, e, l, pl) =>
-        ((l, math.floorMod(id, pl).toInt), id, e)
+        // hash before the mod: structured id spacing (strided/offset
+        // replication) would collapse a raw floorMod onto few shards,
+        // blowing the per-shard row budget while queries still fan out
+        ((l, math.floorMod(scala.util.hashing.byteswap64(id), pl).toInt),
+          id, e)
       }
       .groupByKey(_._1)
     val queries = sized
@@ -859,7 +879,11 @@ object LlmPipeline {
     import s.implicits._
     val p = s.sparkContext.defaultParallelism
     val shards = vecs(s, d)
-      .map { case (id, e) => (math.floorMod(id, p.toLong).toInt, id, e) }
+      .map { case (id, e) =>
+        // byteswap64 mix: raw id mod collapses under strided id layouts
+        (math.floorMod(scala.util.hashing.byteswap64(id), p.toLong).toInt,
+          id, e)
+      }
       .groupByKey(_._1)
     val queries = vecs(s, d)
       .flatMap { case (id, e) => Iterator.range(0, p).map(sh => (sh, id, e)) }
@@ -1392,16 +1416,26 @@ object LlmPipeline {
       .repartition(s.sparkContext.defaultParallelism)
       .flatMap { case (id, text) =>
         val sh = shingleSet(text)
-        val mh = Array.tabulate(nHash) { k =>
-          var m = Int.MaxValue
-          sh.foreach { sg =>
-            val h = scala.util.hashing.MurmurHash3.stringHash(sg, k)
-            if (h < m) m = h
+        // <3-token docs have NO shingles: without this guard they all
+        // share the identical all-Int.MaxValue signature and band-join
+        // into an |short|² candidate clique the verifier then discards
+        // (the same degenerate-key class as the r8 sample-hash bug) —
+        // a shingle-less doc can never clear a Jaccard threshold, so
+        // it simply emits no band rows
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val mh = Array.tabulate(nHash) { k =>
+            var m = Int.MaxValue
+            sh.foreach { sg =>
+              val h = scala.util.hashing.MurmurHash3.stringHash(sg, k)
+              if (h < m) m = h
+            }
+            m
           }
-          m
-        }
-        (0 until 4).map { b =>
-          (id, b, s"${mh(b * 4)}_${mh(b * 4 + 1)}_${mh(b * 4 + 2)}_${mh(b * 4 + 3)}")
+          (0 until 4).iterator.map { b =>
+            (id, b,
+              s"${mh(b * 4)}_${mh(b * 4 + 1)}_${mh(b * 4 + 2)}_${mh(b * 4 + 3)}")
+          }
         }
       }.toDF("doc_id", "band", "key")
   }
@@ -1519,8 +1553,13 @@ object LlmPipeline {
     * verdict partition against independently recomputed stages. */
   def pipelineIncrementalCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val corpus = docs.where(col("doc_id") % 2 === 0)
-    val arriving = docs.where(col("doc_id") % 2 === 1)
+    pipelineIncrementalCurateCore(s,
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+  }
+
+  private[graft] def pipelineIncrementalCurateCore(
+      s: SparkSession, corpus: DataFrame, arriving: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val corpusBounds = corpus.select(size(words).as("n_words"))
       .agg(percentile(col("n_words"), lit(0.05)).as("lo"),
@@ -1528,6 +1567,11 @@ object LlmPipeline {
     val digestIdx = corpus
       .select(sha2(col("text"), 256).as("digest"), col("doc_id"))
       .groupBy(col("digest")).agg(min(col("doc_id")).as("exact_of"))
+    // The word-count band is CORPUS-calibrated — on a cold start (empty
+    // corpus) the percentiles are NULL and the band must pass, not
+    // poison the conjunction to NULL (which made every first-batch doc
+    // vanish from BOTH filter branches, violating the one-verdict-per-
+    // doc contract); the absolute Gopher ratios still judge.
     val graded = arriving.select(col("doc_id"), col("text"),
         size(words).as("n_words"),
         length(regexp_replace(col("text"), " ", "")).as("n_letters"),
@@ -1535,11 +1579,12 @@ object LlmPipeline {
         size(filter(words, w => w.rlike("^[a-z]+$"))).as("n_alpha"))
       .crossJoin(broadcast(corpusBounds))
       .withColumn("q_ok",
-        col("n_words") >= col("lo") && col("n_words") <= col("hi") &&
-          col("n_letters").cast("double") / col("n_words") >= 3.0 &&
-          col("n_letters").cast("double") / col("n_words") <= 10.0 &&
-          col("n_distinct").cast("double") / col("n_words") >= 0.2 &&
-          col("n_alpha").cast("double") / col("n_words") >= 0.8)
+        (col("lo").isNull ||
+          (col("n_words") >= col("lo") && col("n_words") <= col("hi"))) &&
+          col("n_letters").cast("double") / col("n_words") >= QualityWlenMin &&
+          col("n_letters").cast("double") / col("n_words") <= QualityWlenMax &&
+          col("n_distinct").cast("double") / col("n_words") >= QualityDistinctMin &&
+          col("n_alpha").cast("double") / col("n_words") >= QualityAlphaMin)
       .persist()
     val qFail = graded.where(!col("q_ok"))
       .select(col("doc_id"), lit("rejected_quality").as("verdict"),

@@ -319,6 +319,18 @@ class Round9Spec extends SparkSpec {
       LlmPipeline.minhashBandsOf(empty),
       LlmPipeline.docShingleHashesOf(empty, 3)).count() == 0,
       "cold-start (empty index) should score no partners")
+    // the composed pipeline on a COLD START: null percentile bounds
+    // must not poison the quality conjunction — every first-batch doc
+    // still gets exactly one verdict (judged by the absolute rules)
+    val firstBatch = corpus.limit(7)
+    val cold = LlmPipeline
+      .pipelineIncrementalCurateCore(spark, empty, firstBatch).collect()
+    assert(cold.map(_.getLong(0)).toSet ==
+      firstBatch.select(col("doc_id")).collect().map(_.getLong(0)).toSet,
+      "cold-start curate lost documents (null-bounds conjunction)")
+    assert(cold.forall(r =>
+      r.getString(1) == "accepted" || r.getString(1) == "rejected_quality"),
+      "cold-start verdicts can only be accepted/rejected_quality")
   }
 
   test("graph_kcore: broadcast peel path == shuffled fallback path (threshold 0)") {
