@@ -105,7 +105,12 @@ object ScaleStress {
     // join. knn_filtered re-enters after the cogroup rewrite — its
     // stratum shard count must grow with the replicated label strata.
     "dedup_minhash_incremental", "pipeline_incremental_curate",
-    "knn_filtered", "dedup_embedding_incremental")
+    "knn_filtered", "dedup_embedding_incremental",
+    // r9 SQL front-door composites: the scan trio (q6), the 8-table
+    // market share (q8), the LEFT-join distribution (q13) and the
+    // twice-referenced CTE (q15) each have distinct plan-shape stakes
+    "sql_tpch_q1", "sql_tpch_q6", "sql_tpch_q8", "sql_tpch_q13",
+    "sql_tpch_q14", "sql_tpch_q15")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(
