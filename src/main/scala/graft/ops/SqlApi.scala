@@ -684,6 +684,196 @@ object SqlApi {
     """)
   }
 
+  /** TPC-H Q2 (the fixture has no partsupp table, so the part–supplier
+    * cost relation derives from lineitem: a supplier's "cost" for a part
+    * = the min cents-snapped extendedprice it ever shipped that part at
+    * — BIGINT, so the min-equality is exact) — the MIN-COST-SUPPLIER
+    * correlation stress, the canonical Q2 shape: the cost CTE is
+    * referenced twice (outer probe + correlated min), and the correlated
+    * scalar subquery repeats the full supplier→nation→region dim chain
+    * inside the correlation. Catalyst must decorrelate the min into ONE
+    * aggregate over the region-filtered cost relation keyed on partkey
+    * joined back — never a per-part re-scan — and broadcast every dim
+    * hop on both sides. Top-100 by snapped balance, total order. */
+  def sqlTpchQ2(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) AS cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+      )
+      SELECT floor(s2.s_acctbal * 100 + 0.5) / 1e2 AS s_acctbal,
+             s2.s_name, n.n_name, p.p_partkey, p.p_name,
+             ps.cost / 1e2 AS supplycost
+      FROM part p
+      JOIN ps          ON p.p_partkey = ps.l_partkey
+      JOIN supplier s2 ON s2.s_suppkey = ps.l_suppkey
+      JOIN nation n    ON s2.s_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size <= 10 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+        AND ps.cost = (
+          SELECT min(ps2.cost)
+          FROM ps ps2
+          JOIN supplier s3 ON s3.s_suppkey = ps2.l_suppkey
+          JOIN nation n2   ON s3.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100
+    """)
+  }
+
+  /** TPC-H Q9 (fixture has no ps_supplycost; unit cost = the part's
+    * cents-snapped retail price, so profit = revenue cents − retail
+    * cents × integral quantity, exact BIGINT per row) — the
+    * profit-by-nation-and-year composite: a 5-table join whose part
+    * filter is a substring LIKE (un-pushable beyond the part scan), the
+    * supplier nation as the grouping dim, year extraction on the order
+    * date. The planner must start the join tree from the LIKE-filtered
+    * part side or the fact chain — never cross the dims — and the
+    * per-(nation, year) sums stay BIGINT to the final divide. */
+  def sqlTpchQ9(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT nation, o_year, sum(amount) / 1e2 AS sum_profit
+      FROM (
+        SELECT n.n_name AS nation,
+               cast(year(o.o_orderdate) as bigint) AS o_year,
+               cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) as bigint)
+                 - cast(floor(p.p_retailprice * 100 + 0.5) as bigint)
+                   * cast(l.l_quantity as bigint) AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s2.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+      )
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC
+    """)
+  }
+
+  /** TPC-H Q11 (no partsupp: a nation's "stock value" per part = the
+    * cents-snapped extendedprice its suppliers shipped) — the
+    * IMPORTANT-STOCK shape: group per part, HAVING against a scalar
+    * subquery over the same scoped relation. TPC-H's fixed 0.0001/SF
+    * fraction breaks on a fixed-text query (per-part share shrinks as
+    * |parts| grows), so the threshold is SELF-SCALING: a part qualifies
+    * when its value exceeds 2× the scoped MEAN part value, expressed as
+    * an exact integer cross-multiply — sum·|parts| > 2·total — via TWO
+    * uncorrelated scalar subqueries (count distinct + total), which
+    * Catalyst folds to one-row broadcasts; no double ever carries an
+    * accumulated sum, so the boundary part cannot flip between
+    * engines. */
+  def sqlTpchQ11(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      WITH scoped AS (
+        SELECT l.l_partkey,
+               cast(floor(l.l_extendedprice * 100 + 0.5) as bigint) AS cents
+        FROM lineitem l
+        JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey
+        JOIN nation n    ON s2.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+      )
+      SELECT l_partkey AS ps_partkey, sum(cents) / 1e2 AS value
+      FROM scoped
+      GROUP BY l_partkey
+      HAVING sum(cents) * (SELECT count(DISTINCT l_partkey) FROM scoped) >
+             2 * (SELECT sum(cents) FROM scoped)
+      ORDER BY value DESC, ps_partkey
+    """)
+  }
+
+  /** TPC-H Q12 (fixture has no l_shipmode/commitdate/receiptdate:
+    * "late" = shipped over 90 days after the order date, and the
+    * return flag stands in as the shipment class) — the
+    * conditional-count shape: one orders×lineitem join with the year
+    * window pushed into the lineitem scan, CASE-WHEN priority splits
+    * summed in ONE aggregate (never two scans), exact integers end to
+    * end. */
+  def sqlTpchQ12(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT l.l_returnflag AS ship_class,
+             sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS high_line_count,
+             sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS low_line_count
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+        AND l.l_shipdate >= timestamp '1997-01-01'
+        AND l.l_shipdate <  timestamp '1998-01-01'
+      GROUP BY l.l_returnflag
+      ORDER BY ship_class
+    """)
+  }
+
+  /** TPC-H Q16 (part–supplier pairs derive from lineitem; the
+    * "complaints" exclusion list = suppliers with negative balance) —
+    * the DISTINCT-COUNT + NOT-IN shape: count distinct suppliers per
+    * (brand, type, size) bucket over the join, excluding one brand, one
+    * type, a size IN-list, and a NOT IN subquery that must plan as a
+    * null-aware anti join (s_suppkey is non-nullable here, so a plain
+    * LeftAnti) — never a nested loop. The distinct aggregate forces the
+    * two-phase plan: dedup on (brand, type, size, suppkey), then
+    * count. */
+  def sqlTpchQ16(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT p.p_brand, p.p_type, p.p_size,
+             count(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#5'
+        AND p.p_type <> 'PROMO'
+        AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      GROUP BY p.p_brand, p.p_type, p.p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """)
+  }
+
+  /** TPC-H Q20 (no partsupp availqty: a supplier has "excess stock" of
+    * a part when it shipped MORE THAN HALF of that part's total 1997
+    * quantity) — the nested-IN + correlated-HAVING shape, the second
+    * hardest decorrelation after Q21: the inner IN filters parts by a
+    * prefix LIKE, the per-(supplier, part) group's HAVING compares
+    * against a scalar subquery CORRELATED on the group key (l_partkey),
+    * which Catalyst must decorrelate into one per-part aggregate joined
+    * back on partkey — and the outer IN becomes a semi join to the
+    * supplier dim. Quantities are integral doubles → BIGINT sums, and
+    * the half threshold is the exact integer cross-multiply 2·sum >
+    * total. */
+  def sqlTpchQ20(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT s2.s_name, n.n_name
+      FROM supplier s2
+      JOIN nation n ON s2.s_nationkey = n.n_nationkey
+      WHERE s2.s_suppkey IN (
+        SELECT l1.l_suppkey
+        FROM lineitem l1
+        WHERE l1.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l1.l_shipdate >= timestamp '1997-01-01'
+          AND l1.l_shipdate <  timestamp '1998-01-01'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING sum(cast(l1.l_quantity as bigint)) * 2 > (
+          SELECT sum(cast(l2.l_quantity as bigint))
+          FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey
+            AND l2.l_shipdate >= timestamp '1997-01-01'
+            AND l2.l_shipdate <  timestamp '1998-01-01'))
+      ORDER BY s_name
+    """)
+  }
+
   /** The recursion statement, shared with OracleSql up to the edge-table
     * source name — both engines run the identical loop. */
   def recursiveBfsCore(edges: String): String =

@@ -293,6 +293,97 @@ object OracleSql {
         "WHERE r.total_rev = (SELECT max(total_rev) FROM revenue) " +
         "ORDER BY s.s_suppkey"),
 
+    // Q2 (lineitem-derived cost relation): BIGINT min-cost keys make the
+    // correlated-min equality exact; balance snapped for the hash
+    "sql_tpch_q2" ->
+      ("WITH ps AS (SELECT l_partkey, l_suppkey, " +
+        "min((floor(l_extendedprice * 100 + 0.5))::BIGINT) AS cost " +
+        "FROM lineitem GROUP BY l_partkey, l_suppkey) " +
+        "SELECT floor(s2.s_acctbal * 100 + 0.5) / 100.0 AS s_acctbal, " +
+        "s2.s_name, n.n_name, p.p_partkey, p.p_name, " +
+        "ps.cost::BIGINT::DOUBLE / 100.0 AS supplycost " +
+        "FROM part p JOIN ps ON p.p_partkey = ps.l_partkey " +
+        "JOIN supplier s2 ON s2.s_suppkey = ps.l_suppkey " +
+        "JOIN nation n ON s2.s_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "WHERE p.p_size <= 10 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE' " +
+        "AND ps.cost = (SELECT min(ps2.cost) FROM ps ps2 " +
+        "JOIN supplier s3 ON s3.s_suppkey = ps2.l_suppkey " +
+        "JOIN nation n2 ON s3.s_nationkey = n2.n_nationkey " +
+        "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey " +
+        "WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE') " +
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+
+    // Q9 (retail-price cost proxy): per-row BIGINT profit, summed exact
+    "sql_tpch_q9" ->
+      ("SELECT nation, o_year, sum(amount)::BIGINT::DOUBLE / 100.0 AS sum_profit " +
+        "FROM (SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year, " +
+        "(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))::BIGINT " +
+        "- (floor(p.p_retailprice * 100 + 0.5))::BIGINT * l.l_quantity::BIGINT AS amount " +
+        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
+        "JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "JOIN nation n ON s2.s_nationkey = n.n_nationkey " +
+        "WHERE p.p_name LIKE '%widget%') " +
+        "GROUP BY nation, o_year ORDER BY nation, o_year DESC"),
+
+    // Q11 (self-scaling threshold): exact integer cross-multiply —
+    // sum·|parts| > 2·total — so the boundary part cannot flip engines
+    "sql_tpch_q11" ->
+      ("WITH scoped AS (SELECT l.l_partkey, " +
+        "(floor(l.l_extendedprice * 100 + 0.5))::BIGINT AS cents " +
+        "FROM lineitem l JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey " +
+        "JOIN nation n ON s2.s_nationkey = n.n_nationkey " +
+        "WHERE n.n_name = 'NATION_3') " +
+        "SELECT l_partkey AS ps_partkey, sum(cents)::BIGINT::DOUBLE / 100.0 AS value " +
+        "FROM scoped GROUP BY l_partkey " +
+        "HAVING sum(cents) * (SELECT count(DISTINCT l_partkey) FROM scoped) > " +
+        "2 * (SELECT sum(cents) FROM scoped) " +
+        "ORDER BY value DESC, ps_partkey"),
+
+    // Q12 (returnflag stands in for shipmode; late = shipped >90 days
+    // after order): conditional counts in one aggregate, pure integers
+    "sql_tpch_q12" ->
+      ("SELECT l.l_returnflag AS ship_class, " +
+        "sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 1 ELSE 0 END)::BIGINT AS high_line_count, " +
+        "sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') " +
+        "THEN 1 ELSE 0 END)::BIGINT AS low_line_count " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY " +
+        "AND l.l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l.l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l.l_returnflag ORDER BY ship_class"),
+
+    // Q16 (complaint list = negative-balance suppliers): distinct
+    // supplier count per bucket, NOT IN anti join; pure integers
+    "sql_tpch_q16" ->
+      ("SELECT p.p_brand, p.p_type, p.p_size, " +
+        "count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt " +
+        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
+        "WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO' " +
+        "AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45) " +
+        "AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) " +
+        "GROUP BY p.p_brand, p.p_type, p.p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+
+    // Q20 (excess stock = shipped over half the part's 1997 total):
+    // BIGINT quantity sums, 2·sum > total exact cross-multiply
+    "sql_tpch_q20" ->
+      ("SELECT s2.s_name, n.n_name " +
+        "FROM supplier s2 JOIN nation n ON s2.s_nationkey = n.n_nationkey " +
+        "WHERE s2.s_suppkey IN (SELECT l1.l_suppkey FROM lineitem l1 " +
+        "WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') " +
+        "AND l1.l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l1.l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l1.l_suppkey, l1.l_partkey " +
+        "HAVING sum(l1.l_quantity::BIGINT) * 2 > " +
+        "(SELECT sum(l2.l_quantity::BIGINT) FROM lineitem l2 " +
+        "WHERE l2.l_partkey = l1.l_partkey " +
+        "AND l2.l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l2.l_shipdate < TIMESTAMP '1998-01-01')) " +
+        "ORDER BY s_name"),
+
     // Q18: integral quantities → BIGINT sums exact; totalprice cents snap
     "sql_tpch_q18" ->
       ("SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, " +

@@ -543,6 +543,53 @@ class PlanSpec extends SparkSpec {
       s"double-correlated subqueries fell back to a nested loop:\n$plan")
   }
 
+  test("sql_tpch_q2: correlated min over the cost CTE decorrelates — keyed joins only") {
+    // The min-cost-supplier correlation must plan as ONE min aggregate
+    // over the region-filtered cost relation keyed on partkey joined
+    // back to the probe — a per-part re-scan would surface as a nested
+    // loop; every dim hop (supplier/nation/region, BOTH sides of the
+    // correlation) broadcasts at this SF.
+    val plan = physical(graft.ops.SqlApi.sqlTpchQ2(spark, sf01))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated min fell back to a nested loop:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 planned a full sort instead of TakeOrdered:\n$plan")
+  }
+
+  test("sql_tpch_q16: NOT IN plans as an anti join and the distinct count is two-phase") {
+    val plan = physical(graft.ops.SqlApi.sqlTpchQ16(spark, sf01))
+    assert(plan.contains("LeftAnti"),
+      s"supplier NOT IN did not plan as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN fell back to a nested loop:\n$plan")
+    // count(DISTINCT suppkey) = dedup aggregate below the counting one
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"distinct count did not plan the two-phase aggregate:\n$plan")
+  }
+
+  test("sql_tpch_q20: correlated HAVING decorrelates to a per-part aggregate; outer IN is a semi join") {
+    val plan = physical(graft.ops.SqlApi.sqlTpchQ20(spark, sf01))
+    assert(plan.contains("LeftSemi"),
+      s"the IN chains did not plan as semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated-HAVING threshold fell back to a nested loop:\n$plan")
+  }
+
+  test("sql_tpch_q9/q11/q12: LIKE-filtered profit, scalar-threshold HAVING, and lateness split all stay keyed") {
+    for ((name, df) <- Seq(
+      "q9" -> graft.ops.SqlApi.sqlTpchQ9(spark, sf01),
+      "q11" -> graft.ops.SqlApi.sqlTpchQ11(spark, sf01),
+      "q12" -> graft.ops.SqlApi.sqlTpchQ12(spark, sf01))) {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"sql_tpch_$name planned a nested loop:\n$plan")
+    }
+  }
+
   test("sql_tpch_q17: correlated scalar avg decorrelates to ONE partkey aggregate, no re-scan per row") {
     // Assert the decorrelation SIGNATURE on the node tree (the r8 pin
     // substring-matched "avg(", which a renamed function or a
