@@ -2607,6 +2607,202 @@ object LlmPipeline {
           6).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  // ------------------------------------------------------------ k-means
+
+  private val KmeansK = 8
+
+  /** Nearest centroid by dot product (vectors unit-norm ⇒ cosine):
+    * scores round to the 1e-9 grid and ties break to the LOWEST cluster
+    * id, so the argmax is deterministic across partitionings even when
+    * two centroids score within float noise of each other. */
+  private def nearestCentroid(
+      cents: Array[Array[Double]], e: Array[Float]): Int = {
+    var best = 0
+    var bestG = Long.MinValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var s0 = 0.0
+      var i = 0
+      val m = math.min(c.length, e.length)
+      while (i < m) { s0 += c(i) * e(i); i += 1 }
+      val g = math.floor(s0 * 1e9 + 0.5).toLong
+      if (g > bestG) { bestG = g; best = j }
+      j += 1
+    }
+    best
+  }
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var s0 = 0.0
+    var i = 0
+    while (i < v.length) { s0 += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s0)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Iterated Lloyd rounds; returns the final k centroid table. Each
+    * round is ONE mapPartitions pass over the vectors (k·d multiplies per
+    * row, no shuffle of embeddings) emitting k partial rows per
+    * partition — per-dimension sums as 1e-6-grid LONGS, so the
+    * cross-partition merge is exact integer addition in any order (the
+    * seq_markov_perplexity grid trick lifted to vectors) — then a k-row
+    * reduce whose result crosses to the driver: k·(d+1) longs per round,
+    * row-count-independent metadata (declared in CollectLintSpec). Seeds
+    * are the k lowest vec_ids — deterministic, no RNG state to ship.
+    * An emptied cluster keeps its previous centroid. */
+  private[graft] def kmeansCentroids(
+      s: SparkSession, d: String, iters: Int): Array[Array[Double]] = {
+    import s.implicits._
+    val dim = 64
+    val v = vecs(s, d)
+    var cents: Array[Array[Double]] = v.orderBy(col("vec_id")).take(KmeansK)
+      .map { case (_, e) => l2normalize(e.map(_.toDouble)) }
+    var round = 0
+    while (round < iters) {
+      val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
+      val sums = v
+        .mapPartitions { rows =>
+          val c = bc.value
+          val acc = Array.fill(KmeansK)(new Array[Long](dim))
+          val cnt = new Array[Long](KmeansK)
+          rows.foreach { case (_, e) =>
+            val j = nearestCentroid(c, e)
+            cnt(j) += 1
+            var i = 0
+            val m = math.min(dim, e.length)
+            while (i < m) {
+              acc(j)(i) += math.floor(e(i).toDouble * 1e6 + 0.5).toLong
+              i += 1
+            }
+          }
+          Iterator.tabulate(KmeansK)(j => (j, cnt(j), acc(j)))
+        }
+        .groupByKey(_._1)
+        .mapGroups { (j, rs) =>
+          val tot = new Array[Long](dim)
+          var n = 0L
+          rs.foreach { case (_, c, a) =>
+            n += c
+            var i = 0
+            while (i < dim) { tot(i) += a(i); i += 1 }
+          }
+          (j, n, tot)
+        }
+        .collect()
+      cents = Array.tabulate(KmeansK) { j =>
+        sums.find(_._1 == j) match {
+          case Some((_, n, tot)) if n > 0 =>
+            l2normalize(tot.map(_.toDouble / n / 1e6))
+          case _ => cents(j)
+        }
+      }
+      round += 1
+    }
+    cents
+  }
+
+  /** Spherical k-means over the embedding corpus — the clustering
+    * primitive both SemDeDup-style semantic dedup and IVF indexes stand
+    * on ([[dedupSemantic]] consumes sign-LSH cells and [[knnIvf]] runs a
+    * single internal Lloyd step; this op exposes the ITERATED clustering
+    * as its own surface, 4 full rounds). Per cluster: size, the lowest
+    * member id (the SemDeDup representative convention), and the mean
+    * cosine of members to their centroid (the spherical k-means
+    * objective, which Round9bSpec pins as non-decreasing in rounds).
+    *
+    * Determinism under distribution: centroid updates merge as exact
+    * 1e-6-grid longs (any partition order), assignment argmax rounds to
+    * the 1e-9 grid with lowest-cluster tie-break, and the per-vector
+    * cosines snap to the 1e-6 grid before the mean — two runs at any
+    * partition count match bit for bit.
+    *
+    * Scale: rounds are map-side passes + a k-row reduce (see
+    * [[kmeansCentroids]]); the summary is one more pass feeding a k-row
+    * groupBy. Only k·(d+1) longs per round ever cross the driver, so the
+    * shape is unchanged at 100 TB — the canonical distributed Lloyd.
+    * Oracle-exempt (iterative float argmax has no SQL twin); Round9bSpec
+    * pins determinism, partition invariance, coverage, and the monotone
+    * objective. */
+  def clusterKmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = kmeansCentroids(s, d, iters = 4)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
+    vecs(s, d)
+      .map { case (id, e) =>
+        val j = nearestCentroid(bc.value, e)
+        val c = bc.value(j)
+        var s0 = 0.0
+        var i = 0
+        val m = math.min(c.length, e.length)
+        while (i < m) { s0 += c(i) * e(i); i += 1 }
+        (j, id, math.floor(s0 * 1e6 + 0.5).toLong)
+      }
+      .toDF("cluster_id", "vec_id", "cosg")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        min(col("vec_id")).as("rep_vec_id"),
+        round(sum(col("cosg")).cast("double") /
+          count(lit(1)).cast("double") / 1e6, 6).as("mean_cos"))
+      .orderBy(col("cluster_id"))
+  }
+
+  // ------------------------------------------------------------ DSIR
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the principled
+    * mixture-reweighting step of corpus curation: score every document
+    * by how much more likely its word bigrams are under a TARGET
+    * distribution (here the English slice, lang = 'en' — the
+    * domain-transfer shape) than under the SOURCE (the whole corpus).
+    * weight(doc) = Σ_g [ln P̂_t(g) − ln P̂_s(g)] with add-one-smoothed
+    * bigram unigram models; documents are then kept by sampling ∝ the
+    * exponentiated weight — emitting the log-ratio keeps the output
+    * exact and leaves the sampling policy to the caller.
+    *
+    * Determinism: the two probabilities derive from exact BIGINT counts,
+    * and each bigram's log-ratio snaps to the 1e-6 integer grid BEFORE
+    * the per-doc sum (seq_markov_perplexity's trick), so accumulation is
+    * exact in any merge order and the one ln per engine is absorbed by
+    * the grid.
+    *
+    * Scale: one exploded-bigram stream read twice under persist (count
+    * table + per-doc re-join), the model totals fold to a ONE-ROW
+    * broadcast (whitelisted scalar crossJoin), and the contribution
+    * re-attach is a plain equi-join keyed on the bigram — broadcast when
+    * the vocabulary is small, hash-partitioned when it outgrows memory;
+    * never a collected vocabulary. Per-doc rollup is one keyed groupBy.
+    * Single-word documents have no bigram features and are excluded
+    * (score undefined), matching the oracle's length guard. */
+  def corpusDsirWeights(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("g"))
+      .persist()
+    val counts = bg.groupBy(col("g"))
+      .agg(count_if(col("lang") === "en").as("ct"),
+        count(lit(1)).as("cs"))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"),
+      count(lit(1)).as("v"))
+    val contrib = counts.crossJoin(broadcast(tot))
+      .select(col("g"),
+        floor((log((col("ct") + 1).cast("double") /
+                   (col("nt") + col("v")).cast("double"))
+             - log((col("cs") + 1).cast("double") /
+                   (col("ns") + col("v")).cast("double"))) * 1e6 + 0.5)
+          .cast("long").as("wg"))
+    bg.join(contrib, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("wg")).cast("double") / 1e6).as("dsir_logratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PCA projection of the embedding corpus onto its top-2 principal
     * components — the drift-visualization / whitening primitive next to
     * [[embeddingDimStats]]'s per-axis view (axis-aligned stats miss

@@ -1753,6 +1753,27 @@ object OracleSql {
         "floor(max(n)::DOUBLE / sum(n)::DOUBLE * 10000 + 0.5) / 10000.0 " +
         "AS top_share FROM g GROUP BY 1 ORDER BY 1"),
 
+    // DSIR importance weights: exact BIGINT bigram counts on both
+    // engines; each bigram's smoothed log-ratio snaps to the 1e-6 grid
+    // BEFORE the per-doc sum, so the one ln per engine is absorbed and
+    // accumulation is merge-order-exact
+    "corpus_dsir_weights" ->
+      ("WITH bg AS (SELECT doc_id, lang, " +
+        "unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g " +
+        "FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2)), " +
+        "counts AS (SELECT g, count(*) FILTER (WHERE lang = 'en')::BIGINT AS ct, " +
+        "count(*)::BIGINT AS cs FROM bg GROUP BY g), " +
+        "tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cs)::BIGINT AS ns, " +
+        "count(*)::BIGINT AS v FROM counts), " +
+        "contrib AS (SELECT g, (floor((ln((ct + 1)::DOUBLE / (nt + v)::DOUBLE) " +
+        "- ln((cs + 1)::DOUBLE / (ns + v)::DOUBLE)) * 1e6 + 0.5))::BIGINT AS wg " +
+        "FROM counts, tot) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "sum(wg)::BIGINT::DOUBLE / 1e6 AS dsir_logratio " +
+        "FROM bg JOIN contrib USING (g) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
     "text_ngram_freq" ->
       ("WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents " +
         "WHERE len(string_split(text, ' ')) >= 2), " +

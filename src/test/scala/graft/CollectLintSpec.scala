@@ -36,7 +36,10 @@ class CollectLintSpec extends AnyFunSuite {
     ("LlmPipeline.scala", "embeddingPcaProject") ->
       "mergeable moment partials: P*2145 doubles, row-count-independent",
     ("LlmPipeline.scala", "searchHybridRrf") ->
-      "fixed-size query panel (ids < 2500), not corpus-sized")
+      "fixed-size query panel (ids < 2500), not corpus-sized",
+    ("LlmPipeline.scala", "kmeansCentroids") ->
+      ("k-row (k=8) grid-summed centroid table per Lloyd round — " +
+        "row-count-independent metadata"))
 
   test("collect() appears only in declared broadcast-tier / metadata functions") {
     val defRe = """\s*(?:override\s+)?(?:private(?:\[\w+\])?\s+)?def (\w+)""".r

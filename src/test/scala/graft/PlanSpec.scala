@@ -773,6 +773,7 @@ class PlanSpec extends SparkSpec {
       "join_interval_overlap",   // avg-errors threshold row (join is banded)
       "pack_length_buckets",     // nine-decile boundary row
       "seq_pmi_bigrams",         // total-bigram-count row
+      "corpus_dsir_weights",     // model-totals row (nt, ns, v)
       // fixture-bounded all-pairs baseline, documented (scale path =
       // minhash/containment)
       "dedup_ngram_jaccard")

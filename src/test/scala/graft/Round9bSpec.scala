@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LlmPipeline
+
+/** Round-9 continuation pins: the exposed spherical k-means surface
+  * (cluster_kmeans) and the DSIR importance-weight direction property
+  * (its values are oracle-gated; the SEMANTICS — target-language docs
+  * score higher — are pinned here). */
+class Round9bSpec extends SparkSpec {
+
+  test("cluster_kmeans: deterministic, covers every vector, k non-empty clusters") {
+    val a = LlmPipeline.clusterKmeans(spark, sf01).collect()
+    val b = LlmPipeline.clusterKmeans(spark, sf01).collect()
+    assert(a.toSeq == b.toSeq, "two runs differ — Lloyd loop nondeterministic")
+    val n = io.Tables.embeddings(spark, sf01).count()
+    assert(a.map(_.getLong(1)).sum == n,
+      s"cluster sizes ${a.map(_.getLong(1)).toSeq} do not cover all $n vectors")
+    // min-id seeding on a shuffled fixture should populate every cluster
+    assert(a.length == 8, s"expected 8 clusters, got ${a.length}")
+    assert(a.forall(_.getLong(1) > 0), "empty cluster in the summary")
+    // unit-norm vectors: mean cosine to the assigned centroid ∈ (0, 1]
+    assert(a.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-9),
+      s"mean_cos out of range: ${a.map(_.getDouble(3)).toSeq}")
+  }
+
+  test("cluster_kmeans: Lloyd rounds do not decrease the spherical objective") {
+    // Objective = mean over vectors of cos(v, centroid(v)). Evaluate the
+    // SAME assignment+mean for the 1-round and 4-round centroid tables;
+    // Lloyd guarantees monotone non-decrease (on the 1e-6 grid).
+    def objective(iters: Int): Double = {
+      val cents = LlmPipeline.kmeansCentroids(spark, sf01, iters)
+      val vs = io.Tables.embeddings(spark, sf01)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val tot = vs.map { e =>
+        var best = Double.MinValue
+        cents.foreach { c =>
+          var s0 = 0.0
+          var i = 0
+          val m = math.min(c.length, e.length)
+          while (i < m) { s0 += c(i) * e(i); i += 1 }
+          if (s0 > best) best = s0
+        }
+        math.floor(best * 1e6 + 0.5) / 1e6
+      }.sum
+      tot / vs.length
+    }
+    val o1 = objective(1)
+    val o4 = objective(4)
+    assert(o4 >= o1 - 1e-6,
+      s"objective fell across rounds: 1-round $o1 vs 4-round $o4")
+  }
+
+  test("corpus_dsir_weights: target-language documents score higher on average") {
+    val w = LlmPipeline.corpusDsirWeights(spark, sf01)
+    val byLang = w
+      .join(io.Tables.documents(spark, sf01).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_logratio")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"English (target) mean ${byLang(true)} not above source mean ${byLang(false)}")
+    assert(byLang(true) > 0.0 && byLang(false) < 0.0,
+      s"expected positive target / negative off-target log-ratios: $byLang")
+  }
+}

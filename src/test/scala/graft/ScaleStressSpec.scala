@@ -80,7 +80,12 @@ class ScaleStressSpec extends SparkSpec {
     ("graph_pagerank", 40.0, 30.0),
     ("graph_triangle_approx", 40.0, 25.0),
     ("graph_adamic_adar_approx", 40.0, 25.0),
-    ("graph_clustering_coeff_approx", 40.0, 25.0))
+    ("graph_clustering_coeff_approx", 40.0, 25.0),
+    // r9 continuation: k-means rounds are k·d-per-row map passes with a
+    // k-row reduce (super-linear here = a shuffle of embeddings crept
+    // in); DSIR is one exploded-bigram stream + two keyed joins
+    ("cluster_kmeans", 40.0, 25.0),
+    ("corpus_dsir_weights", 40.0, 25.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
