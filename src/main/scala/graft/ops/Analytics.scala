@@ -20,6 +20,35 @@ object Analytics {
   private def events(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
 
+  /** Uniform k-per-group sample (k = 5 per event type) via hash-rank
+    * bottom-k — the DISTRIBUTED-RESERVOIR equivalence: ranking every row
+    * by a fixed hash of its id and keeping each group's k smallest IS a
+    * uniform-without-replacement sample (any hash-independent subset of
+    * ranks works), and unlike a sequential reservoir it is MERGEABLE —
+    * each partition's local bottom-k unions to the global bottom-k, the
+    * same partial→final shape as a top-k aggregate. Deterministic: the
+    * multiplicative hash (odd multiplier mod 2³²) is a fixed bijection
+    * on ids, identical in both engines' exact BIGINT arithmetic, with
+    * event_id as the total tiebreak.
+    *
+    * Scale: planned here as the row_number window (one keyed exchange);
+    * the map-side-reducing twin is the native [[graft.plans.TopKPerGroup]]
+    * operator (win_topk_native), which ships ≤ k rows per (group,
+    * partition) instead of every row — sampling 1000 docs per source
+    * from 100 TB shuffles k·sources·partitions rows only. */
+  def sampleReservoirPergroup(s: SparkSession, d: String): DataFrame = {
+    val hrank = pmod(col("event_id") * lit(2654435761L) + lit(40503L),
+      lit(4294967296L))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hrank"), col("event_id"))
+    events(s, d)
+      .withColumn("hrank", hrank)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("event_type"), col("rn"), col("event_id"), col("user_id"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
   /** Ordered 3-stage funnel: users who clicked, then VIEWED strictly after
     * their first click, then PURCHASED strictly after that first qualifying
     * view. The ordering constraint is what groupBy-pivot funnels get wrong

@@ -2803,6 +2803,35 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR selection — the RESAMPLING half of [[corpusDsirWeights]] (the
+    * paper keeps documents by sampling ∝ exp(weight/T) without
+    * replacement): the Gumbel-max trick makes that a deterministic
+    * top-k — perturb each document's weight/T with a Gumbel draw
+    * g = −ln(−ln(u)) and take the k largest perturbed keys, which is
+    * exactly weighted sampling without replacement (Efraimidis–Spirakis
+    * ≡ Gumbel top-k). u derives from the same fixed multiplicative hash
+    * the split/sample family uses — no RNG state, identical BIGINT
+    * arithmetic in both engines — and the perturbed key snaps to the
+    * 1e-6 grid (two lns absorbed) before the top-50, tie-broken by
+    * doc_id.
+    *
+    * Scale: the perturbation is a map over the weights output; selection
+    * is TakeOrdered top-k, never a global sort — the composition stays
+    * one exploded-bigram pass + two keyed joins + a bounded top-k. */
+  def corpusDsirResample(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L),
+      lit(4294967296L))
+    corpusDsirWeights(s, d)
+      .withColumn("u", (h.cast("double") + 0.5) / lit(4294967296.0))
+      .withColumn("skey",
+        floor((col("dsir_logratio") / 4.0 - log(-log(col("u")))) * 1e6 + 0.5)
+          .cast("long"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("dsir_logratio"),
+        (col("skey").cast("double") / 1e6).as("sample_key"))
+  }
+
   /** PCA projection of the embedding corpus onto its top-2 principal
     * components — the drift-visualization / whitening primitive next to
     * [[embeddingDimStats]]'s per-axis view (axis-aligned stats miss

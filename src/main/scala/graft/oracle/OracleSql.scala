@@ -1774,6 +1774,39 @@ object OracleSql {
         "FROM bg JOIN contrib USING (g) " +
         "GROUP BY doc_id ORDER BY doc_id"),
 
+    // hash-rank bottom-k per group ≡ distributed reservoir; the
+    // multiplicative hash is exact BIGINT in both engines
+    "sample_reservoir_pergroup" ->
+      ("SELECT event_type, rn::INT AS rn, event_id, user_id FROM (" +
+        "SELECT event_type, event_id, user_id, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY (event_id * 2654435761 + 40503) % 4294967296, event_id) AS rn " +
+        "FROM events) t WHERE rn <= 5 ORDER BY event_type, rn"),
+
+    // DSIR Gumbel-top-k selection: the weights pipeline verbatim, then a
+    // hash-derived Gumbel perturbation snapped to the 1e-6 grid before
+    // the top-50 (ties to doc_id)
+    "corpus_dsir_resample" ->
+      ("WITH bg AS (SELECT doc_id, lang, " +
+        "unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g " +
+        "FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2)), " +
+        "counts AS (SELECT g, count(*) FILTER (WHERE lang = 'en')::BIGINT AS ct, " +
+        "count(*)::BIGINT AS cs FROM bg GROUP BY g), " +
+        "tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cs)::BIGINT AS ns, " +
+        "count(*)::BIGINT AS v FROM counts), " +
+        "contrib AS (SELECT g, (floor((ln((ct + 1)::DOUBLE / (nt + v)::DOUBLE) " +
+        "- ln((cs + 1)::DOUBLE / (ns + v)::DOUBLE)) * 1e6 + 0.5))::BIGINT AS wg " +
+        "FROM counts, tot), " +
+        "wts AS (SELECT doc_id, sum(wg)::BIGINT::DOUBLE / 1e6 AS dsir_logratio " +
+        "FROM bg JOIN contrib USING (g) GROUP BY doc_id) " +
+        "SELECT doc_id, dsir_logratio, skey::BIGINT::DOUBLE / 1e6 AS sample_key " +
+        "FROM (SELECT doc_id, dsir_logratio, " +
+        "(floor((dsir_logratio / 4.0 - ln(-ln(" +
+        "(((doc_id * 2654435761 + 40503) % 4294967296)::DOUBLE + 0.5) / 4294967296.0" +
+        "))) * 1e6 + 0.5))::BIGINT AS skey FROM wts) " +
+        "ORDER BY skey DESC, doc_id LIMIT 50"),
+
     "text_ngram_freq" ->
       ("WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents " +
         "WHERE len(string_split(text, ' ')) >= 2), " +

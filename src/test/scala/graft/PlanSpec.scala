@@ -774,6 +774,7 @@ class PlanSpec extends SparkSpec {
       "pack_length_buckets",     // nine-decile boundary row
       "seq_pmi_bigrams",         // total-bigram-count row
       "corpus_dsir_weights",     // model-totals row (nt, ns, v)
+      "corpus_dsir_resample",    // same fold under the selection step
       // fixture-bounded all-pairs baseline, documented (scale path =
       // minhash/containment)
       "dedup_ngram_jaccard")
