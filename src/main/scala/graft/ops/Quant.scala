@@ -395,6 +395,52 @@ object Quant {
     *
     * Scale: map-only codegen'd string expressions, no shuffle but the
     * output sort. */
+  /** Zipf-law fit over the corpus vocabulary — the classic corpus
+    * health check (natural text follows freq ∝ rank^s with s ≈ −1;
+    * boilerplate-heavy or synthetic corpora bend the curve): OLS slope
+    * of ln(freq) on ln(rank) across the top-1000 words.
+    *
+    * Rank WITHOUT a global window (a partition-less Window is the
+    * banned whole-corpus serialization): the top-1000 (freq desc, word)
+    * rows come out of TakeOrdered — bounded metadata — then collapse to
+    * ONE collect_list row whose sort_array order is the rank, and
+    * posexplode hands back rank = pos + 1. ln(rank)/ln(freq) snap to
+    * the 1e-6 grid as longs; the OLS moments (Σx, Σy, Σxy, Σx²) then
+    * aggregate in DECIMAL(38,0) — n·Σxy overflows BIGINT at these
+    * magnitudes, and HUGEINT/decimal is exact in both engines — so the
+    * slope is one double divide of two exact integers, Det-rounded.
+    *
+    * Scale: the word-count aggregate is the only real work (one keyed
+    * shuffle, partial-agg); everything after operates on ≤ 1000 rows. */
+  def textZipfSlope(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(1000)
+    val ranked = freq
+      .agg(sort_array(collect_list(struct((-col("n")).as("negn"), col("w"))))
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        (-col("t.negn")).as("n"))
+    val dec = "decimal(38,0)"
+    ranked
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6 + 0.5)
+          .cast("long").cast(dec).as("x"),
+        floor(log(col("n").cast("double")) * 1e6 + 0.5)
+          .cast("long").cast(dec).as("y"))
+      .agg(count(lit(1)).cast(dec).as("cnt"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("cnt").cast("long").as("n_terms"),
+        round((col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"))
+  }
+
   def textReadability(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val words = size(split(col("text"), " ")).cast("long")

@@ -1774,6 +1774,20 @@ object OracleSql {
         "FROM bg JOIN contrib USING (g) " +
         "GROUP BY doc_id ORDER BY doc_id"),
 
+    // Zipf fit: ranks from an ordered LIMIT subquery; grid-snapped lns
+    // aggregated in HUGEINT (≡ Spark DECIMAL(38,0)); one double divide
+    "text_zipf_slope" ->
+      ("WITH freq AS (SELECT w, count(*)::BIGINT AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 1000), " +
+        "ranked AS (SELECT row_number() OVER (ORDER BY n DESC, w) AS rank, n FROM freq), " +
+        "m AS (SELECT (floor(ln(rank::DOUBLE) * 1e6 + 0.5))::BIGINT::HUGEINT AS x, " +
+        "(floor(ln(n::DOUBLE) * 1e6 + 0.5))::BIGINT::HUGEINT AS y FROM ranked) " +
+        "SELECT count(*)::BIGINT AS n_terms, " +
+        "floor((count(*)::HUGEINT * sum(x * y) - sum(x) * sum(y))::DOUBLE / " +
+        "(count(*)::HUGEINT * sum(x * x) - sum(x) * sum(x))::DOUBLE * 1e6 + 0.5) / 1e6 " +
+        "AS zipf_slope FROM m"),
+
     // hash-rank bottom-k per group ≡ distributed reservoir; the
     // multiplicative hash is exact BIGINT in both engines
     "sample_reservoir_pergroup" ->
