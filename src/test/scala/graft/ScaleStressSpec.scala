@@ -85,7 +85,11 @@ class ScaleStressSpec extends SparkSpec {
     // k-row reduce (super-linear here = a shuffle of embeddings crept
     // in); DSIR is one exploded-bigram stream + two keyed joins
     ("cluster_kmeans", 40.0, 25.0),
-    ("corpus_dsir_weights", 40.0, 25.0))
+    ("corpus_dsir_weights", 40.0, 25.0),
+    // word-count bound (one keyed shuffle + ≤1000-row tail) and one
+    // window exchange respectively
+    ("text_zipf_slope", 40.0, 25.0),
+    ("sample_reservoir_pergroup", 40.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
