@@ -110,7 +110,17 @@ object ScaleStress {
     // market share (q8), the LEFT-join distribution (q13) and the
     // twice-referenced CTE (q15) each have distinct plan-shape stakes
     "sql_tpch_q1", "sql_tpch_q6", "sql_tpch_q8", "sql_tpch_q13",
-    "sql_tpch_q14", "sql_tpch_q15")
+    "sql_tpch_q14", "sql_tpch_q15",
+    // r9 continuation: the suite-completing TPC-H shapes — q2's
+    // twice-referenced cost CTE + correlated min, q9's LIKE-filtered
+    // profit chain, q11's scoped-CTE scalar thresholds, q16's distinct
+    // count + NOT IN, q20's correlated-HAVING nest (q12's one join+agg
+    // rides q13's class) — plus the k-row-metadata Lloyd rounds, the
+    // exploded-bigram DSIR pair, hash-rank reservoir, and the Zipf fit
+    "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11", "sql_tpch_q12",
+    "sql_tpch_q16", "sql_tpch_q20",
+    "cluster_kmeans", "corpus_dsir_weights", "corpus_dsir_resample",
+    "sample_reservoir_pergroup", "text_zipf_slope")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(
