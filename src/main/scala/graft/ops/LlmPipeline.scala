@@ -2318,6 +2318,61 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash near-dup detection — the IMAGE modality's member of
+    * the dedup family (every other near-dup path here is text-shingle or
+    * embedding based; image corpora dedup on a 64-bit dHash of the
+    * decoded thumbnail). The decode is the documented stub (no codec
+    * libs in this container): the payload's CODEPOINT stream stands in
+    * for the pixel grid — 64 cells sampled at i·len div 64, dHash bit i
+    * = cell(i) > cell(i+1) — chosen over raw-byte sampling precisely
+    * because codepoint semantics (substring/ascii/length) are identical
+    * in Spark SQL and DuckDB, which makes the WHOLE pipeline
+    * oracle-gated, not just plumbing. A real decoder slots into the
+    * same position producing the same 63-bit signature column.
+    *
+    * The pair search is EXACT despite being banded: 63 bits split into
+    * 7 bands of 9 ⇒ any pair with Hamming ≤ 6 differs in at most 6
+    * bands, so at least one band matches (pigeonhole) — banded
+    * candidates + bit_count verify ≡ brute force, which is what the
+    * DuckDB twin runs. Output is per-DOC (signature + verified neighbor
+    * count) so the key stays non-vacuous on a corpus with no planted
+    * near-dups; Round9bSpec plants one and pins recall.
+    *
+    * Scale: signature is one map pass; banding shuffles (band, bits)
+    * keys whose occupancy bounds candidate pairs (the simhash_pairs
+    * shape); the rollup is one keyed groupBy. */
+  def multimodalPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val ph = Tables.documents(s, d)
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 62), cast(0 as bigint), (acc, i) -> " +
+          "acc + IF(ascii(substring(text, 1 + (i * length(text)) div 64, 1)) > " +
+          "ascii(substring(text, 1 + ((i + 1) * length(text)) div 64, 1)), " +
+          "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("phash"))
+      .persist()
+    val banded = ph.select(col("doc_id"), col("phash"),
+      explode(array((0 until 7).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("phash"), j * 9).bitwiseAND(lit(511L))
+            .as("bits"))): _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val a = banded.toDF("a_id", "a_ph", "band", "bits")
+    val b = banded.toDF("b_id", "b_ph", "b_band", "b_bits")
+    val near = a.join(b,
+        col("band") === col("b_band") && col("bits") === col("b_bits") &&
+          col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).as("ham"))
+      .where(col("ham") <= 6)
+      .distinct() // a pair can collide in several bands
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_near"))
+    ph.join(near, ph("doc_id") === near("a_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batched "model inference" over binary content — the mapPartitions
     * shape EVERY expensive per-row stage (image decoder, tokenizer,
     * embedding model) must take at 100 TB: the model loads ONCE per

@@ -1774,6 +1774,22 @@ object OracleSql {
         "FROM bg JOIN contrib USING (g) " +
         "GROUP BY doc_id ORDER BY doc_id"),
 
+    // dHash near-dup: identical codepoint sampling; the oracle runs the
+    // BRUTE pair sweep — equal to the banded form by pigeonhole (7 bands
+    // of 9 bits cover Hamming ≤ 6)
+    "multimodal_phash_dedup" ->
+      ("WITH ph AS (SELECT doc_id, " +
+        "(SELECT sum(CASE WHEN ascii(substr(t.text, 1 + ((i * length(t.text)) // 64), 1)) > " +
+        "ascii(substr(t.text, 1 + (((i + 1) * length(t.text)) // 64), 1)) " +
+        "THEN (1::BIGINT << i) ELSE 0::BIGINT END) " +
+        "FROM range(0, 63) r(i))::BIGINT AS phash " +
+        "FROM documents t WHERE length(t.text) >= 1), " +
+        "near AS (SELECT a.doc_id AS a_id, count(*)::BIGINT AS n_near " +
+        "FROM ph a JOIN ph b ON a.doc_id <> b.doc_id " +
+        "AND bit_count(xor(a.phash, b.phash)) <= 6 GROUP BY a.doc_id) " +
+        "SELECT p.doc_id, p.phash, coalesce(n.n_near, 0)::BIGINT AS n_near " +
+        "FROM ph p LEFT JOIN near n ON p.doc_id = n.a_id ORDER BY p.doc_id"),
+
     // Zipf fit: ranks from an ordered LIMIT subquery; grid-snapped lns
     // aggregated in HUGEINT (≡ Spark DECIMAL(38,0)); one double divide
     "text_zipf_slope" ->

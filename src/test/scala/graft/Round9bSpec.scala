@@ -52,6 +52,31 @@ class Round9bSpec extends SparkSpec {
       s"objective fell across rounds: 1-round $o1 vs 4-round $o4")
   }
 
+  test("multimodal_phash_dedup: a planted near-identical payload is found by the banded join") {
+    // The fixture corpus has no perceptual near-dups (verified: every
+    // n_near is 0 at sf0.01), so the RECALL claim — banded candidates ≡
+    // brute force for Hamming ≤ 6 — needs a planted pair: doc 9001
+    // copies doc 0's text with ONE character changed mid-string, which
+    // flips at most a couple of sampled grid cells.
+    import spark.implicits._
+    val base = io.Tables.documents(spark, sf001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().take(20)
+    val donor = base.head
+    val mutated = donor._2.updated(donor._2.length / 2, '~')
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    (base.toSeq :+ ((9001L, mutated, donor._3, donor._4, donor._5)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.LlmPipeline.multimodalPhashDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(donor._1) >= 1 && out(9001L) >= 1,
+      s"planted near-dup pair not recalled: $out")
+    // and an unrelated doc stays clean (no false blanket matches)
+    assert(out.count(_._2 == 0) >= base.length - 3,
+      s"too many spurious near-dup hits: $out")
+  }
+
   test("corpus_dsir_weights: target-language documents score higher on average") {
     val w = LlmPipeline.corpusDsirWeights(spark, sf01)
     val byLang = w

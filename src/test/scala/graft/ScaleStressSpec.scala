@@ -89,7 +89,9 @@ class ScaleStressSpec extends SparkSpec {
     // word-count bound (one keyed shuffle + ≤1000-row tail) and one
     // window exchange respectively
     ("text_zipf_slope", 40.0, 25.0),
-    ("sample_reservoir_pergroup", 40.0, 20.0))
+    ("sample_reservoir_pergroup", 40.0, 20.0),
+    // banded Hamming join: candidates bound by 9-bit band occupancy
+    ("multimodal_phash_dedup", 40.0, 25.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
