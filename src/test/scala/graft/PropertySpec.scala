@@ -415,6 +415,82 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("phash banding == brute force on random multibyte corpora (the pigeonhole claim)") {
+    // 7 bands of 9 bits must recall EVERY Hamming<=6 pair: compare the
+    // op's banded n_near against a brute pairwise count over the op's
+    // own signatures. Alphabet includes 2- and 3-byte codepoints so the
+    // char-based sampling semantics are exercised, and mutated copies
+    // plant pairs across the whole Hamming range.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdefgh éüñ中文漢字 xyz".toCharArray
+    val base = Seq.tabulate(60) { i =>
+      val n = 60 + rnd.nextInt(140)
+      (i.toLong, String.valueOf(Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))))
+    }
+    val mutants = Seq.tabulate(15) { j =>
+      val (src, text) = base(rnd.nextInt(base.length))
+      val flips = 1 + rnd.nextInt(3)
+      val chars = text.toCharArray
+      (0 until flips).foreach { _ =>
+        chars(rnd.nextInt(chars.length)) = alphabet(rnd.nextInt(alphabet.length))
+      }
+      (1000L + j, String.valueOf(chars))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-prop").toString
+    (base ++ mutants).map { case (id, t) => (id, t, "en", "srcP", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.LlmPipeline.multimodalPhashDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sigs = out.map(r => (r._1, r._2))
+    val brute = sigs.map { case (id, ph) =>
+      id -> sigs.count { case (id2, ph2) =>
+        id2 != id && java.lang.Long.bitCount(ph ^ ph2) <= 6
+      }.toLong
+    }.toMap
+    out.foreach { case (id, _, nNear) =>
+      assert(nNear == brute(id),
+        s"banded count $nNear != brute ${brute(id)} for doc $id")
+    }
+    assert(out.exists(_._3 > 0), "property corpus planted no near pair — vacuous")
+  }
+
+  test("reservoir sample: exactly min(k, group size) rows per group, drawn from the group") {
+    val out = graft.ops.Analytics.sampleReservoirPergroup(spark, sf001).collect()
+    val byType = out.groupBy(_.getString(0))
+    val events = Tables.events(spark, sf001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    events.foreach { case (t, n) =>
+      val got = byType.get(t).map(_.length).getOrElse(0)
+      assert(got == math.min(5L, n),
+        s"group $t: sampled $got of $n (want min(5, n))")
+    }
+    // ranks are 1..k dense per group
+    byType.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq,
+        "sample ranks not dense 1..k")
+    }
+  }
+
+  test("zipf slope recovers ~-1 on an exactly Zipfian synthetic corpus") {
+    import spark.implicits._
+    val words = (1 to 50).flatMap(r => Seq.fill(1000 / r)(s"w${"%02d".format(r)}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf-prop").toString
+    // spread across docs so the word-count aggregate actually reduces
+    words.grouped(200).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "srcZ", 0L) }
+      .toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = graft.ops.Quant.textZipfSlope(spark, dir).collect().head
+    assert(row.getLong(0) == 50, s"expected 50 terms, got ${row.getLong(0)}")
+    val slope = row.getDouble(1)
+    assert(slope > -1.05 && slope < -0.9,
+      s"slope $slope outside the Zipf band on a 1/r corpus")
+  }
+
   test("shingle tokenizers agree on trailing-space docs (one split(\" \", -1) everywhere)") {
     // r8 regression class: shingleSet/simhash used split(' ') (drops
     // trailing empties) while the hashed-shingle kernel used
