@@ -120,7 +120,8 @@ object ScaleStress {
     "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11", "sql_tpch_q12",
     "sql_tpch_q16", "sql_tpch_q20",
     "cluster_kmeans", "corpus_dsir_weights", "corpus_dsir_resample",
-    "sample_reservoir_pergroup", "text_zipf_slope")
+    "sample_reservoir_pergroup", "text_zipf_slope",
+    "multimodal_phash_dedup", "graph_louvain")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

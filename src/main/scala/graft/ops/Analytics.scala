@@ -1117,6 +1117,130 @@ object Analytics {
     * [[graphLabelPropagation]] (which adds community sizes) and
     * [[graphModularity]] (which would otherwise pay the whole co-order
     * pair build a second time just to rebuild the same edges). */
+  /** Louvain-style community detection (first-phase modularity ascent)
+    * over the co-order graph — the QUALITY community detector next to
+    * [[graphLabelPropagation]]'s frequency heuristic: each round every
+    * node evaluates the modularity GAIN of joining each neighboring
+    * community — ΔQ(v→c) = k_vc/m − deg_v·(tot_c − [c = c_v]·deg_v)/(2m²),
+    * the standard local-move objective with v's own degree removed from
+    * its current community's total — and adopts the best (grid-snapped
+    * to 1e-12, ties to the LOWEST community id, staying always a
+    * candidate via a zero-link row so a singleton scores exactly 0).
+    *
+    * Parallel synchronous moves can oscillate (two nodes swapping
+    * communities each round, the classic distributed-Louvain failure);
+    * the standard mitigation applied here is ALTERNATION — a round only
+    * moves nodes whose id parity matches the round parity, so the two
+    * endpoints of any odd-id/even-id pair never move simultaneously and
+    * the fixpoint behavior is deterministic. Four rounds (two per
+    * parity class), matching the LPA loop budget.
+    *
+    * Scale: per round — one community-total aggregate (keyed on c), one
+    * neighbor-community count (keyed on (src, c)), two broadcast-or-hash
+    * equi joins, one min_by groupBy; everything shuffles on node or
+    * community ids, labels never broadcast, localCheckpoint per round
+    * with eager free (the pagerank convention). m is one driver long.
+    * Oracle-exempt (iterative fixpoint); Round9bSpec pins determinism
+    * and that the ascent beats LPA's modularity on the fixtures. */
+  def graphLouvain(s: SparkSession, d: String): DataFrame = {
+    val (e, comm) = louvainComm(s, d)
+    val withC = e
+      .join(comm.select(col("p").as("p1"), col("c").as("c1")), Seq("p1"))
+      .join(comm.select(col("p").as("p2"), col("c").as("c2")), Seq("p2"))
+    val internal = withC.where(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community"))
+      .agg(count(lit(1)).as("n_internal"))
+    comm.groupBy(col("c").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"))
+      .orderBy(col("n_nodes").desc, col("community"))
+  }
+
+  /** The move loop; returns (cnt≥2 edge set, node→community). Shared by
+    * the rollup above and the Round9bSpec modularity pins. */
+  private[graft] def louvainComm(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+      .localCheckpoint()
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val m = e.count().toDouble
+    var comm = deg.select(col("src").as("p"), col("src").as("c"))
+      .localCheckpoint()
+    (1 to 4).foreach { round =>
+      val prev = rddOf(comm)
+      val tot = comm
+        .join(deg.withColumnRenamed("src", "p"), Seq("p"))
+        .groupBy(col("c")).agg(sum(col("deg")).as("tot"))
+      // links from v to each neighboring community, PLUS the zero-link
+      // stay row (max() dedups it against a real in-community count)
+      val links = und
+        .join(comm.select(col("p").as("dst"), col("c").as("c2")), Seq("dst"))
+        .groupBy(col("src"), col("c2")).agg(count(lit(1)).as("k"))
+        .unionByName(comm.select(col("p").as("src"), col("c").as("c2"),
+          lit(0L).as("k")))
+        .groupBy(col("src"), col("c2")).agg(max(col("k")).as("k"))
+      val scored = links
+        .join(comm.select(col("p").as("src"), col("c").as("cur")), Seq("src"))
+        .join(deg, Seq("src"))
+        .join(tot.withColumnRenamed("c", "c2"), Seq("c2"))
+        .select(col("src"), col("c2"), col("cur"),
+          floor((col("k").cast("double") / lit(m) -
+            col("deg").cast("double") *
+              (col("tot") - when(col("c2") === col("cur"), col("deg"))
+                .otherwise(lit(0L))).cast("double") /
+              (lit(2.0) * lit(m) * lit(m))) * 1e12 + 0.5)
+            .cast("long").as("gain"))
+      val chosen = scored
+        .groupBy(col("src"), col("cur"))
+        .agg(min_by(col("c2"), struct((-col("gain")).as("ng"), col("c2")))
+          .as("best"))
+      comm = chosen
+        .select(col("src").as("p"),
+          when(pmod(col("src") + lit(round.toLong), lit(2L)) === 0,
+            col("best")).otherwise(col("cur")).as("c"))
+        .localCheckpoint()
+      prev.foreach(_.unpersist(blocking = false))
+    }
+    (e, comm)
+  }
+
+  /** Final-partition modularity for ANY node→community assignment over
+    * the cnt≥2 co-order graph — shared by the Louvain spec pins. */
+  private[graft] def modularityOf(e: DataFrame, comm: DataFrame): Double = {
+    val withL = e
+      .join(comm.select(col("p").as("p1"), col("c").as("l1")), Seq("p1"))
+      .join(comm.select(col("p").as("p2"), col("c").as("l2")), Seq("p2"))
+      .persist()
+    val row = withL.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as("w"))
+      .crossJoin(broadcast(
+        withL.select(col("l1").as("l")).union(withL.select(col("l2").as("l")))
+          .groupBy(col("l")).agg(count(lit(1)).as("tot"))
+          .agg(sum(col("tot") * col("tot")).as("t2"))))
+      .select(
+        (col("w").cast("double") / col("m").cast("double") -
+          col("t2").cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+          .as("q"))
+      .head()
+    withL.unpersist()
+    row.getDouble(0)
+  }
+
   private def lpaLabels(e: DataFrame): DataFrame = {
     def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.logical.collectFirst {

@@ -77,6 +77,25 @@ class Round9bSpec extends SparkSpec {
       s"too many spurious near-dup hits: $out")
   }
 
+  test("graph_louvain: deterministic, covers every node, and beats LPA's modularity") {
+    import graft.ops.Analytics
+    val a = Analytics.graphLouvain(spark, sf01).collect()
+    val b = Analytics.graphLouvain(spark, sf01).collect()
+    assert(a.toSeq == b.toSeq, "two Louvain runs differ — move loop nondeterministic")
+    val (e, comm) = Analytics.louvainComm(spark, sf01)
+    val nNodes = comm.count()
+    assert(a.map(_.getLong(1)).sum == nNodes,
+      s"community sizes ${a.map(_.getLong(1)).sum} do not cover all $nNodes nodes")
+    val qLouvain = Analytics.modularityOf(e, comm)
+    val qLpa = Analytics.graphModularity(spark, sf01).collect()(0).getDouble(2)
+    info(f"Q_louvain=$qLouvain%.4f Q_lpa=$qLpa%.4f communities=${a.length}")
+    // the gain-ascent must not be WORSE than the frequency heuristic —
+    // that ordering is the reason the op exists
+    assert(qLouvain >= qLpa - 1e-9,
+      f"Louvain modularity $qLouvain%.4f below LPA's $qLpa%.4f")
+    assert(qLouvain > 0.0, f"no community structure found (Q=$qLouvain%.4f)")
+  }
+
   test("corpus_dsir_weights: target-language documents score higher on average") {
     val w = LlmPipeline.corpusDsirWeights(spark, sf01)
     val byLang = w

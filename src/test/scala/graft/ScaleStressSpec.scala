@@ -91,7 +91,10 @@ class ScaleStressSpec extends SparkSpec {
     ("text_zipf_slope", 40.0, 25.0),
     ("sample_reservoir_pergroup", 40.0, 20.0),
     // banded Hamming join: candidates bound by 9-bit band occupancy
-    ("multimodal_phash_dedup", 40.0, 25.0))
+    ("multimodal_phash_dedup", 40.0, 25.0),
+    // gain-ascent rounds: keyed aggregates + equi joins per round, same
+    // linear-per-round class as lpa/kcore
+    ("graph_louvain", 40.0, 30.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
