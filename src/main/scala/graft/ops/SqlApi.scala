@@ -874,6 +874,30 @@ object SqlApi {
     """)
   }
 
+  /** Named-WINDOW-clause surface — the SQL spelling of the §2.5 window
+    * family (every win_* key is DataFrame-side; a reference user writes
+    * `WINDOW w AS (...)` and expects one definition shared by several
+    * functions): rank, lag, and a running sum all over ONE named
+    * user-partitioned window (the default ordered-window frame is
+    * range-to-current-row, and the (ts, event_id) order is unique, so
+    * RANGE ≡ ROWS on both engines), so the planner must stack the
+    * window functions on a single (user_id) exchange — the same
+    * one-shuffle pin win_lag_lead carries. Cents snapped; total
+    * order. */
+  def sqlWindowNamed(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT user_id, event_id,
+             rank() OVER w AS rnk,
+             lag(event_id) OVER w AS prev_event,
+             sum(cast(floor(value * 100 + 0.5) as bigint)) OVER w AS run_cents
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, rnk
+    """)
+  }
+
   /** The recursion statement, shared with OracleSql up to the edge-table
     * source name — both engines run the identical loop. */
   def recursiveBfsCore(edges: String): String =

@@ -1774,6 +1774,16 @@ object OracleSql {
         "FROM bg JOIN contrib USING (g) " +
         "GROUP BY doc_id ORDER BY doc_id"),
 
+    // named WINDOW clause: identical text shape; rank INT-cast, lag
+    // nullable BIGINT, running cents exact
+    "sql_window_named" ->
+      ("SELECT user_id, event_id, (rank() OVER w)::INT AS rnk, " +
+        "lag(event_id) OVER w AS prev_event, " +
+        "(sum((floor(value * 100 + 0.5))::BIGINT) OVER w)::BIGINT AS run_cents " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, rnk"),
+
     // dHash near-dup: identical codepoint sampling; the oracle runs the
     // BRUTE pair sweep — equal to the banded form by pigeonhole (7 bands
     // of 9 bits cover Hamming ≤ 6)

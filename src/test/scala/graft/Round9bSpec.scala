@@ -93,7 +93,10 @@ class Round9bSpec extends SparkSpec {
     // that ordering is the reason the op exists
     assert(qLouvain >= qLpa - 1e-9,
       f"Louvain modularity $qLouvain%.4f below LPA's $qLpa%.4f")
-    assert(qLouvain > 0.0, f"no community structure found (Q=$qLouvain%.4f)")
+    // measured 0.248 with the phase-2 coarsening (phase 1 alone: 0.193)
+    // — a band pin so a regression to single-phase quality fails here
+    assert(qLouvain > 0.2,
+      f"two-phase quality regressed (Q=$qLouvain%.4f, expected > 0.2)")
   }
 
   test("corpus_dsir_weights: target-language documents score higher on average") {
