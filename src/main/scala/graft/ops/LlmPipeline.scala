@@ -2858,6 +2858,127 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — the merge-learning
+    * loop every byte-pair tokenizer ships from, run distributed the way
+    * production trainers do: train on the WORD-FREQUENCY table, not the
+    * raw corpus (the pair statistics of a corpus are fully determined by
+    * (word, freq) — the table is |vocab|-sized while the corpus is
+    * 100 TB). Each of the 12 iterations: explode adjacent symbol pairs
+    * weighted by word frequency (one keyed aggregate), take the single
+    * most frequent pair (deterministic: count desc, then lexical left,
+    * right — ONE row to the driver per iteration, metadata like the
+    * k-means centroids), broadcast it, and contract every left-to-right
+    * non-overlapping occurrence in a typed map. Stops early when no
+    * pair repeats. Output = the learned merge table (rank, left, right,
+    * merged, support) — the artifact a tokenizer loads.
+    *
+    * Scale: the corpus-sized work is the ONE word-count aggregate;
+    * the loop then runs on the vocabulary table (persisted per round,
+    * predecessor freed), so iterations cost |vocab|, not corpus.
+    * Oracle-exempt (iterative re-tokenization has no SQL twin);
+    * Round9bSpec pins the hand-computed merge sequence on the classic
+    * low/lower/lowest corpus and determinism on the fixture. */
+  def corpusBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxMerges = 12
+    var words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .as[(Long, Seq[String])]
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= maxMerges && !done) {
+      val top = words.toDF("freq", "syms")
+        // fully-merged single-symbol words have no pairs — and
+        // sequence(1, 0) would step BACKWARD (the textNgramFreq gotcha)
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .head(1)
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        val m = l + r
+        merges += ((rank, l, r, m, n))
+        val prev = words
+        words = prev.map { case (freq, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += m; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (freq, out.toSeq)
+        }.persist()
+        words.count() // materialize before freeing the predecessor
+        prev.unpersist(blocking = false)
+        rank += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "left", "right", "merged", "support")
+      .orderBy(col("rank"))
+  }
+
+  /** BPE tokenization — the APPLY half of [[corpusBpeTrain]]: load the
+    * learned merge table (bounded metadata — it IS the tokenizer),
+    * broadcast it, and re-tokenize every document map-side: split to
+    * words, each word contracts its learned merges in RANK order
+    * (exactly how a shipped BPE tokenizer applies its merges file).
+    * Emits per-document whitespace-token and BPE-token counts — the
+    * compression ratio is the corpus-health number a tokenizer-aware
+    * budget uses instead of naive word counts.
+    *
+    * Scale: training cost is vocab-bound (see corpusBpeTrain); apply is
+    * embarrassingly map-side with the merge list broadcast. Exempt
+    * (merge application has no SQL twin); Round9bSpec pins the
+    * low/lower/lowest token counts and the count envelope. */
+  def corpusBpeTokenize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = corpusBpeTrain(s, d).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(merges))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws0) =>
+        val ws = ws0.filter(_.nonEmpty)
+        val ms = bc.value
+        var nTok = 0L
+        ws.foreach { w =>
+          var syms: Array[String] = w.split("")
+          ms.foreach { case (l, r, m) =>
+            if (syms.length > 1) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  out += m; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.toArray
+            }
+          }
+          nTok += syms.length
+        }
+        (id, ws.length.toLong, nTok)
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens")
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR selection — the RESAMPLING half of [[corpusDsirWeights]] (the
     * paper keeps documents by sampling ∝ exp(weight/T) without
     * replacement): the Gumbel-max trick makes that a deterministic

@@ -77,6 +77,45 @@ class Round9bSpec extends SparkSpec {
       s"too many spurious near-dup hits: $out")
   }
 
+  test("corpus_bpe_train: learns the classic merges on low/lower/lowest, deterministic on the fixture") {
+    import spark.implicits._
+    // Sennrich's canonical example: {"low"×5, "lower"×2, "lowest"×3}.
+    // Pair counts round 1: (l,o)=10, (o,w)=10, (w,e)=5, ... — tie between
+    // (l,o) and (o,w) breaks lexically to (l,o) → "lo"; round 2: (lo,w)=10
+    // → "low"; round 3: (w,e) gone, (low,e)=5 beats (e,r)=2/(e,s)=3 → "lowe"
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(3)("lowest")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((1L, words.mkString(" "), "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.LlmPipeline.corpusBpeTrain(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.take(3).toSeq == Seq(
+      (1, "l", "o", "lo", 10L), (2, "lo", "w", "low", 10L),
+      (3, "low", "e", "lowe", 5L)),
+      s"merge sequence diverges from the hand computation: ${got.take(3).toSeq}")
+    // fixture determinism: two runs, identical merge tables
+    val a = graft.ops.LlmPipeline.corpusBpeTrain(spark, sf01).collect()
+    val b = graft.ops.LlmPipeline.corpusBpeTrain(spark, sf01).collect()
+    assert(a.toSeq == b.toSeq, "BPE training nondeterministic on the fixture")
+    assert(a.length > 0 && a.forall(_.getLong(4) >= 2),
+      "no merges learned / support below the floor")
+    // apply half: the toy corpus fully merges — 10 words → 10 BPE tokens
+    val tok = graft.ops.LlmPipeline.corpusBpeTokenize(spark, dir)
+      .collect().head
+    assert(tok.getLong(1) == 10L && tok.getLong(2) == 10L,
+      s"low/lower/lowest should fully merge: $tok")
+    // envelope on the fixture: words <= bpe tokens <= chars
+    val env = graft.ops.LlmPipeline.corpusBpeTokenize(spark, sf01)
+      .join(io.Tables.documents(spark, sf01).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id")).collect()
+    env.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3) + 1,
+        s"token envelope violated: $r")
+    }
+  }
+
   test("graph_louvain: deterministic, covers every node, and beats LPA's modularity") {
     import graft.ops.Analytics
     val a = Analytics.graphLouvain(spark, sf01).collect()

@@ -94,7 +94,9 @@ class ScaleStressSpec extends SparkSpec {
     ("multimodal_phash_dedup", 40.0, 25.0),
     // gain-ascent rounds: keyed aggregates + equi joins per round, same
     // linear-per-round class as lpa/kcore
-    ("graph_louvain", 40.0, 30.0))
+    ("graph_louvain", 40.0, 30.0),
+    // one corpus-sized word count; merge loop is vocab-sized
+    ("corpus_bpe_train", 40.0, 30.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
