@@ -2880,6 +2880,25 @@ object LlmPipeline {
     * low/lower/lowest corpus and determinism on the fixture. */
   def corpusBpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    s.createDataset(bpeMerges(s, d).toIndexedSeq)
+      .toDF("rank", "left", "right", "merged", "support")
+      .orderBy(col("rank"))
+  }
+
+  // A tokenizer is trained ONCE and applied forever — memoized per
+  // (session, sfDir) exactly like the Tables readers, so the apply op
+  // does not re-pay the merge loop (the cached value is the ≤ 12-row
+  // merge table, metadata-sized).
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[(Int, String, String, String, Long)]]()
+
+  private def bpeMerges(
+      s: SparkSession, d: String): Array[(Int, String, String, String, Long)] =
+    bpeCache.computeIfAbsent((s, d), _ => trainBpe(s, d))
+
+  private def trainBpe(
+      s: SparkSession, d: String): Array[(Int, String, String, String, Long)] = {
+    import s.implicits._
     val maxMerges = 12
     var words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -2928,8 +2947,7 @@ object LlmPipeline {
       }
     }
     words.unpersist(blocking = false)
-    merges.toSeq.toDF("rank", "left", "right", "merged", "support")
-      .orderBy(col("rank"))
+    merges.toArray
   }
 
   /** BPE tokenization — the APPLY half of [[corpusBpeTrain]]: load the
@@ -2947,8 +2965,7 @@ object LlmPipeline {
     * low/lower/lowest token counts and the count envelope. */
   def corpusBpeTokenize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val merges = corpusBpeTrain(s, d).collect()
-      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val merges = bpeMerges(s, d).map(m => (m._2, m._3, m._4))
     val bc = graft.Broadcasts.track(s.sparkContext.broadcast(merges))
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))

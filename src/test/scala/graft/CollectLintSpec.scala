@@ -39,9 +39,7 @@ class CollectLintSpec extends AnyFunSuite {
       "fixed-size query panel (ids < 2500), not corpus-sized",
     ("LlmPipeline.scala", "kmeansCentroids") ->
       ("k-row (k=8) grid-summed centroid table per Lloyd round — " +
-        "row-count-independent metadata"),
-    ("LlmPipeline.scala", "corpusBpeTokenize") ->
-      "the learned merge table (<= 12 rows) IS the tokenizer — metadata")
+        "row-count-independent metadata"))
 
   test("collect() appears only in declared broadcast-tier / metadata functions") {
     val defRe = """\s*(?:override\s+)?(?:private(?:\[\w+\])?\s+)?def (\w+)""".r
