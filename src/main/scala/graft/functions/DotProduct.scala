@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_dhash"),
+      new ExpressionInfo(classOf[DHash].getName, "graft_dhash"),
+      (children: Seq[Expression]) => DHash(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_morton"),
       new ExpressionInfo(classOf[MortonCode].getName, "graft_morton"),
       (children: Seq[Expression]) => MortonCode(children(0), children(1))))

@@ -2342,13 +2342,13 @@ object LlmPipeline {
     * keys whose occupancy bounds candidate pairs (the simhash_pairs
     * shape); the rollup is one keyed groupBy. */
   def multimodalPhashDedup(s: SparkSession, d: String): DataFrame = {
+    // native codegen'd signature — one codepoint decode per row instead
+    // of the interpreted 63-substring HOF; bit parity with the SQL form
+    // (and the DuckDB twin) pinned in Round9bSpec
+    graft.functions.DHash.register(s)
     val ph = Tables.documents(s, d)
       .where(length(col("text")) >= 1)
-      .select(col("doc_id"), expr(
-        "aggregate(sequence(0, 62), cast(0 as bigint), (acc, i) -> " +
-          "acc + IF(ascii(substring(text, 1 + (i * length(text)) div 64, 1)) > " +
-          "ascii(substring(text, 1 + ((i + 1) * length(text)) div 64, 1)), " +
-          "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("phash"))
+      .select(col("doc_id"), expr("graft_dhash(text)").as("phash"))
       .persist()
     val banded = ph.select(col("doc_id"), col("phash"),
       explode(array((0 until 7).map(j =>

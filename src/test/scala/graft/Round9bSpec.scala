@@ -138,6 +138,26 @@ class Round9bSpec extends SparkSpec {
       f"two-phase quality regressed (Q=$qLouvain%.4f, expected > 0.2)")
   }
 
+  test("graft_dhash native expression == the SQL HOF spelling, bit for bit") {
+    // the codegen'd signature must match the interpreted form the oracle
+    // twin mirrors — on the real fixture (incl. zh codepoints) at both
+    // unit SFs
+    graft.functions.DHash.register(spark)
+    for (d <- Seq(sf001, sf01)) {
+      val both = io.Tables.documents(spark, d)
+        .where(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          expr("graft_dhash(text)").as("native"),
+          expr("aggregate(sequence(0, 62), cast(0 as bigint), (acc, i) -> " +
+            "acc + IF(ascii(substring(text, 1 + (i * length(text)) div 64, 1)) > " +
+            "ascii(substring(text, 1 + ((i + 1) * length(text)) div 64, 1)), " +
+            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("hof"))
+        .where(col("native") =!= col("hof"))
+      assert(both.count() == 0,
+        s"native dhash diverges from the HOF form at $d: ${both.take(3).toSeq}")
+    }
+  }
+
   test("corpus_dsir_weights: target-language documents score higher on average") {
     val w = LlmPipeline.corpusDsirWeights(spark, sf01)
     val byLang = w
