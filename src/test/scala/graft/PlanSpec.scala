@@ -702,6 +702,20 @@ class PlanSpec extends SparkSpec {
       s"WAU fell back to a nested-loop day-range join:\n$plan")
   }
 
+  test("multimodal_phash_dedup: the signature is the native graft_dhash inside codegen, not the HOF") {
+    val plan = physical(graft.ops.LlmPipeline.multimodalPhashDedup(spark, sf001))
+    assert(plan.contains("graft_dhash"),
+      s"native dhash expression missing from the signature stage:\n$plan")
+    assert(!plan.contains("aggregate(sequence"),
+      s"interpreted HOF form crept back into the hot path:\n$plan")
+    // executedPlan.toString marks codegen stages with "*(n)" — the
+    // dhash projection must carry one (a fallen-out expression renders
+    // an unstarred Project)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_dhash") && l.contains("*(")),
+      s"signature stage fell out of codegen:\n$plan")
+  }
+
   test("join_bloom_prefilter: probe-side prefilter is the native might_contain expression, not a UDF") {
     val plan = physical(Relational.joinBloomPrefilter(spark, sf001))
     assert(plan.contains("might_contain"),
