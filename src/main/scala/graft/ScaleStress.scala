@@ -121,7 +121,8 @@ object ScaleStress {
     "sql_tpch_q16", "sql_tpch_q20",
     "cluster_kmeans", "corpus_dsir_weights", "corpus_dsir_resample",
     "sample_reservoir_pergroup", "text_zipf_slope",
-    "multimodal_phash_dedup", "graph_louvain", "corpus_bpe_train")
+    "multimodal_phash_dedup", "graph_louvain", "corpus_bpe_train",
+    "dedup_phash_incremental")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

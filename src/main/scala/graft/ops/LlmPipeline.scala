@@ -2373,6 +2373,52 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Arrival-shaped perceptual-hash dedup — the IMAGE modality joins the
+    * incremental family (exact digests, minhash bands, and embedding
+    * cells already have arrival forms): the CORPUS (even doc_ids — the
+    * family's split convention) persists its 7×9-bit band index ONCE;
+    * each ARRIVING payload (odd doc_ids) probes only its 7 band keys.
+    * Candidates are band collisions, the verify keeps exact Hamming ≤ 6
+    * corpus partners, and each arrival reports the smallest qualifying
+    * partner (the survivor convention) plus its closest partner's
+    * distance (two independent mins — documented, mirrored exactly in
+    * the twin). Pigeonhole makes the probe EXACT (a corpus doc within
+    * Hamming 6 shares ≥ 1 of 7 bands), so unlike the minhash/embedding
+    * arrival forms this one is oracle-GATED — the DuckDB twin
+    * brute-forces the same split. Ingest cost ∝ batch × collision
+    * density, never corpus²; every arrival emits a row, so the key
+    * stays non-vacuous on a corpus with no natural near-dups
+    * (Round9bSpec plants one and pins the probe finds it). */
+  def dedupPhashIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DHash.register(s)
+    val ph = Tables.documents(s, d)
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), expr("graft_dhash(text)").as("phash"))
+    def banded(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("phash"),
+        explode(array((0 until 7).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("phash"), j * 9).bitwiseAND(lit(511L))
+              .as("bits"))): _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val corpusIdx = banded(ph.where(col("doc_id") % 2 === 0)).persist()
+    val hits = banded(ph.where(col("doc_id") % 2 === 1))
+      .toDF("a_id", "a_ph", "band", "bits")
+      .join(corpusIdx.toDF("c_id", "c_ph", "c_band", "c_bits"),
+        col("band") === col("c_band") && col("bits") === col("c_bits"))
+      .select(col("a_id"), col("c_id"),
+        bit_count(col("a_ph").bitwiseXOR(col("c_ph"))).as("ham"))
+      .where(col("ham") <= 6)
+      .distinct() // a pair can collide in several bands
+      .groupBy(col("a_id"))
+      .agg(min(col("c_id")).as("dup_of"), min(col("ham")).as("best_ham"))
+    ph.where(col("doc_id") % 2 === 1)
+      .join(hits, ph("doc_id") === hits("a_id"), "left")
+      .select(col("doc_id"), col("phash"), col("dup_of"), col("best_ham"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batched "model inference" over binary content — the mapPartitions
     * shape EVERY expensive per-row stage (image decoder, tokenizer,
     * embedding model) must take at 100 TB: the model loads ONCE per

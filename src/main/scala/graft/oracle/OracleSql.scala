@@ -1800,6 +1800,23 @@ object OracleSql {
         "SELECT p.doc_id, p.phash, coalesce(n.n_near, 0)::BIGINT AS n_near " +
         "FROM ph p LEFT JOIN near n ON p.doc_id = n.a_id ORDER BY p.doc_id"),
 
+    // arrival-shaped phash: brute-force over the same even/odd split —
+    // equal to the banded probe by the 7x9 pigeonhole
+    "dedup_phash_incremental" ->
+      ("WITH ph AS (SELECT doc_id, " +
+        "(SELECT sum(CASE WHEN ascii(substr(t.text, 1 + ((i * length(t.text)) // 64), 1)) > " +
+        "ascii(substr(t.text, 1 + (((i + 1) * length(t.text)) // 64), 1)) " +
+        "THEN (1::BIGINT << i) ELSE 0::BIGINT END) " +
+        "FROM range(0, 63) r(i))::BIGINT AS phash " +
+        "FROM documents t WHERE length(t.text) >= 1), " +
+        "hits AS (SELECT a.doc_id AS a_id, min(c.doc_id)::BIGINT AS dup_of, " +
+        "min(bit_count(xor(a.phash, c.phash)))::INT AS best_ham " +
+        "FROM ph a JOIN ph c ON a.doc_id % 2 = 1 AND c.doc_id % 2 = 0 " +
+        "AND bit_count(xor(a.phash, c.phash)) <= 6 GROUP BY a.doc_id) " +
+        "SELECT p.doc_id, p.phash, h.dup_of, h.best_ham " +
+        "FROM ph p LEFT JOIN hits h ON p.doc_id = h.a_id " +
+        "WHERE p.doc_id % 2 = 1 ORDER BY p.doc_id"),
+
     // Zipf fit: ranks from an ordered LIMIT subquery; grid-snapped lns
     // aggregated in HUGEINT (≡ Spark DECIMAL(38,0)); one double divide
     "text_zipf_slope" ->

@@ -72,6 +72,15 @@ class Round9bSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out(donor._1) >= 1 && out(9001L) >= 1,
       s"planted near-dup pair not recalled: $out")
+    // arrival-shaped form: the mutant (9001, odd = arrival) must find
+    // its even-id donor through the persisted corpus band index
+    if (donor._1 % 2 == 0) {
+      val inc = graft.ops.LlmPipeline.dedupPhashIncremental(spark, dir)
+        .where(col("doc_id") === 9001L).collect()
+      assert(inc.length == 1 && !inc(0).isNullAt(2) &&
+        inc(0).getLong(2) == donor._1,
+        s"incremental probe missed the planted corpus partner: ${inc.toSeq}")
+    }
     // and an unrelated doc stays clean (no false blanket matches)
     assert(out.count(_._2 == 0) >= base.length - 3,
       s"too many spurious near-dup hits: $out")

@@ -92,6 +92,7 @@ class ScaleStressSpec extends SparkSpec {
     ("sample_reservoir_pergroup", 40.0, 20.0),
     // banded Hamming join: candidates bound by 9-bit band occupancy
     ("multimodal_phash_dedup", 40.0, 25.0),
+    ("dedup_phash_incremental", 40.0, 25.0),
     // gain-ascent rounds: keyed aggregates + equi joins per round, same
     // linear-per-round class as lpa/kcore
     ("graph_louvain", 40.0, 30.0),
