@@ -36,3 +36,32 @@ object Broadcasts {
     live.clear()
   }
 }
+
+/** Registry of DataFrames persisted INSIDE an operator whose returned
+  * plan is still lazy (the phash band index, the DSIR bigram stream):
+  * the op itself has no post-consumption point at which to unpersist,
+  * so the blocks would otherwise live for the session. The harnesses
+  * (Bench, Verify) already sweep these via `spark.catalog.clearCache()`
+  * between queries; [[unpersistAll]] is the equivalent single release
+  * point for a library user embedding an op in a long-lived session —
+  * call it (with [[Broadcasts.destroyAll]]) once the query's action has
+  * completed. Weak references for the same reason as [[Broadcasts]]. */
+object Caches {
+  private val live = scala.collection.mutable.ListBuffer
+    .empty[java.lang.ref.WeakReference[org.apache.spark.sql.Dataset[_]]]
+
+  def track[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    synchronized {
+      live += new java.lang.ref.WeakReference[org.apache.spark.sql.Dataset[_]](ds)
+      ds
+    }
+
+  def unpersistAll(): Unit = synchronized {
+    live.foreach { ref =>
+      val d = ref.get()
+      if (d != null) try d.unpersist(blocking = false)
+      catch { case _: Exception => () }
+    }
+    live.clear()
+  }
+}

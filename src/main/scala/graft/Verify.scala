@@ -31,6 +31,7 @@ object Verify {
       // release per-query broadcasts (knn kernels) between queries — one
       // 88-query JVM must not accumulate executor memory pressure.
       Broadcasts.destroyAll()
+      Caches.unpersistAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -62,7 +62,11 @@ class Round9bSpec extends SparkSpec {
     val base = io.Tables.documents(spark, sf001)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .as[(Long, String, String, String, Long)].collect().take(20)
-    val donor = base.head
+    // donor must be an EVEN id: the arrival-shaped assertion below needs
+    // the donor on the corpus side (even ids by the family convention) —
+    // a head-of-table pick would silently skip that pin if the first
+    // fixture id were ever odd (ADVICE round-9)
+    val donor = base.find(_._1 % 2 == 0).get
     val mutated = donor._2.updated(donor._2.length / 2, '~')
     val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
     (base.toSeq :+ ((9001L, mutated, donor._3, donor._4, donor._5)))
@@ -74,13 +78,11 @@ class Round9bSpec extends SparkSpec {
       s"planted near-dup pair not recalled: $out")
     // arrival-shaped form: the mutant (9001, odd = arrival) must find
     // its even-id donor through the persisted corpus band index
-    if (donor._1 % 2 == 0) {
-      val inc = graft.ops.LlmPipeline.dedupPhashIncremental(spark, dir)
-        .where(col("doc_id") === 9001L).collect()
-      assert(inc.length == 1 && !inc(0).isNullAt(2) &&
-        inc(0).getLong(2) == donor._1,
-        s"incremental probe missed the planted corpus partner: ${inc.toSeq}")
-    }
+    val inc = graft.ops.LlmPipeline.dedupPhashIncremental(spark, dir)
+      .where(col("doc_id") === 9001L).collect()
+    assert(inc.length == 1 && !inc(0).isNullAt(2) &&
+      inc(0).getLong(2) == donor._1,
+      s"incremental probe missed the planted corpus partner: ${inc.toSeq}")
     // and an unrelated doc stays clean (no false blanket matches)
     assert(out.count(_._2 == 0) >= base.length - 3,
       s"too many spurious near-dup hits: $out")
