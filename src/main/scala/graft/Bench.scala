@@ -128,7 +128,10 @@ object Bench {
         name -> (if (oks.nonEmpty) Right(oks.min)
                  else attempts.head)
     }.toMap
-    calibSeries += ((qIdx, calibOnce()))
+    // the in-loop append already fired when nq is a multiple of
+    // CalibEvery — don't duplicate the index (ADVICE round-10)
+    if (calibSeries.isEmpty || calibSeries.last._1 != qIdx)
+      calibSeries += ((qIdx, calibOnce()))
     val ok = results.collect { case (k, Right(t)) => k -> t }
     val errs = results.collect { case (k, Left(m)) => k -> m }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)

@@ -66,7 +66,8 @@ class Round9bSpec extends SparkSpec {
     // the donor on the corpus side (even ids by the family convention) —
     // a head-of-table pick would silently skip that pin if the first
     // fixture id were ever odd (ADVICE round-9)
-    val donor = base.find(_._1 % 2 == 0).get
+    val donor = base.find(_._1 % 2 == 0)
+      .getOrElse(fail("no even-id donor in first 20 fixture rows"))
     val mutated = donor._2.updated(donor._2.length / 2, '~')
     val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
     (base.toSeq :+ ((9001L, mutated, donor._3, donor._4, donor._5)))
