@@ -56,6 +56,46 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-SUBSTRING duplication profile (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") — the
+    * POSITIONAL complement of the set-based near-dup family: set
+    * similarity (minhash/containment) misses a boilerplate paragraph
+    * pasted into otherwise-distinct documents, which is exactly the
+    * memorization vector substring dedup exists to kill. Every word
+    * 5-gram WINDOW (position-aware, duplicates kept — the suffix-array
+    * criterion restricted to fixed k) counts its corpus-wide
+    * occurrences; a window is DUPLICATED when its gram occurs ≥ 2 times
+    * anywhere (another doc or another position of the same doc). Output
+    * = per-doc window count, duplicated-window count, and the
+    * duplicated fraction — the "how much of this document is copied
+    * text" number a curation pipeline thresholds on.
+    *
+    * Scale: one explode pass (corpus-sized), one partial-aggregable
+    * count keyed on the gram, and the re-attach join lands on the SAME
+    * gram key — the exchange is reused, never a second corpus shuffle;
+    * the final rollup keys on doc_id. Fully oracle-gated (grams are
+    * plain strings — no hashing — so DuckDB builds the identical
+    * windows). */
+  def dedupSubstringKgram(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), i -> " +
+          s"concat_ws(' ', slice(ws, i, $k)))")).as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    grams.join(counts, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("n") >= 2, 1)).as("dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+        (floor(col("dup_windows").cast("double") /
+          col("n_windows").cast("double") * 1e6 + 0.5) / 1e6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL-canonicalization dedup — the C4-style crawl-dedup step that
     * exact text hashing cannot do: the SAME logical page arrives under
     * cased hosts, trailing slashes, utm tracking params and fragments,
@@ -996,15 +1036,31 @@ object LlmPipeline {
   private[graft] def dedupEmbeddingIncrementalCore(
       s: SparkSession, corpus: DataFrame, arriving: DataFrame,
       threshold: Double): DataFrame = {
-    import s.implicits._
-    graft.functions.DotProduct.register(s)
-    val nCorpus = corpus.count()
-    val k = math.min(24, math.max(4,
+    val k = embeddingCellBits(corpus.count())
+    // the persisted asset: (cell, corpus_id) — ids only, bucketed on
+    // cell at scale
+    val idx = embeddingCellsOf(s, corpus, k).toDF("cell", "corpus_id")
+    scoreAgainstEmbeddingIndex(s, arriving, corpus, idx, k, threshold)
+  }
+
+  /** Cell width of the sign-LSH index — a property of CORPUS occupancy
+    * (so an arriving batch of any size probes the same cells); restart
+    * probes re-derive it from the persisted index's distinct corpus_id
+    * count, which equals the builder's corpus count because every
+    * vector emits all nTables cells. */
+  private[graft] def embeddingCellBits(nCorpus: Long): Int =
+    math.min(24, math.max(4,
       (math.log(math.max(1L, nCorpus).toDouble / 64) / math.log(2)).ceil.toInt))
+
+  /** Sign-LSH cells of a (vec_id, embedding) frame — (cell, vid) rows,
+    * nTables per vector; deterministic hyperplanes (sin grid), so any
+    * session recomputes identical cells for the probe side. */
+  private[graft] def embeddingCellsOf(
+      s: SparkSession, v: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
     val nTables = 6
     val planes = Array.tabulate(nTables * k, 64)((p, i) => math.sin(p * 64 + i))
-    def cellsOf(v: DataFrame): DataFrame = v
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    v.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         (0 until nTables).iterator.map { t =>
           var bits = 0L
@@ -1020,11 +1076,19 @@ object LlmPipeline {
           ((t.toLong << 32) | bits, id)
         }
       }.toDF("cell", "vid")
-    // the persisted asset: (cell, corpus_id) — ids only, bucketed on
-    // cell at scale
-    val idx = cellsOf(corpus).toDF("cell", "corpus_id")
-    val cand = cellsOf(arriving).toDF("cell", "vec_id")
-      .join(idx, Seq("cell"))
+  }
+
+  /** Probe half of [[dedupEmbeddingIncremental]]: arriving vectors
+    * against an ALREADY-BUILT cell index; the exact rescore re-attaches
+    * both embeddings by hash join (corpus = the vector table, never the
+    * index). Shared verbatim by the in-session and parquet-restart
+    * paths. */
+  private[graft] def scoreAgainstEmbeddingIndex(
+      s: SparkSession, arriving: DataFrame, corpus: DataFrame,
+      cellIdx: DataFrame, k: Int, threshold: Double): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val cand = embeddingCellsOf(s, arriving, k).toDF("cell", "vec_id")
+      .join(cellIdx, Seq("cell"))
       .select(col("vec_id"), col("corpus_id")).distinct()
     cand
       .join(corpus.toDF("corpus_id", "b_emb"), "corpus_id")
@@ -1530,6 +1594,98 @@ object LlmPipeline {
     scoreAgainstMinhashIndex(docs.where(col("doc_id") % 2 === 1),
       minhashBandsOf(corpus), docShingleHashesOf(corpus, 3))
       .orderBy(col("doc_id"))
+  }
+
+  /** Persist every corpus-side index the incremental dedup family probes
+    * — minhash BAND + SHINGLE, embedding sign-LSH CELL, perceptual-hash
+    * BAND — to parquet under `dir`: the RESTART asset. A production
+    * ingest pipeline builds these once per corpus snapshot and probes
+    * them from every later session/process; nothing about the probes may
+    * depend on builder-session state (verified by Round11Spec, which
+    * probes from a fresh session). At 100 TB each index is written
+    * bucketed on its join key ((band,key) / cell / (band,bits)) so probe
+    * joins co-locate without a corpus-side shuffle. */
+  private[graft] def writeDedupIndexes(
+      s: SparkSession, d: String, dir: String): Unit = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpusDocs = docs.where(col("doc_id") % 2 === 0)
+    minhashBandsOf(corpusDocs)
+      .write.mode("overwrite").parquet(s"$dir/minhash_bands.parquet")
+    docShingleHashesOf(corpusDocs, 3)
+      .write.mode("overwrite").parquet(s"$dir/minhash_shingles.parquet")
+    graft.functions.DHash.register(s)
+    phashBandsOf(corpusDocs.where(length(col("text")) >= 1)
+        .select(col("doc_id"), expr("graft_dhash(text)").as("phash")))
+      .write.mode("overwrite").parquet(s"$dir/phash_bands.parquet")
+    val corpusVecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") % 2 === 0)
+    embeddingCellsOf(s, corpusVecs, embeddingCellBits(corpusVecs.count()))
+      .toDF("cell", "corpus_id")
+      .write.mode("overwrite").parquet(s"$dir/embedding_cells.parquet")
+  }
+
+  /** Restart probes: identical kernels to the in-session incremental
+    * ops, with the corpus index READ FROM PARQUET instead of persisted
+    * in the builder session. */
+  private[graft] def probeMinhashIndex(
+      s: SparkSession, d: String, dir: String): DataFrame =
+    scoreAgainstMinhashIndex(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 2 === 1),
+      s.read.parquet(s"$dir/minhash_bands.parquet"),
+      s.read.parquet(s"$dir/minhash_shingles.parquet"))
+      .orderBy(col("doc_id"))
+
+  private[graft] def probePhashIndex(
+      s: SparkSession, d: String, dir: String): DataFrame = {
+    graft.functions.DHash.register(s)
+    scoreAgainstPhashIndex(
+      Tables.documents(s, d)
+        .where(length(col("text")) >= 1 && col("doc_id") % 2 === 1)
+        .select(col("doc_id"), expr("graft_dhash(text)").as("phash")),
+      s.read.parquet(s"$dir/phash_bands.parquet"))
+  }
+
+  private[graft] def probeEmbeddingIndex(
+      s: SparkSession, d: String, dir: String): DataFrame = {
+    val idx = s.read.parquet(s"$dir/embedding_cells.parquet")
+    val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // k re-derived from index occupancy — every corpus vector emits all
+    // nTables cells, so distinct corpus_id == the builder's corpus count
+    val k = embeddingCellBits(
+      idx.select(col("corpus_id")).distinct().count())
+    scoreAgainstEmbeddingIndex(s,
+      all.where(col("vec_id") % 2 === 1),
+      all.where(col("vec_id") % 2 === 0), idx, k, 0.3)
+  }
+
+  /** Index-restart dedup — the incremental family run THE WAY A NEW
+    * SESSION runs it: build + write the corpus indexes to parquet, then
+    * answer every arriving document/vector purely from the reloaded
+    * files (minhash, perceptual-hash, and embedding modalities unioned
+    * with a modality tag). In production the write happens once per
+    * corpus snapshot and only the probe half runs per batch; this key
+    * exercises the full write→reload→probe loop so a schema or
+    * session-state dependency in any index can't hide. Oracle-exempt
+    * (murmur3 banding / hyperplane LSH); Round11Spec pins each
+    * modality's restart probe — from a genuinely FRESH session — equal
+    * to its in-session incremental twin, and the gate runs it at 16×. */
+  def dedupIndexRestart(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
+      .toString
+    writeDedupIndexes(s, d, dir)
+    val mh = probeMinhashIndex(s, d, dir)
+      .select(lit("minhash").as("modality"), col("doc_id").as("id"),
+        col("dup_of"), col("jaccard").cast("double").as("score"))
+    val ph = probePhashIndex(s, d, dir)
+      .where(col("dup_of").isNotNull)
+      .select(lit("phash").as("modality"), col("doc_id").as("id"),
+        col("dup_of"), col("best_ham").cast("double").as("score"))
+    val em = probeEmbeddingIndex(s, d, dir)
+      .select(lit("embedding").as("modality"), col("vec_id").as("id"),
+        col("dup_of"), col("dup_score").cast("double").as("score"))
+    mh.unionAll(ph).unionAll(em).orderBy(col("modality"), col("id"))
   }
 
   /** End-to-end INCREMENTAL corpus curation — the steady-state ingest
@@ -2238,6 +2394,54 @@ object LlmPipeline {
       .orderBy(col("bucket"))
   }
 
+  /** TOKENIZER-AWARE packing — [[packLengthBuckets]] budgeted by the
+    * number of BPE tokens the trained tokenizer actually produces
+    * (joined from [[corpusBpeTokenize]]'s output) instead of whitespace
+    * word counts (r9 verdict task 4): whitespace counts under-budget
+    * agglutinative/URL-heavy text by the corpus's compression ratio, so
+    * a 4096-BUDGET bin packed by words silently overflows the real
+    * token budget downstream. Same bucketing recipe as the whitespace
+    * form — nine exact token-length deciles broadcast as one row,
+    * cumulative bin assignment under a bucket-partitioned window —
+    * with n_tokens = n_bpe_tokens. Output adds the corpus-level
+    * words→tokens expansion per bucket so the two packings are
+    * comparable. Oracle-exempt (the token counts come from the BPE
+    * apply, which has no SQL twin — the packing arithmetic itself is
+    * the already-gated pack_length_buckets shape); Round11Spec pins
+    * bucket coverage, token conservation against the tokenize output,
+    * and the fill-ratio envelope. */
+  def packBpeBudget(s: SparkSession, d: String): DataFrame = {
+    val toks = corpusBpeTokenize(s, d)
+      .select(col("doc_id"), col("n_words"),
+        col("n_bpe_tokens").as("n_tokens"))
+    val bounds = toks.agg(expr(
+      "percentile(n_tokens, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("qs"))
+    val bucket = (lit(1) +
+      (1 to 9).map(i =>
+        when(col("n_tokens") > element_at(col("qs"), i), 1).otherwise(0))
+        .reduce((a, b) => a + b)).cast("int")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(4096L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin")) + 1).as("n_bins"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_words")).as("sum_words"))
+      .select(col("bucket"), col("n_docs"), col("n_bins"),
+        col("sum_tokens"),
+        round(col("sum_tokens").cast("double") /
+          (col("n_bins") * lit(4096L)).cast("double"), 4).as("fill_ratio"),
+        round(col("sum_tokens").cast("double") /
+          greatest(col("sum_words"), lit(1L)).cast("double"), 4)
+          .as("tokens_per_word"))
+      .orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Pack document + embedding + metadata into one nested row
@@ -2352,13 +2556,17 @@ object LlmPipeline {
       .where(length(col("text")) >= 1)
       .select(col("doc_id"), expr("graft_dhash(text)").as("phash"))
       .persist())
-    val banded = ph.select(col("doc_id"), col("phash"),
-      explode(array((0 until 7).map(j =>
-        struct(lit(j).as("band"),
-          shiftright(col("phash"), j * 9).bitwiseAND(lit(511L))
-            .as("bits"))): _*)).as("bk"))
-      .select(col("doc_id"), col("phash"),
-        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    phashNearCounts(ph)
+  }
+
+  /** The banded exact-Hamming pair count over any (doc_id, phash) frame
+    * — shared verbatim by the codepoint-stub signature
+    * ([[multimodalPhashDedup]], the oracle-gated twin) and the
+    * real-pixel signature ([[multimodalPhashPixels]]): the signature
+    * SOURCE is the only thing that differs between the stub and a real
+    * decoder, exactly the swap-in claim the stub's scaladoc makes. */
+  private[graft] def phashNearCounts(ph: DataFrame): DataFrame = {
+    val banded = phashBandsOf(ph)
     val a = banded.toDF("a_id", "a_ph", "band", "bits")
     val b = banded.toDF("b_id", "b_ph", "b_band", "b_bits")
     val near = a.join(b,
@@ -2373,6 +2581,146 @@ object LlmPipeline {
       .select(col("doc_id"), col("phash"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
       .orderBy(col("doc_id"))
+  }
+
+  /** REAL-PIXEL perceptual-hash dedup — the codepoint stub's decode step
+    * replaced by an actual image pipeline, end to end (r9 verdict
+    * task 3): every document renders to a deterministic 32×32 grayscale
+    * PNG (luminance = the sampled codepoint curve — the container has no
+    * photo corpus, so payloads are synthesized, but everything
+    * downstream of the bytes is the real thing), the PNGs are STAGED as
+    * files and ingested through `format("binaryFile")` (the
+    * [[graft.io.Formats.sourceBinaryFiles]] machinery), each payload is
+    * DECODED executor-side with javax.imageio, grayscale-downsampled to
+    * the 8×8 grid by block averaging, dHashed (bit i = cell(i) >
+    * cell(i+1), the same 63-bit shape as [[graft.functions.DHash]]),
+    * and the SAME banded exact-Hamming search ([[phashNearCounts]])
+    * finds near-dups. [[multimodalPhashDedup]] stays the oracle-gated
+    * twin; this key is exempt (PNG decode has no SQL twin) and pinned by
+    * Round11Spec: planted near-identical image recalled, and the banding
+    * kernel literally shared with the gated twin.
+    *
+    * Scale: staging writes payloads through the Hadoop FS (java.nio on
+    * file:// — the measured 50× ChecksumFileSystem tax), the binaryFile
+    * listing parallelizes, decode+hash is one mapPartitions with the
+    * ImageIO cache off (no per-row temp files), and candidate volume is
+    * bounded by 9-bit band occupancy as in the stub form. */
+  def multimodalPhashPixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = stagePngs(s, d)
+    val ph = graft.Caches.track(
+      s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+        .load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (path, bytes) =>
+            val id = path.substring(
+              path.lastIndexOf("img_") + 4, path.length - 4).toLong
+            (id, pixelDHash(bytes))
+          }
+        }.toDF("doc_id", "phash").persist())
+    phashNearCounts(ph)
+  }
+
+  /** Deterministic 32×32 grayscale payload of a document: pixel p's
+    * luminance is the codepoint sampled at (p·n) div 1024, mod 256 — a
+    * one-character edit perturbs only the handful of adjacent pixels
+    * that sample it, which is what makes the planted-pair Hamming bound
+    * testable. Encoded as a real PNG via javax.imageio. */
+  private[graft] def pngOf(text: String): Array[Byte] = {
+    val n = text.codePointCount(0, text.length)
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    while (p < 1024) {
+      val gray =
+        if (n == 0) 0
+        else text.codePointAt(
+          text.offsetByCodePoints(0, ((p.toLong * n) / 1024L).toInt)) % 256
+      raster.setSample(p % 32, p / 32, 0, gray)
+      p += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode a PNG payload and dHash its pixels: block-average the
+    * grayscale image onto the 8×8 grid (cells row-major), bit i = cell(i)
+    * > cell(i+1) — the 63-bit signature shape of
+    * [[graft.functions.DHash]], computed from REAL decoded pixels.
+    * Grayscale PNG is lossless, so the hash is deterministic across
+    * encode→decode. */
+  private[graft] def pixelDHash(png: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val cells = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = (cy * h) / 8
+      val y1 = ((cy + 1) * h) / 8
+      var cx = 0
+      while (cx < 8) {
+        val x0 = (cx * w) / 8
+        val x1 = ((cx + 1) * w) / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        cells(cy * 8 + cx) =
+          if (y1 > y0 && x1 > x0) sum / ((y1 - y0).toLong * (x1 - x0)) else 0L
+        cx += 1
+      }
+      cy += 1
+    }
+    var hsh = 0L
+    var i = 0
+    while (i < 63) {
+      if (cells(i) > cells(i + 1)) hsh |= (1L << i)
+      i += 1
+    }
+    hsh
+  }
+
+  /** Stage every document's rendered PNG under a fresh directory through
+    * the Hadoop FS resolved from the path (java.nio fast path on
+    * file:// — the sourceBinaryFiles dispatch), one task per partition:
+    * the write half of the real-image ingestion loop. */
+  private def stagePngs(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-png").toString
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(serConf.value)
+          val local = fs.getUri.getScheme == "file"
+          if (local) new java.io.File(dir).mkdirs() else fs.mkdirs(base)
+          it.foreach { r =>
+            val name = s"img_${r.getLong(0)}.png"
+            val bytes = pngOf(r.getString(1))
+            if (local)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, name), bytes)
+            else {
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(base, name), true)
+              try out.write(bytes)
+              finally out.close()
+            }
+          }
+        }
+      }
+    dir
   }
 
   /** Arrival-shaped perceptual-hash dedup — the IMAGE modality joins the
@@ -2396,17 +2744,33 @@ object LlmPipeline {
     val ph = Tables.documents(s, d)
       .where(length(col("text")) >= 1)
       .select(col("doc_id"), expr("graft_dhash(text)").as("phash"))
-    def banded(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("phash"),
-        explode(array((0 until 7).map(j =>
-          struct(lit(j).as("band"),
-            shiftright(col("phash"), j * 9).bitwiseAND(lit(511L))
-              .as("bits"))): _*)).as("bk"))
-      .select(col("doc_id"), col("phash"),
-        col("bk.band").as("band"), col("bk.bits").as("bits"))
-    val corpusIdx =
-      graft.Caches.track(banded(ph.where(col("doc_id") % 2 === 0)).persist())
-    val hits = banded(ph.where(col("doc_id") % 2 === 1))
+    val corpusIdx = graft.Caches.track(
+      phashBandsOf(ph.where(col("doc_id") % 2 === 0)).persist())
+    scoreAgainstPhashIndex(ph.where(col("doc_id") % 2 === 1), corpusIdx)
+  }
+
+  /** The perceptual-hash BAND INDEX of a (doc_id, phash) frame — one
+    * (doc_id, phash, band, bits) row per 9-bit band; the corpus side of
+    * [[dedupPhashIncremental]] persists this (a bucketed (band, bits)
+    * table at scale, parquet via [[writeDedupIndexes]] across
+    * restarts). */
+  private[graft] def phashBandsOf(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("phash"),
+      explode(array((0 until 7).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("phash"), j * 9).bitwiseAND(lit(511L))
+            .as("bits"))): _*)).as("bk"))
+    .select(col("doc_id"), col("phash"),
+      col("bk.band").as("band"), col("bk.bits").as("bits"))
+
+  /** Probe half of [[dedupPhashIncremental]]: arriving (doc_id, phash)
+    * rows against an ALREADY-BUILT corpus band index — in-session
+    * (persisted frame) and restart (parquet reload) probes share this
+    * exact kernel, which is what makes the restart-parity pin
+    * meaningful. */
+  private[graft] def scoreAgainstPhashIndex(
+      arriving: DataFrame, corpusIdx: DataFrame): DataFrame = {
+    val hits = phashBandsOf(arriving)
       .toDF("a_id", "a_ph", "band", "bits")
       .join(corpusIdx.toDF("c_id", "c_ph", "c_band", "c_bits"),
         col("band") === col("c_band") && col("bits") === col("c_bits"))
@@ -2416,8 +2780,8 @@ object LlmPipeline {
       .distinct() // a pair can collide in several bands
       .groupBy(col("a_id"))
       .agg(min(col("c_id")).as("dup_of"), min(col("ham")).as("best_ham"))
-    ph.where(col("doc_id") % 2 === 1)
-      .join(hits, ph("doc_id") === hits("a_id"), "left")
+    arriving
+      .join(hits, arriving("doc_id") === hits("a_id"), "left")
       .select(col("doc_id"), col("phash"), col("dup_of"), col("best_ham"))
       .orderBy(col("doc_id"))
   }

@@ -905,12 +905,19 @@ object SqlApi {
 
   /** Loop body only — OracleSql prepends its own edge CTEs after the
     * WITH RECURSIVE keyword (DuckDB materializes them once; Spark uses
-    * the cached view instead). */
+    * the cached view instead).
+    *
+    * The recursive arm is DISTINCT per level: without it the loop
+    * enumerates WALKS, whose count is combinatorial in graph density —
+    * the 16× stress gate blew Spark's 1M-row recursion guard exactly
+    * that way (r11). Distinct-per-level bounds every frontier by |V|,
+    * and min(d) per node — the BFS distance — is multiplicity-blind, so
+    * the result is unchanged in both engines. */
   def recursiveBfsBody(edges: String): String =
     s"""seed AS (SELECT min(src) AS p FROM $edges),
       |r(p, d) AS (
       |  SELECT p, 0 FROM seed
       |  UNION ALL
-      |  SELECT e.dst, r.d + 1 FROM r JOIN $edges e ON e.src = r.p WHERE r.d < 3)
+      |  SELECT DISTINCT e.dst, r.d + 1 FROM r JOIN $edges e ON e.src = r.p WHERE r.d < 3)
       |SELECT p AS part, min(d) AS dist FROM r GROUP BY p ORDER BY part""".stripMargin
 }

@@ -1872,6 +1872,23 @@ object OracleSql {
         "SELECT bigram, count(*) AS n FROM b GROUP BY bigram " +
         "ORDER BY n DESC, bigram LIMIT 50"),
 
+    // exact-substring duplication profile: position-aware word 5-gram
+    // windows (duplicates kept), a window is duplicated when its gram
+    // occurs >= 2 times corpus-wide; plain-string grams keep the twin
+    // byte-identical to the engine's transform/slice spelling
+    "dedup_substring_kgram" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 5), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3), " +
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || " +
+        "ws[i+3] || ' ' || ws[i+4])) AS gram FROM w), " +
+        "c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram) " +
+        "SELECT doc_id, count(*) AS n_windows, " +
+        "count(*) FILTER (WHERE n >= 2) AS dup_windows, " +
+        "floor((count(*) FILTER (WHERE n >= 2))::DOUBLE / " +
+        "count(*)::DOUBLE * 1000000 + 0.5) / 1000000.0 AS dup_ratio " +
+        "FROM g JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+
     // scores bucket against exact medians (quantile_cont ≡ Spark
     // percentile — the pairing agg_percentile already pins); never a
     // global ntile window

@@ -18,54 +18,61 @@ class ScaleStressSpec extends SparkSpec {
   /** (ratio bound at 16× rows, absolute seconds ceiling on the 16× run).
     * Only operators whose scale story IS linear belong here —
     * pair-emitting dedup ops are output-bound on a duplicate-saturated
-    * stress set and live in the manual harness. */
+    * stress set and live in the manual harness.
+    *
+    * Ratio bounds are MEASURED, not blanket (r9 verdict task 7): two
+    * quiet r11 runs put every op's worst ratio on record — ops measured
+    * ≤1.6× carry a 10× bound, ≤3.0× carry 15×, the rest 24× — so the
+    * envelope sits ~4–6× above observed noise yet 10–25× below the
+    * ~256× quadratic signature. A bound here is a claim about the op's
+    * complexity class; loosen it only with a measured run attached. */
   private val bounds: Seq[(String, Double, Double)] = Seq(
-    ("dedup_exact_sha", 40.0, 20.0),
-    ("text_tokenize_wordcount", 40.0, 20.0),
-    ("analytics_dau", 40.0, 20.0), // r7 re-plan: 7-offset explode equi-agg
-    ("analytics_pareto", 40.0, 20.0), // r7 re-plan: broadcast boundaries
-    ("win_topk_per_group", 40.0, 20.0),
-    ("ts_gapfill", 40.0, 20.0),
-    ("join_range_bucketed", 40.0, 20.0),
-    ("agg_entropy", 40.0, 20.0),
+    ("dedup_exact_sha", 10.0, 20.0),
+    ("text_tokenize_wordcount", 10.0, 20.0),
+    ("analytics_dau", 10.0, 20.0), // r7 re-plan: 7-offset explode equi-agg
+    ("analytics_pareto", 10.0, 20.0), // r7 re-plan: broadcast boundaries
+    ("win_topk_per_group", 15.0, 20.0),
+    ("ts_gapfill", 10.0, 20.0),
+    ("join_range_bucketed", 15.0, 20.0),
+    ("agg_entropy", 10.0, 20.0),
     // r7 ops promoted from the manual harness (10× ratios 0.9×/0.7×/0.9×
     // recorded in README): pair emitters whose candidate volume is
     // bounded by the ≤64 per-shingle cap / per-user type-set², so on the
     // replicated stress set they stay inside the linear envelope — a
     // quadratic regression in the candidate build would blow the pin
-    ("dedup_containment", 40.0, 20.0),
-    ("pipeline_dedup_cascade", 40.0, 25.0),
-    ("analytics_audience_overlap", 40.0, 20.0),
+    ("dedup_containment", 15.0, 20.0),
+    ("pipeline_dedup_cascade", 10.0, 25.0),
+    ("analytics_audience_overlap", 10.0, 20.0),
     // r8: the incremental form rides the same capped index join
-    ("dedup_containment_incremental", 40.0, 20.0),
+    ("dedup_containment_incremental", 10.0, 20.0),
     // r9: the minhash twin — two index joins whose candidate volume
     // tracks band-collision density, not corpus²
-    ("dedup_minhash_incremental", 40.0, 25.0),
+    ("dedup_minhash_incremental", 10.0, 25.0),
     // r9: the composed ingest pipeline — its stages thin the batch
     // before the band join, so the whole composition is gated linear
-    ("pipeline_incremental_curate", 40.0, 30.0),
+    ("pipeline_incremental_curate", 10.0, 30.0),
     // r9: semantic arrival dedup — cell-index join + id-keyed rescore
-    ("dedup_embedding_incremental", 40.0, 25.0),
+    ("dedup_embedding_incremental", 24.0, 25.0),
     // r8 second wave: map-side canonicalize + one groupBy each
-    ("dedup_url_canonical", 40.0, 20.0),
-    ("text_repetition_ratio", 40.0, 20.0),
+    ("dedup_url_canonical", 10.0, 20.0),
+    ("text_repetition_ratio", 10.0, 20.0),
     // segment window fan-out bounded by copies-per-segment; filter is
     // map-side + one broadcast percentile row
-    ("dedup_paragraph", 40.0, 25.0),
-    ("corpus_quality_filter", 40.0, 20.0),
+    ("dedup_paragraph", 10.0, 25.0),
+    ("corpus_quality_filter", 10.0, 20.0),
     // r8 third wave: per-key constant-state folds (one shuffle + linear
     // scan each) and the broadcast-model sequence scorer — a quadratic
     // regression in any of these is a state-shape bug, not data growth
-    ("stream_anomaly_welford", 40.0, 20.0),
-    ("ts_holt_linear", 40.0, 20.0),
-    ("seq_markov_perplexity", 40.0, 20.0),
-    ("cdc_scd2_incremental", 40.0, 25.0),
+    ("stream_anomaly_welford", 10.0, 20.0),
+    ("ts_holt_linear", 10.0, 20.0),
+    ("seq_markov_perplexity", 15.0, 20.0),
+    ("cdc_scd2_incremental", 10.0, 25.0),
     // r8 fourth wave: the fused RRF pass is linear BECAUSE the query
     // panel is fixed-size (ids < 2500) — a panel that silently grew with
     // the corpus would reappear here as a super-linear ratio; the
     // chained agg is two hash aggregates (hours×types, days×types)
-    ("search_hybrid_rrf", 40.0, 20.0),
-    ("stream_chained_agg", 40.0, 20.0),
+    ("search_hybrid_rrf", 15.0, 20.0),
+    ("stream_chained_agg", 10.0, 20.0),
     // r9: the graph family. kcore/lpa/modularity/bfs/pagerank are
     // linear-per-round with a bounded round count, and id-offset
     // replication grows the co-order graph as DISJOINT copies (no
@@ -73,31 +80,60 @@ class ScaleStressSpec extends SparkSpec {
     // class enters via its DOULION tiers: the thinned wedge join must
     // track EDGE growth on this set — a super-linear ratio here means
     // the sample stopped bounding the join, not that the data densified.
-    ("graph_kcore", 40.0, 30.0),
-    ("graph_label_propagation", 40.0, 30.0),
-    ("graph_modularity", 40.0, 30.0),
-    ("graph_bfs_frontier", 40.0, 30.0),
-    ("graph_pagerank", 40.0, 30.0),
-    ("graph_triangle_approx", 40.0, 25.0),
-    ("graph_adamic_adar_approx", 40.0, 25.0),
-    ("graph_clustering_coeff_approx", 40.0, 25.0),
+    ("graph_kcore", 10.0, 30.0),
+    ("graph_label_propagation", 15.0, 30.0),
+    ("graph_modularity", 15.0, 30.0),
+    ("graph_bfs_frontier", 10.0, 30.0),
+    ("graph_pagerank", 15.0, 30.0),
+    ("graph_triangle_approx", 15.0, 25.0),
+    ("graph_adamic_adar_approx", 15.0, 25.0),
+    ("graph_clustering_coeff_approx", 15.0, 25.0),
     // r9 continuation: k-means rounds are k·d-per-row map passes with a
     // k-row reduce (super-linear here = a shuffle of embeddings crept
     // in); DSIR is one exploded-bigram stream + two keyed joins
-    ("cluster_kmeans", 40.0, 25.0),
-    ("corpus_dsir_weights", 40.0, 25.0),
+    ("cluster_kmeans", 10.0, 25.0),
+    ("corpus_dsir_weights", 24.0, 25.0),
     // word-count bound (one keyed shuffle + ≤1000-row tail) and one
     // window exchange respectively
-    ("text_zipf_slope", 40.0, 25.0),
-    ("sample_reservoir_pergroup", 40.0, 20.0),
+    ("text_zipf_slope", 10.0, 25.0),
+    ("sample_reservoir_pergroup", 10.0, 20.0),
     // banded Hamming join: candidates bound by 9-bit band occupancy
-    ("multimodal_phash_dedup", 40.0, 25.0),
-    ("dedup_phash_incremental", 40.0, 25.0),
+    ("multimodal_phash_dedup", 10.0, 25.0),
+    ("dedup_phash_incremental", 10.0, 25.0),
     // gain-ascent rounds: keyed aggregates + equi joins per round, same
     // linear-per-round class as lpa/kcore
-    ("graph_louvain", 40.0, 30.0),
+    ("graph_louvain", 15.0, 30.0),
     // one corpus-sized word count; merge loop is vocab-sized
-    ("corpus_bpe_train", 40.0, 30.0))
+    ("corpus_bpe_train", 10.0, 30.0),
+    // r11: index write (linear scan per modality) + the same capped
+    // probe joins as the three incremental forms it reloads
+    ("dedup_index_restart", 15.0, 30.0),
+    // r11: PNG stage + binaryFile scan + per-payload decode, all linear;
+    // the pair search is the same banded kernel as multimodal_phash_dedup
+    ("multimodal_phash_pixels", 24.0, 30.0),
+    // r11: tokenize (map-side, broadcast merges) + one window exchange +
+    // keyed rollup — pack_length_buckets' gated shape with BPE counts
+    ("pack_bpe_budget", 15.0, 30.0),
+    // r11: the remaining ≥1 s ops promoted from the manual harness (r9
+    // verdict task 7). sql_recursive_cte is a bounded-depth BFS whose
+    // frontier is co-order-graph sized; the graph statistics are keyed
+    // aggregates over the pair kernel; assoc_rules is pair counts + two
+    // broadcast re-attaches. dedup_cluster_cc consumes the near-dup
+    // EDGE set, which is output-bound on the duplicate-saturated stress
+    // replicas (~16× extra pairs per doc) — its ratio bound leaves room
+    // for that documented edge growth, the ceiling still catches a
+    // quadratic candidate build
+    ("sql_recursive_cte", 15.0, 30.0),
+    ("assoc_rules", 15.0, 30.0),
+    ("graph_cc_sizes", 24.0, 30.0),
+    ("graph_edge_jaccard", 15.0, 30.0),
+    ("graph_assortativity", 15.0, 30.0),
+    ("graph_degree_stats", 15.0, 30.0),
+    ("dedup_cluster_cc", 24.0, 40.0),
+    // r11: one gram explode + a reused-exchange count/join + doc rollup
+    // — window volume per doc is fixed, so the envelope is linear even
+    // on the duplicate-saturated stress set
+    ("dedup_substring_kgram", 24.0, 30.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
