@@ -72,10 +72,13 @@ object LlmPipeline {
     *
     * Scale: one explode pass (corpus-sized), one partial-aggregable
     * count keyed on the gram, and the re-attach join lands on the SAME
-    * gram key — the exchange is reused, never a second corpus shuffle;
-    * the final rollup keys on doc_id. Fully oracle-gated (grams are
-    * plain strings — no hashing — so DuckDB builds the identical
-    * windows). */
+    * gram key — the aggregated side arrives already partitioned on gram
+    * from its groupBy, so the join costs one shuffle of the gram
+    * stream, never a third corpus exchange (at fixture scale AQE
+    * broadcasts the counts side instead — both shapes pinned in
+    * PlanSpec); the final rollup keys on doc_id. Fully oracle-gated
+    * (grams are plain strings — no hashing — so DuckDB builds the
+    * identical windows). */
   def dedupSubstringKgram(s: SparkSession, d: String): DataFrame = {
     val k = 5
     val grams = Tables.documents(s, d)

@@ -147,6 +147,20 @@ class PlanSpec extends SparkSpec {
       s"self-join shuffled lineitem twice:\n$plan")
   }
 
+  test("dedup_substring_kgram re-attach adds no third gram exchange") {
+    val df = graft.ops.LlmPipeline.dedupSubstringKgram(spark, sf001)
+    df.collect()
+    val plan = physical(df)
+    // legal shapes: AQE broadcasts the aggregated counts side (one gram
+    // exchange — the groupBy's), or at scale the join consumes the
+    // aggregate's existing gram partitioning and only the raw gram
+    // stream shuffles once more (two total). Three gram exchanges means
+    // the join stopped riding the aggregate's partitioning.
+    val gramShuffles = "Exchange hashpartitioning\\(gram".r.findAllIn(plan).size
+    assert(gramShuffles <= 2,
+      s"gram stream shuffled $gramShuffles times for the re-attach:\n$plan")
+  }
+
   test("attribution_last_touch runs in ONE user_id shuffle (no self-join, no per-purchase subquery)") {
     val plan = physical(graft.ops.Analytics.attributionLastTouch(spark, sf001))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
@@ -786,6 +800,7 @@ class PlanSpec extends SparkSpec {
       "graph_triangle_approx",   // sampled-count + edge-count folds
       "join_interval_overlap",   // avg-errors threshold row (join is banded)
       "pack_length_buckets",     // nine-decile boundary row
+      "pack_bpe_budget",         // same boundary row over BPE counts
       "seq_pmi_bigrams",         // total-bigram-count row
       "corpus_dsir_weights",     // model-totals row (nt, ns, v)
       "corpus_dsir_resample",    // same fold under the selection step
