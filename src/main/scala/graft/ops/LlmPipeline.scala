@@ -1396,9 +1396,23 @@ object LlmPipeline {
         (byDist.head._1, false, id, emb) +:
           byDist.take(nProbe).map { case (cid, _) => (cid, true, id, emb) }.toSeq
       }
-    // cell-local scoring with bounded top-3 insertion per query — no
-    // per-query candidate array or sort (the allocation churn dominated
-    // at 30× replication: 124M boxed tuples for 60k vectors)
+    ivfScore(tagged)
+  }
+
+  /** Cell-local IVF scoring over tagged (cell, isProbe, id, emb) rows —
+    * bounded top-3 insertion per query, no per-query candidate array or
+    * sort (the allocation churn dominated at 30× replication: 124M boxed
+    * tuples for 60k vectors), then the same one-shuffle typed merge as
+    * the LSH path (probe cells overlap ⇒ dedup, global top-3 per
+    * query). Shared verbatim by [[knnIvf]] (in-session index) and
+    * [[knnIndexRestart]] (index reloaded from parquet) — Top3's total
+    * (score desc, id asc) order makes the result independent of member
+    * arrival order, which is what makes restart parity exact. */
+  private def ivfScore(
+      tagged: org.apache.spark.sql.Dataset[(Long, Boolean, Long, Array[Float])])
+      : DataFrame = {
+    val s = tagged.sparkSession
+    import s.implicits._
     val local = tagged
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -1416,9 +1430,75 @@ object LlmPipeline {
           top.triples(aid)
         }
       }
-    // same one-shuffle typed merge as the LSH path: dedup duplicate pairs
-    // (probe cells overlap), keep the global top-3 per query
     mergeTop3(local)
+  }
+
+  /** Persist the IVF index to parquet: the centroid table (√n rows — the
+    * index METADATA) and the home-cell assignment (cid, vec_id — ids
+    * only, bucketed on cid at scale). A production vector store builds
+    * this once per collection snapshot; any later session probes it
+    * ([[probeKnnIvfIndex]]) without re-running seeding or Lloyd. */
+  private[graft] def writeKnnIvfIndex(
+      s: SparkSession, d: String, dir: String): Unit = {
+    import s.implicits._
+    val nVec = vecs(s, d).count()
+    val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
+    val cents = ivfCentroids(s, d, nCells)
+    s.createDataset(cents.toIndexedSeq).toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/ivf_centroids.parquet")
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
+    vecs(s, d)
+      .map { case (id, emb) =>
+        val home = bc.value.map { case (cid, c) => (cid, dot(emb, c)) }
+          .sortBy { case (cid, sim) => (-sim, cid) }.head._1
+        (home, id)
+      }
+      .toDF("cid", "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/ivf_cells.parquet")
+  }
+
+  /** Probe half of the restart path: reload the centroid metadata (√n
+    * rows to the driver — the same declared metadata collect the
+    * in-session builder performs when it broadcasts centroids), assign
+    * every query its nProbe nearest cells map-side, re-attach member
+    * embeddings by id join against the vector table, and run the SAME
+    * [[ivfScore]] kernel. */
+  private[graft] def probeKnnIvfIndex(
+      s: SparkSession, d: String, dir: String): DataFrame = {
+    import s.implicits._
+    val nProbe = 3
+    val cents = s.read.parquet(s"$dir/ivf_centroids.parquet")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
+    val members = s.read.parquet(s"$dir/ivf_cells.parquet")
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .select(col("cid"), lit(false).as("probe"), col("vec_id"),
+        col("embedding"))
+      .as[(Long, Boolean, Long, Array[Float])]
+    val probes = vecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (id, emb) =>
+        bc.value.map { case (cid, c) => (cid, dot(emb, c)) }
+          .sortBy { case (cid, sim) => (-sim, cid) }
+          .take(nProbe).map { case (cid, _) => (cid, true, id, emb) }.toSeq
+      }
+    ivfScore(members.union(probes))
+  }
+
+  /** ANN-index RESTART — [[dedupIndexRestart]]'s twin for the SEARCH
+    * side: the IVF index (centroids + cell assignment) writes to parquet
+    * once and every query is answered from the RELOADED files in
+    * whatever session asks — seeding/Lloyd never rerun per query batch.
+    * Output ≡ [[knnIvf]] (same centroids, same probe rule, same scoring
+    * kernel; Round11Spec pins the equality from a fresh session).
+    * Oracle-exempt (IVF recall is probabilistic — knn_cosine is the
+    * family's exact oracle anchor). */
+  def knnIndexRestart(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+      .toString
+    writeKnnIvfIndex(s, d, dir)
+    probeKnnIvfIndex(s, d, dir)
   }
 
   // -------------------------------------------------------- near-dup text

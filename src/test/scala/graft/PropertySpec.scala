@@ -515,4 +515,41 @@ class PropertySpec extends SparkSpec {
         s"hashed-shingle kernel window count ${nHashed} != ${expect.length} on <$doc>")
     }
   }
+
+  test("pixel dHash: PNG encode->decode->block-average == direct grid hash on random multibyte text") {
+    // decode-integrity pin for the real-pixel path (r11): grayscale PNG
+    // is lossless and the 32x32 -> 8x8 block average divides evenly, so
+    // pixelDHash(pngOf(text)) must equal a hash computed straight from
+    // the rendered luminance grid — no image pipeline involved. Any
+    // lossy/dithered encode, raster offset, or block-boundary bug breaks
+    // the equality.
+    import graft.ops.LlmPipeline
+    def directHash(text: String): Long = {
+      val n = text.codePointCount(0, text.length)
+      val gray = Array.tabulate(1024) { p =>
+        if (n == 0) 0L
+        else (text.codePointAt(
+          text.offsetByCodePoints(0, ((p.toLong * n) / 1024L).toInt)) % 256).toLong
+      }
+      val cells = Array.tabulate(64) { ci =>
+        val (cy, cx) = (ci / 8, ci % 8)
+        var sum = 0L
+        for (y <- cy * 4 until cy * 4 + 4; x <- cx * 4 until cx * 4 + 4)
+          sum += gray(y * 32 + x)
+        sum / 16
+      }
+      (0 until 63).foldLeft(0L)((h, i) =>
+        if (cells(i) > cells(i + 1)) h | (1L << i) else h)
+    }
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcdefgh ázλ💡日 0189.,!"
+    val texts = Seq("", "x", "short one") ++ Seq.tabulate(40) { _ =>
+      Seq.fill(1 + rnd.nextInt(400))(
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+    }
+    for (t <- texts) {
+      assert(LlmPipeline.pixelDHash(LlmPipeline.pngOf(t)) == directHash(t),
+        s"PNG roundtrip hash diverged on <${t.take(40)}...> (len ${t.length})")
+    }
+  }
 }

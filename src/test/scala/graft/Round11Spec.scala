@@ -111,6 +111,18 @@ class Round11Spec extends SparkSpec {
       "pack_bpe_budget nondeterministic")
   }
 
+  test("knn index restart: fresh-session IVF probe == in-session knn_ivf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    LlmPipeline.writeKnnIvfIndex(spark, sf001, dir)
+    val s2 = spark.newSession()
+    val live = LlmPipeline.knnIvf(spark, sf001)
+    val restart = LlmPipeline.probeKnnIvfIndex(s2, sf001, dir)
+    assertSameRows(live, restart, "ivf restart")
+    // the exposed end-to-end key (write + reload + probe) agrees too
+    val key = LlmPipeline.knnIndexRestart(spark, sf001)
+    assertSameRows(live, key, "knn_index_restart key")
+  }
+
   test("graph family under hub skew: 2000-leaf star through lpa, louvain, pagerank") {
     import spark.implicits._
     import graft.ops.Analytics

@@ -133,7 +133,10 @@ class ScaleStressSpec extends SparkSpec {
     // r11: one gram explode + a reused-exchange count/join + doc rollup
     // — window volume per doc is fixed, so the envelope is linear even
     // on the duplicate-saturated stress set
-    ("dedup_substring_kgram", 24.0, 30.0))
+    ("dedup_substring_kgram", 24.0, 30.0),
+    // r11: IVF build (√n centroids, one Lloyd step) + id join + the
+    // knn_ivf cell-local scoring — O(√n) per query by cell sizing
+    ("knn_index_restart", 24.0, 30.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
