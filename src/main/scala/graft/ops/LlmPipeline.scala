@@ -3544,6 +3544,14 @@ object LlmPipeline {
       .empty[(Int, String, String, String, Long)]
     var rank = 1
     var done = false
+    // ONE Spark job per merge round: the top-pair aggregate below both
+    // picks the merge AND (as a side effect of reading `words`) fills
+    // the current round's persist — so the PREDECESSOR round's cache is
+    // freed here, one round late, instead of paying a dedicated
+    // materialize-count per round (was 2 jobs/round ⇒ ~6.3 s at sf0.1;
+    // holding two vocab-sized caches for one job is a few MB).
+    var lagFree: Option[org.apache.spark.sql.Dataset[(Long, Seq[String])]] =
+      None
     while (rank <= maxMerges && !done) {
       val top = words.toDF("freq", "syms")
         // fully-merged single-symbol words have no pairs — and
@@ -3557,6 +3565,8 @@ object LlmPipeline {
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .head(1)
+      lagFree.foreach(_.unpersist(blocking = false))
+      lagFree = None
       if (top.isEmpty || top(0).getLong(2) < 2) done = true
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1),
@@ -3574,11 +3584,11 @@ object LlmPipeline {
           }
           (freq, out.toSeq)
         }.persist()
-        words.count() // materialize before freeing the predecessor
-        prev.unpersist(blocking = false)
+        lagFree = Some(prev)
         rank += 1
       }
     }
+    lagFree.foreach(_.unpersist(blocking = false))
     words.unpersist(blocking = false)
     merges.toArray
   }
