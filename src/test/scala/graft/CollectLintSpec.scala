@@ -21,6 +21,10 @@ class CollectLintSpec extends AnyFunSuite {
       "one-row aggregate (wedge count) sizing the DOULION rate",
     ("LlmPipeline.scala", "ivfCentroids") ->
       "sqrt(n)-row index metadata: seeds + Lloyd-step means, built on executors",
+    ("LlmPipeline.scala", "probeKnnIvfIndex") ->
+      ("restart reload of the SAME sqrt(n)-row centroid metadata " +
+        "ivfCentroids built — the cell assignment (the data-sized half " +
+        "of the index) stays a parquet join, never collected"),
     ("LlmPipeline.scala", "knnQuantized") ->
       "4x-smaller int8 grid quantized on executors; fp32 rescore is a join",
     ("LlmPipeline.scala", "knnCosine") ->
