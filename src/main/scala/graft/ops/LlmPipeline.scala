@@ -1679,9 +1679,11 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
-  /** Persist every corpus-side index the incremental dedup family probes
-    * — minhash BAND + SHINGLE, embedding sign-LSH CELL, perceptual-hash
-    * BAND — to parquet under `dir`: the RESTART asset. A production
+  /** Persist every corpus-side asset the incremental ingest family
+    * probes — minhash BAND + SHINGLE, embedding sign-LSH CELL,
+    * perceptual-hash BAND, the curate QUALITY-BOUNDS row, and the
+    * exact-DIGEST index — to parquet under `dir`: the RESTART asset. A
+    * production
     * ingest pipeline builds these once per corpus snapshot and probes
     * them from every later session/process; nothing about the probes may
     * depend on builder-session state (verified by Round11Spec, which
@@ -1696,6 +1698,10 @@ object LlmPipeline {
       .write.mode("overwrite").parquet(s"$dir/minhash_bands.parquet")
     docShingleHashesOf(corpusDocs, 3)
       .write.mode("overwrite").parquet(s"$dir/minhash_shingles.parquet")
+    curateBoundsOf(corpusDocs)
+      .write.mode("overwrite").parquet(s"$dir/curate_bounds.parquet")
+    curateDigestIndexOf(corpusDocs)
+      .write.mode("overwrite").parquet(s"$dir/digest_index.parquet")
     graft.functions.DHash.register(s)
     phashBandsOf(corpusDocs.where(length(col("text")) >= 1)
         .select(col("doc_id"), expr("graft_dhash(text)").as("phash")))
@@ -1742,6 +1748,33 @@ object LlmPipeline {
       all.where(col("vec_id") % 2 === 1),
       all.where(col("vec_id") % 2 === 0), idx, k, 0.3)
   }
+
+  /** INGEST-PIPELINE restart — the composed curate cascade run the way
+    * a production pipeline resumes after a driver restart: every corpus
+    * asset it stages through (quality band row, exact-digest index,
+    * minhash band + shingle indexes) is RELOADED from parquet, and the
+    * arriving batch flows through the byte-identical
+    * [[curateAgainstAssets]] cascade — so the restart claim covers the
+    * composition, not just the per-modality probes. Oracle-exempt
+    * (murmur3 banding in stage 3); Round11Spec pins fresh-session
+    * restart ≡ [[pipelineIncrementalCurate]], and the gate runs it at
+    * 16×. */
+  def pipelineCurateRestart(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-idx")
+      .toString
+    writeDedupIndexes(s, d, dir)
+    probeCurateAssets(s, d, dir)
+  }
+
+  private[graft] def probeCurateAssets(
+      s: SparkSession, d: String, dir: String): DataFrame =
+    curateAgainstAssets(s,
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 2 === 1),
+      s.read.parquet(s"$dir/curate_bounds.parquet"),
+      s.read.parquet(s"$dir/digest_index.parquet"),
+      s.read.parquet(s"$dir/minhash_bands.parquet"),
+      s.read.parquet(s"$dir/minhash_shingles.parquet"))
 
   /** Index-restart dedup — the incremental family run THE WAY A NEW
     * SESSION runs it: build + write the corpus indexes to parquet, then
@@ -1800,14 +1833,34 @@ object LlmPipeline {
   }
 
   private[graft] def pipelineIncrementalCurateCore(
-      s: SparkSession, corpus: DataFrame, arriving: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    val corpusBounds = corpus.select(size(words).as("n_words"))
+      s: SparkSession, corpus: DataFrame, arriving: DataFrame): DataFrame =
+    curateAgainstAssets(s, arriving,
+      curateBoundsOf(corpus), curateDigestIndexOf(corpus),
+      minhashBandsOf(corpus), docShingleHashesOf(corpus, 3))
+
+  /** The corpus-calibrated quality band (one row) — a property of the
+    * CORPUS, persisted with the other curate assets across restarts. */
+  private[graft] def curateBoundsOf(corpus: DataFrame): DataFrame =
+    corpus.select(size(split(col("text"), " ")).as("n_words"))
       .agg(percentile(col("n_words"), lit(0.05)).as("lo"),
         percentile(col("n_words"), lit(0.95)).as("hi"))
-    val digestIdx = corpus
+
+  /** The exact-dup survivor index: digest → min corpus doc_id. */
+  private[graft] def curateDigestIndexOf(corpus: DataFrame): DataFrame =
+    corpus
       .select(sha2(col("text"), 256).as("digest"), col("doc_id"))
       .groupBy(col("digest")).agg(min(col("doc_id")).as("exact_of"))
+
+  /** The staged curate cascade against ALREADY-BUILT corpus assets —
+    * shared verbatim by the in-session form (assets derived from the
+    * corpus frame) and the parquet-restart form ([[pipelineCurateRestart]],
+    * assets reloaded from files), so restart parity is a property of
+    * the asset roundtrip alone. */
+  private[graft] def curateAgainstAssets(
+      s: SparkSession, arriving: DataFrame, corpusBounds: DataFrame,
+      digestIdx: DataFrame, bandIdx: DataFrame,
+      shingleIdx: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
     // The word-count band is CORPUS-calibrated — on a cold start (empty
     // corpus) the percentiles are NULL and the band must pass, not
     // poison the conjunction to NULL (which made every first-batch doc
@@ -1838,8 +1891,7 @@ object LlmPipeline {
         col("exact_of").as("dup_of"))
     val exactSurv = withDigest.join(digestIdx, Seq("digest"), "left_anti")
       .select(col("doc_id"), col("text"))
-    val near = scoreAgainstMinhashIndex(exactSurv,
-      minhashBandsOf(corpus), docShingleHashesOf(corpus, 3))
+    val near = scoreAgainstMinhashIndex(exactSurv, bandIdx, shingleIdx)
       .select(col("doc_id"), lit("dup_near").as("verdict"), col("dup_of"))
     val accepted = exactSurv
       .join(near.select(col("doc_id")), Seq("doc_id"), "left_anti")

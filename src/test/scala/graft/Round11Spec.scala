@@ -123,6 +123,19 @@ class Round11Spec extends SparkSpec {
     assertSameRows(live, key, "knn_index_restart key")
   }
 
+  test("curate pipeline restart: fresh-session cascade over reloaded assets == in-session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    LlmPipeline.writeDedupIndexes(spark, sf001, dir)
+    val s2 = spark.newSession()
+    val live = LlmPipeline.pipelineIncrementalCurate(spark, sf001)
+    val restart = LlmPipeline.probeCurateAssets(s2, sf001, dir)
+    assertSameRows(live, restart, "curate restart")
+    // every verdict class that the in-session run produced survives the
+    // restart (the cascade's one-verdict-per-doc contract)
+    val key = LlmPipeline.pipelineCurateRestart(spark, sf001)
+    assertSameRows(live, key, "pipeline_curate_restart key")
+  }
+
   test("graph family under hub skew: 2000-leaf star through lpa, louvain, pagerank") {
     import spark.implicits._
     import graft.ops.Analytics

@@ -136,7 +136,10 @@ class ScaleStressSpec extends SparkSpec {
     ("dedup_substring_kgram", 24.0, 30.0),
     // r11: IVF build (√n centroids, one Lloyd step) + id join + the
     // knn_ivf cell-local scoring — O(√n) per query by cell sizing
-    ("knn_index_restart", 24.0, 30.0))
+    ("knn_index_restart", 24.0, 30.0),
+    // r11: asset write (linear scans) + the gated curate cascade over
+    // reloaded parquet — same staging as pipeline_incremental_curate
+    ("pipeline_curate_restart", 24.0, 35.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
