@@ -234,4 +234,36 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Rolling OLS regression slope of event value against event ordinal,
+    * per user, over the trailing 30 events (full windows only) — the
+    * windowed trend detector time-series monitors read (is this user's
+    * spend accelerating?). With the regressor being the IN-WINDOW
+    * ordinal x ∈ 1..30, Σx and Σx² are compile-time constants (465 /
+    * 9455 ⇒ denominator 30·9455 − 465² = 67425) and the shifting-origin
+    * trick Σ x·y = Σ i·y − (i_end−30)·Σ y turns the moving regression
+    * into two plain windowed INTEGER sums over cents — every
+    * accumulation exact, one double divide at the end (slope in
+    * value-units per event step).
+    *
+    * Scale: row_number and the two frame sums stack on ONE user_id
+    * exchange; nothing shuffles twice, nothing buffers beyond the
+    * 30-row frame. */
+  def winOlsSlope(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wF = w.rowsBetween(-29, 0)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).as("c"))
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .withColumn("sy", sum(col("c")).over(wF))
+      .withColumn("siy", sum(col("i") * col("c")).over(wF))
+      .where(col("i") >= 30)
+      .select(col("user_id"), col("event_id"),
+        round((lit(30) * (col("siy") - (col("i") - 30) * col("sy")) -
+            lit(465) * col("sy")).cast("double") / lit(67425.0) / lit(100.0),
+          6).as("slope"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
 }

@@ -3019,6 +3019,174 @@ object OracleSql {
         "AND o.o_totalprice > 100000.0))::INT AS has_urgent " +
         "FROM customer c ORDER BY c_custkey"),
 
+    // -------------------------------------------- §2.21 drift monitors
+    // All six share the calendar-half snapshot split (ts < 2024-01-16;
+    // the ns-vs-µs read difference only matters within 1 µs of the
+    // split, where truncation cannot flip the strict <). Cents snapping
+    // + exact-integer accumulation; the floating chain mirrors the
+    // Spark expressions op-for-op (§5.3).
+
+    // PSI over reference-decile bins, edges derived arithmetically from
+    // the histogram running count: bin = 1 + min(9, 10·|{ref<v}| // n)
+    "drift_psi" ->
+      ("WITH e AS (SELECT floor(value * 100 + 0.5)::BIGINT AS c, " +
+        "(ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS isr FROM events), " +
+        "h AS (SELECT c, sum(isr)::BIGINT AS ca, sum(1 - isr)::BIGINT AS cb " +
+        "FROM e GROUP BY 1), " +
+        "w AS (SELECT c, ca, cb, sum(ca) OVER () AS na, " +
+        "sum(cb) OVER () AS nb, " +
+        "sum(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) - ca AS lt FROM h), " +
+        "b AS (SELECT (1 + least(9, (10 * lt) // na))::BIGINT AS bin, " +
+        "sum(ca)::BIGINT AS n_ref, sum(cb)::BIGINT AS n_cur, " +
+        "max(na)::BIGINT AS na, max(nb)::BIGINT AS nb FROM w GROUP BY 1) " +
+        "SELECT bin, n_ref, n_cur, " +
+        "floor((n_ref::DOUBLE / na::DOUBLE - n_cur::DOUBLE / nb::DOUBLE) * " +
+        "ln((n_ref * nb)::DOUBLE / (n_cur * na)::DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000.0 AS psi_term " +
+        "FROM b WHERE n_ref > 0 AND n_cur > 0 ORDER BY bin"),
+
+    // two-sample KS: integer cross-multiplied sup, one divide at the end
+    "drift_ks" ->
+      ("WITH e AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS c, " +
+        "(ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS isr FROM events), " +
+        "h AS (SELECT event_type, c, sum(isr)::BIGINT AS ca, " +
+        "sum(1 - isr)::BIGINT AS cb FROM e GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, c, ca, cb, " +
+        "sum(ca) OVER (PARTITION BY event_type ORDER BY c ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, " +
+        "sum(cb) OVER (PARTITION BY event_type ORDER BY c ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, " +
+        "sum(ca) OVER (PARTITION BY event_type) AS na, " +
+        "sum(cb) OVER (PARTITION BY event_type) AS nb FROM h), " +
+        "m AS (SELECT event_type, c, na, nb, " +
+        "abs(cuma * nb - cumb * na) AS dnum, " +
+        "max(abs(cuma * nb - cumb * na)) OVER (PARTITION BY event_type) " +
+        "AS mx FROM w) " +
+        "SELECT event_type, max(na)::BIGINT AS n_ref, " +
+        "max(nb)::BIGINT AS n_cur, " +
+        "floor(max(dnum)::DOUBLE / max(na * nb)::DOUBLE " +
+        "* 1000000 + 0.5) / 1000000.0 AS d, " +
+        "min(CASE WHEN dnum = mx THEN c END)::BIGINT AS d_at_cents " +
+        "FROM m GROUP BY 1 ORDER BY 1"),
+
+    // chi-square homogeneity: per-type (o−e)²/e over both cells, exact
+    // integer numerators ((o·g − rowt·colt)², every product ≤ 2^53)
+    "drift_chi2" ->
+      ("WITH e AS (SELECT event_type, " +
+        "(ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS isr FROM events), " +
+        "t AS (SELECT event_type, sum(isr)::BIGINT AS oa, " +
+        "sum(1 - isr)::BIGINT AS ob FROM e GROUP BY 1), " +
+        "w AS (SELECT event_type, oa, ob, sum(oa) OVER ()::BIGINT AS na, " +
+        "sum(ob) OVER ()::BIGINT AS nb FROM t) " +
+        "SELECT event_type, oa AS n_ref, ob AS n_cur, " +
+        "floor(((oa * (na + nb) - (oa + ob) * na)::DOUBLE * " +
+        "(oa * (na + nb) - (oa + ob) * na)::DOUBLE / " +
+        "((oa + ob) * na * (na + nb))::DOUBLE + " +
+        "(ob * (na + nb) - (oa + ob) * nb)::DOUBLE * " +
+        "(ob * (na + nb) - (oa + ob) * nb)::DOUBLE / " +
+        "((oa + ob) * nb * (na + nb))::DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000.0 AS chi2_term " +
+        "FROM w ORDER BY event_type"),
+
+    // Jensen–Shannon terms of the categorical type mix
+    "drift_js" ->
+      ("WITH e AS (SELECT event_type, " +
+        "(ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS isr FROM events), " +
+        "t AS (SELECT event_type, sum(isr)::BIGINT AS oa, " +
+        "sum(1 - isr)::BIGINT AS ob FROM e GROUP BY 1), " +
+        "w AS (SELECT event_type, oa, ob, sum(oa) OVER ()::BIGINT AS na, " +
+        "sum(ob) OVER ()::BIGINT AS nb FROM t) " +
+        "SELECT event_type, oa AS n_ref, ob AS n_cur, " +
+        "floor((0.5 * (oa::DOUBLE / na::DOUBLE) * " +
+        "ln((oa::DOUBLE / na::DOUBLE) / " +
+        "((oa::DOUBLE / na::DOUBLE + ob::DOUBLE / nb::DOUBLE) / 2.0)) + " +
+        "0.5 * (ob::DOUBLE / nb::DOUBLE) * " +
+        "ln((ob::DOUBLE / nb::DOUBLE) / " +
+        "((oa::DOUBLE / na::DOUBLE + ob::DOUBLE / nb::DOUBLE) / 2.0))) " +
+        "* 1000000 + 0.5) / 1000000.0 AS js_term " +
+        "FROM w ORDER BY event_type"),
+
+    // Mann–Whitney: mid-ranks via the 2× integer scaling (rank2 =
+    // 2·|{<v}| + cnt + 1); U's /2 is an exact binary halving
+    "drift_mann_whitney" ->
+      ("WITH e AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS c, " +
+        "(ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS isr FROM events), " +
+        "h AS (SELECT event_type, c, sum(isr)::BIGINT AS ca, " +
+        "sum(1 - isr)::BIGINT AS cb FROM e GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, ca, cb, (ca + cb) AS cc, " +
+        "2 * (sum(ca + cb) OVER (PARTITION BY event_type ORDER BY c " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (ca + cb)) " +
+        "+ (ca + cb) + 1 AS rank2 FROM h), " +
+        "g AS (SELECT event_type, sum(ca)::BIGINT AS n_a, " +
+        "sum(cb)::BIGINT AS n_b, sum(ca * rank2)::BIGINT AS ra2, " +
+        "sum(cc * cc * cc - cc)::BIGINT AS ties FROM w GROUP BY 1) " +
+        "SELECT event_type, n_a AS n_ref, n_b AS n_cur, " +
+        "floor((ra2 - n_a * (n_a + 1))::DOUBLE / 2.0 * 10 + 0.5) / 10.0 " +
+        "AS u, " +
+        "floor(((ra2 - n_a * (n_a + 1))::DOUBLE / 2.0 - " +
+        "(n_a * n_b)::DOUBLE / 2.0) / " +
+        "sqrt((n_a * n_b)::DOUBLE / 12.0 * " +
+        "((n_a + n_b + 1)::DOUBLE - " +
+        "ties::DOUBLE / ((n_a + n_b) * (n_a + n_b - 1))::DOUBLE)) " +
+        "* 1000000 + 0.5) / 1000000.0 AS z " +
+        "FROM g ORDER BY 1"),
+
+    // Welch's t: integer floor-mean centering keeps every sum < 2^53;
+    // the Welch–Satterthwaite df mirrors the Spark chain op-for-op
+    "drift_ttest_welch" ->
+      ("WITH e AS (SELECT event_type, " +
+        "(ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS isr, " +
+        "floor(value * 100 + 0.5)::BIGINT AS c FROM events), " +
+        "w AS (SELECT event_type, isr, c, " +
+        "((sum(c) OVER (PARTITION BY event_type, isr)) // " +
+        "(count(*) OVER (PARTITION BY event_type, isr)))::BIGINT AS m0 " +
+        "FROM e), " +
+        "g AS (SELECT event_type, isr, count(*)::BIGINT AS n, " +
+        "max(m0)::BIGINT AS m0, sum(c - m0)::BIGINT AS sd, " +
+        "sum((c - m0) * (c - m0))::BIGINT AS sdd FROM w GROUP BY 1, 2), " +
+        "v AS (SELECT event_type, isr, n, " +
+        "m0::DOUBLE + sd::DOUBLE / n::DOUBLE AS mean_c, " +
+        "(sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE / n::DOUBLE) / " +
+        "(n - 1)::DOUBLE AS s2 FROM g), " +
+        "p AS (SELECT event_type, " +
+        "max(CASE WHEN isr = 1 THEN n END)::BIGINT AS n_ref, " +
+        "max(CASE WHEN isr = 0 THEN n END)::BIGINT AS n_cur, " +
+        "max(CASE WHEN isr = 1 THEN mean_c END) AS ma, " +
+        "max(CASE WHEN isr = 0 THEN mean_c END) AS mb, " +
+        "max(CASE WHEN isr = 1 THEN s2 END) AS va, " +
+        "max(CASE WHEN isr = 0 THEN s2 END) AS vb FROM v GROUP BY 1) " +
+        "SELECT event_type, n_ref, n_cur, " +
+        "floor(ma / 100.0 * 10000 + 0.5) / 10000.0 AS mean_ref, " +
+        "floor(mb / 100.0 * 10000 + 0.5) / 10000.0 AS mean_cur, " +
+        "floor((ma - mb) / sqrt(va / n_ref::DOUBLE + vb / n_cur::DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000.0 AS t, " +
+        "floor((va / n_ref::DOUBLE + vb / n_cur::DOUBLE) * " +
+        "(va / n_ref::DOUBLE + vb / n_cur::DOUBLE) / " +
+        "((va / n_ref::DOUBLE) * (va / n_ref::DOUBLE) / " +
+        "(n_ref - 1)::DOUBLE + " +
+        "(vb / n_cur::DOUBLE) * (vb / n_cur::DOUBLE) / " +
+        "(n_cur - 1)::DOUBLE) * 10000 + 0.5) / 10000.0 AS df " +
+        "FROM p ORDER BY event_type"),
+
+    // rolling OLS slope: shifting-origin trick turns the moving
+    // regression into two windowed integer sums (Σx/Σx² are the
+    // constants 465/9455 ⇒ denominator 67425); µs-truncated order
+    "win_ols_slope" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+        "floor(value * 100 + 0.5)::BIGINT AS c FROM events), " +
+        "w AS (SELECT user_id, event_id, c, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY " +
+        "date_trunc('microseconds', ts), event_id)::BIGINT AS i FROM e), " +
+        "f AS (SELECT user_id, event_id, i, " +
+        "sum(c) OVER win AS sy, sum(i * c) OVER win AS siy " +
+        "FROM w WINDOW win AS (PARTITION BY user_id ORDER BY i " +
+        "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, event_id, " +
+        "floor((30 * (siy - (i - 30) * sy) - 465 * sy)::DOUBLE " +
+        "/ 67425.0 / 100.0 * 1000000 + 0.5) / 1000000.0 AS slope " +
+        "FROM f WHERE i >= 30 ORDER BY user_id, event_id"),
+
     // agg_custom_typed is deliberately NOT oracle-gated: Welford's parallel
     // merge order differs from a sequential avg(), and on decimal-grid
     // inputs the means land exactly on rounding boundaries (measured:
