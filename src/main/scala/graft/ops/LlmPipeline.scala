@@ -700,6 +700,154 @@ object LlmPipeline {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** Product-quantization ANN — the third rung of the quantization
+    * ladder (fp32 brute → int8 scalar [[knnQuantized]] → PQ): each
+    * 64-d vector compresses to m=8 one-byte codes (one per 8-d
+    * subspace, k=16 centroids each), a 32× memory reduction over fp32,
+    * and query scoring becomes ASYMMETRIC DISTANCE COMPUTATION — a per-
+    * query 8×16 lookup table of subspace dots, then each reference
+    * costs 8 table lookups instead of 64 multiplies.
+    *
+    * Codebook training is the repo's deterministic k-means recipe: k
+    * stride-sampled seed vectors (vec_id order), ONE distributed Lloyd
+    * step per subspace with 1e-6-grid-snapped integer sums (order-
+    * independent ⇒ partitioning-independent codebooks), empty clusters
+    * keep their seed. Assignment = argmin subspace L2, smallest index
+    * on ties. Candidates (top-32 by ADC score) rescore EXACTLY in fp32
+    * through the ids-only-shuffle + hash-join re-attach shape of
+    * [[knnQuantized]], so every reported score is bit-identical to
+    * brute force — PQ error moves recall only (pinned in Round11bSpec).
+    *
+    * Scale: the driver only ever holds k seed vectors, the 8×16×8
+    * codebook, and the 32×-smaller code matrix (the declared broadcast
+    * tier — [[knnIvf]]'s cell partitioning is the beyond-broadcast
+    * composition point, exactly as FAISS composes IVF with PQ);
+    * training and encoding run on executors. Oracle-exempt. */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    val m = 8
+    val k = 16
+    val nCand = 32
+    val v = vecs(s, d)
+    val nVec = v.count()
+    val stride = math.max(1L, nVec / k)
+    // k seed vectors by id-stride — k rows of metadata, not data-sized
+    val seeds: Array[Array[Float]] = v
+      .filter(t => t._1 % stride == 0L && t._1 / stride < k)
+      .collect().sortBy(_._1).map(_._2)
+    val kEff = seeds.length
+    val bcSeed = graft.Broadcasts.track(s.sparkContext.broadcast(seeds))
+    // one Lloyd step: per (subspace, seed, pos) grid-snapped integer
+    // sums — the aggregate is partial/map-side combinable and its
+    // result is 8·k·8 rows of codebook metadata
+    val sums = v.repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (_, emb) =>
+        val sd = bcSeed.value
+        val len = emb.length / m
+        (0 until m).iterator.flatMap { sub =>
+          val off = sub * len
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < sd.length) {
+            var dist = 0.0
+            var t = 0
+            while (t < len) {
+              val df = (emb(off + t) - sd(j)(off + t)).toDouble
+              dist += df * df; t += 1
+            }
+            if (dist < bestD) { bestD = dist; best = j }
+            j += 1
+          }
+          (0 until len).iterator.map(t =>
+            (sub, best, t, (emb(off + t).toDouble * 1e6).toLong))
+        }
+      }
+      .toDF("sub", "cj", "pos", "xq")
+      .groupBy(col("sub"), col("cj"), col("pos"))
+      .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        r.getLong(3).toDouble / (1e6 * r.getLong(4))))
+      .toMap
+    val subLen = seeds.head.length / m
+    val codebook: Array[Array[Array[Float]]] =
+      Array.tabulate(m, kEff, subLen) { (sub, j, t) =>
+        sums.get((sub, j, t)).map(_.toFloat)
+          .getOrElse(seeds(j)(sub * subLen + t)) // empty cluster: seed
+      }
+    val bcBook = graft.Broadcasts.track(s.sparkContext.broadcast(codebook))
+    // encode on executors; the driver collects only the 32×-smaller
+    // (id, 8 codes) matrix — same declared tier as the int8 grid
+    val codes: Array[(Long, Array[Byte])] = v
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { case (id, emb) =>
+        val cb = bcBook.value
+        val len = emb.length / m
+        val cs = new Array[Byte](m)
+        var sub = 0
+        while (sub < m) {
+          val off = sub * len
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cb(sub).length) {
+            var dist = 0.0
+            var t = 0
+            while (t < len) {
+              val df = (emb(off + t) - cb(sub)(j)(t)).toDouble
+              dist += df * df; t += 1
+            }
+            if (dist < bestD) { bestD = dist; best = j }
+            j += 1
+          }
+          cs(sub) = best.toByte; sub += 1
+        }
+        (id, cs)
+      }
+      .collect().sortBy(_._1)
+    val bcCodes = graft.Broadcasts.track(s.sparkContext.broadcast(codes))
+    val cand = v.repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (aid, aemb) =>
+        val cb = bcBook.value
+        val refs = bcCodes.value
+        val len = aemb.length / m
+        // ADC lookup table: dot(query subvector, centroid) per (sub, j)
+        val lut = Array.tabulate(m, cb(0).length) { (sub, j) =>
+          val off = sub * len
+          var acc = 0.0
+          var t = 0
+          while (t < len) { acc += aemb(off + t).toDouble * cb(sub)(j)(t); t += 1 }
+          acc
+        }
+        val top = new TopC(nCand)
+        var i = 0
+        while (i < refs.length) {
+          val (bid, cs) = refs(i)
+          if (bid != aid) {
+            var approx = 0.0
+            var sub = 0
+            while (sub < m) {
+              approx += lut(sub)(cs(sub) & 0xff); sub += 1
+            }
+            top.offer(approx, bid)
+          }
+          i += 1
+        }
+        top.ids.iterator.map(bid => (aid, bid))
+      }
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val scored = cand.toDF("a_id", "b_id")
+      .join(emb.toDF("a_id", "a_emb"), "a_id")
+      .join(emb.toDF("b_id", "b_emb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (floor(expr("graft_dot(a_emb, b_emb)") * 10000 + 0.5) / 10000)
+          .as("score"))
+    graft.plans.TopKPerGroup.topK(scored, "a_id", "score", "b_id", 3)
+      .select(col("a_id").as("vec_id"), col("rn"), col("b_id"), col("score"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   /** IVF × int8 two-stage retrieval — the production ANN composition
     * (FAISS's IVF-PQ shape with the repo's symmetric int8 grid standing
     * in for PQ codebooks): [[knnIvf]]'s √n-cell coarse quantizer bounds

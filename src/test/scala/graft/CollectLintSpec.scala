@@ -27,6 +27,9 @@ class CollectLintSpec extends AnyFunSuite {
         "of the index) stays a parquet join, never collected"),
     ("LlmPipeline.scala", "knnQuantized") ->
       "4x-smaller int8 grid quantized on executors; fp32 rescore is a join",
+    ("LlmPipeline.scala", "knnPq") ->
+      ("k seed rows + 8x16x8 codebook metadata + the 32x-smaller PQ code " +
+        "matrix, all built on executors; fp32 rescore is a join"),
     ("LlmPipeline.scala", "knnCosine") ->
       "DECLARED broadcast-matrix tier; knn_sharded is the beyond-broadcast twin",
     ("LlmPipeline.scala", "simThreshold") ->
