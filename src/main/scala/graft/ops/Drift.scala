@@ -208,6 +208,94 @@ object Drift {
       .orderBy(col("event_type"))
   }
 
+  /** Static side of the STREAMING drift monitor: the reference half's
+    * decile bins in interval form — 10 rows of (bin, (lo, hi], n_ref,
+    * na), derived from the same arithmetic edge rule as [[driftPsi]]
+    * (edge_k = the ceil(na·k/10)-th smallest reference cents, recovered
+    * from the histogram's running count by exploding each histogram row
+    * to the ks whose rank it covers — `sequence` guarded ascending).
+    * This is the table a production monitor computes ONCE per reference
+    * snapshot and broadcasts against the live stream. */
+  private[graft] def driftPsiRefBins(ev: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val binned = ev.where(col("ts") < lit(SplitTs).cast("timestamp"))
+      .select(floor(col("value") * 100 + 0.5).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("ca"))
+      .withColumn("cum", sum(col("ca")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("prev", col("cum") - col("ca"))
+      .withColumn("bin", lit(1) + least(lit(9), expr("(10 * prev) div na")))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(sum(col("ca")).as("n_ref"), max(col("na")).as("na"))
+    val edges = binned
+      .where(expr("(10 * prev) div na + 1") <=
+        least(lit(9), expr("(10 * cum) div na")))
+      .select(explode(sequence(expr("(10 * prev) div na + 1"),
+        least(lit(9), expr("(10 * cum) div na")))).as("bn"), col("c"))
+    val intervals = edges.select(col("bn").as("bin"), col("c").as("hi"))
+      .join(edges.select((col("bn") + 1).as("bin"), col("c").as("lo")),
+        Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("lo"), lit(Long.MinValue)).as("lo"),
+        coalesce(col("hi"), lit(Long.MaxValue)).as("hi"))
+    val wB = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    intervals.join(perBin, Seq("bin"), "left")
+      .withColumn("na", max(col("na")).over(wB))
+      .select(col("bin"), col("lo"), col("hi"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"), col("na"))
+  }
+
+  /** The STREAMABLE half of the per-day PSI: each arriving event bins
+    * through a broadcast stream-static interval join (exactly one of 10
+    * rows matches) and lands in a per-(day-window, bin) count — bounded
+    * state (days-in-horizon × 10), watermark-evictable. The identical
+    * column expressions run in batch and under readStream
+    * (StreamingParitySpec). */
+  private[graft] def driftPsiCountsTransform(
+      cur: DataFrame, bins: DataFrame): DataFrame =
+    cur.select(col("ts"), floor(col("value") * 100 + 0.5).as("c"))
+      .join(broadcast(bins), col("c") > col("lo") && col("c") <= col("hi"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("bin"),
+        col("n_ref"), col("na"))
+      .agg(count(lit(1)).as("n_cur"))
+      .select(col("w.start").as("day_start"), col("bin"),
+        col("n_ref"), col("n_cur"), col("na"))
+
+  /** READOUT over the maintained (day, bin) count table — per-day
+    * normalization + the PSI term algebra ([[driftPsi]]'s exact-integer
+    * chain). Rank-style split per the streaming house rule: the stream
+    * maintains counts, the readout derives the scores. */
+  private[graft] def driftPsiReadout(counts: DataFrame): DataFrame = {
+    val wDay = Window.partitionBy(col("day_start"))
+    counts.withColumn("nb", sum(col("n_cur")).over(wDay))
+      .where(col("n_ref") > 0)
+      .select(col("day_start"), col("bin"), col("n_ref"), col("n_cur"),
+        round((dbl(col("n_ref")) / dbl(col("na")) -
+            dbl(col("n_cur")) / dbl(col("nb"))) *
+          log(dbl(col("n_ref") * col("nb")) / dbl(col("n_cur") * col("na"))),
+          6).as("psi_term"))
+      .orderBy(col("day_start"), col("bin"))
+  }
+
+  /** Per-day PSI of the CURRENT half against the reference half — the
+    * drift monitor as a stream: reference bins broadcast static, the
+    * live feed maintains per-(day, bin) counts, the readout emits one
+    * psi_term row per populated (day, bin). Batch-equivalent form here
+    * (oracle-gated); runtime parity under readStream + complete mode is
+    * the streaming gate (StreamingParitySpec).
+    *
+    * Scale: the static side is 10 rows; stream state is
+    * days-in-horizon × 10 counters; nothing about the stream's volume
+    * reaches the driver. */
+  def streamDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val cur = ev.where(col("ts") >= lit(SplitTs).cast("timestamp"))
+    driftPsiReadout(driftPsiCountsTransform(cur, driftPsiRefBins(ev)))
+  }
+
   /** Welch's unequal-variance t per event_type between snapshots, with
     * the Welch–Satterthwaite df. The variance centers on the integer
     * floor-mean m0 = Σc div n FIRST: the residual sum Σ(c−m0) is then

@@ -3169,6 +3169,46 @@ object OracleSql {
         "(n_cur - 1)::DOUBLE) * 10000 + 0.5) / 10000.0 AS df " +
         "FROM p ORDER BY event_type"),
 
+    // per-day PSI of the current half vs the reference half — the
+    // streaming monitor's batch twin: interval bins from the same
+    // arithmetic edge rule (unnest(range) recovers edge ranks), per-day
+    // normalization over ALL populated bins (left join before the
+    // filter, mirroring the Spark coalesce-0 shape)
+    "stream_drift_psi" ->
+      ("WITH e AS (SELECT floor(value * 100 + 0.5)::BIGINT AS c, ts " +
+        "FROM events), " +
+        "r AS (SELECT c, count(*)::BIGINT AS ca FROM e " +
+        "WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1), " +
+        "h AS (SELECT c, ca, sum(ca) OVER (ORDER BY c ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(ca) OVER () AS na FROM r), " +
+        "hb AS (SELECT c, ca, cum, na, cum - ca AS prev, " +
+        "(1 + least(9, (10 * (cum - ca)) // na)) AS bin FROM h), " +
+        "pb AS (SELECT bin, sum(ca)::BIGINT AS n_ref, " +
+        "max(na)::BIGINT AS na FROM hb GROUP BY 1), " +
+        "ed AS (SELECT unnest(range(((10 * prev) // na + 1)::BIGINT, " +
+        "(least(9, (10 * cum) // na) + 1)::BIGINT)) AS bn, c FROM hb " +
+        "WHERE (10 * prev) // na + 1 <= least(9, (10 * cum) // na)), " +
+        "iv AS (SELECT bin, lo.lo AS lo, hi.hi AS hi FROM " +
+        "(SELECT bn AS bin, c AS hi FROM ed) hi FULL JOIN " +
+        "(SELECT bn + 1 AS bin, c AS lo FROM ed) lo USING (bin)), " +
+        "cur AS (SELECT date_trunc('day', ts) AS day_start, c FROM e " +
+        "WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'), " +
+        "j AS (SELECT cur.day_start, iv.bin FROM cur JOIN iv ON " +
+        "cur.c > coalesce(iv.lo, -9223372036854775808) AND " +
+        "cur.c <= coalesce(iv.hi, 9223372036854775807)), " +
+        "g AS (SELECT day_start, bin, count(*)::BIGINT AS n_cur FROM j " +
+        "GROUP BY 1, 2), " +
+        "t AS (SELECT g.day_start, g.bin, " +
+        "coalesce(pb.n_ref, 0)::BIGINT AS n_ref, g.n_cur, pb.na, " +
+        "sum(g.n_cur) OVER (PARTITION BY g.day_start) AS nb " +
+        "FROM g LEFT JOIN pb USING (bin)) " +
+        "SELECT day_start, bin::BIGINT AS bin, n_ref, n_cur, " +
+        "floor((n_ref::DOUBLE / na::DOUBLE - n_cur::DOUBLE / nb::DOUBLE) * " +
+        "ln((n_ref * nb)::DOUBLE / (n_cur * na)::DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000.0 AS psi_term " +
+        "FROM t WHERE n_ref > 0 ORDER BY day_start, bin"),
+
     // rolling OLS slope: shifting-origin trick turns the moving
     // regression into two windowed integer sums (Σx/Σx² are the
     // constants 465/9455 ⇒ denominator 67425); µs-truncated order

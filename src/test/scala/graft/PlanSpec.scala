@@ -806,7 +806,10 @@ class PlanSpec extends SparkSpec {
       "corpus_dsir_resample",    // same fold under the selection step
       // fixture-bounded all-pairs baseline, documented (scale path =
       // minhash/containment)
-      "dedup_ngram_jaccard")
+      "dedup_ngram_jaccard",
+      // 10-row broadcast interval-bin table against the stream — the
+      // static side of the streaming PSI monitor, bounded by construction
+      "stream_drift_psi")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -211,6 +211,23 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       Streaming.streamChainedAgg(spark, sf001), "chained-ckpt-recovery")
   }
 
+  test("per-day PSI drift monitor: streamed (day, bin) counts + readout == batch") {
+    // The drift family's streaming form: reference bins broadcast static,
+    // the replayed current half maintains per-(day, bin) counts, and the
+    // rank-style readout over the maintained table must reproduce the
+    // oracle-gated batch key row-for-row.
+    val bins = graft.ops.Drift.driftPsiRefBins(events)
+    val cur = replay
+      .where(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+    val streamed = runStream(
+      graft.ops.Drift.driftPsiCountsTransform(cur, bins),
+      "complete", "t_drift_psi")
+    assertSameRows(
+      graft.ops.Drift.driftPsiReadout(streamed),
+      graft.ops.Drift.streamDriftPsi(spark, sf001), "drift-psi")
+  }
+
   test("kinesis envelope wrap→decode under streaming replay == batch tumbling agg") {
     // The reference's actual shape: a stream of Kinesis-style records
     // (partition key, sequence number, base64 JSON blob) decoded and
