@@ -128,6 +128,41 @@ object Drift {
       .orderBy(col("event_type"))
   }
 
+  /** Earth mover's distance (Wasserstein-1) between the two snapshots'
+    * value distributions per event_type — the drift metric with units
+    * (average dollars a reference observation must "move" to become the
+    * current distribution; the standard embedding/feature-drift
+    * distance). On a 1-D grid W₁ = ∫|F_ref − F_cur| dx, which the
+    * histogram makes EXACT: Σ over grid steps of |cumA·n_cur −
+    * cumB·n_ref| · (next_c − c), an integer sum that telescopes to at
+    * most max|·|·(cents range) — always inside 2^53 — with the
+    * na·nb·100 division applied once at the end.
+    *
+    * Scale: same bounded-histogram shape as drift_ks — one keyed
+    * groupBy over rows, per-type windows on the value grid. */
+  def driftEmd(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("c"))
+    val wAll = Window.partitionBy(col("event_type"))
+    histByType(s, d)
+      .withColumn("cumA", sum(col("ca")).over(wCum))
+      .withColumn("cumB", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .withColumn("gap", coalesce(lead(col("c"), 1).over(wOrd) - col("c"),
+        lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
+        sum(abs(col("cumA") * col("nb") - col("cumB") * col("na")) *
+          col("gap")).as("emd_num"),
+        max(col("na") * col("nb")).as("nanb"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(dbl(col("emd_num")) / dbl(col("nanb")) / lit(100.0), 6)
+          .as("emd"))
+      .orderBy(col("event_type"))
+  }
+
   /** Chi-square homogeneity of the event_type mix across the two
     * snapshots: per-type contribution (o−e)²/e summed over the type's
     * two cells, computed as ((o·g − rowt·colt)²)/(rowt·colt·g) so the

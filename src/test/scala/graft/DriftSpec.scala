@@ -69,6 +69,34 @@ class DriftSpec extends SparkSpec {
     assert(got.forall(g => g._4 >= 0.0 && g._4 <= 1.0))
   }
 
+  test("drift_emd: exact brute-force parity, nonnegative, zero iff identical") {
+    val byType = rows.groupBy(_._1)
+    val expect = byType.toSeq.sortBy(_._1).map { case (t, rs) =>
+      val a = rs.filter(_._3).map(_._2)
+      val b = rs.filterNot(_._3).map(_._2)
+      val na = a.size.toLong; val nb = b.size.toLong
+      val grid = (a ++ b).distinct.sorted
+      val num = grid.zip(grid.drop(1)).map { case (c, nxt) =>
+        math.abs(a.count(_ <= c) * nb - b.count(_ <= c) * na) * (nxt - c)
+      }.sum
+      (t, na, nb, round6(num.toDouble / (na * nb).toDouble / 100.0))
+    }
+    val got = Drift.driftEmd(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expect, s"emd mismatch: ${got.toSeq} vs $expect")
+    assert(got.forall(_._4 >= 0.0))
+    // W1 of a distribution against itself is 0 (sanity on the formula)
+    val self = {
+      val a = byType.head._2.map(_._2)
+      val grid = a.distinct.sorted
+      grid.zip(grid.drop(1)).map { case (c, nxt) =>
+        math.abs(a.count(_ <= c) * a.size.toLong -
+          a.count(_ <= c) * a.size.toLong) * (nxt - c)
+      }.sum
+    }
+    assert(self == 0L)
+  }
+
   test("drift_chi2 + drift_js: exact brute-force parity, nonnegative terms") {
     val byType = rows.groupBy(_._1)
     val na = rows.count(_._3).toLong

@@ -3,8 +3,45 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.LlmPipeline
 
-/** Round-11b: product-quantization ANN (SURVEY.md §2.21). */
+/** Round-11b: product-quantization ANN + periodogram (SURVEY.md §2.21). */
 class Round11bSpec extends SparkSpec {
+
+  test("ts_periodogram: exact brute-force parity + harmonic-peak sanity") {
+    val hourly = graft.io.Tables.events(spark, sf001)
+      .select(expr("unix_timestamp(ts) div 3600 - 473352").as("t"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+    val expect = (1 to 8).map { k =>
+      val w = 2 * math.Pi / 720
+      var sc = 0L; var ss = 0L
+      hourly.foreach { case (t, x) =>
+        sc += math.floor(x * math.cos(w * k * t) * 1e4 + 0.5).toLong
+        ss += math.floor(x * math.sin(w * k * t) * 1e4 + 0.5).toLong
+      }
+      val c = sc.toDouble / 1e4; val s2 = ss.toDouble / 1e4
+      (k, math.floor((c * c + s2 * s2) / (720.0 * 720) * 1e6 + 0.5) / 1e6)
+    }
+    val got = graft.ops.Quant.tsPeriodogram(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq == expect, s"periodogram mismatch: ${got.toSeq} vs $expect")
+    // a planted pure cosine at harmonic 3 dominates the snapped DFT:
+    // x_t = 100 + 50·cos(2π·3t/720) ⇒ power(3) ≈ (50·720/2 / 720)² = 625
+    val w = 2 * math.Pi / 720
+    val planted = (0 until 720).map(t =>
+      (t.toLong, (100 + 50 * math.cos(w * 3 * t)).round))
+    val powers = (1 to 8).map { k =>
+      var sc = 0L; var ss = 0L
+      planted.foreach { case (t, x) =>
+        sc += math.floor(x * math.cos(w * k * t) * 1e4 + 0.5).toLong
+        ss += math.floor(x * math.sin(w * k * t) * 1e4 + 0.5).toLong
+      }
+      val c = sc.toDouble / 1e4; val s = ss.toDouble / 1e4
+      (k, (c * c + s * s) / (720.0 * 720))
+    }.toMap
+    assert(powers(3) > 600 && powers(3) < 650, s"peak ${powers(3)}")
+    (1 to 8).filter(_ != 3).foreach(k =>
+      assert(powers(k) < 1.0, s"leak at k=$k: ${powers(k)}"))
+  }
 
   test("knn_pq: 3 exact-scored rows per query, deterministic, recall vs brute") {
     val pq = LlmPipeline.knnPq(spark, sf001).collect()
