@@ -224,6 +224,24 @@ object Functions {
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Hilbert-curve layout key over the same (orderkey, partkey) pair as
+    * [[layoutZorder]] — the locality-superior clustering sort: Hilbert
+    * never takes Z-order's quadrant-boundary diagonal jumps, so
+    * per-file min/max bounding boxes are tighter and range predicates
+    * skip more files (see graft.functions.HilbertCode for the 100 TB
+    * rationale). Same codegen'd-expression rung as graft_morton; the
+    * DuckDB twin replays the identical 16-step quadrant fold as a
+    * recursive CTE, so the whole curve is oracle-gated. */
+  def layoutHilbert(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HilbertCode.register(s)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        call_function("graft_hilbert",
+          pmod(col("l_orderkey"), lit(65536L)),
+          pmod(col("l_partkey"), lit(65536L))).as("hkey"))
+      .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Generator/UDTF surface (§2.11): explode a computed array — one input
     * row → N rows (words of the doc text). */
   def udtfExplode(s: SparkSession, d: String): DataFrame =

@@ -234,6 +234,31 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Rolling median of event value per user over the trailing 30 events
+    * (full windows only) — the robust moving-location companion of
+    * [[winOlsSlope]]'s moving trend (a spend-level tracker spikes can't
+    * drag). Exact on the cent grid: 30 rows put the interpolation
+    * position at 14.5, and a + 0.5·(b − a) is exact IEEE for int64
+    * cents, so both engines see the identical median before the one
+    * divide to dollars.
+    *
+    * Scale: row_number and the frame percentile stack on ONE user_id
+    * exchange; the percentile buffers its 30-row frame, nothing more. */
+  def winRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wF = w.rowsBetween(-29, 0)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).as("xc"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("med", percentile(col("xc"), lit(0.5)).over(wF))
+      .where(col("i") >= 30)
+      .select(col("user_id"), col("event_id"),
+        round(col("med") / lit(100.0), 4).as("rolling_median"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Rolling OLS regression slope of event value against event ordinal,
     * per user, over the trailing 30 events (full windows only) — the
     * windowed trend detector time-series monitors read (is this user's

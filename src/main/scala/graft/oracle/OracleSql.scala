@@ -1403,6 +1403,30 @@ object OracleSql {
         "((((l_partkey % 65536) >> i) & 1) << (2*i+1))))::BIGINT AS zkey " +
         "FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber"),
 
+    // the identical 16-step quadrant fold as a recursive CTE: per scale
+    // s, d += s²·((3rx) xor ry), then reflect/transpose the sub-square
+    // coords masked to < s — mirrors HilbertCode.encode op-for-op
+    "layout_hilbert" ->
+      ("WITH RECURSIVE hc AS (" +
+        "SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "(l_orderkey % 65536)::BIGINT AS x, " +
+        "(l_partkey % 65536)::BIGINT AS y, " +
+        "32768::BIGINT AS s, 0::BIGINT AS d FROM lineitem " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CASE WHEN (y & s) = 0 THEN " +
+        "(CASE WHEN (x & s) <> 0 THEN (s - 1) - (y & (s - 1)) " +
+        "ELSE y & (s - 1) END) ELSE x & (s - 1) END AS x, " +
+        "CASE WHEN (y & s) = 0 THEN " +
+        "(CASE WHEN (x & s) <> 0 THEN (s - 1) - (x & (s - 1)) " +
+        "ELSE x & (s - 1) END) ELSE y & (s - 1) END AS y, " +
+        "s // 2 AS s, " +
+        "d + s * s * xor(3 * (CASE WHEN (x & s) <> 0 THEN 1 ELSE 0 END), " +
+        "(CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END)) AS d " +
+        "FROM hc WHERE s > 0) " +
+        "SELECT l_orderkey, l_linenumber, l_partkey, d::BIGINT AS hkey " +
+        "FROM hc WHERE s = 0 ORDER BY hkey, l_orderkey, l_linenumber"),
+
     "fn_vector_native" ->
       ("SELECT vec_id, " +
         "floor((list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) * 10000 + 0.5) / 10000.0 AS norm_sq, " +
@@ -3252,6 +3276,21 @@ object OracleSql {
         "ln((n_ref * nb)::DOUBLE / (n_cur * na)::DOUBLE) " +
         "* 1000000 + 0.5) / 1000000.0 AS psi_term " +
         "FROM t WHERE n_ref > 0 ORDER BY day_start, bin"),
+
+    // rolling median on cents (interpolation position 14.5 is exact
+    // IEEE for int cents); µs-truncated order, full windows only
+    "win_rolling_median" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+        "floor(value * 100 + 0.5)::BIGINT AS xc FROM events), " +
+        "w AS (SELECT user_id, event_id, " +
+        "row_number() OVER win AS i, " +
+        "quantile_cont(xc, 0.5) OVER (win ROWS BETWEEN 29 PRECEDING AND " +
+        "CURRENT ROW) AS med " +
+        "FROM e WINDOW win AS (PARTITION BY user_id ORDER BY " +
+        "date_trunc('microseconds', ts), event_id)) " +
+        "SELECT user_id, event_id, " +
+        "floor(med / 100.0 * 10000 + 0.5) / 10000.0 AS rolling_median " +
+        "FROM w WHERE i >= 30 ORDER BY user_id, event_id"),
 
     // rolling OLS slope: shifting-origin trick turns the moving
     // regression into two windowed integer sums (Σx/Σx² are the

@@ -43,6 +43,39 @@ class Round11bSpec extends SparkSpec {
       assert(powers(k) < 1.0, s"leak at k=$k: ${powers(k)}"))
   }
 
+  test("layout_hilbert: exhaustive order-4 bijection + unit-adjacency; zorder-locality win") {
+    import graft.functions.{HilbertCode, MortonCode}
+    // the DEFINING Hilbert property, checked exhaustively on the 16×16
+    // grid: d is a bijection onto 0..255 and consecutive d's are grid-
+    // ADJACENT (|Δx|+|Δy| = 1) — Z-order fails the adjacency half
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (HilbertCode.encode(4, x, y), (x, y))
+    assert(cells.map(_._1).sorted == (0L until 256L),
+      "order-4 curve is not a bijection onto 0..255")
+    val byD = cells.sortBy(_._1).map(_._2)
+    byD.zip(byD.drop(1)).foreach { case ((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // order-16 expression path: the low-16-bit fold of the same recipe
+    assert(HilbertCode.encode16(0L, 0L) == 0L)
+    assert(cells.map { case (_, (x, y)) =>
+      HilbertCode.encode(4, x.toLong, y.toLong)
+    }.distinct.length == 256)
+    // locality: mean |Δmorton| across the 255 Hilbert-adjacent steps is
+    // far larger than mean |Δhilbert| across Z-adjacent steps — the
+    // tighter-bounding-box claim in one number (Hilbert steps are unit,
+    // Z-order takes quadrant-boundary jumps)
+    val zByD = cells.map { case (_, (x, y)) =>
+      (MortonCode.interleave(x.toLong, y.toLong), (x, y))
+    }.sortBy(_._1).map(_._2)
+    val zJumps = zByD.zip(zByD.drop(1)).map { case ((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }
+    assert(zJumps.max > 1, "zorder unexpectedly unit-adjacent")
+    assert(zJumps.sum > 255, "hilbert should strictly beat zorder locality here")
+  }
+
   test("knn_pq: 3 exact-scored rows per query, deterministic, recall vs brute") {
     val pq = LlmPipeline.knnPq(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

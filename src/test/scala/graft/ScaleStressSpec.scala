@@ -139,7 +139,20 @@ class ScaleStressSpec extends SparkSpec {
     ("knn_index_restart", 24.0, 30.0),
     // r11: asset write (linear scans) + the gated curate cascade over
     // reloaded parquet — same staging as pipeline_incremental_curate
-    ("pipeline_curate_restart", 24.0, 35.0))
+    ("pipeline_curate_restart", 24.0, 35.0),
+    // r11b drift monitors: one partial-aggregable groupBy to the
+    // bounded cents histogram, then windows on the histogram — the
+    // histogram row count is VALUE-GRID bounded, so the 16× run only
+    // grows the first aggregate. Measured r11b gate run: 1.2× / 0.9× /
+    // 1.0× — the ≤1.6 tier ⇒ 10× bound
+    ("drift_ks", 10.0, 20.0),
+    ("drift_emd", 10.0, 20.0),
+    ("stream_drift_psi", 10.0, 20.0),
+    // two frame sums + row_number on one user_id exchange (measured 1.4×)
+    ("win_ols_slope", 10.0, 20.0),
+    // 720-row hour histogram × 8 harmonics — row-count-independent
+    // tail (measured 1.0×)
+    ("ts_periodogram", 10.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
