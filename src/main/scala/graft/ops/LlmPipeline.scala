@@ -321,6 +321,52 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney bigram NLL per document — the properly
+    * SMOOTHED upgrade of [[textLmScore]]'s MLE (the estimator real LM
+    * quality filters ship: absolute discount d = 0.75, continuation-
+    * count backoff, so rare-context bigrams aren't scored by raw MLE):
+    * P(b|a) = (c(ab) − d)/c(a·) + d·N₁₊(a·)/c(a·) · N₁₊(·b)/|types|.
+    * Per-bigram NLL snaps to the 1e-6 integer grid before the per-doc
+    * sum (the seq_markov_perplexity determinism trick), so the doc
+    * aggregate is order-independent and the oracle hash-matches.
+    *
+    * Scale: the model table IS an aggregate of the exploded bigram
+    * stream — all four KN statistics (pair count, prefix total, prefix
+    * fan-out, continuation count) stack as windows on the TYPE table
+    * (bounded by vocabulary², not tokens); the scoring join broadcasts
+    * the model; the per-doc mean is one partial-agg groupBy. */
+  def textLmKneserNey(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> named_struct('a', element_at(ws, i), " +
+          "'b', element_at(ws, i + 1)))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val model = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
+      .withColumn("n1f_a", count(lit(1)).over(Window.partitionBy(col("a"))))
+      .withColumn("n1p_b", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+      .select(col("a"), col("b"),
+        floor(-log(
+          (col("n_ab").cast("double") - lit(0.75)) /
+            col("n_a").cast("double") +
+            lit(0.75) * col("n1f_a").cast("double") /
+              col("n_a").cast("double") *
+              (col("n1p_b").cast("double") / col("tt").cast("double"))) *
+          lit(1000000L) + lit(0.5)).cast("long").as("nll_u"))
+    pairs.join(broadcast(model), Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_u")).as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("snll").cast("double") / lit(1000000.0) /
+          col("n_bigrams").cast("double"), 4).as("kn_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** Tokenize + word count per language: explode(split) then two-level

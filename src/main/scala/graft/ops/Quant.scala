@@ -1216,6 +1216,46 @@ object Quant {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Single change-point detection per event_type (binary-segmentation
+    * step / CUSUM-argmax formalized): over the type's OBSERVED hourly
+    * cent-sum sequence, find the split t* maximizing |n·S_t − t·S_n| —
+    * the scaled gap between the prefix sum and its homogeneous
+    * expectation — and report the level before/after. The argmax search
+    * runs entirely on exact integers (smallest t on ties), so both
+    * engines agree bit-for-bit; the two mean divides land at the end.
+    *
+    * Scale: the raw stream collapses to (type, hour) sums first (one
+    * partial-aggregable shuffle, ≤ 720 rows per type at any volume);
+    * the prefix/argmax windows run on that bounded hourly table. */
+  def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val g = when(col("i") < col("n"),
+      abs(col("n") * col("cum") - col("i") * col("sn")))
+    events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("h"))
+      .agg(sum(floor(col("value") * 100 + 0.5)).as("sx"))
+      .withColumn("i", row_number().over(wOrd).cast("bigint"))
+      .withColumn("cum", sum(col("sx")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(col("sx")).over(wAll))
+      .where(col("n") >= 2)
+      .withColumn("g", g)
+      .withColumn("mx", max(col("g")).over(wAll))
+      .withColumn("ti", min(when(col("g") === col("mx"), col("i"))).over(wAll))
+      .where(col("i") === col("ti"))
+      .select(col("event_type"), col("n").as("n_hours"),
+        col("i").as("split_t"), col("h").as("split_hour_epoch"),
+        round(col("cum").cast("double") / col("i").cast("double") /
+          lit(100.0), 4).as("mean_before"),
+        round((col("sn") - col("cum")).cast("double") /
+          (col("n") - col("i")).cast("double") / lit(100.0), 4)
+          .as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
   /** Periodogram of the hourly event rate — DFT power at harmonics
     * k = 1..8 of the 30-day fixture span (N = 720 hours; k = 30 would
     * be the daily cycle, k = 1..8 the multi-day structure a seasonality

@@ -3094,6 +3094,61 @@ object OracleSql {
         "min(CASE WHEN dnum = mx THEN c END)::BIGINT AS d_at_cents " +
         "FROM m GROUP BY 1 ORDER BY 1"),
 
+    // interpolated Kneser–Ney bigram NLL: the four KN statistics stack
+    // as windows on the bigram TYPE table; per-bigram NLL snaps to the
+    // 1e-6 grid before the per-doc sum (order-independent)
+    "text_lm_kneser_ney" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
+        "p AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w), " +
+        "s AS (SELECT doc_id, split_part(bg, ' ', 1) AS a, " +
+        "split_part(bg, ' ', 2) AS b FROM p), " +
+        "t AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM s GROUP BY 1, 2), " +
+        "m AS (SELECT a, b, n_ab, sum(n_ab) OVER (PARTITION BY a) AS n_a, " +
+        "count(*) OVER (PARTITION BY a) AS n1f_a, " +
+        "count(*) OVER (PARTITION BY b) AS n1p_b, " +
+        "count(*) OVER () AS tt FROM t), " +
+        "q AS (SELECT a, b, floor(-ln((n_ab::DOUBLE - 0.75) / n_a::DOUBLE " +
+        "+ 0.75 * n1f_a::DOUBLE / n_a::DOUBLE * " +
+        "(n1p_b::DOUBLE / tt::DOUBLE)) * 1000000 + 0.5)::BIGINT AS nll_u " +
+        "FROM m), " +
+        "u AS (SELECT s.doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "sum(q.nll_u)::BIGINT AS snll FROM s " +
+        "JOIN q ON s.a = q.a AND s.b = q.b GROUP BY 1) " +
+        "SELECT doc_id, n_bigrams, " +
+        "floor(snll::DOUBLE / 1000000.0 / n_bigrams::DOUBLE " +
+        "* 10000 + 0.5) / 10000.0 AS kn_nll FROM u ORDER BY doc_id"),
+
+    // single change point per type: integer argmax of |n·S_t − t·S_n|
+    // over the observed hourly sums, smallest t on ties
+    "ts_changepoint" ->
+      ("WITH e AS (SELECT event_type, " +
+        "floor(epoch(ts))::BIGINT // 3600 AS h, " +
+        "floor(value * 100 + 0.5)::BIGINT AS c FROM events), " +
+        "hh AS (SELECT event_type, h, sum(c)::BIGINT AS sx FROM e " +
+        "GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, h, sx, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h)::BIGINT " +
+        "AS i, " +
+        "sum(sx) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum, " +
+        "count(*) OVER (PARTITION BY event_type) AS n, " +
+        "sum(sx) OVER (PARTITION BY event_type)::BIGINT AS sn FROM hh), " +
+        "g AS (SELECT *, CASE WHEN i < n THEN abs(n * cum - i * sn) END " +
+        "AS g FROM w WHERE n >= 2), " +
+        "m AS (SELECT *, max(g) OVER (PARTITION BY event_type) AS mx " +
+        "FROM g), " +
+        "t AS (SELECT *, min(CASE WHEN g = mx THEN i END) OVER " +
+        "(PARTITION BY event_type) AS ti FROM m) " +
+        "SELECT event_type, n::BIGINT AS n_hours, i AS split_t, " +
+        "h AS split_hour_epoch, " +
+        "floor(cum::DOUBLE / i::DOUBLE / 100.0 * 10000 + 0.5) / 10000.0 " +
+        "AS mean_before, " +
+        "floor((sn - cum)::DOUBLE / (n - i)::DOUBLE / 100.0 " +
+        "* 10000 + 0.5) / 10000.0 AS mean_after " +
+        "FROM t WHERE i = ti ORDER BY event_type"),
+
     // DFT power at harmonics 1..8 of the 720-hour span: per-term 1e-4
     // grid snap before summing (order-independent integer accumulation;
     // the seq_markov_perplexity trick applied to trig terms). The trig

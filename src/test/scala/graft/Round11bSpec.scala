@@ -76,6 +76,86 @@ class Round11bSpec extends SparkSpec {
     assert(zJumps.sum > 255, "hilbert should strictly beat zorder locality here")
   }
 
+  test("text_lm_kneser_ney: exact brute-force parity + per-context normalization") {
+    val words = graft.io.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 2)
+    val pairs = words.flatMap { case (id, ws) =>
+      ws.zip(ws.drop(1)).map { case (a, b) => (id, a, b) }
+    }
+    val nAb = pairs.groupBy(t => (t._2, t._3)).map { case (k, g) => k -> g.size.toLong }
+    val nA = nAb.groupBy(_._1._1).map { case (a, g) => a -> g.values.sum }
+    val n1fA = nAb.groupBy(_._1._1).map { case (a, g) => a -> g.size.toLong }
+    val n1pB = nAb.groupBy(_._1._2).map { case (b, g) => b -> g.size.toLong }
+    val tt = nAb.size.toLong
+    def p(a: String, b: String): Double =
+      (nAb((a, b)).toDouble - 0.75) / nA(a).toDouble +
+        0.75 * n1fA(a).toDouble / nA(a).toDouble *
+          (n1pB(b).toDouble / tt.toDouble)
+    // KN is a PROPER conditional: summing P(b|a) over the whole
+    // continuation vocabulary gives 1 for every context a
+    val vocabB = n1pB.keys.toSeq
+    n1fA.keys.foreach { a =>
+      val z = vocabB.map { b =>
+        val disc = nAb.get((a, b)).map(c => (c.toDouble - 0.75) / nA(a).toDouble).getOrElse(0.0)
+        disc + 0.75 * n1fA(a).toDouble / nA(a).toDouble *
+          (n1pB(b).toDouble / tt.toDouble)
+      }.sum
+      assert(math.abs(z - 1.0) < 1e-9, s"context '$a' sums to $z")
+    }
+    val expect = pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ps) =>
+      val snll = ps.map { case (_, a, b) =>
+        math.floor(-math.log(p(a, b)) * 1000000L + 0.5).toLong
+      }.sum
+      (id, ps.size.toLong,
+        math.floor(snll.toDouble / 1000000.0 / ps.size.toDouble * 1e4 + 0.5) / 1e4)
+    }
+    val got = graft.ops.LlmPipeline.textLmKneserNey(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expect, s"kn mismatch (first: ${
+      got.toSeq.zip(expect).find { case (x, y) => x != y }})")
+  }
+
+  test("ts_changepoint: exact brute-force parity + planted-shift sanity") {
+    val rows = graft.io.Tables.events(spark, sf001)
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"),
+        floor(col("value") * 100 + 0.5).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, rs) =>
+      val hourly = rs.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (h, g) => (h, g.map(_._3).sum) }
+      val n = hourly.size.toLong
+      if (n < 2) None else {
+        val sn = hourly.map(_._2).sum
+        var cum = 0L
+        val cands = hourly.zipWithIndex.map { case ((h, sx), idx) =>
+          cum += sx
+          val i = (idx + 1).toLong
+          (i, h, cum, if (i < n) Some(math.abs(n * cum - i * sn)) else None)
+        }
+        val mx = cands.flatMap(_._4).max
+        val (i, h, cum2, _) = cands.filter(_._4.contains(mx)).minBy(_._1)
+        Some((t, n, i, h,
+          math.floor(cum2.toDouble / i.toDouble / 100.0 * 1e4 + 0.5) / 1e4,
+          math.floor((sn - cum2).toDouble / (n - i).toDouble / 100.0 * 1e4 + 0.5) / 1e4))
+      }
+    }
+    val got = graft.ops.Quant.tsChangepoint(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == expect, s"changepoint mismatch: ${got.toSeq} vs $expect")
+    // planted shift: level 100 for 50 steps then 200 for 50 → split at 50
+    val planted = (1 to 100).map(i => if (i <= 50) 100L else 200L)
+    val sn = planted.sum; val n = 100L
+    var cum = 0L
+    val g = planted.zipWithIndex.map { case (x, idx) =>
+      cum += x; val i = idx + 1L
+      (i, if (i < n) math.abs(n * cum - i * sn) else -1L)
+    }
+    assert(g.filter(_._2 == g.map(_._2).max).map(_._1).min == 50L)
+  }
+
   test("knn_pq: 3 exact-scored rows per query, deterministic, recall vs brute") {
     val pq = LlmPipeline.knnPq(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
