@@ -170,18 +170,18 @@ object Drift {
     * product ≤ 2^53 at the gated scale factors). The scalar χ² (df =
     * |types|−1) is the sum of the 5 `chi2_term`s.
     *
-    * Scale: one 5-row contingency aggregate; the totals window runs on
-    * 5 rows. */
+    * Scale: one 5-row contingency aggregate; the grand totals fold
+    * back as a one-row broadcast. */
   def driftChi2(s: SparkSession, d: String): DataFrame = {
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
     val g = col("na") + col("nb")
     val rowt = col("oa") + col("ob")
     val numA = dbl(col("oa") * g - rowt * col("na"))
     val numB = dbl(col("ob") * g - rowt * col("nb"))
-    typeCounts(s, d)
-      .withColumn("na", sum(col("oa")).over(wAll))
-      .withColumn("nb", sum(col("ob")).over(wAll))
+    val tc = typeCounts(s, d)
+    // grand totals fold back as a one-row broadcast (the declared
+    // scalar-fold shape), never a partition-less window
+    tc.crossJoin(broadcast(
+        tc.agg(sum(col("oa")).as("na"), sum(col("ob")).as("nb"))))
       .select(col("event_type"), col("oa").as("n_ref"), col("ob").as("n_cur"),
         round(numA * numA / dbl(rowt * col("na") * g) +
           numB * numB / dbl(rowt * col("nb") * g), 6).as("chi2_term"))
@@ -196,14 +196,12 @@ object Drift {
     *
     * Scale: identical to drift_chi2 — one tiny contingency aggregate. */
   def driftJs(s: SparkSession, d: String): DataFrame = {
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
     val p = dbl(col("oa")) / dbl(col("na"))
     val q = dbl(col("ob")) / dbl(col("nb"))
     val m = (p + q) / lit(2.0)
-    typeCounts(s, d)
-      .withColumn("na", sum(col("oa")).over(wAll))
-      .withColumn("nb", sum(col("ob")).over(wAll))
+    val tc = typeCounts(s, d)
+    tc.crossJoin(broadcast(
+        tc.agg(sum(col("oa")).as("na"), sum(col("ob")).as("nb"))))
       .select(col("event_type"), col("oa").as("n_ref"), col("ob").as("n_cur"),
         round(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m), 6)
           .as("js_term"))

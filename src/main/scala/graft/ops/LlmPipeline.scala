@@ -344,12 +344,15 @@ object LlmPipeline {
           "i -> named_struct('a', element_at(ws, i), " +
           "'b', element_at(ws, i + 1)))")).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val model = pairs.groupBy(col("a"), col("b"))
+    val types = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
+    // |bigram types| folds back as a one-row broadcast (the declared
+    // scalar-fold shape), never a partition-less window
+    val model = types
       .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
       .withColumn("n1f_a", count(lit(1)).over(Window.partitionBy(col("a"))))
       .withColumn("n1p_b", count(lit(1)).over(Window.partitionBy(col("b"))))
-      .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+      .crossJoin(broadcast(types.agg(count(lit(1)).as("tt"))))
       .select(col("a"), col("b"),
         floor(-log(
           (col("n_ab").cast("double") - lit(0.75)) /
@@ -892,6 +895,57 @@ object LlmPipeline {
     graft.plans.TopKPerGroup.topK(scored, "a_id", "score", "b_id", 3)
       .select(col("a_id").as("vec_id"), col("rn"), col("b_id"), col("score"))
       .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** Matryoshka truncation evaluation — recall@3 of PREFIX-dimension
+    * retrieval (dims 8/16/32/64) against the full-dimension baseline,
+    * the measurement behind the "can we store 16 of the 64 dims?"
+    * decision (MRL-style truncation is a 4× storage/bandwidth lever on
+    * a 100 TB embedding store, and this op is how a pipeline earns it).
+    * One pass per (query, reference) pair accumulates the dot product
+    * ONCE, reading ranked top-3 at each cut on the way (prefix dots are
+    * prefixes of the same sum — no recomputation per dim); ranking uses
+    * the shared r4 + id-asc tie rule, so the dim-64 column reproduces
+    * [[knnCosine]] exactly and recall@3(64) ≡ 1 (pinned, with
+    * monotonicity across dims, in Round11bSpec).
+    *
+    * Scale: the declared broadcast-matrix tier ([[knnSharded]] is the
+    * beyond-broadcast twin for the scan; the per-dim bookkeeping adds
+    * only 4 bounded trackers per query). Oracle-exempt. */
+  def embeddingMatryoshkaEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cuts = Array(8, 16, 32, 64)
+    val bc = graft.Broadcasts.track(
+      s.sparkContext.broadcast(vecs(s, d).collect().sortBy(_._1)))
+    val hits = vecs(s, d).repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (aid, aemb) =>
+        val refs = bc.value
+        val tops = Array.fill(cuts.length)(new Top3)
+        refs.foreach { case (bid, bemb) =>
+          if (bid != aid) {
+            var acc = 0.0
+            var i = 0
+            var ci = 0
+            while (ci < cuts.length) {
+              val end = math.min(cuts(ci), math.min(aemb.length, bemb.length))
+              while (i < end) { acc += aemb(i).toDouble * bemb(i); i += 1 }
+              tops(ci).offer(r4(acc), bid)
+              ci += 1
+            }
+          }
+        }
+        val full = tops(cuts.length - 1).triples(aid).map(_._2).toSet
+        cuts.indices.map { ci =>
+          (cuts(ci), aid,
+            tops(ci).triples(aid).map(_._2).count(full.contains))
+        }
+      }
+    hits.toDF("dim", "vec_id", "hits")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("hits")).cast("double") /
+          (count(lit(1)) * lit(3)).cast("double"), 4).as("recall_at3"))
+      .orderBy(col("dim"))
   }
 
   /** IVF × int8 two-stage retrieval — the production ANN composition

@@ -27,6 +27,8 @@ class CollectLintSpec extends AnyFunSuite {
         "of the index) stays a parquet join, never collected"),
     ("LlmPipeline.scala", "knnQuantized") ->
       "4x-smaller int8 grid quantized on executors; fp32 rescore is a join",
+    ("LlmPipeline.scala", "embeddingMatryoshkaEval") ->
+      "DECLARED broadcast-matrix tier (knnCosine's); knn_sharded is the scale twin",
     ("LlmPipeline.scala", "knnPq") ->
       ("k seed rows + 8x16x8 codebook metadata + the 32x-smaller PQ code " +
         "matrix, all built on executors; fp32 rescore is a join"),

@@ -745,6 +745,13 @@ class PlanSpec extends SparkSpec {
     // quality_funnel lag); this sweep pins the whole surface so no new
     // operator re-introduces one.
     import org.apache.spark.sql.execution.window.WindowExec
+    // DECLARED exceptions: partition-less windows whose input is
+    // BOUNDED BY CONSTRUCTION, not row-count — the r11b PSI pair runs
+    // its prefix windows on the cents-value HISTOGRAM (≤ 49 001 rows at
+    // ANY corpus size, FIXTURES.md value domain), so the single task
+    // sees a fixed-size table forever. Every other global funnel stays
+    // banned; a new entry here needs the same bounded-input argument.
+    val allowedGlobalWindow = Set("drift_psi", "stream_drift_psi")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
@@ -757,7 +764,8 @@ class PlanSpec extends SparkSpec {
             }
           Broadcasts.destroyAll()
           spark.catalog.clearCache()
-          if (bad.nonEmpty) Some(name) else None
+          if (bad.nonEmpty && !allowedGlobalWindow.contains(name)) Some(name)
+          else None
         } catch {
           case _: Throwable =>
             Broadcasts.destroyAll()
@@ -809,7 +817,10 @@ class PlanSpec extends SparkSpec {
       "dedup_ngram_jaccard",
       // 10-row broadcast interval-bin table against the stream — the
       // static side of the streaming PSI monitor, bounded by construction
-      "stream_drift_psi")
+      "stream_drift_psi",
+      // r11b one-row scalar folds: grand-total row (chi2/js), |bigram
+      // types| row (kneser-ney)
+      "drift_chi2", "drift_js", "text_lm_kneser_ney")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -156,6 +156,23 @@ class Round11bSpec extends SparkSpec {
     assert(g.filter(_._2 == g.map(_._2).max).map(_._1).min == 50L)
   }
 
+  test("embedding_matryoshka_eval: dim-64 recall is exactly 1, monotone in dim") {
+    val got = graft.ops.LlmPipeline.embeddingMatryoshkaEval(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    info(got.map { case (dim, _, rec) => f"d$dim=$rec%.4f" }.mkString(" "))
+    assert(got.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    val nVec = graft.io.Tables.embeddings(spark, sf001).count()
+    assert(got.forall(_._2 == nVec), "every vector must be a query")
+    // the full-dimension column IS the brute-force baseline
+    assert(got.last._3 == 1.0)
+    // more dimensions can only help (prefix dots converge to the full dot)
+    got.map(_._3).sliding(2).foreach(w => assert(w(0) <= w(1) + 1e-12,
+      s"recall not monotone: ${got.toSeq}"))
+    // truncation must genuinely degrade on the unclustered fixture —
+    // otherwise the eval measures nothing
+    assert(got.head._3 < 1.0)
+  }
+
   test("knn_pq: 3 exact-scored rows per query, deterministic, recall vs brute") {
     val pq = LlmPipeline.knnPq(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
