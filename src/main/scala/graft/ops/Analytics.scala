@@ -1020,6 +1020,61 @@ object Analytics {
     * global fixpoint — not expressible as a recursive CTE over rows);
     * Round8Spec pins the result against driver-side brute peeling and
     * the invariant min(core_deg) ≥ 3. */
+  /** FULL core decomposition of the co-order graph — the coreness
+    * number of every node, not just membership at one k
+    * ([[graphKcore]]'s k=3 cut is the special case {v : coreness ≥ 3},
+    * cross-pinned in Round11bSpec). Distributed h-index iteration
+    * (the Montresor-et-al k-core recipe): c⁰(v) = deg(v), then
+    * cᵗ⁺¹(v) = min(cᵗ(v), H({cᵗ(u) : u ∈ N(v)})) where H is the
+    * h-index of the neighbor multiset — monotonically non-increasing,
+    * fixpoint = coreness. H computes relationally: rank neighbor values
+    * desc, H = max(min(rank, value)).
+    *
+    * Scale: per round one equi join (attach neighbor estimates), one
+    * per-node window + aggregate — all partial-aggregable on the node
+    * key; no peeling set ever funnels through the driver (the r8 kcore
+    * hole this formulation sidesteps entirely). Convergence is checked
+    * with one count per round; rounds are bounded by the graph's
+    * degeneracy ordering depth (hits the fixpoint in single digits on
+    * the fixture graphs). */
+  def graphCoreness(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    var c = und.groupBy(col("src")).agg(count(lit(1)).as("cv"))
+      .localCheckpoint()
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 32) {
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cd").desc, col("dst"))
+      val h = und
+        .join(c.select(col("src").as("dst"), col("cv").as("cd")), "dst")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .groupBy(col("src"))
+        .agg(max(least(col("rn"), col("cd"))).as("h"))
+      val next = c.withColumnRenamed("cv", "prev").join(h, "src")
+        .select(col("src"), least(col("prev"), col("h")).as("cv"),
+          col("prev"))
+        .localCheckpoint()
+      val changed = next.where(col("cv") =!= col("prev")).count()
+      // free the superseded round only after its successor materialized
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = c.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+      c = next.select(col("src"), col("cv"))
+      done = changed == 0
+      rounds += 1
+    }
+    c.select(col("src").as("part"), col("cv").as("coreness"))
+      .orderBy(col("part"))
+  }
+
   def graphKcore(s: SparkSession, d: String): DataFrame =
     graphKcoreImpl(s, d, bcPeelThreshold = 5_000_000L)
 

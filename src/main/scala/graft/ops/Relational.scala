@@ -885,6 +885,36 @@ object Relational {
     clicks.exceptAll(purchases).orderBy(col("user_id"))
   }
 
+  /** Blocked fuzzy self-match on part names (entity resolution's core
+    * join): name pairs within Levenshtein ≤ 4 sharing a blocking key
+    * (the product noun — the last name token), each pair carrying how
+    * many parts bear each spelling. The quadratic step runs on the
+    * DISTINCT-NAME table — dedupe the join keys BEFORE the pairwise
+    * scan, so the edit-distance work is vocabulary², not rows²; the
+    * row-level weight (n_a/n_b) attaches as a pre-aggregated count.
+    * Both engines run the identical exact Levenshtein, so the op is
+    * oracle-gated.
+    *
+    * Scale: at 100 TB the name dictionary is still dictionary-sized;
+    * blocking bounds each pairwise group, and the only row-level pass
+    * is the distinct+count aggregate. */
+  def joinFuzzyName(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+      .withColumn("blk", substring_index(col("p_name"), " ", -1))
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n").as("n_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n").as("n_b"))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 4)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** Exact row dedup on documents.text with a DETERMINISTIC survivor:
     * keep min(doc_id) per text (raw dropDuplicates keeps an arbitrary row —
     * never acceptable in a hash-matched query, SURVEY.md §2.7). */

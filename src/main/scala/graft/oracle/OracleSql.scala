@@ -3094,6 +3094,19 @@ object OracleSql {
         "min(CASE WHEN dnum = mx THEN c END)::BIGINT AS d_at_cents " +
         "FROM m GROUP BY 1 ORDER BY 1"),
 
+    // blocked fuzzy self-match on the DISTINCT-name table (vocabulary²,
+    // not rows²); levenshtein is exact in both engines, ::INT pins
+    // Spark's IntegerType
+    "join_fuzzy_name" ->
+      ("WITH n AS (SELECT p_name, count(*)::BIGINT AS n, " +
+        "split_part(p_name, ' ', -1) AS blk FROM part GROUP BY 1) " +
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+        "levenshtein(a.p_name, b.p_name)::INT AS dist, " +
+        "a.n AS n_a, b.n AS n_b " +
+        "FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name " +
+        "AND levenshtein(a.p_name, b.p_name) <= 4 " +
+        "ORDER BY name_a, name_b"),
+
     // interpolated Kneser–Ney bigram NLL: the four KN statistics stack
     // as windows on the bigram TYPE table; per-bigram NLL snaps to the
     // 1e-6 grid before the per-doc sum (order-independent)

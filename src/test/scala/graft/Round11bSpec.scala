@@ -173,6 +173,62 @@ class Round11bSpec extends SparkSpec {
     assert(got.head._3 < 1.0)
   }
 
+  test("graph_coreness: equals brute-force peeling; kcore is the coreness>=3 cut") {
+    val edges = graft.ops.Analytics.coOrderPairs(spark, sf001)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    // classic peel: process min-degree first; core = running max of the
+    // degree at removal time
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var cur = 0L
+    while (adj.nonEmpty) {
+      val (v, nbs) = adj.minBy { case (v, nbs) => (nbs.size, v) }
+      cur = math.max(cur, nbs.size.toLong)
+      core(v) = cur
+      nbs.foreach(u => adj.get(u).foreach(_ -= v))
+      adj -= v
+    }
+    val got = graft.ops.Analytics.graphCoreness(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == core.toMap, s"coreness mismatch: ${
+      got.toSeq.sorted.take(5)} vs ${core.toSeq.sorted.take(5)} (first 5)")
+    // the fixed-k op is exactly the >= 3 level set of the decomposition
+    val kcore = graft.ops.Analytics.graphKcore(spark, sf001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.filter(_._2 >= 3).keySet == kcore,
+      "kcore membership != coreness >= 3 cut")
+  }
+
+  test("join_fuzzy_name: every pair same-block within distance, symmetric-complete") {
+    val got = graft.ops.Relational.joinFuzzyName(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // brute-force the same predicate over the distinct-name table
+    val names = graft.io.Tables.part(spark, sf001)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val expect = (for {
+      (na, ca) <- names; (nb, cb) <- names
+      if na < nb && na.split(" ").last == nb.split(" ").last
+      d = lev(na, nb) if d <= 4
+    } yield (na, nb, d, ca, cb)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect.toSeq, s"fuzzy mismatch: ${got.length} vs ${expect.length}")
+  }
+
   test("knn_pq: 3 exact-scored rows per query, deterministic, recall vs brute") {
     val pq = LlmPipeline.knnPq(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
