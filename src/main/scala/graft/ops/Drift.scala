@@ -329,6 +329,34 @@ object Drift {
     driftPsiReadout(driftPsiCountsTransform(cur, driftPsiRefBins(ev)))
   }
 
+  /** The composed drift REPORT — every monitor in the family as one
+    * uniform (metric, key, n_ref, n_cur, value) table, the artifact a
+    * scheduled corpus-health job actually publishes: KS distance, EMD
+    * dollars, chi²/JS terms, Mann–Whitney z, Welch t per event_type,
+    * and the ten PSI bin terms. Pure composition of the seven gated
+    * monitors (each already exact); the oracle twin composes the same
+    * seven DuckDB bodies, so the composition itself is hash-gated.
+    *
+    * Scale: seven bounded-histogram aggregates over the same snapped
+    * projection — each is independently gated linear; the union is
+    * plan-level only (no extra shuffle). */
+  def pipelineDriftReport(s: SparkSession, d: String): DataFrame = {
+    def shape(metric: String, df: DataFrame, key: Column,
+        value: Column): DataFrame =
+      df.select(lit(metric).as("metric"), key.cast("string").as("key"),
+        col("n_ref"), col("n_cur"), value.as("value"))
+    shape("chi2", driftChi2(s, d), col("event_type"), col("chi2_term"))
+      .unionAll(shape("emd", driftEmd(s, d), col("event_type"), col("emd")))
+      .unionAll(shape("js", driftJs(s, d), col("event_type"), col("js_term")))
+      .unionAll(shape("ks", driftKs(s, d), col("event_type"), col("d")))
+      .unionAll(shape("mw", driftMannWhitney(s, d), col("event_type"),
+        col("z")))
+      .unionAll(shape("psi", driftPsi(s, d), col("bin"), col("psi_term")))
+      .unionAll(shape("welch", driftTtestWelch(s, d), col("event_type"),
+        col("t")))
+      .orderBy(col("metric"), col("key"))
+  }
+
   /** Welch's unequal-variance t per event_type between snapshots, with
     * the Welch–Satterthwaite df. The variance centers on the integer
     * floor-mean m0 = Σc div n FIRST: the residual sum Σ(c−m0) is then

@@ -370,6 +370,35 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each doc draws u ∈ (0,1] from a hash of its id
+    * (xxhash64 — reproducible, seedable, no RNG state) and ranks by
+    * key = u^(1/w) with w = n_chars; the global top-k IS an exact
+    * weighted-without-replacement sample. The "sample 100 documents
+    * proportionally to length" curation primitive, reproducible across
+    * runs/partitionings by construction.
+    *
+    * Scale: one map pass + TakeOrdered (bounded k per partition, k-row
+    * merge on the driver) — no sort, no shuffle of the corpus. Oracle-
+    * exempt (DuckDB has no xxhash64); Round11bSpec recomputes the exact
+    * selection from the engine's own hash values and pins the
+    * weighted-bias sanity. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("u",
+        (pmod(xxhash64(col("doc_id")), lit(1000000007L)).cast("double") +
+          lit(1.0)) / lit(1000000008.0))
+      .withColumn("es_key",
+        pow(col("u"), lit(1.0) / col("n_chars").cast("double")))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("es_key"), 6).as("es_key"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** Tokenize + word count per language: explode(split) then two-level

@@ -17,7 +17,8 @@ package graft.oracle
   */
 object OracleSql {
 
-  val sql: Map[String, String] = Map(
+  val sql: Map[String, String] = {
+    val base: Map[String, String] = Map(
 
     // ------------------------------------------------------------ §2.1 scans
     "scan_parquet" ->
@@ -3383,5 +3384,23 @@ object OracleSql {
     // inputs the means land exactly on rounding boundaries (measured:
     // 58.55575 → 58.5557 vs 58.5558). ScalaTest asserts |welford - avg|
     // < 1e-9 instead.
-  )
+    )
+
+    // The composed drift report reuses the seven gated monitor bodies
+    // VERBATIM as subqueries — the composition itself is then hash-gated
+    // against the same building blocks the Spark side unions.
+    def shaped(metric: String, keyExpr: String, valueExpr: String,
+        q: String): String =
+      s"SELECT '$metric' AS metric, $keyExpr AS key, n_ref, n_cur, " +
+        s"$valueExpr AS value FROM (${base(q)})"
+    base + ("pipeline_drift_report" -> (Seq(
+      shaped("chi2", "event_type", "chi2_term", "drift_chi2"),
+      shaped("emd", "event_type", "emd", "drift_emd"),
+      shaped("js", "event_type", "js_term", "drift_js"),
+      shaped("ks", "event_type", "d", "drift_ks"),
+      shaped("mw", "event_type", "z", "drift_mann_whitney"),
+      shaped("psi", "bin::VARCHAR", "psi_term", "drift_psi"),
+      shaped("welch", "event_type", "t", "drift_ttest_welch"))
+      .mkString(" UNION ALL ") + " ORDER BY metric, key"))
+  }
 }

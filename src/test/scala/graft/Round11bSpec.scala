@@ -229,6 +229,28 @@ class Round11bSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq, s"fuzzy mismatch: ${got.length} vs ${expect.length}")
   }
 
+  test("sample_weighted: exact A-ES selection from the engine's own hashes, biased long") {
+    val base = graft.io.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("n_chars"), xxhash64(col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keyed = base.map { case (id, w, h) =>
+      val u = (math.floorMod(h, 1000000007L).toDouble + 1.0) / 1000000008.0
+      (id, w, math.pow(u, 1.0 / w.toDouble))
+    }
+    val expect = keyed.sortBy { case (id, _, k) => (-k, id) }.take(100)
+      .map { case (id, w, k) =>
+        (id, w, math.floor(k * 1e6 + 0.5) / 1e6)
+      }.sortBy(_._1)
+    val got = graft.ops.LlmPipeline.sampleWeighted(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expect.toSeq, s"a-es mismatch: ${got.take(3).toSeq} vs ${expect.take(3).toSeq}")
+    // weighting sanity: the sample's mean length exceeds the corpus mean
+    val corpusMean = base.map(_._2).sum.toDouble / base.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      f"length bias missing: sample $sampleMean%.1f <= corpus $corpusMean%.1f")
+  }
+
   test("knn_pq: 3 exact-scored rows per query, deterministic, recall vs brute") {
     val pq = LlmPipeline.knnPq(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
