@@ -259,6 +259,42 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Rolling Pearson correlation per user over the trailing 30 events
+    * between the event value (cents) and the JSON payload's `k` field —
+    * the windowed signal-coupling monitor ("is spend tracking the
+    * engagement knob this month?"). All five windowed sums (Σx, Σy,
+    * Σx², Σy², Σxy) accumulate as exact integers on one user_id
+    * exchange; zero-variance windows are excluded by an EXACT integer
+    * test (n·Σx² = (Σx)²), and the one floating chain runs on identical
+    * integers in both engines. Full windows only.
+    *
+    * Scale: five frame sums + row_number stacked on ONE exchange, the
+    * win_ols_slope shape with a second measure column. */
+  def winRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wF = w.rowsBetween(-29, 0)
+    val n = lit(30L)
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val dx = n * col("sxx") - col("sx") * col("sx")
+    val dy = n * col("syy") - col("sy") * col("sy")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).as("x"),
+        expr("from_json(props, 'k INT').k").cast("bigint").as("y"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("sx", sum(col("x")).over(wF))
+      .withColumn("sy", sum(col("y")).over(wF))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wF))
+      .withColumn("syy", sum(col("y") * col("y")).over(wF))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wF))
+      .where(col("i") >= 30 && dx > 0 && dy > 0)
+      .select(col("user_id"), col("event_id"),
+        round(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")), 6).as("rolling_corr"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Rolling OLS regression slope of event value against event ordinal,
     * per user, over the trailing 30 events (full windows only) — the
     * windowed trend detector time-series monitors read (is this user's

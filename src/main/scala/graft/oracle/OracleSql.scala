@@ -3346,6 +3346,28 @@ object OracleSql {
         "* 1000000 + 0.5) / 1000000.0 AS psi_term " +
         "FROM t WHERE n_ref > 0 ORDER BY day_start, bin"),
 
+    // rolling Pearson corr of cents vs the JSON k field: five exact
+    // integer frame sums, zero-variance excluded by the integer test
+    "win_rolling_corr" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+        "floor(value * 100 + 0.5)::BIGINT AS x, " +
+        "json_extract_string(props, '$.k')::BIGINT AS y FROM events), " +
+        "w AS (SELECT user_id, event_id, " +
+        "row_number() OVER win AS i, " +
+        "sum(x) OVER winf AS sx, sum(y) OVER winf AS sy, " +
+        "sum(x * x) OVER winf AS sxx, sum(y * y) OVER winf AS syy, " +
+        "sum(x * y) OVER winf AS sxy " +
+        "FROM e WINDOW win AS (PARTITION BY user_id ORDER BY " +
+        "date_trunc('microseconds', ts), event_id), " +
+        "winf AS (win ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, event_id, " +
+        "floor((30 * sxy - sx * sy)::DOUBLE / " +
+        "sqrt((30 * sxx - sx * sx)::DOUBLE * " +
+        "(30 * syy - sy * sy)::DOUBLE) * 1000000 + 0.5) / 1000000.0 " +
+        "AS rolling_corr " +
+        "FROM w WHERE i >= 30 AND (30 * sxx - sx * sx) > 0 " +
+        "AND (30 * syy - sy * sy) > 0 ORDER BY user_id, event_id"),
+
     // rolling median on cents (interpolation position 14.5 is exact
     // IEEE for int cents); µs-truncated order, full windows only
     "win_rolling_median" ->
