@@ -3036,6 +3036,73 @@ object LlmPipeline {
     phashNearCounts(ph)
   }
 
+  /** Per-image pixel statistics from REAL decodes — the image-quality
+    * culling primitive (drop flat, dark, or low-contrast images before
+    * they cost training compute): same staged-PNG → binaryFile →
+    * ImageIO path as [[multimodalPhashPixels]], emitting exact integer
+    * luminance sums (Σp, Σp², horizontal edge energy Σ|∂p/∂x|) plus the
+    * derived mean and RMS contrast. Integer sums make the op
+    * deterministic bit-for-bit; Round11bSpec recomputes every row from
+    * the same PNG bytes directly and pins a synthesized flat image to
+    * zero variance/edge energy.
+    *
+    * Scale: one mapPartitions decode pass over the binaryFile scan —
+    * the multimodal batch-infer shape with a stats kernel instead of a
+    * model. Oracle-exempt (no PNG decode in SQL). */
+  def multimodalPixelStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = stagePngs(s, d)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (path, bytes) =>
+          val id = path.substring(
+            path.lastIndexOf("img_") + 4, path.length - 4).toLong
+          val (n, s1, s2, edge) = pixelStats(bytes)
+          (id, n, s1, s2, edge)
+        }
+      }.toDF("doc_id", "n_pixels", "sum_lum", "sum_lum_sq", "edge_energy")
+      .select(col("doc_id"), col("n_pixels"), col("sum_lum"),
+        col("sum_lum_sq"), col("edge_energy"),
+        round(col("sum_lum").cast("double") /
+          col("n_pixels").cast("double"), 4).as("mean_lum"),
+        round(sqrt((col("n_pixels") * col("sum_lum_sq") -
+          col("sum_lum") * col("sum_lum")).cast("double")) /
+          col("n_pixels").cast("double"), 4).as("rms_contrast"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decode a PNG and fold its exact integer pixel statistics:
+    * (pixel count, Σ luminance, Σ luminance², horizontal edge energy).
+    * Grayscale PNG is lossless, so the integers are deterministic
+    * across encode→decode. */
+  private[graft] def pixelStats(png: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var s1 = 0L
+    var s2 = 0L
+    var edge = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prev = -1L
+      while (x < w) {
+        val p = raster.getSample(x, y, 0).toLong
+        s1 += p; s2 += p * p
+        if (prev >= 0) edge += math.abs(p - prev)
+        prev = p
+        x += 1
+      }
+      y += 1
+    }
+    (w.toLong * h, s1, s2, edge)
+  }
+
   /** Deterministic 32×32 grayscale payload of a document: pixel p's
     * luminance is the codepoint sampled at (p·n) div 1024, mod 256 — a
     * one-character edit perturbs only the handful of adjacent pixels

@@ -751,7 +751,10 @@ class PlanSpec extends SparkSpec {
     // ANY corpus size, FIXTURES.md value domain), so the single task
     // sees a fixed-size table forever. Every other global funnel stays
     // banned; a new entry here needs the same bounded-input argument.
-    val allowedGlobalWindow = Set("drift_psi", "stream_drift_psi")
+    // pipeline_drift_report COMPOSES drift_psi, so it inherits the
+    // declared bounded-histogram window
+    val allowedGlobalWindow =
+      Set("drift_psi", "stream_drift_psi", "pipeline_drift_report")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
@@ -819,8 +822,9 @@ class PlanSpec extends SparkSpec {
       // static side of the streaming PSI monitor, bounded by construction
       "stream_drift_psi",
       // r11b one-row scalar folds: grand-total row (chi2/js), |bigram
-      // types| row (kneser-ney)
-      "drift_chi2", "drift_js", "text_lm_kneser_ney")
+      // types| row (kneser-ney); the composed report inherits chi2/js's
+      "drift_chi2", "drift_js", "text_lm_kneser_ney",
+      "pipeline_drift_report")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

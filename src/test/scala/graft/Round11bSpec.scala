@@ -251,6 +251,31 @@ class Round11bSpec extends SparkSpec {
       f"length bias missing: sample $sampleMean%.1f <= corpus $corpusMean%.1f")
   }
 
+  test("multimodal_pixel_stats: exact parity with direct decode; flat image pins zero") {
+    val got = graft.ops.LlmPipeline.multimodalPixelStats(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val docs = graft.io.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == docs.length)
+    val expect = docs.sortBy(_._1).map { case (id, text) =>
+      val (n, s1, s2, e) =
+        graft.ops.LlmPipeline.pixelStats(graft.ops.LlmPipeline.pngOf(text))
+      (id, n, s1, s2, e,
+        math.floor(s1.toDouble / n.toDouble * 1e4 + 0.5) / 1e4,
+        math.floor(math.sqrt((n * s2 - s1 * s1).toDouble) / n.toDouble
+          * 1e4 + 0.5) / 1e4)
+    }
+    assert(got.toSeq == expect.toSeq, s"pixel stats mismatch (first: ${
+      got.toSeq.zip(expect).find { case (a, b) => a != b }})")
+    // a constant-codepoint document renders FLAT: zero variance and
+    // zero edge energy — the signal the quality cull keys on
+    val (n, s1, s2, e) =
+      graft.ops.LlmPipeline.pixelStats(graft.ops.LlmPipeline.pngOf("aaaa"))
+    assert(n * s2 - s1 * s1 == 0L && e == 0L)
+  }
+
   test("knn_pq: 3 exact-scored rows per query, deterministic, recall vs brute") {
     val pq = LlmPipeline.knnPq(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
