@@ -122,7 +122,13 @@ object ScaleStress {
     "cluster_kmeans", "corpus_dsir_weights", "corpus_dsir_resample",
     "sample_reservoir_pergroup", "text_zipf_slope",
     "multimodal_phash_dedup", "graph_louvain", "corpus_bpe_train",
-    "dedup_phash_incremental")
+    "dedup_phash_incremental",
+    // r11c: the ANF ball iteration (ball-table growth is THE complexity
+    // question — disjoint replicated copies must scale linearly), the
+    // 12-round Newton trainer (d²-sum aggregate per round, row-linear),
+    // and its map-side scoring pass
+    "graph_neighborhood", "classifier_quality_train",
+    "classifier_quality_score")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

@@ -1426,6 +1426,104 @@ object Analytics {
     visited.orderBy(col("p"))
   }
 
+  /** Neighborhood function of the co-order graph — the HyperANF/ANF
+    * shape (Palmer et al. 2002; Boldi et al. 2011): N(t) = Σ_v
+    * |ball(v, t)|, the number of node pairs within distance t, for
+    * t = 0..4, plus each horizon's fraction of the t=4 total and the
+    * effective-diameter flag (smallest t covering ≥ 90% of the
+    * horizon's reachable pairs). This is THE statistic that sizes a
+    * graph's reach ("how many hops until dedup clusters / link
+    * neighborhoods saturate?") without ever materializing pairwise
+    * distances.
+    *
+    * Implementation is the ANF register iteration done EXACTLY: each
+    * node's ball is a sparse bitset — (node, word, bits) rows, only
+    * nonzero 64-bit words — initialized to the node's own bit;
+    * each round every edge forwards the source ball and the union is
+    * one `bit_or` groupBy on (node, word): partial-aggregable, the
+    * map-side combiner collapses duplicate words before the shuffle.
+    * |ball| = Σ bit_count(word), so N(t) is one aggregate over the
+    * ball table; the loop early-exits when N(t) stops growing (balls
+    * saturated). Rounds cost ONE job each (the N(t) aggregate is the
+    * materialization); superseded checkpoints free one round late
+    * (pagerank's convention).
+    *
+    * Scale: the exact-bitset ball table is Θ(reachable pairs)/64 words
+    * — right up to ~10⁶-node graphs (a 20k-node fixture ball table
+    * saturates at 6M longs); past that the production swap is the
+    * HyperANF one: replace the word bitsets with fixed-width HLL
+    * register arrays and `bit_or` with positionwise register-max —
+    * the relational shape (edge-forward + keyed merge aggregate) is
+    * IDENTICAL, which is the point of building it relationally.
+    * Oracle-exempt (iterative fixpoint); Round11cSpec pins exact
+    * parity with a driver-side BFS recompute plus the path-graph
+    * analytic form. */
+  def graphNeighborhood(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxT = 4
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+    val counts = neighborhoodCounts(und, maxT)
+    val horizon = counts.last.toDouble
+    val nv = counts.head
+    // pad early-exit rounds: a saturated ball stays saturated
+    val full = (0 to maxT).map(i => counts(math.min(i, counts.size - 1)))
+    val effT = full.indexWhere(_ >= 0.9 * horizon)
+    full.zipWithIndex.map { case (np, i) =>
+      (i, np, math.floor(np.toDouble / nv * 1e6) / 1e6,
+        math.floor(np / horizon * 1e6) / 1e6, if (i == effT) 1 else 0)
+    }.toDF("t", "reachable_pairs", "avg_ball", "frac_of_horizon",
+      "is_effective_diameter")
+  }
+
+  /** The ANF register iteration over any undirected edge frame
+    * (src, dst) — returns N(0..T) where N(t) = node pairs within
+    * distance t, early-exiting (and therefore possibly shorter than
+    * T+1) once the balls saturate. Factored out so the spec drives it
+    * over synthetic graphs with analytic neighborhood functions. */
+  private[graft] def neighborhoodCounts(undirected: DataFrame, maxT: Int): Vector[Long] = {
+    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val und = undirected.localCheckpoint()
+    var ball = und.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        floor(col("node") / 64).cast("bigint").as("word"),
+        expr("shiftleft(1L, cast(node % 64 as int))").as("bits"))
+      .localCheckpoint()
+    def pairsOf(b: DataFrame): Long =
+      b.agg(sum(expr("bit_count(bits)"))).head().getLong(0)
+    var counts = Vector(pairsOf(ball)) // N(0) = |V|
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var t = 0
+    var saturated = false
+    while (t < maxT && !saturated) {
+      t += 1
+      val recv = und
+        .join(ball.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("word"), col("bits"))
+      val next = ball.union(recv)
+        .groupBy(col("node"), col("word"))
+        .agg(expr("bit_or(bits)").as("bits"))
+        .localCheckpoint()
+      val n = pairsOf(next) // the one job that also materializes `next`
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = rddOf(ball)
+      ball = next
+      saturated = n == counts.last
+      counts = counts :+ n
+    }
+    prevRdd.foreach(_.unpersist(false))
+    rddOf(ball).foreach(_.unpersist(false))
+    rddOf(und).foreach(_.unpersist(false))
+    counts
+  }
+
   /** Per-language skewness + excess kurtosis of document length, computed
     * from EXACT integer power sums (Σx..Σx⁴ as BIGINT — n_chars ≤ ~600,
     * so Σx⁴ < 2⁶³ by orders of magnitude). The double-valued moment

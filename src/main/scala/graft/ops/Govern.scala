@@ -1,0 +1,329 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det.round
+import graft.io.Tables
+
+/** Round-11c governance + learned-curation operators (SURVEY.md §2.22).
+  *
+  * Two capability axes a production training-data feed needs beyond the
+  * statistical monitors:
+  *
+  * 1. PRIVACY AUDITING — before a corpus ships, the pipeline answers
+  *    "can rows be re-identified?" (k-anonymity over quasi-identifier
+  *    classes), "do small classes leak the sensitive attribute?"
+  *    (l-diversity / entropy-l), and "what can we publish?" (a
+  *    differentially-private noisy release of the per-slice counts).
+  *    The first two are plain grouped aggregation — oracle-gated with
+  *    exact integer counts and the drift_js snapped-ln recipe for the
+  *    entropy terms. The DP release derives its Laplace noise from
+  *    xxhash64 of the slice key (deterministic, reproducible, and
+  *    engine-specific — so that op is spec-pinned, not oracle-gated).
+  *
+  * 2. CLASSIFIER-BASED QUALITY CURATION — the FineWeb-Edu / CCNet
+  *    shape: train a linear quality classifier ON the cluster (one
+  *    partial-aggregable Newton aggregate — Hessian + score sums —
+  *    per iteration, never a row collect), then score every document
+  *    map-side with the broadcast-weight sigmoid. Training is
+  *    bit-deterministic: every per-row Hessian/score/loss term snaps
+  *    to a fixed integer grid before
+  *    the sum, so the aggregated gradient is an order-independent
+  *    integer — the same trick the drift family uses — and a plain
+  *    single-node replay of the same updates reproduces the weights
+  *    exactly (pinned in Round11cSpec).
+  *
+  * Scale: k-anonymity/l-diversity shuffle (qi, count) pairs bounded by
+  * the QI-domain product, never rows. DP release is bounded by the
+  * slice domain. Classifier training moves d+1 longs per iteration to
+  * the driver (whitelisted, dimension-bounded); scoring is one
+  * map-side pass with the 6 weights inlined as literals.
+  */
+object Govern {
+
+  // ---------------------------------------------------------------- privacy
+
+  /** k-anonymity audit over the customer quasi-identifier class
+    * (nation, market segment, account-balance band): per equivalence
+    * class its size and whether it meets k=5 — the table a privacy
+    * review reads to find re-identifiable rows. Exact integer counts;
+    * oracle-gated. Scale: shuffle carries one row per occupied QI
+    * class (≤ |nation|·|segment|·|band| = 25·5·11, corpus-size
+    * independent). */
+  def privacyKAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("acctbal_band"))
+      .groupBy(col("nationkey"), col("mktsegment"), col("acctbal_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("meets_k5", (col("class_size") >= 5).cast("int"))
+      .orderBy(col("nationkey"), col("mktsegment"), col("acctbal_band"))
+
+  /** l-diversity of the sensitive attribute (account-balance band)
+    * within each coarse QI class (nation, segment): distinct-l plus
+    * entropy-l's exponent H = Σ −p·ln p — a class where everyone
+    * shares one band leaks the attribute even at k≥5. Counts are
+    * exact integers; each entropy term snaps to the 1e-6 grid before
+    * the per-class sum (drift_js recipe) so the double accumulation
+    * is order-independent and the DuckDB twin reproduces it exactly.
+    * Scale: two stacked bounded groupBys — (qi, band) then qi. */
+  def privacyLDiversity(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.customer(s, d)
+      .select(
+        col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("band"))
+      .groupBy(col("nationkey"), col("mktsegment"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val size = sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nationkey"), col("mktsegment")))
+    val p = col("cnt").cast("double") / col("class_size").cast("double")
+    cells
+      .withColumn("class_size", size)
+      .withColumn("ent_term",
+        floor(-(p * log(p)) * 1e6 + 0.5).cast("bigint"))
+      .groupBy(col("nationkey"), col("mktsegment"), col("class_size"))
+      .agg(
+        count(lit(1)).as("l_distinct"),
+        (sum(col("ent_term")) / 1e6).as("entropy_l"))
+      .select(col("nationkey"), col("mktsegment"), col("class_size"),
+        col("l_distinct"), col("entropy_l"))
+      .orderBy(col("nationkey"), col("mktsegment"))
+  }
+
+  /** Differentially-private release of the per-(event_type, day) event
+    * counts: true count + Laplace(Δ/ε) noise with ε=1 and sensitivity
+    * Δ=1 (one event changes one cell by one), plus the max(0, rounded)
+    * published value. The noise is DERIVED, not sampled: u ∈ (0,1)
+    * comes from the low 52 bits of xxhash64(type, day, seed) (the
+    * engine's codegen'd hash — reproducible across runs, partitions,
+    * and plans), inverted through the Laplace CDF
+    * noise = −b·sgn(u−½)·ln(1−2|u−½|). Deterministic by construction,
+    * engine-specific by construction — spec-pinned (Round11cSpec),
+    * not oracle-gated.
+    *
+    * Scale: one partial-aggregable groupBy to the (type, day) grid
+    * (|types|·|days| rows); the noise math is a map over that bounded
+    * grid. */
+  def privacyDpNoisyCount(s: SparkSession, d: String): DataFrame = {
+    val b = 1.0 // Δ/ε = 1/1
+    val grid = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("true_count"))
+    val u = (xxhash64(col("event_type"), col("day").cast("string"), lit(42L))
+      .bitwiseAND(lit((1L << 52) - 1)).cast("double") + 0.5) / math.pow(2, 52)
+    grid
+      .withColumn("u", u)
+      .withColumn("noise",
+        -lit(b) * signum(col("u") - 0.5) * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .withColumn("noisy_count", col("true_count") + col("noise"))
+      .withColumn("released",
+        greatest(lit(0L), floor(col("noisy_count") + 0.5).cast("bigint")))
+      .select(col("event_type"), col("day"), col("true_count"),
+        round(col("noise"), 6).as("noise"), col("released"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  // ------------------------------------------------- learned quality filter
+
+  /** Feature names, aligned with [[featurize]]'s column order. Index 0
+    * is the bias. */
+  private[graft] val FeatNames: Seq[String] =
+    Seq("bias", "len_norm", "stopword_ratio", "ttr", "mean_word_len", "queryish_ratio")
+
+  /** Newton (IRLS) rounds / ridge of the trainer. Fixed so the trained
+    * weights are part of the operator's contract. IRLS because the
+    * fixture labels are a median-threshold rule — the hardest possible
+    * margin — where first-order GD needs ~10³ rounds (measured 0.82
+    * accuracy at 60); Newton reaches 0.98 in 12. Each round is still
+    * ONE partial-aggregable aggregate (d² Hessian + d gradient sums),
+    * so the distributed shape is unchanged — just d² sums instead
+    * of d. */
+  private[graft] val Iters = 12
+  private[graft] val Ridge = 1e-4
+
+  /** Deterministic per-document features + the synthetic label.
+    * Each feature snaps to the 1e-6 grid (floor(x·1e6)/1e6) so any
+    * replay sees bit-identical doubles. The label is a FIXED linear
+    * rule over two of the features (4·stopword_ratio + ttr > 0.705 —
+    * the fixture median of that combination), i.e. the training data
+    * is linearly separable and a correct trainer must push accuracy
+    * toward 1; the rule plays the role of the human quality labels a
+    * production filter is trained on. */
+  private[graft] def featurize(s: SparkSession, d: String): DataFrame = {
+    def snap(c: Column): Column = floor(c * 1e6) / 1e6
+    val ws = split(col("text"), " ")
+    val nt = size(ws).cast("double")
+    val sw = size(filter(ws, w => w.isin("a", "the"))).cast("double") / nt
+    val ttr = size(array_distinct(ws)).cast("double") / nt
+    val mwl = (col("n_chars").cast("double") - (nt - 1)) / nt / 10.0
+    val qr = size(filter(ws, w => w.isin("scan", "table", "query"))).cast("double") / nt
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      snap(least(col("n_chars"), lit(600)).cast("double") / 600.0).as("len_norm"),
+      snap(sw).as("stopword_ratio"),
+      snap(ttr).as("ttr"),
+      snap(mwl).as("mean_word_len"),
+      snap(qr).as("queryish_ratio"),
+      (lit(4.0) * snap(sw) + snap(ttr) > 0.705).cast("double").as("label"))
+  }
+
+  /** One IRLS iteration's aggregate row: n, the d(d+1)/2 snapped-integer
+    * Hessian sums Σ r·xⱼ·xₖ (r = p(1−p)), the d snapped-integer score
+    * sums Σ (y−p)·xⱼ, the snapped log-loss sum, and the correct-count.
+    * Every per-row term floors onto an integer grid BEFORE the sum, so
+    * the aggregate is order-independent — the whole reason a replay
+    * can be bit-exact. */
+  private def newtonRow(feats: DataFrame, w: Array[Double]): Row = {
+    val xs: Seq[Column] = lit(1.0) +: FeatNames.tail.map(col)
+    // z left-assoc: (((x0·w0) + x1·w1) + ...) — replayed in the same
+    // order by the spec's single-node trainer, so IEEE-identical.
+    val z = xs.zip(w).map { case (x, wi) => x * lit(wi) }.reduceLeft(_ + _)
+    val p0 = lit(1.0) / (lit(1.0) + exp(-z))
+    val p = least(greatest(p0, lit(1e-12)), lit(1.0 - 1e-12))
+    val r = p * (lit(1.0) - p)
+    val hs = for (j <- xs.indices; k <- j until xs.size) yield
+      sum(floor(r * xs(j) * xs(k) * 1e8).cast("bigint")).as(s"h${j}_$k")
+    val gs = xs.zipWithIndex.map { case (x, j) =>
+      sum(floor((col("label") - p) * x * 1e8).cast("bigint")).as(s"g$j")
+    }
+    val lossT = -(col("label") * log(p) + (lit(1.0) - col("label")) * log(lit(1.0) - p))
+    val extra = Seq(
+      count(lit(1)).as("n"),
+      sum(floor(lossT * 1e6).cast("bigint")).as("loss"),
+      sum(((p >= 0.5) === (col("label") >= 0.5)).cast("bigint")).as("correct"))
+    val all = hs ++ gs ++ extra
+    feats.agg(all.head, all.tail: _*).head()
+  }
+  private type Row = org.apache.spark.sql.Row
+
+  /** Gaussian elimination with partial pivoting on the (dense, tiny)
+    * d×d normal system — a fixed IEEE op sequence on inputs that are
+    * themselves exact integer-grid sums, so the solve is deterministic
+    * everywhere it runs. Shared by the operator and the spec replay. */
+  private[graft] def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val nDim = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until nDim) {
+      var piv = c
+      for (rr <- c + 1 until nDim) if (math.abs(a(rr)(c)) > math.abs(a(piv)(c))) piv = rr
+      if (piv != c) { val t = a(c); a(c) = a(piv); a(piv) = t
+        val tb = b(c); b(c) = b(piv); b(piv) = tb }
+      for (rr <- c + 1 until nDim) {
+        val f = a(rr)(c) / a(c)(c)
+        for (cc <- c until nDim) a(rr)(cc) -= f * a(c)(cc)
+        b(rr) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](nDim)
+    for (c <- nDim - 1 to 0 by -1) {
+      var s = b(c)
+      for (cc <- c + 1 until nDim) s -= a(c)(cc) * x(cc)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
+  /** One driver-side Newton update from an aggregate row: rebuild
+    * H/n + λI and g/n from the snapped sums, solve, add. Shared by the
+    * operator and the spec replay (the replay's claim is that its
+    * LOCAL sums equal the distributed ones bit-for-bit; everything
+    * after the sums is this same code). */
+  private[graft] def newtonStep(
+      w: Array[Double], n: Long,
+      hSum: (Int, Int) => Long, gSum: Int => Long): Unit = {
+    val dDim = w.length
+    val h = Array.ofDim[Double](dDim, dDim)
+    for (j <- 0 until dDim; k <- j until dDim) {
+      val v = hSum(j, k).toDouble / 1e8 / n
+      h(j)(k) = v; h(k)(j) = v
+    }
+    for (j <- 0 until dDim) h(j)(j) += Ridge
+    val g = Array.tabulate(dDim)(j => gSum(j).toDouble / 1e8 / n)
+    val step = solve(h, g)
+    for (j <- 0 until dDim) w(j) += step(j)
+  }
+
+  /** Train the trained-weights table once per (session, corpus) — the
+    * score op reuses the in-session result instead of re-running the
+    * loop (no cross-process staging: re-training cost stays visible
+    * to any fresh-process measurement). Returns (weights, loss, acc, n). */
+  private val cfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Double, Double, Long)]()
+  private[graft] def trainedWeights(
+      s: SparkSession, d: String): (Array[Double], Double, Double, Long) =
+    cfCache.computeIfAbsent(s.hashCode() + "|" + d,
+      _ => trainLoop(featurize(s, d)))
+
+  /** The IRLS loop proper, over any featurized frame — one job per
+    * iteration: a single partial-aggregable aggregate whose result is
+    * d(d+1)/2 + d + 3 longs (the distributed-Newton shape; the
+    * one-row head() is metadata-sized). Factored out so the spec can
+    * run it under an adversarial repartition and against a
+    * single-node replay. */
+  private[graft] def trainLoop(
+      featurized: DataFrame): (Array[Double], Double, Double, Long) = {
+    val feats = featurized.cache()
+    try {
+      val w = Array.fill(FeatNames.size)(0.0)
+      var lastLoss = 0.0; var lastAcc = 0.0; var n = 0L
+      for (_ <- 1 to Iters) {
+        val r = newtonRow(feats, w)
+        n = r.getAs[Long]("n")
+        newtonStep(w, n,
+          (j, k) => r.getAs[Long](s"h${j}_$k"),
+          j => r.getAs[Long](s"g$j"))
+        lastLoss = r.getAs[Long]("loss").toDouble / 1e6 / n
+        lastAcc = r.getAs[Long]("correct").toDouble / n
+      }
+      (w, lastLoss, lastAcc, n)
+    } finally feats.unpersist()
+  }
+
+  /** Distributed training of the linear quality classifier
+    * (full-batch logistic regression by ridge-damped IRLS/Newton,
+    * [[Iters]] rounds, [[Ridge]] fixed): emits
+    * the weight table plus final-loss / final-accuracy metric rows —
+    * the artifact a curation run publishes next to the corpus. The
+    * gradient aggregate snaps every per-row term to an integer grid,
+    * so training is bit-deterministic under any partitioning, and a
+    * single-node replay of the same update rule reproduces the
+    * weights exactly (both pinned). Spec-pinned (✗): no oracle could
+    * train. */
+  def classifierQualityTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w, loss, acc, n) = trainedWeights(s, d)
+    val rows = FeatNames.zip(w).map { case (f, v) =>
+      (f, math.floor(v * 1e9) / 1e9)
+    } ++ Seq(("final_loss", math.floor(loss * 1e9) / 1e9),
+      ("final_accuracy", math.floor(acc * 1e9) / 1e9),
+      ("n_docs", n.toDouble))
+    rows.toDF("term", "value")
+  }
+
+  /** Map-side scoring with the trained classifier: per document the
+    * sigmoid quality score (1e-6-snapped) and the keep decision at
+    * the 0.5 operating point — the FineWeb-style learned filter
+    * applied to the corpus. The 6 weights inline as literals
+    * (broadcast-by-construction); one narrow pass, no shuffle beyond
+    * the ordering. Spec-pinned (✗): scores depend on the trained
+    * weights. */
+  def classifierQualityScore(s: SparkSession, d: String): DataFrame = {
+    val (w, _, _, _) = trainedWeights(s, d)
+    val feats = featurize(s, d)
+    val xs: Seq[Column] = lit(1.0) +: FeatNames.tail.map(col)
+    val z = xs.zip(w).map { case (x, wi) => x * lit(wi) }.reduceLeft(_ + _)
+    val p0 = lit(1.0) / (lit(1.0) + exp(-z))
+    // same clamp as training: exp underflow saturates the sigmoid to
+    // exactly 1.0 on confidently-kept docs; scores stay in (0, 1)
+    val p = least(greatest(p0, lit(1e-12)), lit(1.0 - 1e-12))
+    feats
+      .withColumn("score", floor(p * 1e6) / 1e6)
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .select(col("doc_id"), col("score"), col("keep"), col("label").cast("int").as("label"))
+      .orderBy(col("doc_id"))
+  }
+}

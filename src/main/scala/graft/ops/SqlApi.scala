@@ -898,6 +898,26 @@ object SqlApi {
     """)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL — the analyst-SQL sugar both modern
+    * engines grew (Spark 4 and DuckDB spell it identically): every
+    * non-aggregate select item becomes a grouping key and the full
+    * select list becomes the sort, so the daily per-type activity
+    * rollup below is ONE clause away from its projection. Resolves to
+    * the same plan as the explicit spelling (grouped cent-exact sums,
+    * partial-aggregable); sum runs on integer cents (§5.3). */
+  def sqlGroupByAll(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             count(*) AS n_events,
+             sum(cast(floor(value * 100 + 0.5) AS bigint)) AS cents
+      FROM events
+      GROUP BY ALL
+      ORDER BY ALL
+    """)
+  }
+
   /** The recursion statement, shared with OracleSql up to the edge-table
     * source name — both engines run the identical loop. */
   def recursiveBfsCore(edges: String): String =

@@ -3406,6 +3406,36 @@ object OracleSql {
     // inputs the means land exactly on rounding boundaries (measured:
     // 58.55575 → 58.5557 vs 58.5558). ScalaTest asserts |welford - avg|
     // < 1e-9 instead.
+
+    // -- round-11c governance audits (exact integer counts; the
+    // -- l-diversity entropy terms use the drift_js snapped-ln recipe)
+    "privacy_k_anonymity" ->
+      ("SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment, " +
+        "floor(c_acctbal / 1000)::BIGINT AS acctbal_band, " +
+        "count(*) AS class_size, " +
+        "(count(*) >= 5)::INT AS meets_k5 " +
+        "FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    "privacy_l_diversity" ->
+      ("WITH cells AS (SELECT c_nationkey AS nationkey, " +
+        "c_mktsegment AS mktsegment, " +
+        "floor(c_acctbal / 1000)::BIGINT AS band, count(*) AS cnt " +
+        "FROM customer GROUP BY 1, 2, 3), " +
+        "w AS (SELECT nationkey, mktsegment, cnt, " +
+        "sum(cnt) OVER (PARTITION BY nationkey, mktsegment)::BIGINT " +
+        "AS class_size FROM cells) " +
+        "SELECT nationkey, mktsegment, class_size, " +
+        "count(*) AS l_distinct, " +
+        "sum(floor(-(cnt::DOUBLE / class_size::DOUBLE) * " +
+        "ln(cnt::DOUBLE / class_size::DOUBLE) * 1000000 + 0.5)::BIGINT) " +
+        "/ 1000000.0 AS entropy_l " +
+        "FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2"),
+
+    "sql_group_by_all" ->
+      ("SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day, " +
+        "count(*) AS n_events, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents " +
+        "FROM events GROUP BY ALL ORDER BY ALL"),
     )
 
     // The composed drift report reuses the seven gated monitor bodies

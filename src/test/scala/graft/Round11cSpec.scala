@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Govern, SqlApi}
+
+/** Round-11c: governance audits, the learned quality classifier, the
+  * neighborhood-function sketch, and GROUP/ORDER BY ALL (SURVEY §2.22). */
+class Round11cSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ classifier
+
+  /** Single-node replay of the EXACT distributed IRLS rule: same
+    * left-assoc dot product, same clamp, same per-row integer-grid
+    * snapping of the Hessian/score/loss terms, then the same
+    * newtonStep — the snapped-sum design claims bit-identical
+    * weights, so the assert is equality, not tolerance. */
+  private def replayTrain(rows: Array[(Array[Double], Double)])
+      : (Array[Double], Double, Double) = {
+    val dDim = Govern.FeatNames.size
+    val w = Array.fill(dDim)(0.0)
+    var lastLoss = 0.0; var lastAcc = 0.0
+    val n = rows.length
+    for (_ <- 1 to Govern.Iters) {
+      val h = Array.ofDim[Long](dDim, dDim)
+      val g = Array.fill(dDim)(0L)
+      var loss = 0L; var correct = 0L
+      rows.foreach { case (x, y) =>
+        var z = x(0) * w(0)
+        var j = 1
+        while (j < dDim) { z = z + x(j) * w(j); j += 1 }
+        val p0 = 1.0 / (1.0 + math.exp(-z))
+        val p = math.min(math.max(p0, 1e-12), 1.0 - 1e-12)
+        val r = p * (1.0 - p)
+        j = 0
+        while (j < dDim) {
+          var k = j
+          while (k < dDim) {
+            h(j)(k) += math.floor(r * x(j) * x(k) * 1e8).toLong; k += 1
+          }
+          g(j) += math.floor((y - p) * x(j) * 1e8).toLong
+          j += 1
+        }
+        loss += math.floor(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)) * 1e6).toLong
+        correct += (if ((p >= 0.5) == (y >= 0.5)) 1L else 0L)
+      }
+      Govern.newtonStep(w, n, (j, k) => h(j)(k), j => g(j))
+      lastLoss = loss.toDouble / 1e6 / n
+      lastAcc = correct.toDouble / n
+    }
+    (w, lastLoss, lastAcc)
+  }
+
+  private def featRows(d: String): Array[(Array[Double], Double)] =
+    Govern.featurize(spark, d)
+      .select(col("len_norm"), col("stopword_ratio"), col("ttr"),
+        col("mean_word_len"), col("queryish_ratio"), col("label"))
+      .collect()
+      .map(r => (Array(1.0, r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)), r.getDouble(5)))
+
+  test("classifier_quality_train: distributed GD == single-node replay, bit-exact") {
+    val (dw, dloss, dacc, dn) = Govern.trainLoop(Govern.featurize(spark, sf001))
+    val rows = featRows(sf001)
+    assert(dn == rows.length)
+    val (rw, rloss, racc) = replayTrain(rows)
+    assert(dw.toSeq == rw.toSeq, s"weights: ${dw.toSeq} vs ${rw.toSeq}")
+    assert(dloss == rloss && dacc == racc, s"metrics: $dloss/$dacc vs $rloss/$racc")
+  }
+
+  test("classifier_quality_train: partitioning-invariant weights; separable labels learned") {
+    val (dw, _, dacc, _) = Govern.trainLoop(Govern.featurize(spark, sf001))
+    val (dw2, _, _, _) =
+      Govern.trainLoop(Govern.featurize(spark, sf001).repartition(7))
+    assert(dw.toSeq == dw2.toSeq, "weights depend on partitioning")
+    assert(dacc >= 0.95, s"train accuracy $dacc — the rule is linear in the features")
+    // the op's published artifact carries the same weights, snapped
+    val out = Govern.classifierQualityTrain(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Govern.FeatNames.zip(dw).foreach { case (f, v) =>
+      assert(out(f) == math.floor(v * 1e9) / 1e9, s"weight row $f")
+    }
+    assert(out("final_accuracy") == math.floor(dacc * 1e9) / 1e9)
+  }
+
+  test("classifier_quality_score: sigmoid scores, consistent keep flag, high label agreement") {
+    val rows = Govern.classifierQualityScore(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getDouble(1); val keep = r.getInt(2)
+      assert(score >= 0.0 && score < 1.0, s"score $score outside [0,1)")
+      assert(keep == (if (score >= 0.5) 1 else 0), "keep flag != 0.5 operating point")
+    }
+    val agree = rows.count(r => r.getInt(2) == r.getInt(3)).toDouble / rows.length
+    assert(agree >= 0.95, s"keep-vs-label agreement $agree")
+  }
+
+  // --------------------------------------------------------------- privacy
+
+  test("privacy_k_anonymity: classes partition the table; k flag exact") {
+    val rows = Govern.privacyKAnonymity(spark, sf01).collect()
+    val total = graft.io.Tables.customer(spark, sf01).count()
+    assert(rows.map(_.getLong(3)).sum == total, "class sizes must partition customers")
+    rows.foreach { r =>
+      assert(r.getInt(4) == (if (r.getLong(3) >= 5) 1 else 0))
+    }
+  }
+
+  test("privacy_l_diversity: exact recompute (l, entropy) per QI class") {
+    val got = Govern.privacyLDiversity(spark, sf01).collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val cust = graft.io.Tables.customer(spark, sf01)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("band"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val expect = cust.groupBy(_._1).map { case (k, g) =>
+      val size = g.length.toLong
+      val bands = g.groupBy(_._2).map(_._2.length.toLong)
+      val ent = bands.toSeq.map { c =>
+        val p = c.toDouble / size.toDouble
+        math.floor(-(p * math.log(p)) * 1e6 + 0.5).toLong
+      }.sum.toDouble / 1e6
+      k -> ((size, bands.size.toLong, ent))
+    }
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, v) =>
+      assert(got(k) == v, s"class $k: ${got(k)} vs $v")
+      assert(v._2 <= v._1, "l cannot exceed class size")
+      assert((v._3 == 0.0) == (v._2 == 1L), "entropy 0 iff single band")
+    }
+  }
+
+  test("privacy_dp_noisy_count: key-derived Laplace — reproducible, sf-invariant per key, sane") {
+    val a = Govern.privacyDpNoisyCount(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val b = Govern.privacyDpNoisyCount(spark, sf01).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val common = a.keySet.intersect(b.keySet)
+    assert(common.size >= 100, s"only ${common.size} shared (type, day) cells")
+    // noise is a function of the slice KEY alone — identical across
+    // corpora (and runs); the true counts underneath differ
+    common.foreach(k => assert(a(k)._2 == b(k)._2, s"noise differs at $k"))
+    assert(common.exists(k => a(k)._1 != b(k)._1), "true counts should differ")
+    // released = max(0, round(true + noise)) (noise printed at 1e-6:
+    // re-derive within grid tolerance)
+    b.values.foreach { case (t, noise, rel) =>
+      val cand = math.max(0L, math.floor(t + noise + 0.5).toLong)
+      assert(math.abs(rel - cand) <= 1, s"release $rel vs $cand (t=$t, n=$noise)")
+    }
+    val noises = b.values.map(_._2).toSeq
+    val absMed = noises.map(math.abs).sorted.apply(noises.size / 2)
+    assert(absMed > 0.1 && absMed < 2.5, s"median |noise| $absMed vs b·ln2 ≈ 0.69")
+    val negFrac = noises.count(_ < 0).toDouble / noises.size
+    assert(negFrac > 0.2 && negFrac < 0.8, s"sign skew $negFrac")
+    assert(noises.distinct.size > noises.size / 2, "noise values suspiciously repeated")
+  }
+
+  // ----------------------------------------------------------------- graph
+
+  test("graph_neighborhood: exact BFS parity on the fixture graph") {
+    val edges = Analytics.coOrderPairs(spark, sf001)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("p1"), col("p2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (u, v) =>
+      adj(u) = v :: adj.getOrElse(u, Nil)
+      adj(v) = u :: adj.getOrElse(v, Nil)
+    }
+    val nodes = adj.keys.toVector
+    val nt = Array.fill(5)(0L)
+    nodes.foreach { s0 =>
+      var seen = Set(s0); var frontier = Set(s0)
+      nt(0) += 1
+      for (t <- 1 to 4) {
+        frontier = frontier.flatMap(adj(_)).diff(seen)
+        seen ++= frontier
+        nt(t) += seen.size
+      }
+    }
+    val got = Analytics.graphNeighborhood(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(4))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 to 4), "one row per horizon")
+    got.foreach { case (t, pairs, _) =>
+      assert(pairs == nt(t), s"N($t): $pairs vs ${nt(t)}")
+    }
+    val horizon = nt(4).toDouble
+    val effT = (0 to 4).find(nt(_) >= 0.9 * horizon).get
+    got.foreach { case (t, _, flag) =>
+      assert(flag == (if (t == effT) 1 else 0), s"eff-diameter flag at t=$t")
+    }
+  }
+
+  test("neighborhood kernel: star-graph analytic values, saturation early-exit") {
+    import spark.implicits._
+    val k = 50L
+    val e = (1L to k).map(i => (0L, i)).toDF("src", "dst")
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val counts = Analytics.neighborhoodCounts(und, 4)
+    // N(0)=k+1, N(1)=center k+1 + k leaves·2 = 3k+1, N(2)=(k+1)² — then
+    // saturated: the loop runs ONE more confirming round and stops
+    assert(counts == Vector(k + 1, 3 * k + 1, (k + 1) * (k + 1), (k + 1) * (k + 1)),
+      s"star counts: $counts")
+  }
+
+  // ------------------------------------------------------------------- sql
+
+  test("sql_group_by_all: GROUP BY ALL / ORDER BY ALL == explicit spelling") {
+    val sugar = SqlApi.sqlGroupByAll(spark, sf001)
+    val explicit = graft.io.Tables.events(spark, sf001)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("bigint")).as("cents"))
+      .orderBy(col("event_type"), col("day"))
+    assertSameRows(sugar, explicit, "group-by-all")
+  }
+}
