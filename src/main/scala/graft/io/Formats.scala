@@ -77,6 +77,42 @@ object Formats {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Plain-text-lines roundtrip over documents — the rawest interchange
+    * format an LLM corpus ships in (one record per line, tab-separated
+    * header fields): write `doc_id \t lang \t text` lines with
+    * `spark.write.text`, read them back with `spark.read.text`, split
+    * on the FIRST two tabs only (document text keeps any further tabs),
+    * and aggregate per language. The DuckDB twin aggregates the
+    * original parquet, so a hash match certifies the line codec —
+    * field order, tab escaping assumptions, newline integrity — not
+    * just "it didn't crash". (Fixture text is word-salad with no tabs
+    * or newlines; a corpus that had them would need the JSON/parquet
+    * path, which is why this op aggregates byte lengths rather than
+    * pretending lossless framing.)
+    *
+    * Scale: text read/write is splittable and schema-free (no
+    * inference pass — the line IS the schema); one narrow map + one
+    * bounded groupBy. */
+  def sourceTextLines(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = tmpDir("txt", d)
+    docs.select(concat_ws("\t",
+        col("doc_id").cast("string"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val lines = s.read.text(dir)
+    lines
+      .select(
+        split(col("value"), "\t", 3).getItem(0).cast("bigint").as("doc_id"),
+        split(col("value"), "\t", 3).getItem(1).as("lang"),
+        split(col("value"), "\t", 3).getItem(2).as("text"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("lang"))
+  }
+
   /** Partitioned parquet SINK + partition-pruned scan: events written
     * `partitionBy(event_type)` (the layout a 100 TB event log actually
     * uses — one directory per type, so a single-type consumer reads

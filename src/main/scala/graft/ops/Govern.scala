@@ -109,22 +109,102 @@ object Govern {
     * (|types|·|days| rows); the noise math is a map over that bounded
     * grid. */
   def privacyDpNoisyCount(s: SparkSession, d: String): DataFrame = {
-    val b = 1.0 // Δ/ε = 1/1
     val grid = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("true_count"))
-    val u = (xxhash64(col("event_type"), col("day").cast("string"), lit(42L))
-      .bitwiseAND(lit((1L << 52) - 1)).cast("double") + 0.5) / math.pow(2, 52)
     grid
-      .withColumn("u", u)
-      .withColumn("noise",
-        -lit(b) * signum(col("u") - 0.5) * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
-      .withColumn("noisy_count", col("true_count") + col("noise"))
+      .withColumn("noise0",
+        laplaceNoise(col("event_type"), col("day").cast("string"), 1.0))
       .withColumn("released",
-        greatest(lit(0L), floor(col("noisy_count") + 0.5).cast("bigint")))
+        greatest(lit(0L),
+          floor(col("true_count") + col("noise0") + 0.5).cast("bigint")))
       .select(col("event_type"), col("day"), col("true_count"),
-        round(col("noise"), 6).as("noise"), col("released"))
+        round(col("noise0"), 6).as("noise"), col("released"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Key-derived Laplace(b) noise from (event_type, day-string) — the
+    * shared chain of [[privacyDpNoisyCount]] and the streaming release:
+    * u ∈ (0,1) from the low 52 bits of xxhash64(type, day, 42), then
+    * the Laplace CDF inversion. Same key columns ⇒ same noise in every
+    * form, which is what makes the stream == batch pin exact. */
+  private def laplaceNoise(eventType: Column, dayStr: Column, b: Double): Column = {
+    val u = (xxhash64(eventType, dayStr, lit(42L))
+      .bitwiseAND(lit((1L << 52) - 1)).cast("double") + 0.5) / math.pow(2, 52)
+    -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+  }
+
+  /** The streamable half of the DP release: per (day window, type) true
+    * counts — a plain watermark-evictable streaming aggregation (state
+    * bounded by days-in-horizon × |types|). Shared verbatim by the
+    * batch key and the StreamingParitySpec replay. */
+  private[graft] def dpCountsTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("true_count"))
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("true_count"))
+
+  /** The map-side readout over the maintained count table: attach the
+    * key-derived noise and the max(0, rounded) release. Pure column
+    * transforms — runs identically on the streaming sink table and the
+    * batch twin. */
+  private[graft] def dpReleaseReadout(counts: DataFrame): DataFrame = {
+    val noise = laplaceNoise(
+      col("event_type"), to_date(col("day_start")).cast("string"), 1.0)
+    counts
+      .withColumn("noise0", noise)
+      .withColumn("released",
+        greatest(lit(0L),
+          floor(col("true_count") + col("noise0") + 0.5).cast("bigint")))
+      .select(col("day_start"), col("event_type"), col("true_count"),
+        round(col("noise0"), 6).as("noise"), col("released"))
+      .orderBy(col("day_start"), col("event_type"))
+  }
+
+  /** The DP release AS A STREAM (the governance twin of
+    * stream_drift_psi): the stream maintains watermark-evictable
+    * per-(day, type) counts; the readout attaches the key-derived
+    * Laplace noise and publishes max(0, round(count + noise)) — a
+    * privacy-budgeted daily dashboard that never re-reads history.
+    * Because the noise is a function of the slice KEY, the streamed
+    * release equals the batch release row-for-row (StreamingParitySpec,
+    * both state-store backends) and equals [[privacyDpNoisyCount]]'s
+    * release on the shared (type, date) keys (Round11cSpec).
+    * Spec-pinned (✗): noise is engine-hash-derived. */
+  def streamPrivacyDp(s: SparkSession, d: String): DataFrame =
+    dpReleaseReadout(dpCountsTransform(Tables.events(s, d)))
+
+  /** The composed privacy-review REPORT — the uniform (metric, key,
+    * value) table a scheduled governance job publishes next to the
+    * corpus: per market segment the worst k-anonymity class, the
+    * violating/total class counts, and the worst l-diversity (min-l and
+    * min-entropy). Pure plan-level aggregation over the two gated
+    * audits; the ORACLE composes the same two DuckDB bodies verbatim,
+    * so the composition itself is hash-gated (pipeline_drift_report's
+    * recipe). */
+  def pipelinePrivacyReport(s: SparkSession, d: String): DataFrame = {
+    val k = privacyKAnonymity(s, d)
+      .groupBy(col("mktsegment").as("key"))
+      .agg(
+        min(col("class_size")).cast("double").as("kanon_min_class"),
+        sum((col("class_size") < 5).cast("bigint")).cast("double")
+          .as("kanon_violation_classes"),
+        count(lit(1)).cast("double").as("kanon_total_classes"))
+    val l = privacyLDiversity(s, d)
+      .groupBy(col("mktsegment").as("key"))
+      .agg(
+        min(col("l_distinct")).cast("double").as("ldiv_min_l"),
+        min(col("entropy_l")).as("ldiv_min_entropy"))
+    def shaped(src: DataFrame, metric: String): DataFrame =
+      src.select(lit(metric).as("metric"), col("key"),
+        col(metric).as("value"))
+    shaped(k, "kanon_min_class")
+      .unionAll(shaped(k, "kanon_violation_classes"))
+      .unionAll(shaped(k, "kanon_total_classes"))
+      .unionAll(shaped(l, "ldiv_min_l"))
+      .unionAll(shaped(l, "ldiv_min_entropy"))
+      .orderBy(col("metric"), col("key"))
   }
 
   // ------------------------------------------------- learned quality filter
@@ -247,10 +327,11 @@ object Govern {
     for (j <- 0 until dDim) w(j) += step(j)
   }
 
-  /** Train the trained-weights table once per (session, corpus) — the
-    * score op reuses the in-session result instead of re-running the
-    * loop (no cross-process staging: re-training cost stays visible
-    * to any fresh-process measurement). Returns (weights, loss, acc, n). */
+  /** In-session weights memo — read by the SCORE op only (a production
+    * filter ships trained weights; scoring must not retrain). The
+    * TRAIN op never reads it: corpus_bpe_train's round-10 lesson — a
+    * memoized train op makes any min-of-N measurement time a cache
+    * hit instead of the training loop it claims to measure. */
   private val cfCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Double], Double, Double, Long)]()
   private[graft] def trainedWeights(
@@ -295,7 +376,10 @@ object Govern {
     * train. */
   def classifierQualityTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (w, loss, acc, n) = trainedWeights(s, d)
+    // ALWAYS run the Newton loop (the op's benchmarked cost IS
+    // training); refresh the memo so the score op reuses this result
+    val (w, loss, acc, n) = trainLoop(featurize(s, d))
+    cfCache.put(s.hashCode() + "|" + d, (w, loss, acc, n))
     val rows = FeatNames.zip(w).map { case (f, v) =>
       (f, math.floor(v * 1e9) / 1e9)
     } ++ Seq(("final_loss", math.floor(loss * 1e9) / 1e9),

@@ -3436,6 +3436,14 @@ object OracleSql {
         "count(*) AS n_events, " +
         "sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents " +
         "FROM events GROUP BY ALL ORDER BY ALL"),
+
+    // the text-lines roundtrip aggregates the ORIGINAL parquet here —
+    // a hash match certifies the line codec end to end
+    "source_text_lines" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "sum(length(text))::BIGINT AS sum_chars, " +
+        "max(doc_id) AS max_doc_id " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
     )
 
     // The composed drift report reuses the seven gated monitor bodies
@@ -3445,6 +3453,25 @@ object OracleSql {
         q: String): String =
       s"SELECT '$metric' AS metric, $keyExpr AS key, n_ref, n_cur, " +
         s"$valueExpr AS value FROM (${base(q)})"
+    // The composed privacy report reuses the two gated audit bodies
+    // VERBATIM as subqueries (pipeline_drift_report's recipe).
+    val privacyReport =
+      s"WITH k AS (${base("privacy_k_anonymity")}), " +
+        s"l AS (${base("privacy_l_diversity")}), " +
+        "ka AS (SELECT mktsegment AS key, " +
+        "min(class_size)::DOUBLE AS kanon_min_class, " +
+        "sum((class_size < 5)::BIGINT)::DOUBLE AS kanon_violation_classes, " +
+        "count(*)::DOUBLE AS kanon_total_classes FROM k GROUP BY 1), " +
+        "la AS (SELECT mktsegment AS key, " +
+        "min(l_distinct)::DOUBLE AS ldiv_min_l, " +
+        "min(entropy_l) AS ldiv_min_entropy FROM l GROUP BY 1) " +
+        "SELECT 'kanon_min_class' AS metric, key, kanon_min_class AS value FROM ka " +
+        "UNION ALL SELECT 'kanon_violation_classes', key, kanon_violation_classes FROM ka " +
+        "UNION ALL SELECT 'kanon_total_classes', key, kanon_total_classes FROM ka " +
+        "UNION ALL SELECT 'ldiv_min_l', key, ldiv_min_l FROM la " +
+        "UNION ALL SELECT 'ldiv_min_entropy', key, ldiv_min_entropy FROM la " +
+        "ORDER BY metric, key"
+
     base + ("pipeline_drift_report" -> (Seq(
       shaped("chi2", "event_type", "chi2_term", "drift_chi2"),
       shaped("emd", "event_type", "emd", "drift_emd"),
@@ -3453,6 +3480,7 @@ object OracleSql {
       shaped("mw", "event_type", "z", "drift_mann_whitney"),
       shaped("psi", "bin::VARCHAR", "psi_term", "drift_psi"),
       shaped("welch", "event_type", "t", "drift_ttest_welch"))
-      .mkString(" UNION ALL ") + " ORDER BY metric, key"))
+      .mkString(" UNION ALL ") + " ORDER BY metric, key")) +
+      ("pipeline_privacy_report" -> privacyReport)
   }
 }

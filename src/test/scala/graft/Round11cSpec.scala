@@ -158,6 +158,32 @@ class Round11cSpec extends SparkSpec {
     assert(noises.distinct.size > noises.size / 2, "noise values suspiciously repeated")
   }
 
+  test("stream_privacy_dp: day-window release == privacy_dp_noisy_count on the shared keys") {
+    // same key-derived noise chain ⇒ the streaming form's maintained
+    // table reads out to the SAME release the batch audit publishes
+    val st = graft.ops.Govern.streamPrivacyDp(spark, sf01).collect()
+      .map(r => ((r.getString(1), r.getTimestamp(0).toString.take(10)),
+        (r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val ba = graft.ops.Govern.privacyDpNoisyCount(spark, sf01).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(st.keySet == ba.keySet, "day-window keys must match the date grid")
+    st.foreach { case (k, v) => assert(ba(k) == v, s"release differs at $k") }
+  }
+
+  test("pipeline_privacy_report: composition consistent with its two audits") {
+    val rep = graft.ops.Govern.pipelinePrivacyReport(spark, sf01).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val segs = rep.keys.map(_._2).toSet
+    assert(segs.size == 5, s"expected 5 segments, got $segs")
+    segs.foreach { s0 =>
+      assert(rep(("kanon_violation_classes", s0)) <= rep(("kanon_total_classes", s0)))
+      assert(rep(("kanon_min_class", s0)) >= 1.0)
+      assert(rep(("ldiv_min_l", s0)) >= 1.0)
+      assert(rep(("ldiv_min_entropy", s0)) >= 0.0)
+    }
+  }
+
   // ----------------------------------------------------------------- graph
 
   test("graph_neighborhood: exact BFS parity on the fixture graph") {

@@ -152,7 +152,17 @@ class ScaleStressSpec extends SparkSpec {
     ("win_ols_slope", 10.0, 20.0),
     // 720-row hour histogram × 8 harmonics — row-count-independent
     // tail (measured 1.0×)
-    ("ts_periodogram", 10.0, 20.0))
+    ("ts_periodogram", 10.0, 20.0),
+    // r11c: ANF ball iteration — id-offset replication grows the graph
+    // as disjoint copies, the sparse (node, word) ball table is
+    // Θ(per-copy pairs)·copies, so the envelope is linear; a dense
+    // (all-words) representation would reappear here as ~16× extra
+    // words per node on top
+    ("graph_neighborhood", 24.0, 30.0),
+    // r11c: 12 Newton rounds × one d²-sum aggregate — row-linear with a
+    // large fixed job-count floor; scoring is one map-side pass
+    ("classifier_quality_train", 24.0, 30.0),
+    ("classifier_quality_score", 24.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString

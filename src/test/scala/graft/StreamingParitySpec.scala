@@ -228,6 +228,19 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       graft.ops.Drift.streamDriftPsi(spark, sf001), "drift-psi")
   }
 
+  test("DP noisy release: streamed day counts + readout == batch (stream_privacy_dp)") {
+    // Governance twin of the drift monitor: the stream maintains
+    // watermark-evictable per-(day, type) counts; the readout attaches
+    // the key-derived Laplace noise — so the streamed release must
+    // reproduce the batch key row-for-row.
+    val streamed = runStream(
+      graft.ops.Govern.dpCountsTransform(replay.withWatermark("ts", "10 minutes")),
+      "complete", "t_privacy_dp")
+    assertSameRows(
+      graft.ops.Govern.dpReleaseReadout(streamed),
+      graft.ops.Govern.streamPrivacyDp(spark, sf001), "privacy-dp")
+  }
+
   test("kinesis envelope wrap→decode under streaming replay == batch tumbling agg") {
     // The reference's actual shape: a stream of Kinesis-style records
     // (partition key, sequence number, base64 JSON blob) decoded and
