@@ -128,7 +128,12 @@ object ScaleStress {
     // 12-round Newton trainer (d²-sum aggregate per round, row-linear),
     // and its map-side scoring pass
     "graph_neighborhood", "classifier_quality_train",
-    "classifier_quality_score")
+    "classifier_quality_score",
+    // r11c batch C: the sparse-Newton hashed trainer (bucket-pair
+    // self-join growth is the question), the CCNet bucket split, and
+    // the composed four-method dedup report
+    "classifier_hashed_train", "corpus_perplexity_buckets",
+    "pipeline_dedup_report")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

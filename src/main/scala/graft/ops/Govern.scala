@@ -388,6 +388,133 @@ object Govern {
     rows.toDF("term", "value")
   }
 
+  // ---------------------------------------------- feature-hashing trainer
+
+  /** Bucket count of the hashing-trick feature space (bias rides as
+    * bucket index [[HashB]]). */
+  private[graft] val HashB = 64
+
+  /** Sparse hashed features: explode words, hash each word onto one of
+    * [[HashB]] buckets with the engine's xxhash64 (collisions merge
+    * counts — the feature-hashing contract), normalize by document
+    * length, snap to the 1e-6 grid; plus a bias row (x = 1) per
+    * document. The label is the BoW-REPRESENTABLE fixture rule
+    * stopword_ratio > 0.0584 (the fixture median): a hashed
+    * bag-of-words model can express it exactly (the [[featurize]]
+    * rule's TTR term is outside any linear BoW hypothesis class — a
+    * documented ceiling, not a trainer defect), so a correct trainer
+    * must push accuracy toward 1 here too. */
+  private[graft] def hashedFeatures(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val labels = docs.select(col("doc_id"),
+      (floor(size(filter(col("ws"), w => w.isin("a", "the"))).cast("double") /
+        size(col("ws")).cast("double") * 1e6) / 1e6 > 0.0584)
+        .cast("double").as("label"))
+    val sparse = docs
+      .select(col("doc_id"), size(col("ws")).cast("double").as("nt"),
+        explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("nt"),
+        pmod(xxhash64(col("w")), lit(HashB.toLong)).cast("int").as("bucket"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .select(col("doc_id"), col("bucket"),
+        (floor(col("cnt") / col("nt") * 1e6) / 1e6).as("x"))
+    val withBias = sparse.unionAll(
+      docs.select(col("doc_id"), lit(HashB).as("bucket"), lit(1.0).as("x")))
+    (withBias, labels)
+  }
+
+  /** IRLS over the SPARSE hashed features — the distributed-Newton
+    * shape re-expressed relationally because d = 65 weight columns no
+    * longer fit one aggregate row: per round (1) the margin z joins the
+    * 65-row weight table to the sparse rows and sums 1e-9-snapped
+    * integer terms per document, (2) the Hessian Σ r·xⱼ·xₖ comes from a
+    * doc-keyed self-join of the sparse rows (j ≤ k) aggregated by
+    * bucket pair — ≤ d(d+1)/2 output rows, input Σ nnz² per doc (nnz
+    * bounded by document length; past d ≈ 10³ the production swap is
+    * first-order GD/L-BFGS on the same sparse frame, documented), and
+    * (3) the score vector aggregates by single bucket. Every per-row
+    * term snaps to an integer grid before its sum, so the whole round
+    * is order-independent and a single-node replay is bit-exact
+    * (Round11cSpec). Driver traffic per round: ≤ 2145 + 65 + 1
+    * metadata rows (whitelisted). */
+  private[graft] def hashedTrainLoop(
+      sparse0: DataFrame, labels0: DataFrame): (Array[Double], Double, Double, Long) = {
+    val s = sparse0.sparkSession
+    import s.implicits._
+    val sparse = sparse0.cache(); val labels = labels0.cache()
+    try {
+      val dDim = HashB + 1
+      val w = Array.fill(dDim)(0.0)
+      var lastLoss = 0.0; var lastAcc = 0.0; var n = 0L
+      for (_ <- 1 to Iters) {
+        val wdf = broadcast(w.toSeq.zipWithIndex
+          .map { case (v, j) => (j, v) }.toDF("bucket", "wv"))
+        val perdoc = sparse.join(wdf, Seq("bucket"))
+          .groupBy(col("doc_id"))
+          .agg((sum(floor(col("wv") * col("x") * 1e9).cast("bigint")) / 1e9).as("z"))
+          .join(labels, Seq("doc_id"))
+          .withColumn("p",
+            least(greatest(lit(1.0) / (lit(1.0) + exp(-col("z"))), lit(1e-12)),
+              lit(1.0 - 1e-12)))
+          .withColumn("r", col("p") * (lit(1.0) - col("p")))
+          .withColumn("err", col("label") - col("p"))
+          .cache()
+        val hRows = sparse.select(col("doc_id"), col("bucket").as("ja"), col("x").as("xa"))
+          .join(sparse.select(col("doc_id"), col("bucket").as("jb"), col("x").as("xb")),
+            Seq("doc_id"))
+          .where(col("ja") <= col("jb"))
+          .join(perdoc.select(col("doc_id"), col("r")), Seq("doc_id"))
+          .groupBy(col("ja"), col("jb"))
+          .agg(sum(floor(col("r") * col("xa") * col("xb") * 1e8).cast("bigint")).as("h"))
+          .collect()
+          .map(r0 => ((r0.getInt(0), r0.getInt(1)), r0.getLong(2))).toMap
+        val gRows = sparse
+          .join(perdoc.select(col("doc_id"), col("err")), Seq("doc_id"))
+          .groupBy(col("bucket"))
+          .agg(sum(floor(col("err") * col("x") * 1e8).cast("bigint")).as("g"))
+          .collect()
+          .map(r0 => (r0.getInt(0), r0.getLong(1))).toMap
+        val stats = perdoc.agg(
+          count(lit(1)).as("n"),
+          sum(floor(-(col("label") * log(col("p")) +
+            (lit(1.0) - col("label")) * log(lit(1.0) - col("p"))) * 1e6)
+            .cast("bigint")).as("loss"),
+          sum(((col("p") >= 0.5) === (col("label") >= 0.5)).cast("bigint"))
+            .as("correct")).head()
+        perdoc.unpersist()
+        n = stats.getAs[Long]("n")
+        newtonStep(w, n,
+          (j, k) => hRows.getOrElse((j, k), 0L),
+          j => gRows.getOrElse(j, 0L))
+        lastLoss = stats.getAs[Long]("loss").toDouble / 1e6 / n
+        lastAcc = stats.getAs[Long]("correct").toDouble / n
+      }
+      (w, lastLoss, lastAcc, n)
+    } finally { sparse.unpersist(); labels.unpersist() }
+  }
+
+  /** Feature-HASHING classifier training (the fastText shape): hashed
+    * bag-of-words frequencies → sparse distributed IRLS
+    * ([[hashedTrainLoop]]) → the 65-row weight table + final
+    * loss/accuracy rows. The published artifact decodes nothing — a
+    * bucket IS the feature — but the spec pins that the two stopword
+    * buckets carry the top positive weights, the replay is bit-exact,
+    * training is partitioning-invariant, and accuracy ≥ 0.95 on the
+    * BoW-representable rule. Spec-pinned (✗). */
+  def classifierHashedTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (sparse, labels) = hashedFeatures(s, d)
+    val (w, loss, acc, n) = hashedTrainLoop(sparse, labels)
+    val rows = w.zipWithIndex.map { case (v, j) =>
+      (if (j == HashB) "bias" else s"bucket_$j", math.floor(v * 1e9) / 1e9)
+    }.toSeq ++ Seq(
+      ("final_loss", math.floor(loss * 1e9) / 1e9),
+      ("final_accuracy", math.floor(acc * 1e9) / 1e9),
+      ("n_docs", n.toDouble))
+    rows.toDF("term", "value")
+  }
+
   /** Map-side scoring with the trained classifier: per document the
     * sigmoid quality score (1e-6-snapped) and the keep decision at
     * the 0.5 operating point — the FineWeb-style learned filter

@@ -4393,4 +4393,81 @@ object LlmPipeline {
       .toDF("qid", "rn", "cid", "rrf")
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** CCNet-style perplexity bucketing: every scored document lands in
+    * its language's head / middle / tail tercile by bigram-LM score
+    * (higher mean log-prob = more in-distribution = head) — the
+    * classic "keep head, sample middle, drop tail" curation split.
+    * Tercile membership is derived ARITHMETICALLY from the rank, never
+    * from an interpolated percentile two engines could round apart
+    * (drift_psi's trick): rank() − 1 counts strictly-better documents
+    * in both engines (ties share the min rank identically), so
+    * bucket = 1 + min(2, ⌊3·(rank−1)/n⌋) is an exact integer formula.
+    * Oracle-gated: the twin composes text_lm_score's body verbatim and
+    * applies the same rank arithmetic.
+    *
+    * Scale: the LM score is the gated text_lm_score kernel (bounded
+    * bigram-type tables); the rank is one window on a lang exchange —
+    * per-partition fan-in is per-language doc count. */
+  def corpusPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc)
+    textLmScore(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("n_lang", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .withColumn("bkt",
+        lit(1) + least(lit(2),
+          floor(lit(3) * (rank().over(w) - 1) / col("n_lang")).cast("int")))
+      .select(col("doc_id"), col("lang"), col("score"),
+        col("bkt").cast("int").as("bucket"),
+        when(col("bkt") === 1, "head").when(col("bkt") === 2, "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The composed dedup REPORT — corpus duplication measured by four
+    * gated methods in one uniform (method, n_units, flagged, frac)
+    * table, the artifact a curation run publishes to answer "how
+    * duplicated is this corpus, and at what granularity?":
+    * whole-document exact copies (units = docs), 8-word paragraph
+    * segments (units = segments), positional 5-gram windows (units =
+    * windows, Lee et al.), and near-duplicate DOCUMENTS under the
+    * 3-gram Jaccard pair scan (units = docs in any pair; flagged =
+    * docs a min-id survivorship would drop). Plan-level aggregation
+    * over the four gated ops; the ORACLE composes the same four
+    * DuckDB bodies verbatim, so the composition is hash-gated
+    * (pipeline_drift_report's recipe). Fractions snap at 1e-6 from
+    * exact integer counts. */
+  def pipelineDedupReport(s: SparkSession, d: String): DataFrame = {
+    def fracCol(f: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(f.cast("double") / n.cast("double") * 1e6 + 0.5) / 1e6
+    def shaped(metric: String, agg: DataFrame): DataFrame =
+      agg.select(lit(metric).as("method"),
+        col("n_units").cast("double").as("n_units"),
+        col("flagged").cast("double").as("flagged"),
+        fracCol(col("flagged"), col("n_units")).as("frac"))
+    val exact = dedupExactSha(s, d).agg(
+      sum(col("n_copies")).as("n_units"),
+      (sum(col("n_copies")) - count(lit(1))).as("flagged"))
+    val para = dedupParagraph(s, d).agg(
+      sum(col("n_seg")).as("n_units"),
+      sum(col("n_seg") - col("n_kept")).as("flagged"))
+    val kgram = dedupSubstringKgram(s, d).agg(
+      sum(col("n_windows")).as("n_units"),
+      sum(col("dup_windows")).as("flagged"))
+    val near = dedupNgramJaccard(s, d)
+      .select(explode(array(
+        struct(col("a_id").as("id"), lit(false).as("isb")),
+        struct(col("b_id").as("id"), lit(true).as("isb")))).as("e"))
+      .agg(
+        countDistinct(col("e.id")).as("n_units"),
+        countDistinct(when(col("e.isb"), col("e.id"))).as("flagged"))
+    shaped("exact_doc", exact)
+      .unionAll(shaped("near_doc_jaccard", near))
+      .unionAll(shaped("paragraph_seg", para))
+      .unionAll(shaped("substring_window", kgram))
+      .orderBy(col("method"))
+  }
 }

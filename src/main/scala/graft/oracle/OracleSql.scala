@@ -3472,6 +3472,46 @@ object OracleSql {
         "UNION ALL SELECT 'ldiv_min_entropy', key, ldiv_min_entropy FROM la " +
         "ORDER BY metric, key"
 
+    // CCNet buckets compose text_lm_score's body verbatim; tercile from
+    // rank()−1 (exact strictly-better count in both engines), never an
+    // interpolated percentile
+    val perplexityBuckets =
+      s"WITH s AS (${base("text_lm_score")}), " +
+        "r AS (SELECT s.doc_id, d.lang, s.score, " +
+        "rank() OVER (PARTITION BY d.lang ORDER BY s.score DESC) AS rk, " +
+        "count(*) OVER (PARTITION BY d.lang) AS n_lang " +
+        "FROM s JOIN documents d USING (doc_id)) " +
+        "SELECT doc_id, lang, score, " +
+        "(1 + least(2, floor(3 * (rk - 1) / n_lang)))::INT AS bucket, " +
+        "CASE WHEN 1 + least(2, floor(3 * (rk - 1) / n_lang)) = 1 THEN 'head' " +
+        "WHEN 1 + least(2, floor(3 * (rk - 1) / n_lang)) = 2 THEN 'middle' " +
+        "ELSE 'tail' END AS tier " +
+        "FROM r ORDER BY doc_id"
+
+    // The composed dedup report reuses four gated dedup bodies VERBATIM
+    def fracSql(f: String, n: String): String =
+      s"floor($f::DOUBLE / $n::DOUBLE * 1000000 + 0.5) / 1000000.0"
+    val dedupReport =
+      s"WITH e AS (${base("dedup_exact_sha")}), " +
+        s"p AS (${base("dedup_paragraph")}), " +
+        s"g AS (${base("dedup_substring_kgram")}), " +
+        s"j AS (${base("dedup_ngram_jaccard")}), " +
+        "x AS (SELECT a_id AS id, false AS isb FROM j " +
+        "UNION ALL SELECT b_id, true FROM j) " +
+        "SELECT 'exact_doc' AS method, sum(n_copies)::DOUBLE AS n_units, " +
+        "(sum(n_copies) - count(*))::DOUBLE AS flagged, " +
+        fracSql("(sum(n_copies) - count(*))", "sum(n_copies)") + " AS frac FROM e " +
+        "UNION ALL SELECT 'near_doc_jaccard', count(DISTINCT id)::DOUBLE, " +
+        "count(DISTINCT CASE WHEN isb THEN id END)::DOUBLE, " +
+        fracSql("count(DISTINCT CASE WHEN isb THEN id END)", "count(DISTINCT id)") + " FROM x " +
+        "UNION ALL SELECT 'paragraph_seg', sum(n_seg)::DOUBLE, " +
+        "sum(n_seg - n_kept)::DOUBLE, " +
+        fracSql("sum(n_seg - n_kept)", "sum(n_seg)") + " FROM p " +
+        "UNION ALL SELECT 'substring_window', sum(n_windows)::DOUBLE, " +
+        "sum(dup_windows)::DOUBLE, " +
+        fracSql("sum(dup_windows)", "sum(n_windows)") + " FROM g " +
+        "ORDER BY method"
+
     base + ("pipeline_drift_report" -> (Seq(
       shaped("chi2", "event_type", "chi2_term", "drift_chi2"),
       shaped("emd", "event_type", "emd", "drift_emd"),
@@ -3481,6 +3521,8 @@ object OracleSql {
       shaped("psi", "bin::VARCHAR", "psi_term", "drift_psi"),
       shaped("welch", "event_type", "t", "drift_ttest_welch"))
       .mkString(" UNION ALL ") + " ORDER BY metric, key")) +
-      ("pipeline_privacy_report" -> privacyReport)
+      ("pipeline_privacy_report" -> privacyReport) +
+      ("corpus_perplexity_buckets" -> perplexityBuckets) +
+      ("pipeline_dedup_report" -> dedupReport)
   }
 }

@@ -48,6 +48,10 @@ class CollectLintSpec extends AnyFunSuite {
       "fixed-size query panel (ids < 2500), not corpus-sized",
     ("LlmPipeline.scala", "kmeansCentroids") ->
       ("k-row (k=8) grid-summed centroid table per Lloyd round — " +
+        "row-count-independent metadata"),
+    ("Govern.scala", "hashedTrainLoop") ->
+      ("<= d(d+1)/2 + d = 2210 snapped-integer Hessian/score rows per " +
+        "Newton round (d = 65 hash buckets) — dimension-bounded, " +
         "row-count-independent metadata"))
 
   test("collect() appears only in declared broadcast-tier / metadata functions") {

@@ -94,6 +94,114 @@ class Round11cSpec extends SparkSpec {
     assert(agree >= 0.95, s"keep-vs-label agreement $agree")
   }
 
+  /** Single-node replay of the sparse hashed-feature IRLS: integer
+    * sums over the collected sparse rows, same snapping, same
+    * newtonStep. Per-doc z and every Hessian/score sum are LONG sums
+    * of snapped terms, so accumulation order is irrelevant — equality
+    * is exact. */
+  private def replayHashed(
+      sparse: Array[(Long, Int, Double)], labels: Map[Long, Double])
+      : (Array[Double], Double, Double) = {
+    val dDim = Govern.HashB + 1
+    val w = Array.fill(dDim)(0.0)
+    var lastLoss = 0.0; var lastAcc = 0.0
+    val byDoc = sparse.groupBy(_._1)
+    val n = byDoc.size
+    for (_ <- 1 to Govern.Iters) {
+      val h = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      val g = Array.fill(dDim)(0L)
+      var loss = 0L; var correct = 0L
+      byDoc.foreach { case (doc, rows) =>
+        val z = rows.map { case (_, b, x) =>
+          math.floor(w(b) * x * 1e9).toLong }.sum / 1e9
+        val p0 = 1.0 / (1.0 + math.exp(-z))
+        val p = math.min(math.max(p0, 1e-12), 1.0 - 1e-12)
+        val r = p * (1.0 - p)
+        val y = labels(doc)
+        val err = y - p
+        for ((_, ja, xa) <- rows; (_, jb, xb) <- rows if ja <= jb)
+          h((ja, jb)) = h.getOrElse((ja, jb), 0L) +
+            math.floor(r * xa * xb * 1e8).toLong
+        rows.foreach { case (_, b, x) =>
+          g(b) += math.floor(err * x * 1e8).toLong }
+        loss += math.floor(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)) * 1e6).toLong
+        correct += (if ((p >= 0.5) == (y >= 0.5)) 1L else 0L)
+      }
+      Govern.newtonStep(w, n, (j, k) => h.getOrElse((j, k), 0L), j => g(j))
+      lastLoss = loss.toDouble / 1e6 / n
+      lastAcc = correct.toDouble / n
+    }
+    (w, lastLoss, lastAcc)
+  }
+
+  test("classifier_hashed_train: sparse distributed IRLS == single-node replay, bit-exact") {
+    val (sp, lb) = Govern.hashedFeatures(spark, sf001)
+    val (dw, dloss, dacc, dn) = Govern.hashedTrainLoop(sp, lb)
+    val sparse = sp.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val labels = lb.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(dn == labels.size)
+    val (rw, rloss, racc) = replayHashed(sparse, labels)
+    assert(dw.toSeq == rw.toSeq, "hashed weights differ from replay")
+    assert(dloss == rloss && dacc == racc)
+    // partitioning invariance
+    val (dw2, _, _, _) = Govern.hashedTrainLoop(sp.repartition(7), lb.repartition(3))
+    assert(dw.toSeq == dw2.toSeq, "weights depend on partitioning")
+  }
+
+  test("classifier_hashed_train: learns the BoW-representable rule; stopword buckets dominate") {
+    val out = Govern.classifierHashedTrain(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("final_accuracy") >= 0.95, s"accuracy ${out("final_accuracy")}")
+    // the label is stopword-driven: the buckets 'a' and 'the' hash to
+    // must carry the LARGEST positive weights of the whole table
+    import org.apache.spark.sql.functions.{lit => flit}
+    val bkts = spark.range(1)
+      .select(
+        pmod(xxhash64(flit("a")), flit(Govern.HashB.toLong)).cast("int"),
+        pmod(xxhash64(flit("the")), flit(Govern.HashB.toLong)).cast("int"))
+      .head()
+    val swBuckets = Set(bkts.getInt(0), bkts.getInt(1)).map(b => s"bucket_$b")
+    val weights = out.filter(_._1.startsWith("bucket_"))
+    val top = weights.toSeq.sortBy(-_._2).take(swBuckets.size).map(_._1).toSet
+    assert(top == swBuckets, s"top weights $top != stopword buckets $swBuckets")
+  }
+
+  test("corpus_perplexity_buckets: terciles partition each language, ranks respected") {
+    val rows = graft.ops.LlmPipeline.corpusPerplexityBuckets(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      val n = g.length
+      val byB = g.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(byB.keySet.subsetOf(Set(1, 2, 3)), s"$lang buckets $byB")
+      // tercile sizes within 1 of n/3 modulo ties crossing the edge:
+      // ties share a bucket, so just check ordering consistency — every
+      // head score >= every middle score >= every tail score
+      def scores(b: Int) = g.filter(_._4 == b).map(_._3)
+      if (byB.contains(1) && byB.contains(2))
+        assert(scores(1).min >= scores(2).max, s"$lang head/middle overlap")
+      if (byB.contains(2) && byB.contains(3))
+        assert(scores(2).min >= scores(3).max, s"$lang middle/tail overlap")
+      assert(math.abs(byB.getOrElse(1, 0) - n / 3.0) <= n / 3.0 * 0.5 + 2,
+        s"$lang head size ${byB.getOrElse(1, 0)} of $n")
+      val tiers = g.map(r => (r._4, r._5)).toSet
+      tiers.foreach { case (b, t) =>
+        assert(t == Seq("", "head", "middle", "tail")(b)) }
+    }
+  }
+
+  test("pipeline_dedup_report: fractions consistent, units positive") {
+    val rep = graft.ops.LlmPipeline.pipelineDedupReport(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rep.map(_._1).toSeq ==
+      Seq("exact_doc", "near_doc_jaccard", "paragraph_seg", "substring_window"))
+    rep.foreach { case (m, n, f, frac) =>
+      assert(n > 0, s"$m units")
+      assert(f >= 0 && f <= n, s"$m flagged $f of $n")
+      assert(math.abs(frac - math.floor(f / n * 1e6 + 0.5) / 1e6) < 1e-12, s"$m frac")
+    }
+  }
+
   // --------------------------------------------------------------- privacy
 
   test("privacy_k_anonymity: classes partition the table; k flag exact") {

@@ -157,12 +157,20 @@ class ScaleStressSpec extends SparkSpec {
     // as disjoint copies, the sparse (node, word) ball table is
     // Θ(per-copy pairs)·copies, so the envelope is linear; a dense
     // (all-words) representation would reappear here as ~16× extra
-    // words per node on top
+    // words per node on top (measured 4.6x / 4.9x — the per-round
+    // fixed job cost amortizes as copies grow)
     ("graph_neighborhood", 24.0, 30.0),
-    // r11c: 12 Newton rounds × one d²-sum aggregate — row-linear with a
-    // large fixed job-count floor; scoring is one map-side pass
-    ("classifier_quality_train", 24.0, 30.0),
-    ("classifier_quality_score", 24.0, 20.0))
+    // r11c: 12 Newton rounds x one d²-sum aggregate — row-linear with a
+    // large fixed job-count floor (measured 1.0x once the train op
+    // stopped reading the memo); scoring is one map-side pass (0.9x)
+    ("classifier_quality_train", 10.0, 30.0),
+    ("classifier_quality_score", 10.0, 20.0),
+    // r11c batch C, measured 1.1x / 2.9x / 1.7x: the sparse trainer's
+    // pair join grows with rows x nnz² (nnz fixed per doc); buckets
+    // ride one lang exchange; the report is four gated aggregates
+    ("classifier_hashed_train", 15.0, 40.0),
+    ("corpus_perplexity_buckets", 15.0, 25.0),
+    ("pipeline_dedup_report", 15.0, 30.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
