@@ -133,7 +133,9 @@ object ScaleStress {
     // self-join growth is the question), the CCNet bucket split, and
     // the composed four-method dedup report
     "classifier_hashed_train", "corpus_perplexity_buckets",
-    "pipeline_dedup_report")
+    "pipeline_dedup_report",
+    // the HLL register iteration: state Theta(|V|*64) by construction
+    "graph_neighborhood_hll")
 
   def replicate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val offsets = Seq(

@@ -1480,6 +1480,110 @@ object Analytics {
       "is_effective_diameter")
   }
 
+  /** HyperANF proper — [[graphNeighborhood]]'s documented 100 TB swap
+    * made real: per node a fixed 64-register HLL sketch instead of the
+    * exact bitset, so state is Θ(|V|·64) rows at ANY graph size
+    * (vs Θ(reachable pairs)/64 for the exact form), and the merge is
+    * positionwise register-max under the IDENTICAL edge-forward +
+    * keyed-merge relational shape. Registers derive from the engine's
+    * xxhash64 (reg = low 6 bits, rho = leading-zero rank of the rest
+    * via length(bin(..)) — exact integer arithmetic); per-node
+    * estimates use the standard HLL estimator (α₆₄·m²/Z with the
+    * small-range linear-counting branch), with Z accumulated as an
+    * EXACT decimal of 2^(58−rho) integers and the per-node estimate
+    * snapped to the 1e-6 grid before the corpus sum — bit-deterministic
+    * under any partitioning despite being an approximation.
+    * Oracle-exempt; Round11cSpec pins the estimate within ±25% of the
+    * exact bitset N(t) on the fixture graph and on the star graph,
+    * plus near-monotonicity. */
+  def graphNeighborhoodHll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxT = 4
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+    val ests = neighborhoodHllEst(und, maxT)
+    val full = (0 to maxT).map(i => ests(math.min(i, ests.size - 1)))
+    val horizon = full.last
+    full.zipWithIndex.map { case (np, i) =>
+      (i, np, math.floor(np / horizon * 1e6) / 1e6)
+    }.toDF("t", "est_reachable_pairs", "est_frac_of_horizon")
+  }
+
+  /** The register iteration behind [[graphNeighborhoodHll]]: returns
+    * the estimated N(0..T), early-exiting once the register table
+    * reaches its fixpoint (max-merge is monotone). One job per round:
+    * the estimate aggregate materializes the next register table. */
+  private[graft] def neighborhoodHllEst(undirected: DataFrame, maxT: Int): Vector[Double] = {
+    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val und = undirected.localCheckpoint()
+    // self-insert: reg = low 6 hash bits; rho = 59 − bit-length of the
+    // remaining 58 bits (= leading-zero rank + 1), all exact integers
+    var sk = und.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        xxhash64(col("node")).bitwiseAND(lit(63L)).cast("int").as("reg"),
+        expr("cast(case when shiftrightunsigned(xxhash64(node), 6) = 0 then 59 " +
+          "else 59 - length(bin(shiftrightunsigned(xxhash64(node), 6))) end as int)")
+          .as("mw"))
+      .localCheckpoint()
+    val alpha = 0.709 // α₆₄
+    // (est, register-mass fingerprint) in ONE aggregate; 2^(58−rho)
+    // sums ride an exact DECIMAL so no double ever accumulates
+    def estOf(skDf: DataFrame): (Double, (Long, java.math.BigDecimal)) = {
+      val perNode = skDf.groupBy(col("node"))
+        .agg(
+          sum(expr("cast(shiftleft(1L, 58 - mw) as decimal(30,0))")).as("zs"),
+          count(lit(1)).as("pres"))
+      val scale = math.pow(2.0, 58)
+      val zTot = (col("zs") + (lit(64) - col("pres")).cast("decimal(30,0)") *
+        lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(58))))
+        .cast("decimal(38,0)")
+      val v = lit(64) - col("pres") // zero registers
+      val raw = lit(alpha * 64.0 * 64.0 * scale) / zTot.cast("double")
+      val eNode = when(raw <= 2.5 * 64 && v > 0,
+        lit(64.0) * log(lit(64.0) / v.cast("double"))).otherwise(raw)
+      val row = perNode.agg(
+        sum(floor(eNode * 1e6).cast("bigint")).as("est"),
+        sum(col("pres")).as("rows"),
+        sum(col("zs")).as("mass")).head()
+      (row.getAs[Long]("est").toDouble / 1e6,
+        (row.getAs[Long]("rows"), row.getAs[java.math.BigDecimal]("mass")))
+    }
+    var (e0, fp0) = estOf(sk)
+    var ests = Vector(e0)
+    var fp = fp0
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var t = 0
+    var saturated = false
+    while (t < maxT && !saturated) {
+      t += 1
+      val recv = und
+        .join(sk.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("reg"), col("mw"))
+      val next = sk.union(recv)
+        .groupBy(col("node"), col("reg"))
+        .agg(max(col("mw")).as("mw"))
+        .localCheckpoint()
+      val (e1, fp1) = estOf(next)
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = rddOf(sk)
+      sk = next
+      saturated = fp1 == fp
+      fp = fp1
+      ests = ests :+ e1
+    }
+    prevRdd.foreach(_.unpersist(false))
+    rddOf(sk).foreach(_.unpersist(false))
+    rddOf(und).foreach(_.unpersist(false))
+    ests
+  }
+
   /** The ANF register iteration over any undirected edge frame
     * (src, dst) — returns N(0..T) where N(t) = node pairs within
     * distance t, early-exiting (and therefore possibly shorter than

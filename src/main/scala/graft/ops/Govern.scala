@@ -443,6 +443,17 @@ object Govern {
     val s = sparse0.sparkSession
     import s.implicits._
     val sparse = sparse0.cache(); val labels = labels0.cache()
+    // The bucket-pair frame does not depend on the weights — build the
+    // doc-keyed self-join ONCE (xab = xa·xb precomputed) and reuse it
+    // every round; each Newton round then only joins the fresh per-doc
+    // r and re-aggregates. 12 rounds × one self-join → one self-join.
+    val pairs = sparse.select(col("doc_id"), col("bucket").as("ja"), col("x").as("xa"))
+      .join(sparse.select(col("doc_id"), col("bucket").as("jb"), col("x").as("xb")),
+        Seq("doc_id"))
+      .where(col("ja") <= col("jb"))
+      .select(col("doc_id"), col("ja"), col("jb"),
+        (col("xa") * col("xb")).as("xab"))
+      .cache()
     try {
       val dDim = HashB + 1
       val w = Array.fill(dDim)(0.0)
@@ -460,13 +471,10 @@ object Govern {
           .withColumn("r", col("p") * (lit(1.0) - col("p")))
           .withColumn("err", col("label") - col("p"))
           .cache()
-        val hRows = sparse.select(col("doc_id"), col("bucket").as("ja"), col("x").as("xa"))
-          .join(sparse.select(col("doc_id"), col("bucket").as("jb"), col("x").as("xb")),
-            Seq("doc_id"))
-          .where(col("ja") <= col("jb"))
+        val hRows = pairs
           .join(perdoc.select(col("doc_id"), col("r")), Seq("doc_id"))
           .groupBy(col("ja"), col("jb"))
-          .agg(sum(floor(col("r") * col("xa") * col("xb") * 1e8).cast("bigint")).as("h"))
+          .agg(sum(floor(col("xab") * col("r") * 1e8).cast("bigint")).as("h"))
           .collect()
           .map(r0 => ((r0.getInt(0), r0.getInt(1)), r0.getLong(2))).toMap
         val gRows = sparse
@@ -491,7 +499,7 @@ object Govern {
         lastAcc = stats.getAs[Long]("correct").toDouble / n
       }
       (w, lastLoss, lastAcc, n)
-    } finally { sparse.unpersist(); labels.unpersist() }
+    } finally { sparse.unpersist(); labels.unpersist(); pairs.unpersist() }
   }
 
   /** Feature-HASHING classifier training (the fastText shape): hashed

@@ -119,9 +119,11 @@ class Round11cSpec extends SparkSpec {
         val r = p * (1.0 - p)
         val y = labels(doc)
         val err = y - p
+        // term order mirrors the op: xab = xa·xb precomputed once,
+        // then (xab * r) * 1e8
         for ((_, ja, xa) <- rows; (_, jb, xb) <- rows if ja <= jb)
           h((ja, jb)) = h.getOrElse((ja, jb), 0L) +
-            math.floor(r * xa * xb * 1e8).toLong
+            math.floor(xa * xb * r * 1e8).toLong
         rows.foreach { case (_, b, x) =>
           g(b) += math.floor(err * x * 1e8).toLong }
         loss += math.floor(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)) * 1e6).toLong
@@ -326,6 +328,26 @@ class Round11cSpec extends SparkSpec {
     got.foreach { case (t, _, flag) =>
       assert(flag == (if (t == effT) 1 else 0), s"eff-diameter flag at t=$t")
     }
+  }
+
+  test("graph_neighborhood_hll: 64-register estimate within ±25% of the exact bitset N(t)") {
+    val exact = Analytics.graphNeighborhood(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val est = Analytics.graphNeighborhoodHll(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      val rel = est(t) / n
+      assert(rel > 0.75 && rel < 1.25, s"t=$t est ${est(t)} vs exact $n (rel $rel)")
+    }
+    // registers only grow ⇒ the estimate is (near-)monotone in t
+    (0 until 4).foreach { t =>
+      assert(est(t + 1) >= est(t) * 0.98, s"estimate dropped at t=$t")
+    }
+    // deterministic: an approximation, but a bit-reproducible one
+    val est2 = Analytics.graphNeighborhoodHll(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(est2 == est, "HLL estimate must be run-reproducible")
   }
 
   test("neighborhood kernel: star-graph analytic values, saturation early-exit") {

@@ -170,7 +170,10 @@ class ScaleStressSpec extends SparkSpec {
     // ride one lang exchange; the report is four gated aggregates
     ("classifier_hashed_train", 15.0, 40.0),
     ("corpus_perplexity_buckets", 15.0, 25.0),
-    ("pipeline_dedup_report", 15.0, 30.0))
+    ("pipeline_dedup_report", 15.0, 30.0),
+    // HyperANF: fixed 64-register state per node — the whole point is
+    // that 16x disjoint copies cost exactly 16x register rows
+    ("graph_neighborhood_hll", 24.0, 30.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
