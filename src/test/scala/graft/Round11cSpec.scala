@@ -104,21 +104,21 @@ class Round11cSpec extends SparkSpec {
       : (Array[Double], Double, Double) = {
     val dDim = Govern.HashB + 1
     val w = Array.fill(dDim)(0.0)
-    var lastLoss = 0.0; var lastAcc = 0.0
     val byDoc = sparse.groupBy(_._1)
     val n = byDoc.size
-    for (_ <- 1 to Govern.Iters) {
+    def pOf(doc: Long, rows: Array[(Long, Int, Double)]): Double = {
+      val z = rows.map { case (_, b, x) =>
+        math.floor(w(b) * x * 1e9).toLong }.sum / 1e9
+      val p0 = 1.0 / (1.0 + math.exp(-z))
+      math.min(math.max(p0, 1e-12), 1.0 - 1e-12)
+    }
+    for (_ <- 1 to Govern.HashedIters) {
       val h = scala.collection.mutable.Map.empty[(Int, Int), Long]
       val g = Array.fill(dDim)(0L)
-      var loss = 0L; var correct = 0L
       byDoc.foreach { case (doc, rows) =>
-        val z = rows.map { case (_, b, x) =>
-          math.floor(w(b) * x * 1e9).toLong }.sum / 1e9
-        val p0 = 1.0 / (1.0 + math.exp(-z))
-        val p = math.min(math.max(p0, 1e-12), 1.0 - 1e-12)
+        val p = pOf(doc, rows)
         val r = p * (1.0 - p)
-        val y = labels(doc)
-        val err = y - p
+        val err = labels(doc) - p
         // term order mirrors the op: xab = xa·xb precomputed once,
         // then (xab * r) * 1e8
         for ((_, ja, xa) <- rows; (_, jb, xb) <- rows if ja <= jb)
@@ -126,14 +126,18 @@ class Round11cSpec extends SparkSpec {
             math.floor(xa * xb * r * 1e8).toLong
         rows.foreach { case (_, b, x) =>
           g(b) += math.floor(err * x * 1e8).toLong }
-        loss += math.floor(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)) * 1e6).toLong
-        correct += (if ((p >= 0.5) == (y >= 0.5)) 1L else 0L)
       }
       Govern.newtonStep(w, n, (j, k) => h.getOrElse((j, k), 0L), j => g(j))
-      lastLoss = loss.toDouble / 1e6 / n
-      lastAcc = correct.toDouble / n
     }
-    (w, lastLoss, lastAcc)
+    // metrics of the SHIPPED weights, matching the op
+    var loss = 0L; var correct = 0L
+    byDoc.foreach { case (doc, rows) =>
+      val p = pOf(doc, rows)
+      val y = labels(doc)
+      loss += math.floor(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)) * 1e6).toLong
+      correct += (if ((p >= 0.5) == (y >= 0.5)) 1L else 0L)
+    }
+    (w, loss.toDouble / 1e6 / n, correct.toDouble / n)
   }
 
   test("classifier_hashed_train: sparse distributed IRLS == single-node replay, bit-exact") {
