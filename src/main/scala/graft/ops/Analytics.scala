@@ -1928,4 +1928,94 @@ object Analytics {
           .as("v_norm"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** HITS (hubs & authorities) power iteration over a directed edge set,
+    * with the repo's bit-determinism recipe applied to an algorithm that
+    * is normally float-order-dependent: scores live as LONG micro-units
+    * (1e-6 grid), every per-node accumulation is an exact integer sum
+    * (order-independent under any partitioning), the L2 norm squares sum
+    * in DECIMAL(38,0) (h_raw ≤ 1e6·deg ⇒ h_raw² can pass 2^63 on hub
+    * nodes; decimal keeps the reduction exact), and the re-projection
+    * floor(raw·1e6/norm) is a deterministic function of those exact
+    * inputs. Same engine-portability property as classifier IRLS /
+    * HyperANF: a single-node replay reproduces the scores bit-for-bit.
+    *
+    * Scale shape = pagerank's: per round one join on the current side's
+    * key + one keyed integer sum; the norm is a one-row broadcast cross
+    * join (lazy, costs no extra action); lazy 2-round chains truncate
+    * via localCheckpoint so long chains never build up. State is two
+    * node-sized tables; edges pre-partitionable on either key.
+    *
+    * Oracle-exempt (iterative FP); Round11dSpec pins the distributed
+    * loop against a driver-side replay of the SAME integer recipe on a
+    * synthetic graph (exact equality), plus analytic star-graph values
+    * and fixture norm/determinism invariants. */
+  private[graft] def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    def pinnedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val e = edges.toDF("src", "dst").localCheckpoint()
+    val auths = e.select(col("dst")).distinct()
+    // scores in micro-units; init authorities uniform at 1.0 — the first
+    // normalization rescales, so the starting constant only needs to be
+    // identical everywhere
+    var a = auths.select(col("dst"), lit(1000000L).as("am")).localCheckpoint()
+    var h: DataFrame = null
+    var lastA = a
+    var lastH: DataFrame = null
+    def renorm(raw: DataFrame, key: String, c: String): DataFrame = {
+      // exact decimal sum of squares → one-row broadcast; floor projects
+      // back onto the micro grid (norm > 0 whenever any score is > 0)
+      // square in decimal: raw micro scores reach 1e6·deg, so a LONG
+      // square overflows first on exactly the hub nodes that matter
+      val n2 = raw.agg(sum(col(c).cast("decimal(18,0)") *
+        col(c).cast("decimal(18,0)")).as("n2"))
+      raw.crossJoin(broadcast(n2))
+        .select(col(key),
+          floor(col(c).cast("double") * lit(1e6) /
+            sqrt(col("n2").cast("double"))).cast("long").as(c))
+    }
+    for (i <- 0 until rounds) {
+      val hraw = e.join(a, "dst")
+        .groupBy(col("src")).agg(sum(col("am")).as("hm"))
+      val hN = renorm(hraw, "src", "hm")
+      val araw = e.join(hN, "src")
+        .groupBy(col("dst")).agg(sum(col("hm")).as("am"))
+      var aN = renorm(araw, "dst", "am")
+      var hKeep = hN
+      if ((i + 1) % 2 == 0 || i == rounds - 1) {
+        hKeep = hN.localCheckpoint()
+        aN = aN.localCheckpoint()
+        if (lastH != null) pinnedRdd(lastH).foreach(_.unpersist(blocking = false))
+        pinnedRdd(lastA).foreach(_.unpersist(blocking = false))
+        lastH = hKeep; lastA = aN
+      }
+      h = hKeep; a = aN
+    }
+    val out = h.select(lit("hub").as("kind"), col("src").as("id"),
+        (col("hm").cast("double") / lit(1e6)).as("score"))
+      .unionAll(a.select(lit("auth").as("kind"), col("dst").as("id"),
+        (col("am").cast("double") / lit(1e6)).as("score")))
+    pinnedRdd(e).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Query key `graph_hits`: hubs & authorities over the DIRECTED
+    * customer→part purchase graph (distinct (o_custkey, l_partkey) via
+    * orders ⋈ lineitem) — the classic web-graph quality signal recast on
+    * the fixture's bipartite buying graph: a hub is a customer whose
+    * basket spans authoritative parts, an authority is a part bought by
+    * strong hubs (for a training feed: source → document endorsement).
+    * 6 full rounds (power iteration on AᵀA converges geometrically;
+    * fixture scores are stable at 4 by round 4). Total order
+    * (kind, id). */
+  def graphHits(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    hits(edges, rounds = 6).orderBy(col("kind"), col("id"))
+  }
 }

@@ -134,6 +134,120 @@ object Custom {
       .orderBy(col("event_type"))
   }
 
+  /** KMV (k-minimum-values / theta) sketch state: the K smallest
+    * DISTINCT non-negative hash values seen, sorted ascending. Constant
+    * size, fully mergeable — the partial-aggregation property every
+    * 100 TB sketch needs. */
+  case class KmvBuf(vs: Array[Long])
+
+  // K = 64 ⇒ ~12.5% standard error — small enough to pin at ±25%, small
+  // enough that the ESTIMATING path (not just the <K exact degenerate)
+  // actually exercises on the sf0.01 fixture's ~150 distinct users.
+  private[graft] val KmvK = 64
+
+  /** KMV sketch aggregator. Unlike HLL, a KMV sketch keeps an actual
+    * uniform SAMPLE of the hashed key space below its theta, which is
+    * what makes direct INTERSECTION estimation possible (HLL can only
+    * do unions + inclusion–exclusion, whose error explodes for small
+    * overlaps). reduce is a binary search + bounded copy (O(K) worst
+    * case); merge is one sorted-merge of two ≤K arrays. */
+  object KmvAgg extends Aggregator[Long, KmvBuf, KmvBuf] {
+    def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+    def reduce(b: KmvBuf, x: Long): KmvBuf = {
+      val a = b.vs
+      val i = java.util.Arrays.binarySearch(a, x)
+      if (i >= 0) b // already present
+      else {
+        val ins = -i - 1
+        if (a.length < KmvK) {
+          val n = new Array[Long](a.length + 1)
+          System.arraycopy(a, 0, n, 0, ins)
+          n(ins) = x
+          System.arraycopy(a, ins, n, ins + 1, a.length - ins)
+          KmvBuf(n)
+        } else if (x < a(a.length - 1)) {
+          val n = new Array[Long](KmvK)
+          System.arraycopy(a, 0, n, 0, ins)
+          n(ins) = x
+          System.arraycopy(a, ins, n, ins + 1, KmvK - ins - 1)
+          KmvBuf(n)
+        } else b
+      }
+    }
+    def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
+      if (a.vs.isEmpty) b
+      else if (b.vs.isEmpty) a
+      else {
+        // each side is internally distinct, so cross-dedup is exactly
+        // the equal-heads branch of a plain sorted merge
+        val out = new Array[Long](math.min(KmvK, a.vs.length + b.vs.length))
+        var i = 0; var j = 0; var k = 0
+        while (k < out.length && (i < a.vs.length || j < b.vs.length)) {
+          val v =
+            if (j >= b.vs.length) { i += 1; a.vs(i - 1) }
+            else if (i >= a.vs.length) { j += 1; b.vs(j - 1) }
+            else if (a.vs(i) < b.vs(j)) { i += 1; a.vs(i - 1) }
+            else if (b.vs(j) < a.vs(i)) { j += 1; b.vs(j - 1) }
+            else { i += 1; j += 1; a.vs(i - 1) }
+          out(k) = v; k += 1
+        }
+        KmvBuf(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+      }
+    }
+    def finish(r: KmvBuf): KmvBuf = r
+    def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  }
+
+  /** Query key `agg_kmv_intersect`: DIRECT audience-intersection
+    * estimate from KMV/theta sketches — the set operation the HLL
+    * family structurally cannot answer well. One scan builds a K=64
+    * sketch of distinct click users and purchase users (hashes =
+    * xxhash64 >>> 1, i.e. uniform on [0, 2^63)); the combine is pure
+    * in-plan array algebra on the TWO sketch rows: theta = min of the
+    * per-side K-th minima, the intersection sample = common hashes
+    * below theta, estimate = |sample|·2⁶³/theta. Sides with fewer than
+    * K distinct members degrade to EXACT (theta = 2⁶³). Per-side
+    * estimates use the classic (K−1)·2⁶³/theta_k.
+    *
+    * Scale: the shuffle carries two ≤2 KB buffers; the pairwise algebra
+    * never touches the data again — T types answer T² intersection
+    * questions from T sketches. Oracle-exempt (sketch); Round11dSpec
+    * pins both per-side estimates and the intersection against exact
+    * distinct counts, plus exact-mode equality on a small fixture. */
+  def aggKmvIntersect(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(KmvAgg)
+    val M = 9.223372036854775807e18 // 2^63 as double
+    val sk = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(kmv(expr("shiftrightunsigned(xxhash64(user_id), 1)")).as("sk"))
+      .select(col("event_type"), col("sk.vs").as("vs"))
+    val one = sk.agg(
+      min_by(col("vs"), col("event_type")).as("va"), // 'click'
+      max_by(col("vs"), col("event_type")).as("vb")) // 'purchase'
+    def theta(c: org.apache.spark.sql.Column) =
+      when(size(c) < KmvK, lit(M))
+        .otherwise(element_at(c, KmvK).cast("double"))
+    def estSide(c: org.apache.spark.sql.Column) =
+      when(size(c) < KmvK, size(c).cast("double"))
+        .otherwise(floor(lit((KmvK - 1).toDouble) * lit(M) / theta(c) + 0.5))
+    one.select(
+        lit(KmvK).as("k"),
+        size(col("va")).as("n_a"), size(col("vb")).as("n_b"),
+        estSide(col("va")).as("est_click"),
+        estSide(col("vb")).as("est_purchase"),
+        least(theta(col("va")), theta(col("vb"))).as("th"),
+        array_intersect(col("va"), col("vb")).as("both"))
+      .select(col("k"), col("n_a"), col("n_b"),
+        col("est_click"), col("est_purchase"),
+        size(filter(col("both"), x => x.cast("double") < col("th")))
+          .as("n_common_sample"),
+        floor(size(filter(col("both"), x => x.cast("double") < col("th")))
+          .cast("double") * lit(M) / col("th") + 0.5).cast("double")
+          .as("est_intersect"))
+  }
+
   /** Per-user Welford mean + sample variance over event values. The
     * oracle pairs it with avg/var_samp — mathematically identical;
     * floating summation order differs, absorbed by 4 dp rounding. */

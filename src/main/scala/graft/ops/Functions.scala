@@ -242,6 +242,82 @@ object Functions {
       .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Query key `layout_pruning_stats`: MEASURES what the layout_* family
+    * only claims — how tightly each clustering key boxes the data per
+    * output file, i.e. how much min/max file skipping each layout buys.
+    * The same (orderkey, partkey) projection is cut into 16 "files"
+    * (equal-width ranges of the clustering key) three ways — linear
+    * (single-column sort by orderkey, what everyone does first), Z-order
+    * (graft_morton), Hilbert (graft_hilbert) — and for each layout and
+    * each dimension the
+    * per-file extent (max−min) is summed EXACTLY as integers, then
+    * normalized once by files × observed global range: avg_extent is
+    * the expected fraction of files a point predicate on that dimension
+    * cannot skip. Linear gives ~1/16 on orderkey but ~1.0 on partkey
+    * (a partkey predicate scans everything); the space-filling curves
+    * trade a little orderkey tightness for ~4× smaller partkey boxes —
+    * and Hilbert ≤ Z-order because it never takes the quadrant-boundary
+    * diagonal jump. That asymmetry IS the 100 TB pruning argument, here
+    * as a measured table instead of doc prose.
+    *
+    * In production the 16 key-range cells are the parquet files of a
+    * range-partitioned sorted write; arithmetic cell ids stand in for
+    * input_file_name() so the measurement needs no filesystem
+    * round-trip and is bit-deterministic. Oracle-exempt (cell
+    * assignment is layout-, not SQL-, semantics); Round11dSpec pins the
+    * ordering claims (hilbert_pk < 0.6·linear_pk, linear_ok minimal,
+    * every extent in (0,1]) and determinism. */
+  def layoutPruningStats(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MortonCode.register(s)
+    graft.functions.HilbertCode.register(s)
+    val raw = Tables.lineitem(s, d).select(
+      pmod(col("l_orderkey"), lit(65536L)).as("ok"),
+      pmod(col("l_partkey"), lit(65536L)).as("pk"))
+    val g = raw.agg(
+      min(col("ok")).as("g_ok_lo"), max(col("ok")).as("g_ok_hi"),
+      min(col("pk")).as("g_pk_lo"), max(col("pk")).as("g_pk_hi"))
+    // affine-scale each dimension to the full 16-bit curve range first:
+    // the fixture's partkey domain is ~30× narrower than orderkey's, and
+    // interleaving raw bits would hand the curve an anisotropic space in
+    // which every box is pk-wide regardless of layout — exactly the
+    // normalization a production Z-ORDER/CLUSTER BY implementation does
+    val base = raw.crossJoin(broadcast(g)).select(
+      col("ok"), col("pk"),
+      ((col("ok") - col("g_ok_lo")) * lit(65535L) /
+        (col("g_ok_hi") - col("g_ok_lo"))).cast("long").as("oks"),
+      ((col("pk") - col("g_pk_lo")) * lit(65535L) /
+        (col("g_pk_hi") - col("g_pk_lo"))).cast("long").as("pks"))
+    // 16 EQUAL-WIDTH key-range cells stand in for the files of a
+    // range-partitioned sorted write. (Not repartitionByRange: its
+    // boundary sampling seeds on the RDD id, so two runs in one JVM cut
+    // different boundaries — arithmetic cells are deterministic, need no
+    // shuffle beyond the tiny groupBy, and measure the same geometry.)
+    def boxes(layout: String, fileId: org.apache.spark.sql.Column): DataFrame =
+      base.withColumn("f", fileId)
+        .groupBy(col("f"))
+        .agg(min(col("ok")).as("ok_lo"), max(col("ok")).as("ok_hi"),
+          min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("ok_hi") - col("ok_lo")).as("ok_ext"),
+          sum(col("pk_hi") - col("pk_lo")).as("pk_ext"))
+        .crossJoin(broadcast(g))
+        .select(lit(layout).as("layout"), col("n_files"),
+          (floor(col("ok_ext").cast("double") /
+            ((col("g_ok_hi") - col("g_ok_lo")) * col("n_files"))
+              .cast("double") * 1e6 + 0.5) / 1e6).as("avg_extent_ok"),
+          (floor(col("pk_ext").cast("double") /
+            ((col("g_pk_hi") - col("g_pk_lo")) * col("n_files"))
+              .cast("double") * 1e6 + 0.5) / 1e6).as("avg_extent_pk"))
+    // linear: 16 slices of the (scaled) orderkey; curves: 16 slices of
+    // the 32-bit curve position — both via exact integer division
+    boxes("1_linear", expr("oks * 16 div 65536"))
+      .unionAll(boxes("2_zorder", expr(
+        "graft_morton(oks, pks) div 268435456")))
+      .unionAll(boxes("3_hilbert", expr(
+        "graft_hilbert(oks, pks) div 268435456")))
+      .orderBy(col("layout"))
+  }
+
   /** Generator/UDTF surface (§2.11): explode a computed array — one input
     * row → N rows (words of the doc text). */
   def udtfExplode(s: SparkSession, d: String): DataFrame =

@@ -488,9 +488,12 @@ object Govern {
       // Hessian AND (jb = -1) the score vector; loss/accuracy are not
       // consumed by the update, so they are computed ONCE after the
       // loop with the shipped weights (the metrics a filter publishes).
-      for (_ <- 1 to HashedIters) {
-        val hg = pairs
-          .join(perdoc(w)
+      // The readout is ≤ d(d+1)/2 + d = 2210 snapped-integer rows
+      // (d = 65 hash buckets) — dimension-bounded, row-count-independent
+      // metadata, the broadcast-tier shape CollectLintSpec declares.
+      def hessianScoreReadout(wv: Array[Double]): Map[(Int, Int), Long] =
+        pairs
+          .join(perdoc(wv)
             .withColumn("r", col("p") * (lit(1.0) - col("p")))
             .withColumn("err", col("label") - col("p"))
             .select(col("doc_id"), col("r"), col("err")), Seq("doc_id"))
@@ -500,6 +503,8 @@ object Govern {
             .cast("bigint")).as("hg"))
           .collect()
           .map(r0 => ((r0.getInt(0), r0.getInt(1)), r0.getLong(2))).toMap
+      for (_ <- 1 to HashedIters) {
+        val hg = hessianScoreReadout(w)
         newtonStep(w, n,
           (j, k) => hg.getOrElse((j, k), 0L),
           j => hg.getOrElse((j, -1), 0L))

@@ -1052,6 +1052,39 @@ object OracleSql {
         "(SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY lang, word ORDER BY lang, word"),
 
+    // the composed corpus DATA CARD: every section body verbatim, so the
+    // composition itself is hash-gated (pipeline_drift_report's recipe)
+    "pipeline_corpus_card" ->
+      ("WITH toks AS (SELECT lang, source, text, " +
+        "len(string_split(text, ' ')) AS t, " +
+        "len(list_distinct(string_split(text, ' '))) AS nd FROM documents) " +
+        "SELECT 'lang' AS section, lang AS key, 'n_docs' AS metric, " +
+        "count(*)::DOUBLE AS value FROM toks GROUP BY lang " +
+        "UNION ALL SELECT 'lang', lang, 'n_tokens', sum(t)::DOUBLE " +
+        "FROM toks GROUP BY lang " +
+        "UNION ALL SELECT 'source', source, 'n_docs', count(*)::DOUBLE " +
+        "FROM toks GROUP BY source " +
+        "UNION ALL SELECT 'dup', 'corpus', 'exact_dup_frac', " +
+        "floor((count(*) - count(DISTINCT sha256(text)))::DOUBLE / " +
+        "count(*)::DOUBLE * 1000000 + 0.5) / 1000000.0 FROM documents " +
+        "UNION ALL SELECT 'quality', 'corpus', 'kept_frac', " +
+        "floor(sum(CASE WHEN t >= 5 AND nd::DOUBLE / t::DOUBLE >= 0.3 " +
+        "THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE * 1000000 + 0.5) " +
+        "/ 1000000.0 FROM toks " +
+        "UNION ALL SELECT 'len', 'corpus', 'min_tokens', min(t)::DOUBLE FROM toks " +
+        "UNION ALL SELECT 'len', 'corpus', 'mean_tokens', " +
+        "floor(sum(t)::DOUBLE / count(*)::DOUBLE * 1000000 + 0.5) / 1000000.0 FROM toks " +
+        "UNION ALL SELECT 'len', 'corpus', 'max_tokens', max(t)::DOUBLE FROM toks " +
+        "ORDER BY section, key, metric"),
+
+    // whole-token blocklist gate: unnest + IN is DuckDB's spelling of the
+    // exploded-token broadcast join; ≥ 3 distinct hits flags the doc
+    "text_blocklist_filter" ->
+      ("SELECT doc_id, count(DISTINCT w) AS n_blocked, min(w) AS first_term " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WHERE w IN ('slow', 'fast', 'big', 'small', 'a', 'the') " +
+        "GROUP BY doc_id HAVING count(DISTINCT w) >= 3 ORDER BY doc_id"),
+
     "text_tfidf_topterms" ->
       ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term), " +

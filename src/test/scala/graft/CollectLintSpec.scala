@@ -49,7 +49,7 @@ class CollectLintSpec extends AnyFunSuite {
     ("LlmPipeline.scala", "kmeansCentroids") ->
       ("k-row (k=8) grid-summed centroid table per Lloyd round — " +
         "row-count-independent metadata"),
-    ("Govern.scala", "hashedTrainLoop") ->
+    ("Govern.scala", "hessianScoreReadout") ->
       ("<= d(d+1)/2 + d = 2210 snapped-integer Hessian/score rows per " +
         "Newton round (d = 65 hash buckets) — dimension-bounded, " +
         "row-count-independent metadata"))

@@ -824,7 +824,13 @@ class PlanSpec extends SparkSpec {
       // r11b one-row scalar folds: grand-total row (chi2/js), |bigram
       // types| row (kneser-ney); the composed report inherits chi2/js's
       "drift_chi2", "drift_js", "text_lm_kneser_ney",
-      "pipeline_drift_report")
+      "pipeline_drift_report",
+      // composed dedup report inherits dedup_ngram_jaccard's documented
+      // fixture-bounded pair scan (scale path = minhash/containment)
+      "pipeline_dedup_report",
+      // r11d one-row scalar folds: HITS broadcasts the L2-norm row each
+      // half-round; layout stats broadcasts the global min/max range row
+      "graph_hits", "layout_pruning_stats")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

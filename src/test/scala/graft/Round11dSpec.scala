@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Corpus, Custom, Functions}
+
+/** Round-11d: corpus data card, blocklist gate, HITS, KMV/theta
+  * intersection, measured layout pruning (SURVEY §2.23). */
+class Round11dSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- HITS
+
+  /** Driver-side replay of the EXACT integer HITS recipe: long micro
+    * scores, exact integer accumulation, decimal→double norm through
+    * java.math.BigDecimal (the same conversion Spark's Decimal takes),
+    * floor re-projection. The design claims bit-identical scores, so
+    * the assert is equality, not tolerance. */
+  private def replayHits(edges: Seq[(Long, Long)], rounds: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    var a: Map[Long, Long] =
+      edges.map(_._2).distinct.map(_ -> 1000000L).toMap
+    var h: Map[Long, Long] = Map.empty
+    def norm(raw: Map[Long, Long]): Double = {
+      val n2 = raw.values.foldLeft(BigInt(0))((acc, v) => acc + BigInt(v) * BigInt(v))
+      new java.math.BigDecimal(n2.bigInteger).doubleValue()
+    }
+    for (_ <- 0 until rounds) {
+      val hraw = edges.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(e => a(e._2)).sum }
+      val nh = math.sqrt(norm(hraw))
+      h = hraw.map { case (k, v) => k -> math.floor(v.toDouble * 1e6 / nh).toLong }
+      val araw = edges.groupBy(_._2).map { case (k, es) =>
+        k -> es.map(e => h(e._1)).sum }
+      val na = math.sqrt(norm(araw))
+      a = araw.map { case (k, v) => k -> math.floor(v.toDouble * 1e6 / na).toLong }
+    }
+    (h, a)
+  }
+
+  private def hitsMicros(edges: Seq[(Long, Long)], rounds: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    import spark.implicits._
+    val out = Analytics.hits(edges.toDF("src", "dst"), rounds)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6).toLong))
+    (out.filter(_._1 == "hub").map(t => t._2 -> t._3).toMap,
+      out.filter(_._1 == "auth").map(t => t._2 -> t._3).toMap)
+  }
+
+  test("graph_hits: distributed loop == driver replay of the integer recipe, exactly") {
+    val edges = for {
+      c <- 1L to 8L
+      k <- 0L until 5L
+    } yield (c, 101L + (c * 3 + k) % 10)
+    val (h, a) = hitsMicros(edges.distinct, rounds = 6)
+    val (rh, ra) = replayHits(edges.distinct, rounds = 6)
+    assert(h == rh, "hub micros differ from replay")
+    assert(a == ra, "auth micros differ from replay")
+  }
+
+  test("graph_hits: star graph analytic values") {
+    // 5 hubs all pointing at one authority: auth = 1.0 exactly,
+    // every hub = floor(1e6/sqrt(5))/1e6
+    val edges = (1L to 5L).map(c => (c, 100L))
+    val (h, a) = hitsMicros(edges, rounds = 3)
+    assert(a == Map(100L -> 1000000L))
+    val expected = math.floor(1e6 / math.sqrt(5.0)).toLong
+    assert(h.values.toSet == Set(expected), s"hubs $h != $expected")
+  }
+
+  test("graph_hits: fixture norms ~1 and determinism") {
+    val run1 = Analytics.graphHits(spark, sf001).collect()
+    val run2 = Analytics.graphHits(spark, sf001).collect()
+    assert(run1.toSeq == run2.toSeq, "graph_hits not deterministic")
+    Seq("hub", "auth").foreach { kind =>
+      val s2 = run1.filter(_.getString(0) == kind)
+        .map(r => r.getDouble(2) * r.getDouble(2)).sum
+      assert(s2 > 0.98 && s2 <= 1.0 + 1e-9, s"$kind norm² = $s2")
+    }
+  }
+
+  // ----------------------------------------------------------------- KMV
+
+  test("KmvAgg: sketch == k smallest distinct, under any split + merge order") {
+    val rnd = new scala.util.Random(42)
+    val xs = Array.fill(500)(rnd.nextLong() >>> 1)
+    val exact = xs.distinct.sorted.take(Custom.KmvK).toSeq
+    val sequential = xs.foldLeft(Custom.KmvAgg.zero)(Custom.KmvAgg.reduce)
+    assert(sequential.vs.toSeq == exact)
+    val (l, r) = xs.splitAt(137)
+    val merged = Custom.KmvAgg.merge(
+      l.foldLeft(Custom.KmvAgg.zero)(Custom.KmvAgg.reduce),
+      r.foldLeft(Custom.KmvAgg.zero)(Custom.KmvAgg.reduce))
+    assert(merged.vs.toSeq == exact)
+    val shuffled = rnd.shuffle(xs.toSeq).foldLeft(Custom.KmvAgg.zero)(Custom.KmvAgg.reduce)
+    assert(shuffled.vs.toSeq == exact)
+  }
+
+  test("agg_kmv_intersect: estimates within ±25% of exact; exact mode when n < K") {
+    val row = Custom.aggKmvIntersect(spark, sf01).collect().head
+    val ev = graft.io.Tables.events(spark, sf01)
+    def exactUsers(t: String): Long =
+      ev.where(col("event_type") === t).select(col("user_id")).distinct().count()
+    val ec = exactUsers("click"); val ep = exactUsers("purchase")
+    val ei = ev.where(col("event_type") === "click").select(col("user_id"))
+      .intersect(ev.where(col("event_type") === "purchase").select(col("user_id")))
+      .count()
+    assert(math.abs(row.getAs[Double]("est_click") - ec) <= 0.25 * ec)
+    assert(math.abs(row.getAs[Double]("est_purchase") - ep) <= 0.25 * ep)
+    assert(math.abs(row.getAs[Double]("est_intersect") - ei) <= 0.25 * math.max(ec, ep))
+    // sf0.001 has fewer distinct users than K on each side → the sketch
+    // IS the set and every estimate must be exact
+    val small = Custom.aggKmvIntersect(spark, sf001).collect().head
+    if (small.getAs[Int]("n_a") < Custom.KmvK && small.getAs[Int]("n_b") < Custom.KmvK) {
+      val sev = graft.io.Tables.events(spark, sf001)
+      val sc = sev.where(col("event_type") === "click")
+        .select(col("user_id")).distinct().count()
+      assert(small.getAs[Double]("est_click") == sc.toDouble)
+      val si = sev.where(col("event_type") === "click").select(col("user_id"))
+        .intersect(sev.where(col("event_type") === "purchase").select(col("user_id")))
+        .count()
+      assert(small.getAs[Double]("est_intersect") == si.toDouble)
+    }
+  }
+
+  // -------------------------------------------------------------- layout
+
+  test("layout_pruning_stats: curve layouts shrink the second dimension; hilbert <= zorder") {
+    val rows = Functions.layoutPruningStats(spark, sf01).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("avg_extent_ok"), r.getAs[Double]("avg_extent_pk")))
+      .toMap
+    assert(rows.keySet == Set("1_linear", "2_zorder", "3_hilbert"))
+    rows.values.foreach { case (nf, eo, ep) =>
+      assert(nf == 16L)
+      assert(eo > 0.0 && eo <= 1.0 + 1e-9); assert(ep > 0.0 && ep <= 1.0 + 1e-9)
+    }
+    val (_, linOk, linPk) = rows("1_linear")
+    val (_, zOk, zPk) = rows("2_zorder")
+    val (_, hOk, hPk) = rows("3_hilbert")
+    // single-column sort: tightest on its own key, no pruning on the other
+    assert(linOk < hOk && linOk < zOk)
+    assert(linPk > 0.95)
+    // the whole point: the curves buy partkey pruning
+    assert(hPk < 0.6 * linPk, s"hilbert pk $hPk vs linear $linPk")
+    assert(zPk < 0.6 * linPk, s"zorder pk $zPk vs linear $linPk")
+    // hilbert's no-diagonal-jump property: never worse than z-order
+    assert(hPk <= zPk + 0.02 && hOk <= zOk + 0.02,
+      s"hilbert ($hOk,$hPk) should dominate zorder ($zOk,$zPk)")
+    val again = Functions.layoutPruningStats(spark, sf01).collect()
+    assert(again.map(_.toSeq).toSeq ==
+      Functions.layoutPruningStats(spark, sf01).collect().map(_.toSeq).toSeq)
+  }
+
+  // -------------------------------------------- card + blocklist invariants
+
+  test("pipeline_corpus_card: internal consistency") {
+    val rows = Corpus.pipelineCorpusCard(spark, sf001).collect()
+    def v(section: String, metric: String): Seq[Double] =
+      rows.filter(r => r.getString(0) == section && r.getString(2) == metric)
+        .map(_.getDouble(3)).toSeq
+    val total = graft.io.Tables.documents(spark, sf001).count().toDouble
+    assert(v("lang", "n_docs").sum == total)
+    assert(v("source", "n_docs").sum == total)
+    val Seq(mn) = v("len", "min_tokens"); val Seq(mx) = v("len", "max_tokens")
+    val Seq(mean) = v("len", "mean_tokens")
+    assert(mn <= mean && mean <= mx)
+    (v("dup", "exact_dup_frac") ++ v("quality", "kept_frac")).foreach { f =>
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("text_blocklist_filter: whole-token semantics match the array path") {
+    val out = Corpus.textBlocklistFilter(spark, sf001)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(n >= 3 && n <= Corpus.BlockTerms.size)
+      assert(Corpus.BlockTerms.contains(r.getString(2)))
+    }
+    // independent recompute through array_intersect instead of the
+    // exploded broadcast join
+    val alt = graft.io.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        array_intersect(array_distinct(split(col("text"), " ")),
+          lit(Corpus.BlockTerms.toArray)).as("hits"))
+      .select(col("doc_id"), size(col("hits")).as("n_blocked"),
+        array_min(col("hits")).as("first_term"))
+      .where(col("n_blocked") >= 3)
+    assertSameRows(out, alt, "blocklist join vs array path:")
+  }
+}
