@@ -173,7 +173,15 @@ class ScaleStressSpec extends SparkSpec {
     ("pipeline_dedup_report", 15.0, 30.0),
     // HyperANF: fixed 64-register state per node — the whole point is
     // that 16x disjoint copies cost exactly 16x register rows
-    ("graph_neighborhood_hll", 24.0, 30.0))
+    ("graph_neighborhood_hll", 24.0, 30.0),
+    // r11d: card/blocklist/kmv are one-pass partial aggregates; layout
+    // stats is three scans + tiny groupBys; HITS is pagerank-class
+    // (per-round joins + keyed integer sums)
+    ("pipeline_corpus_card", 15.0, 25.0),
+    ("text_blocklist_filter", 15.0, 20.0),
+    ("agg_kmv_intersect", 15.0, 20.0),
+    ("layout_pruning_stats", 15.0, 20.0),
+    ("graph_hits", 24.0, 40.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
