@@ -778,6 +778,65 @@ object LlmPipeline {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** Binary (1-bit sign) quantization ANN — the last rung of the
+    * quantization ladder (fp32 → int8 → PQ → binary): each 64-d
+    * L2-normalized vector compresses to its 64 SIGN BITS in one long —
+    * 32× smaller than fp32 with ZERO training (no grid, no codebook),
+    * and candidate scoring is a single XOR + POPCNT per reference
+    * (Hamming distance estimates the angle: for sign bits of normalized
+    * vectors, P[bit differs] = θ/π per random hyperplane — here the
+    * hyperplanes are the coordinate axes, the degenerate-but-free LSH
+    * family). This is the cheapest possible first stage a 100 TB
+    * embedding store can run; candidates (top-32 by Hamming, smaller id
+    * on ties) rescore EXACTLY in fp32 through [[knnQuantized]]'s
+    * ids-only-shuffle + hash-join re-attach, so reported scores are
+    * bit-identical to brute force and sign-quantization error moves
+    * recall only (pinned in Round11dSpec on the worst-case unclustered
+    * fixture). Oracle-exempt. */
+  /** 64 sign bits of an embedding packed into one long — the 1-bit
+    * quantizer shared by [[knnBinaryHamming]]'s index and query sides. */
+  private def signBits(emb: Array[Float]): Long = {
+    var w = 0L
+    var i = 0
+    val n = math.min(emb.length, 64)
+    while (i < n) { if (emb(i) > 0f) w |= (1L << i); i += 1 }
+    w
+  }
+
+  def knnBinaryHamming(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    val nCand = 32
+    // index build is executor-side; the driver holds only (id, 8-byte
+    // sign word) — the 32×-smaller binary matrix (declared broadcast
+    // tier; knn_ivf's cell partitioning is the beyond-broadcast
+    // composition point, exactly as FAISS pairs IVF with binary codes)
+    val codes: Array[(Long, Long)] = vecs(s, d)
+      .mapPartitions(_.map { case (id, emb) => (id, signBits(emb)) })
+      .collect().sortBy(_._1)
+    val bcC = graft.Broadcasts.track(s.sparkContext.broadcast(codes))
+    val cand = vecs(s, d).repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (aid, aemb) =>
+        val wa = signBits(aemb)
+        val top = new TopC(nCand)
+        bcC.value.foreach { case (bid, wb) =>
+          if (bid != aid)
+            top.offer((64 - java.lang.Long.bitCount(wa ^ wb)).toDouble, bid)
+        }
+        top.ids.iterator.map(bid => (aid, bid))
+      }
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val scored = cand.toDF("a_id", "b_id")
+      .join(emb.toDF("a_id", "a_emb"), "a_id")
+      .join(emb.toDF("b_id", "b_emb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (floor(expr("graft_dot(a_emb, b_emb)") * 10000 + 0.5) / 10000)
+          .as("score"))
+    graft.plans.TopKPerGroup.topK(scored, "a_id", "score", "b_id", 3)
+      .select(col("a_id").as("vec_id"), col("rn"), col("b_id"), col("score"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   /** Product-quantization ANN — the third rung of the quantization
     * ladder (fp32 brute → int8 scalar [[knnQuantized]] → PQ): each
     * 64-d vector compresses to m=8 one-byte codes (one per 8-d
@@ -4034,6 +4093,180 @@ object LlmPipeline {
         (id, ws.length.toLong, nTok)
       }
       .toDF("doc_id", "n_words", "n_bpe_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------- unigram LM tokenizer
+
+  private[graft] val UniMaxPieceLen = 6
+  private[graft] val UniVocabTarget = 200
+  private[graft] val UniEmRounds = 4
+
+  /** Viterbi segmentation of one word under micro-scaled piece
+    * log-probs: dp over end positions maximizing the EXACT integer sum
+    * of 1e-6-grid log-probs; on equal score the longer piece wins
+    * (smaller start, the first maximum found scanning starts
+    * ascending). Pure integer dp ⇒ the same function of (word, table)
+    * on any executor, any driver, any run. Returns (pieces, score in
+    * micro units); single-character coverage makes every in-corpus word
+    * segmentable. */
+  private[graft] def uniViterbi(w: String,
+      lp: scala.collection.Map[String, Long]): (List[String], Long) = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Long.MinValue)
+    val from = new Array[Int](n + 1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - UniMaxPieceLen)
+      while (j < i) {
+        if (best(j) != Long.MinValue) {
+          val s = lp.getOrElse(w.substring(j, i), Long.MinValue)
+          if (s != Long.MinValue && best(j) + s > best(i)) {
+            best(i) = best(j) + s; from(i) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    require(best(n) != Long.MinValue, s"unsegmentable word: $w")
+    var at = n
+    var out = List.empty[String]
+    while (at > 0) { out = w.substring(from(at), at) :: out; at = from(at) }
+    (out, best(n))
+  }
+
+  /** Laplace-smoothed piece log-probs on the 1e-6 grid: every EM round
+    * re-derives them from exact integer counts, so the broadcast table
+    * is a pure function of the count table. */
+  private[graft] def uniLogProbs(counts: Seq[(String, Long)])
+      : Map[String, Long] = {
+    val total = counts.map(_._2).sum.toDouble
+    val v = counts.size.toDouble
+    counts.map { case (p, c) =>
+      p -> math.floor(math.log((c + 1).toDouble / (total + v)) * 1e6).toLong
+    }.toMap
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training by hard EM,
+    * under the repo's bit-determinism recipe:
+    *  - seed vocabulary = the UniVocabTarget most frequent substrings
+    *    (length ≤ 6) of the distinct-word table ∪ ALL single characters
+    *    (the coverage floor that keeps every word segmentable);
+    *  - E-step: per distinct word ONE integer-dp Viterbi segmentation
+    *    ([[uniViterbi]]) against the broadcast 1e-6-grid log-prob
+    *    table, emitting (piece, word-freq) usage pairs — map-side over
+    *    the vocabulary-bounded word table;
+    *  - M-step: usage counts re-aggregate by piece (exact integer sums,
+    *    order-independent) and re-derive the smoothed log-probs.
+    * Hard EM is monotone in the joint best-segmentation likelihood; the
+    * per-round corpus NLL accumulates on the integer micro grid and is
+    * returned for the Round11dSpec monotonicity pin. A single-node
+    * replay of the same recipe reproduces counts and NLLs exactly
+    * (the classifier-IRLS / HITS property).
+    *
+    * Scale: ONE corpus-sized pass (the word count); everything after is
+    * vocabulary-bounded — candidate generation explodes ≤ 6·|w| pieces
+    * per DISTINCT word, EM shuffles ≤ |V| count rows per round, and the
+    * driver only ever holds the piece/count table (the declared
+    * metadata tier; see CollectLintSpec). */
+  private[graft] def trainUnigram(s: SparkSession, d: String)
+      : (Array[(String, Long)], Array[Double]) = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .persist()
+    try {
+      val cand = words.flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(UniMaxPieceLen, w.length - i)
+        } yield (w.substring(i, i + l), f)
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case (p, c) => (p, c) }
+      // vocabulary-bounded metadata readouts (≤ target + alphabet rows)
+      val top = cand.orderBy(col("_2").desc, col("_1"))
+        .limit(UniVocabTarget).collect()
+      val chars = cand.filter(_._1.length == 1).collect()
+      var pieces: Seq[(String, Long)] =
+        (top ++ chars).distinctBy(_._1).sortBy { case (p, c) => (-c, p) }.toSeq
+      val nlls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to UniEmRounds) {
+        val bcLp = graft.Broadcasts.track(
+          s.sparkContext.broadcast(uniLogProbs(pieces)))
+        val stats = words.flatMap { case (w, f) =>
+          val (segs, score) = uniViterbi(w, bcLp.value)
+          segs.map(p => (p, f, 0L)) :+ (("", 0L, -score * f))
+        }.groupByKey(_._1)
+          .mapValues(t => (t._2, t._3)).reduceGroups((a, b) => (a._1 + b._1, a._2 + b._2))
+          .map { case (p, (c, nll)) => (p, c, nll) }
+          .collect()
+        nlls += stats.filter(_._1 == "").map(_._3).sum / 1e6
+        val usage = stats.filter(_._1.nonEmpty).map(t => t._1 -> t._2).toMap
+        // M-step: usage counts become the next round's table; single
+        // chars survive at zero usage (the coverage floor), multi-char
+        // pieces the corpus stopped using drop out
+        pieces = pieces.flatMap { case (p, _) =>
+          val u = usage.getOrElse(p, 0L)
+          if (u > 0 || p.length == 1) Some((p, u)) else None
+        }.sortBy { case (p, c) => (-c, p) }
+      }
+      (pieces.toArray, nlls.toArray)
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** Query key `corpus_unigram_train`: the trained unigram tokenizer
+    * table — rank, piece, usage count, and the 1e-6-grid log-prob the
+    * apply side segments with. The second tokenizer family next to BPE
+    * (SentencePiece's default); oracle-exempt (iterative EM), pinned by
+    * single-node replay equality, NLL monotonicity, coverage, and
+    * determinism (Round11dSpec). */
+  def corpusUnigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (pieces, _) = trainUnigram(s, d)
+    val lp = uniLogProbs(pieces.toSeq)
+    pieces.toSeq.zipWithIndex.map { case ((p, c), i) =>
+      (i + 1, p, c, lp(p).toDouble / 1e6)
+    }.toDF("rank", "piece", "count", "logprob")
+      .orderBy(col("rank"))
+  }
+
+  /** Query key `corpus_unigram_tokenize`: the APPLY half — re-segment
+    * every document with the trained piece table (map-side, broadcast
+    * table, the same integer-dp [[uniViterbi]] the trainer used) and
+    * emit per-doc word/char/piece counts plus the round-trip flag
+    * (concat(pieces) == word for every word). pieces_per_word is the
+    * unigram compression number a tokenizer-aware budget consumes.
+    * Oracle-exempt; Round11dSpec pins round-trip totality, count
+    * envelopes (n_words ≤ n_pieces ≤ n_chars), and determinism. */
+  def corpusUnigramTokenize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (pieces, _) = trainUnigram(s, d)
+    val bcLp = graft.Broadcasts.track(
+      s.sparkContext.broadcast(uniLogProbs(pieces.toSeq)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws0) =>
+        val ws = ws0.filter(_.nonEmpty)
+        var nPieces = 0L
+        var nChars = 0L
+        var ok = true
+        ws.foreach { w =>
+          val (segs, _) = uniViterbi(w, bcLp.value)
+          nPieces += segs.length
+          nChars += w.length
+          ok &&= segs.mkString == w
+        }
+        (id, ws.length.toLong, nChars, nPieces, ok)
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_pieces", "roundtrip_ok")
+      .withColumn("pieces_per_word",
+        floor(col("n_pieces") / col("n_words") * 1e4 + 0.5) / 1e4)
       .orderBy(col("doc_id"))
   }
 

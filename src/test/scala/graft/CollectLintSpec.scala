@@ -27,6 +27,11 @@ class CollectLintSpec extends AnyFunSuite {
         "of the index) stays a parquet join, never collected"),
     ("LlmPipeline.scala", "knnQuantized") ->
       "4x-smaller int8 grid quantized on executors; fp32 rescore is a join",
+    ("LlmPipeline.scala", "knnBinaryHamming") ->
+      "32x-smaller 1-bit sign matrix encoded on executors; fp32 rescore is a join",
+    ("LlmPipeline.scala", "trainUnigram") ->
+      ("vocabulary-bounded tokenizer metadata: <= 200-piece seed table, " +
+        "alphabet rows, and one <= |V| usage/NLL readout per EM round"),
     ("LlmPipeline.scala", "embeddingMatryoshkaEval") ->
       "DECLARED broadcast-matrix tier (knnCosine's); knn_sharded is the scale twin",
     ("LlmPipeline.scala", "knnPq") ->

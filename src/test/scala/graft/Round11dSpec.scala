@@ -152,6 +152,108 @@ class Round11dSpec extends SparkSpec {
       Functions.layoutPruningStats(spark, sf01).collect().map(_.toSeq).toSeq)
   }
 
+  test("knn_binary_hamming: 3 exact-scored rows per query, deterministic, recall vs brute") {
+    val bin = graft.ops.LlmPipeline.knnBinaryHamming(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = graft.ops.LlmPipeline.knnCosine(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val nq = brute.map(_._1).distinct.length
+    assert(bin.map(_._1).distinct.length == nq)
+    assert(bin.groupBy(_._1).forall(_._2.map(_._2).sorted.sameElements(Seq(1, 2, 3))))
+    // scores are EXACT fp32 rescores — any pair reported by both paths
+    // carries the identical rounded score
+    val bruteScore = brute.map(t => ((t._1, t._3), t._4)).toMap
+    bin.foreach { case (a, _, b, sc) =>
+      bruteScore.get((a, b)).foreach(bs =>
+        assert(bs == sc, s"pair ($a,$b): binary score $sc != brute $bs"))
+    }
+    // recall@3: 64 sign bits + 32-candidate exact rescore on the
+    // worst-case unclustered fixture
+    val bruteTop = brute.groupBy(_._1).map { case (a, rs) => a -> rs.map(_._3).toSet }
+    val hit = bin.count { case (a, _, b, _) => bruteTop(a).contains(b) }
+    val recall = hit.toDouble / (nq * 3)
+    info(f"knn_binary_hamming recall@3 = $recall%.3f")
+    assert(recall >= 0.50, f"recall@3 $recall%.3f below pin 0.50")
+    val again = graft.ops.LlmPipeline.knnBinaryHamming(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(again.sameElements(bin))
+  }
+
+  // ------------------------------------------------------------- unigram LM
+
+  /** Single-node replay of the EXACT hard-EM recipe from the same word
+    * counts: same candidate seeding, same snapped log-probs, same
+    * integer-dp Viterbi, same integer usage sums. The design claims
+    * bit-identical piece tables and NLLs, so the assert is equality. */
+  private def replayUnigram(words: Array[(String, Long)])
+      : (Array[(String, Long)], Array[Double]) = {
+    import graft.ops.LlmPipeline._
+    val cand = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(UniMaxPieceLen, w.length - i)
+      } cand.updateWith(w.substring(i, i + l))(o => Some(o.getOrElse(0L) + f))
+    }
+    val top = cand.toSeq.sortBy { case (p, c) => (-c, p) }.take(UniVocabTarget)
+    val chars = cand.filter(_._1.length == 1).toSeq
+    var pieces: Seq[(String, Long)] =
+      (top ++ chars).distinctBy(_._1).sortBy { case (p, c) => (-c, p) }
+    val nlls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to UniEmRounds) {
+      val lp = uniLogProbs(pieces)
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      var nll = 0L
+      words.foreach { case (w, f) =>
+        val (segs, score) = uniViterbi(w, lp)
+        segs.foreach(p => usage.updateWith(p)(o => Some(o.getOrElse(0L) + f)))
+        nll += -score * f
+      }
+      nlls += nll / 1e6
+      pieces = pieces.flatMap { case (p, _) =>
+        val u = usage.getOrElse(p, 0L)
+        if (u > 0 || p.length == 1) Some((p, u)) else None
+      }.sortBy { case (p, c) => (-c, p) }
+    }
+    (pieces.toArray, nlls.toArray)
+  }
+
+  test("corpus_unigram_train: distributed EM == driver replay, NLL monotone") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val words = graft.io.Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(fcount(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (rp, rn) = replayUnigram(words)
+    val (dp, dn) = graft.ops.LlmPipeline.trainUnigram(spark, sf001)
+    assert(dp.toSeq == rp.toSeq, "piece tables differ from replay")
+    assert(dn.toSeq == rn.toSeq, "NLL sequences differ from replay")
+    // hard EM: joint best-segmentation NLL never increases
+    dn.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-3, s"NLL increased: ${dn.toSeq}")
+    }
+    // the table carries every single character of the corpus (coverage)
+    val pieceSet = dp.map(_._1).toSet
+    words.flatMap(_._1.split("")).filter(_.nonEmpty)
+      .foreach(c => assert(pieceSet.contains(c), s"missing char piece $c"))
+  }
+
+  test("corpus_unigram_tokenize: round-trip totality + count envelopes + determinism") {
+    val out = graft.ops.LlmPipeline.corpusUnigramTokenize(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(4), s"round-trip failed for doc ${r.getLong(0)}")
+      val (nw, nc, np) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nw <= np && np <= nc, s"envelope violated: words=$nw pieces=$np chars=$nc")
+    }
+    // a trained multi-char vocabulary must actually compress: strictly
+    // fewer pieces than characters corpus-wide
+    assert(out.map(_.getLong(3)).sum < out.map(_.getLong(2)).sum)
+    val again = graft.ops.LlmPipeline.corpusUnigramTokenize(spark, sf001).collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   // -------------------------------------------- card + blocklist invariants
 
   test("pipeline_corpus_card: internal consistency") {

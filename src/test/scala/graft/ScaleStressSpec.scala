@@ -181,7 +181,12 @@ class ScaleStressSpec extends SparkSpec {
     ("text_blocklist_filter", 15.0, 20.0),
     ("agg_kmv_intersect", 15.0, 20.0),
     ("layout_pruning_stats", 15.0, 20.0),
-    ("graph_hits", 24.0, 40.0))
+    ("graph_hits", 24.0, 40.0),
+    // r11d second wave: binary ANN is broadcast-scan + join rescore;
+    // the unigram pair is one corpus pass + vocabulary-bounded EM
+    ("knn_binary_hamming", 15.0, 25.0),
+    ("corpus_unigram_train", 10.0, 30.0),
+    ("corpus_unigram_tokenize", 15.0, 25.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
