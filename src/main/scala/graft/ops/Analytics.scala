@@ -2000,6 +2000,77 @@ object Analytics {
     out
   }
 
+  /** Random-walk corpus sampling over an undirected edge set — the
+    * node2vec/DeepWalk data-generation primitive (the walks ARE the
+    * training sentences of a graph-embedding pipeline) — with the
+    * repo's no-RNG determinism recipe: the step-t choice of walk w at
+    * node v is neighbor rank 1 + (xxhash64(v, t, w) mod deg(v)) against
+    * the dst-sorted adjacency ranking, so the full walk set is a pure
+    * function of (graph, seeds) — reproducible across runs, partitions,
+    * and engines that share the hash.
+    *
+    * Scale: adjacency ranking + degrees stack on ONE src-keyed
+    * exchange; each step is a broadcast join of the (tiny) frontier
+    * against it that matches Σ deg(frontier) rows and keeps exactly one
+    * per walk; frontiers localCheckpoint so step chains never deepen.
+    * Walks are embarrassingly parallel — at 100 TB the frontier is
+    * walk-count-sized, never graph-sized. */
+  private[graft] def randomWalks(
+      edges: DataFrame, seeds: DataFrame, walksPerSeed: Int,
+      steps: Int): DataFrame = {
+    def pinnedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val adj = edges.toDF("src", "dst")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    val walkIds = (0 until walksPerSeed).map(k => lit(k.toLong))
+    var frontier = seeds.toDF("node")
+      .select(col("node"), explode(array(walkIds: _*)).as("k"))
+      .select((col("node") * walksPerSeed + col("k")).as("walk_id"),
+        col("node"))
+      .localCheckpoint()
+    // every step's (walk-count-sized) checkpoint stays alive: the
+    // returned union reads all of them — only the graph-sized adjacency
+    // is dropped once the last frontier has materialized
+    var out = frontier.select(col("walk_id"), lit(0).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      // frontier is a checkpointed LogicalRDD — Catalyst has no stats
+      // for it and will NOT auto-broadcast; without the explicit hint
+      // every step re-shuffles the graph-sized adjacency (measured 8 s
+      // of pure exchange at sf0.01)
+      frontier = broadcast(frontier).join(adj, frontier("node") === adj("src"))
+        .where(col("r") === pmod(
+          xxhash64(col("node"), lit(t.toLong), col("walk_id")),
+          col("deg")) + 1)
+        .select(col("walk_id"), col("dst").as("node"))
+        .localCheckpoint()
+      out = out.unionAll(
+        frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
+    }
+    pinnedRdd(adj).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Query key `graph_random_walk_sample`: 2 deterministic 8-step walks
+    * from each of the 64 smallest-id nodes of the co-order part graph.
+    * Undirected ⇒ every reached node has at least the return edge, so
+    * no walk dead-ends. Oracle-exempt (hash-driven); Round11dSpec pins
+    * every consecutive pair onto the edge set, exact walk shape
+    * (64·2 walks × steps 0..8), a driver XXH64 replay on a synthetic
+    * graph, and determinism. */
+  def graphRandomWalkSample(s: SparkSession, d: String): DataFrame = {
+    val pairs = coOrderPairs(s, d).distinct()
+    val edges = pairs.union(pairs.select(col("p2"), col("p1"))).toDF("src", "dst")
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(64)
+    randomWalks(edges, seeds, walksPerSeed = 2, steps = 8)
+      .orderBy(col("walk_id"), col("step"))
+  }
+
   /** Query key `graph_hits`: hubs & authorities over the DIRECTED
     * customer→part purchase graph (distinct (o_custkey, l_partkey) via
     * orders ⋈ lineitem) — the classic web-graph quality signal recast on

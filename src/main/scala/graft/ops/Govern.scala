@@ -94,6 +94,69 @@ object Govern {
       .orderBy(col("nationkey"), col("mktsegment"))
   }
 
+  /** Query key `privacy_t_closeness`: the third audit of the governance
+    * triad (k-anonymity → l-diversity → t-closeness): per coarse QI
+    * class (nation, segment), the Wasserstein-1 distance between the
+    * class's sensitive-attribute distribution (acctbal band — an ORDERED
+    * attribute, which is exactly the case l-diversity mishandles and
+    * t-closeness was introduced for) and the GLOBAL distribution.
+    * Exact-integer EMD (the drift_emd recipe): on the global band grid,
+    * W1 = Σ |cum_class·N − cum_global·n_c| · gap, an integer sum whose
+    * products stay far inside 2^53 at gated SFs, with ONE divide by
+    * (n_c·N) at the end and a second normalization by the band span for
+    * the [0,1] t the threshold compares against (t ≤ 0.2 flag).
+    *
+    * Scale: the class × band frame is the QI-domain × band-domain grid
+    * (≤ 25·5·11 rows at ANY corpus size); the only corpus-sized work is
+    * the two bounded groupBys that build it. */
+  def privacyTCloseness(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bands = Tables.customer(s, d)
+      .select(
+        col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("band"))
+    val cells = bands
+      .groupBy(col("nationkey"), col("mktsegment"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val global = bands.groupBy(col("band")).agg(count(lit(1)).as("gcnt"))
+    // every class × every global band (absent cells count 0), so the
+    // cumulative walks of class and global share one ordered grid
+    val classes = cells.groupBy(col("nationkey"), col("mktsegment"))
+      .agg(sum(col("cnt")).as("n_c"))
+    val grid = classes.crossJoin(broadcast(global))
+      .join(cells, Seq("nationkey", "mktsegment", "band"), "left_outer")
+      .na.fill(0L, Seq("cnt"))
+    val byClass = w.partitionBy(col("nationkey"), col("mktsegment"))
+      .orderBy(col("band"))
+    val scored = grid
+      .withColumn("cum_c", sum(col("cnt")).over(byClass))
+      .withColumn("cum_g", sum(col("gcnt")).over(byClass))
+      .withColumn("nn", sum(col("gcnt")).over(
+        w.partitionBy(col("nationkey"), col("mktsegment"))))
+      .withColumn("gap", coalesce(lead(col("band"), 1).over(byClass) -
+        col("band"), lit(0L)))
+      .withColumn("term",
+        abs(col("cum_c") * col("nn") - col("cum_g") * col("n_c")) * col("gap"))
+    val span = max(col("band")).over(
+      w.partitionBy(col("nationkey"), col("mktsegment"))) -
+      min(col("band")).over(w.partitionBy(col("nationkey"), col("mktsegment")))
+    scored
+      .withColumn("span", span)
+      .groupBy(col("nationkey"), col("mktsegment"), col("n_c"),
+        col("nn"), col("span"))
+      .agg(sum(col("term")).as("raw"))
+      .select(col("nationkey"), col("mktsegment"), col("n_c").as("class_size"),
+        (floor(col("raw").cast("double") /
+          (col("n_c") * col("nn")).cast("double") * 1e6 + 0.5) / 1e6)
+          .as("emd_bands"),
+        (floor(col("raw").cast("double") /
+          (col("n_c") * col("nn") * col("span")).cast("double") * 1e6 + 0.5)
+          / 1e6).as("t"))
+      .withColumn("meets_t02", (col("t") <= 0.2).cast("int"))
+      .orderBy(col("nationkey"), col("mktsegment"))
+  }
+
   /** Differentially-private release of the per-(event_type, day) event
     * counts: true count + Laplace(Δ/ε) noise with ε=1 and sensitivity
     * Δ=1 (one event changes one cell by one), plus the max(0, rounded)
@@ -196,6 +259,9 @@ object Govern {
       .agg(
         min(col("l_distinct")).cast("double").as("ldiv_min_l"),
         min(col("entropy_l")).as("ldiv_min_entropy"))
+    val t = privacyTCloseness(s, d)
+      .groupBy(col("mktsegment").as("key"))
+      .agg(max(col("t")).as("tclose_max_t"))
     def shaped(src: DataFrame, metric: String): DataFrame =
       src.select(lit(metric).as("metric"), col("key"),
         col(metric).as("value"))
@@ -204,6 +270,7 @@ object Govern {
       .unionAll(shaped(k, "kanon_total_classes"))
       .unionAll(shaped(l, "ldiv_min_l"))
       .unionAll(shaped(l, "ldiv_min_entropy"))
+      .unionAll(shaped(t, "tclose_max_t"))
       .orderBy(col("metric"), col("key"))
   }
 

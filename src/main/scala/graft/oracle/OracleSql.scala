@@ -1085,6 +1085,38 @@ object OracleSql {
         "WHERE w IN ('slow', 'fast', 'big', 'small', 'a', 'the') " +
         "GROUP BY doc_id HAVING count(DISTINCT w) >= 3 ORDER BY doc_id"),
 
+    // t-closeness: exact-integer EMD (drift_emd's cross-multiplied
+    // cumulative recipe) between each QI class's band distribution and
+    // the global one, normalized to [0,1] by the band span
+    "privacy_t_closeness" ->
+      ("WITH b AS (SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment, " +
+        "floor(c_acctbal / 1000)::BIGINT AS band FROM customer), " +
+        "cells AS (SELECT nationkey, mktsegment, band, count(*)::BIGINT AS cnt " +
+        "FROM b GROUP BY 1, 2, 3), " +
+        "g AS (SELECT band, count(*)::BIGINT AS gcnt FROM b GROUP BY 1), " +
+        "cl AS (SELECT nationkey, mktsegment, sum(cnt)::BIGINT AS n_c " +
+        "FROM cells GROUP BY 1, 2), " +
+        "grid AS (SELECT cl.nationkey, cl.mktsegment, cl.n_c, g.band, g.gcnt, " +
+        "coalesce(cells.cnt, 0)::BIGINT AS cnt FROM cl CROSS JOIN g " +
+        "LEFT JOIN cells ON cells.nationkey = cl.nationkey " +
+        "AND cells.mktsegment = cl.mktsegment AND cells.band = g.band), " +
+        "sc AS (SELECT nationkey, mktsegment, n_c, band, " +
+        "sum(cnt) OVER (PARTITION BY nationkey, mktsegment ORDER BY band) AS cum_c, " +
+        "sum(gcnt) OVER (PARTITION BY nationkey, mktsegment ORDER BY band) AS cum_g, " +
+        "sum(gcnt) OVER (PARTITION BY nationkey, mktsegment) AS nn, " +
+        "coalesce(lead(band) OVER (PARTITION BY nationkey, mktsegment ORDER BY band) - band, 0) AS gap, " +
+        "max(band) OVER (PARTITION BY nationkey, mktsegment) - " +
+        "min(band) OVER (PARTITION BY nationkey, mktsegment) AS span FROM grid), " +
+        "agg AS (SELECT nationkey, mktsegment, n_c, nn, span, " +
+        "sum(abs(cum_c * nn - cum_g * n_c) * gap)::BIGINT AS raw FROM sc " +
+        "GROUP BY 1, 2, 3, 4, 5) " +
+        "SELECT nationkey, mktsegment, n_c AS class_size, " +
+        "floor(raw::DOUBLE / (n_c * nn)::DOUBLE * 1000000 + 0.5) / 1000000.0 AS emd_bands, " +
+        "floor(raw::DOUBLE / (n_c * nn * span)::DOUBLE * 1000000 + 0.5) / 1000000.0 AS t, " +
+        "(CASE WHEN floor(raw::DOUBLE / (n_c * nn * span)::DOUBLE * 1000000 + 0.5) / 1000000.0 <= 0.2 " +
+        "THEN 1 ELSE 0 END)::INT AS meets_t02 " +
+        "FROM agg ORDER BY nationkey, mktsegment"),
+
     "text_tfidf_topterms" ->
       ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term), " +
@@ -3491,18 +3523,21 @@ object OracleSql {
     val privacyReport =
       s"WITH k AS (${base("privacy_k_anonymity")}), " +
         s"l AS (${base("privacy_l_diversity")}), " +
+        s"t2 AS (${base("privacy_t_closeness")}), " +
         "ka AS (SELECT mktsegment AS key, " +
         "min(class_size)::DOUBLE AS kanon_min_class, " +
         "sum((class_size < 5)::BIGINT)::DOUBLE AS kanon_violation_classes, " +
         "count(*)::DOUBLE AS kanon_total_classes FROM k GROUP BY 1), " +
         "la AS (SELECT mktsegment AS key, " +
         "min(l_distinct)::DOUBLE AS ldiv_min_l, " +
-        "min(entropy_l) AS ldiv_min_entropy FROM l GROUP BY 1) " +
+        "min(entropy_l) AS ldiv_min_entropy FROM l GROUP BY 1), " +
+        "ta AS (SELECT mktsegment AS key, max(t) AS tclose_max_t FROM t2 GROUP BY 1) " +
         "SELECT 'kanon_min_class' AS metric, key, kanon_min_class AS value FROM ka " +
         "UNION ALL SELECT 'kanon_violation_classes', key, kanon_violation_classes FROM ka " +
         "UNION ALL SELECT 'kanon_total_classes', key, kanon_total_classes FROM ka " +
         "UNION ALL SELECT 'ldiv_min_l', key, ldiv_min_l FROM la " +
         "UNION ALL SELECT 'ldiv_min_entropy', key, ldiv_min_entropy FROM la " +
+        "UNION ALL SELECT 'tclose_max_t', key, tclose_max_t FROM ta " +
         "ORDER BY metric, key"
 
     // CCNet buckets compose text_lm_score's body verbatim; tercile from

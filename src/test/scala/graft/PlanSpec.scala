@@ -830,7 +830,11 @@ class PlanSpec extends SparkSpec {
       "pipeline_dedup_report",
       // r11d one-row scalar folds: HITS broadcasts the L2-norm row each
       // half-round; layout stats broadcasts the global min/max range row
-      "graph_hits", "layout_pruning_stats")
+      "graph_hits", "layout_pruning_stats",
+      // t-closeness crosses each QI class with the GLOBAL band
+      // histogram — a band-domain-bounded (≤ 11-row) broadcast table,
+      // stream_drift_psi's class; the composed report inherits it
+      "privacy_t_closeness", "pipeline_privacy_report")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

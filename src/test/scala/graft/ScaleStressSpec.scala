@@ -186,7 +186,11 @@ class ScaleStressSpec extends SparkSpec {
     // the unigram pair is one corpus pass + vocabulary-bounded EM
     ("knn_binary_hamming", 15.0, 25.0),
     ("corpus_unigram_train", 10.0, 30.0),
-    ("corpus_unigram_tokenize", 15.0, 25.0))
+    ("corpus_unigram_tokenize", 15.0, 25.0),
+    // r11d third wave: t-closeness is two bounded groupBys + a
+    // QI-domain grid; walks are frontier-sized joins on one exchange
+    ("privacy_t_closeness", 15.0, 20.0),
+    ("graph_random_walk_sample", 24.0, 30.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
