@@ -215,9 +215,22 @@ object Custom {
     * questions from T sketches. Oracle-exempt (sketch); Round11dSpec
     * pins both per-side estimates and the intersection against exact
     * distinct counts, plus exact-mode equality on a small fixture. */
+  /** 2^63 as double — the hash-space size the KMV theta fraction is
+    * measured against. */
+  private[graft] val KmvM = 9.223372036854775807e18
+
+  /** Distinct-count estimate from a KMV value array: exact when the
+    * sketch holds the whole set (< K values), else (K−1)·2⁶³/θ_K.
+    * Shared by the batch intersect op and the streaming readout. */
+  private[graft] def kmvEstCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(size(c) < KmvK, size(c).cast("double"))
+      .otherwise(floor(lit((KmvK - 1).toDouble) * lit(KmvM) /
+        element_at(c, KmvK).cast("double") + 0.5))
+
   def aggKmvIntersect(s: SparkSession, d: String): DataFrame = {
     val kmv = udaf(KmvAgg)
-    val M = 9.223372036854775807e18 // 2^63 as double
+    val M = KmvM
     val sk = Tables.events(s, d)
       .where(col("event_type").isin("click", "purchase"))
       .groupBy(col("event_type"))
@@ -229,14 +242,11 @@ object Custom {
     def theta(c: org.apache.spark.sql.Column) =
       when(size(c) < KmvK, lit(M))
         .otherwise(element_at(c, KmvK).cast("double"))
-    def estSide(c: org.apache.spark.sql.Column) =
-      when(size(c) < KmvK, size(c).cast("double"))
-        .otherwise(floor(lit((KmvK - 1).toDouble) * lit(M) / theta(c) + 0.5))
     one.select(
         lit(KmvK).as("k"),
         size(col("va")).as("n_a"), size(col("vb")).as("n_b"),
-        estSide(col("va")).as("est_click"),
-        estSide(col("vb")).as("est_purchase"),
+        kmvEstCol(col("va")).as("est_click"),
+        kmvEstCol(col("vb")).as("est_purchase"),
         least(theta(col("va")), theta(col("vb"))).as("th"),
         array_intersect(col("va"), col("vb")).as("both"))
       .select(col("k"), col("n_a"), col("n_b"),

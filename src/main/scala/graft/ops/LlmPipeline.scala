@@ -3416,30 +3416,80 @@ object LlmPipeline {
     }
   }
 
-  def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
+  // Shingle hashing is a typed JVM kernel, not a HOF lambda chain:
+  // Catalyst higher-order functions run INTERPRETED, and building every
+  // 12-token shingle string before hashing cost ~1.8 s at sf0.1. Here
+  // each token is murmur-hashed once, then each window combines 12 longs
+  // FNV-style — O(tokens·W) integer ops, zero string materialization.
+  // Shared by the exact and bloom decontamination tiers.
+  private def docShingleHashes(df: DataFrame, w: Int): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    val W = 12
-    val docs = Tables.documents(s, d)
-    // Shingle hashing is a typed JVM kernel, not a HOF lambda chain:
-    // Catalyst higher-order functions run INTERPRETED, and building every
-    // 12-token shingle string before hashing cost ~1.8 s at sf0.1. Here
-    // each token is murmur-hashed once, then each window combines 12 longs
-    // FNV-style — O(tokens·W) integer ops, zero string materialization.
-    def shingleHashes(df: DataFrame) = df
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          shingleHashes64(text, W).iterator.map(h => (id, h))
+          shingleHashes64(text, w).iterator.map(h => (id, h))
         }
       }.toDF("doc_id", "gh")
-    val evalShingles = shingleHashes(docs.where(col("doc_id") < 100))
+  }
+
+  def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    val W = 12
+    val docs = Tables.documents(s, d)
+    val evalShingles = docShingleHashes(docs.where(col("doc_id") < 100), W)
       .select(col("gh")).distinct()
-    val contaminated = shingleHashes(docs.where(col("doc_id") >= 100))
+    val contaminated = docShingleHashes(docs.where(col("doc_id") >= 100), W)
       .join(broadcast(evalShingles), Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
     docs.where(col("doc_id") >= 100)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Query key `decontaminate_bloom`: the SCALE tier of
+    * [[decontaminateNgram]] — the exact form broadcasts the full
+    * distinct eval-shingle set (gigabytes once the benchmark suite is
+    * real); this one compresses it into a 1%-fpp Bloom filter (~10 bits
+    * per gram, built executor-side by stat.bloomFilter's mergeable
+    * partial aggregation) and tests every training gram MAP-SIDE
+    * through the engine's codegen'd BloomFilterMightContain — the
+    * Dolma/FineWeb production decontamination shape. One-sided by
+    * construction: the filter can only over-flag (false positives), so
+    * the bloom-clean corpus is a SUBSET of the exact-clean corpus —
+    * benchmark contamination can never slip through, a curation pass
+    * can only lose (fpp-bounded) innocent documents. Oracle-exempt
+    * (filter layout is engine-specific); Round11dSpec pins the subset
+    * property, the fpp-bounded loss, and determinism. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val W = 12
+    val docs = Tables.documents(s, d)
+    val evalShingles = docShingleHashes(docs.where(col("doc_id") < 100), W)
+      .select(col("gh")).distinct()
+    // capacity from the build side itself (joinBloomPrefilter's rule):
+    // a fixed capacity silently degrades fpp once the eval suite grows
+    val approxKeys = evalShingles
+      .agg(approx_count_distinct(col("gh")).as("n")).head().getLong(0)
+    // fpp is a PER-GRAM rate and a document is flagged if ANY of its
+    // ~n_words-W grams hits, so the per-doc false-flag rate is
+    // ≈ grams·fpp — 1e-4 keeps it ~0.4% on 40-gram docs where the
+    // usual 1% would false-flag a third of the corpus; at ~19 bits/gram
+    // the filter is still ~4× smaller than the raw 64-bit hash set,
+    // with no shuffle at probe time
+    val bf = evalShingles.stat.bloomFilter(
+      "gh", math.max(1000L, approxKeys * 5L / 4L), 1e-4)
+    val filterBytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    val suspects = docShingleHashes(docs.where(col("doc_id") >= 100), W)
+      .where(org.apache.spark.sql.GraftBridge.bloomMightContain(
+        filterBytes, col("gh")))
+      .select(col("doc_id")).distinct()
+    docs.where(col("doc_id") >= 100)
+      .join(suspects, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -4270,6 +4320,84 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Query key `dedup_cdc_chunks`: CONTENT-DEFINED chunking dedup — the
+    * boundary-shift-resilient complement of [[dedupParagraph]]'s fixed
+    * segments and [[dedupSubstringKgram]]'s positional windows: chunk
+    * boundaries fall where a rolling 4-word content hash ≡ 0 (mod 16),
+    * so inserting one word re-aligns every later chunk within ~16 words
+    * (a fixed segmenter shifts ALL later segments and misses every
+    * duplicate after the edit — the rsync/LBFS/borg argument, applied
+    * to corpus text). Word hash = (len, first, last codepoint) packed
+    * into small exact integers; the window polynomial too, so the ENTIRE
+    * chunker — boundaries, chunk strings, md5 digests, corpus copy
+    * counts, per-doc duplicated fraction — is oracle-gated against
+    * DuckDB replaying the identical list arithmetic.
+    *
+    * Scale: chunking is per-row HOF work (bounded by words-per-doc);
+    * ONE corpus pass explodes ~n_words/16 chunks; the digest count and
+    * the re-attach share one md5-keyed exchange; per-doc rollup keys on
+    * doc_id. Expected chunk length is the mod (16 words). */
+  def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("wh", expr(
+        "transform(ws, w -> cast(length(w) * 961 + ascii(w) * 31 " +
+          "+ ascii(substr(w, -1)) as bigint))"))
+      .withColumn("h", expr(
+        "transform(sequence(1, size(ws)), i -> element_at(wh, i) " +
+          "+ IF(i > 1, element_at(wh, i - 1) * 31, 0L) " +
+          "+ IF(i > 2, element_at(wh, i - 2) * 961, 0L) " +
+          "+ IF(i > 3, element_at(wh, i - 3) * 29791, 0L))"))
+      // the raw window polynomial's low bits inherit word-length
+      // structure — mix through the Knuth multiplicative hash (the
+      // corpus_mixture_sample recipe; h ≤ ~8e8 so the product stays
+      // far inside the signed-64 range in both engines) and cut the
+      // boundary on the mixed word's top sixteenth
+      .withColumn("bpos", expr(
+        "filter(sequence(1, size(ws)), i -> " +
+          "(element_at(h, i) * 2654435761L) % 4294967296L < 268435456L " +
+          "OR i = size(ws))"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(bpos)), j -> array_join(slice(ws, " +
+          "IF(j = 1, 1, element_at(bpos, j - 1) + 1), " +
+          "element_at(bpos, j) - IF(j = 1, 0, element_at(bpos, j - 1))), ' '))")))
+      .select(col("doc_id"), md5(col("col")).as("digest"))
+    val counts = chunks.groupBy(col("digest")).agg(count(lit(1)).as("cnt"))
+    chunks.join(counts, "digest")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("cnt") >= 2).cast("bigint")).as("dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        (floor(col("dup_chunks").cast("double") /
+          col("n_chunks").cast("double") * 1e6 + 0.5) / 1e6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Query key `pipeline_tokenizer_report`: the tokenizer COMPARISON
+    * table a corpus team reads before choosing a vocabulary — corpus
+    * totals and units-per-word for whitespace, the trained BPE
+    * ([[corpusBpeTokenize]]), and the trained unigram LM
+    * ([[corpusUnigramTokenize]]), as one (tokenizer, n_units,
+    * units_per_word) frame. Pure plan-level composition of the two
+    * apply passes (each map-side with its broadcast tokenizer) + one
+    * global integer aggregate each. Oracle-exempt (both trainers are);
+    * Round11dSpec pins the rows against independent aggregates of the
+    * two tokenize outputs and the ≥1 units-per-word envelope. */
+  def pipelineTokenizerReport(s: SparkSession, d: String): DataFrame = {
+    def upw(units: org.apache.spark.sql.Column,
+        words: org.apache.spark.sql.Column) =
+      floor(units.cast("double") / words.cast("double") * 1e4 + 0.5) / 1e4
+    val bpe = corpusBpeTokenize(s, d).agg(
+      sum(col("n_words")).as("w"), sum(col("n_bpe_tokens")).as("u"))
+    val uni = corpusUnigramTokenize(s, d).agg(
+      sum(col("n_words")).as("w"), sum(col("n_pieces")).as("u"))
+    bpe.select(lit("1_whitespace").as("tokenizer"), col("w").as("n_units"),
+        lit(1.0).as("units_per_word"))
+      .unionAll(bpe.select(lit("2_bpe"), col("u"), upw(col("u"), col("w"))))
+      .unionAll(uni.select(lit("3_unigram"), col("u"), upw(col("u"), col("w"))))
+      .orderBy(col("tokenizer"))
+  }
+
   /** DSIR selection — the RESAMPLING half of [[corpusDsirWeights]] (the
     * paper keeps documents by sampling ∝ exp(weight/T) without
     * replacement): the Gumbel-max trick makes that a deterministic
@@ -4697,7 +4825,11 @@ object LlmPipeline {
       .agg(
         countDistinct(col("e.id")).as("n_units"),
         countDistinct(when(col("e.isb"), col("e.id"))).as("flagged"))
-    shaped("exact_doc", exact)
+    val cdc = dedupCdcChunks(s, d).agg(
+      sum(col("n_chunks")).as("n_units"),
+      sum(col("dup_chunks")).as("flagged"))
+    shaped("cdc_chunk", cdc)
+      .unionAll(shaped("exact_doc", exact))
       .unionAll(shaped("near_doc_jaccard", near))
       .unionAll(shaped("paragraph_seg", para))
       .unionAll(shaped("substring_window", kgram))

@@ -246,4 +246,41 @@ object Streaming {
   def streamStreamFullJoin(s: SparkSession, d: String): DataFrame =
     streamStreamFullTransform(Tables.events(s, d))
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
+  /** Maintained state of the streaming distinct-count monitor: per
+    * (day window, type) a KMV sketch of user-id hashes — a CUSTOM typed
+    * Aggregator ([[Custom.KmvAgg]]) running INSIDE a streaming
+    * aggregation, the composition that makes sketches the streaming
+    * distinct answer: the ≤K-value buffer is the state-store row, merge
+    * is the across-micro-batch combine, and state stays constant-size
+    * per key no matter how many events a day carries (exact
+    * countDistinct would hold per-user state). Shared by the batch twin
+    * and StreamingParitySpec's replay. */
+  def kmvDistinctTransform(events: DataFrame): DataFrame = {
+    val kmv = udaf(Custom.KmvAgg)
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(kmv(expr("shiftrightunsigned(xxhash64(user_id), 1)")).as("sk"))
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("sk.vs").as("vs"))
+  }
+
+  /** The readout over the maintained sketch table: kept-value count and
+    * the KMV distinct estimate (exact below K). Pure column transforms —
+    * runs identically on the streaming sink table and the batch twin. */
+  def kmvDistinctReadout(sketches: DataFrame): DataFrame =
+    sketches
+      .select(col("day_start"), col("event_type"),
+        size(col("vs")).as("n_kept"),
+        Custom.kmvEstCol(col("vs")).as("est_distinct"))
+      .orderBy(col("day_start"), col("event_type"))
+
+  /** Query key `stream_kmv_distinct`: the daily distinct-users
+    * dashboard as a STREAM — watermark-evictable (day × type) KMV
+    * sketches + the estimate readout. Oracle-exempt (sketch);
+    * StreamingParitySpec pins stream ≡ batch row-for-row under both
+    * state-store backends, Round11dSpec pins the estimates against
+    * exact per-cell distincts. */
+  def streamKmvDistinct(s: SparkSession, d: String): DataFrame =
+    kmvDistinctReadout(kmvDistinctTransform(Tables.events(s, d)))
 }

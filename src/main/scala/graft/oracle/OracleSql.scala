@@ -1085,6 +1085,33 @@ object OracleSql {
         "WHERE w IN ('slow', 'fast', 'big', 'small', 'a', 'the') " +
         "GROUP BY doc_id HAVING count(DISTINCT w) >= 3 ORDER BY doc_id"),
 
+    // content-defined chunking: the identical small-integer rolling
+    // window + boundary rule + list slicing, replayed in DuckDB's list
+    // dialect (list_slice is begin..end inclusive where Spark's slice
+    // is start+length — both spell the same chunk)
+    "dedup_cdc_chunks" ->
+      ("WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "wh AS (SELECT doc_id, ws, " +
+        "list_transform(ws, w -> (len(w) * 961 + ascii(w) * 31 " +
+        "+ ascii(w[-1]))::BIGINT) AS wh FROM base), " +
+        "hs AS (SELECT doc_id, ws, " +
+        "list_transform(range(1, len(ws) + 1), i -> wh[i] " +
+        "+ CASE WHEN i > 1 THEN wh[i - 1] * 31 ELSE 0 END " +
+        "+ CASE WHEN i > 2 THEN wh[i - 2] * 961 ELSE 0 END " +
+        "+ CASE WHEN i > 3 THEN wh[i - 3] * 29791 ELSE 0 END) AS h FROM wh), " +
+        "bp AS (SELECT doc_id, ws, " +
+        "list_filter(range(1, len(ws) + 1), i -> " +
+        "(h[i] * 2654435761) % 4294967296 < 268435456 OR i = len(ws)) AS bpos FROM hs), " +
+        "ch AS (SELECT doc_id, md5(unnest(list_transform(range(1, len(bpos) + 1), " +
+        "j -> array_to_string(list_slice(ws, " +
+        "CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END, bpos[j]), ' ')))) AS digest FROM bp), " +
+        "cnts AS (SELECT digest, count(*) AS cnt FROM ch GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "sum((cnt >= 2)::BIGINT)::BIGINT AS dup_chunks, " +
+        "floor(sum((cnt >= 2)::BIGINT)::DOUBLE / count(*)::DOUBLE * 1000000 + 0.5) " +
+        "/ 1000000.0 AS dup_frac " +
+        "FROM ch JOIN cnts USING (digest) GROUP BY doc_id ORDER BY doc_id"),
+
     // t-closeness: exact-integer EMD (drift_emd's cross-multiplied
     // cumulative recipe) between each QI class's band distribution and
     // the global one, normalized to [0,1] by the band span
@@ -3564,9 +3591,13 @@ object OracleSql {
         s"p AS (${base("dedup_paragraph")}), " +
         s"g AS (${base("dedup_substring_kgram")}), " +
         s"j AS (${base("dedup_ngram_jaccard")}), " +
+        s"cdc AS (${base("dedup_cdc_chunks")}), " +
         "x AS (SELECT a_id AS id, false AS isb FROM j " +
         "UNION ALL SELECT b_id, true FROM j) " +
-        "SELECT 'exact_doc' AS method, sum(n_copies)::DOUBLE AS n_units, " +
+        "SELECT 'cdc_chunk' AS method, sum(n_chunks)::DOUBLE AS n_units, " +
+        "sum(dup_chunks)::DOUBLE AS flagged, " +
+        fracSql("sum(dup_chunks)", "sum(n_chunks)") + " AS frac FROM cdc " +
+        "UNION ALL SELECT 'exact_doc', sum(n_copies)::DOUBLE, " +
         "(sum(n_copies) - count(*))::DOUBLE AS flagged, " +
         fracSql("(sum(n_copies) - count(*))", "sum(n_copies)") + " AS frac FROM e " +
         "UNION ALL SELECT 'near_doc_jaccard', count(DISTINCT id)::DOUBLE, " +

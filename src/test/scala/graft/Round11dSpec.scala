@@ -333,6 +333,92 @@ class Round11dSpec extends SparkSpec {
     assert(got == expect.toSet, s"walks differ:\n got=$got\n exp=$expect")
   }
 
+  // ------------------------------------------------- bloom decontamination
+
+  test("decontaminate_bloom: one-sided vs exact, fpp-bounded loss, deterministic") {
+    val exact = graft.ops.LlmPipeline.decontaminateNgram(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = graft.ops.LlmPipeline.decontaminateBloom(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the filter can only over-flag: bloom-clean ⊆ exact-clean — a
+    // contaminated doc can never survive the bloom tier
+    assert(bloom.subsetOf(exact),
+      s"bloom kept docs the exact tier drops: ${(bloom -- exact).take(5)}")
+    // fpp-bounded loss: ≤ 2% of the exact-clean corpus falsely dropped
+    val lost = exact.size - bloom.size
+    assert(lost <= math.max(1, exact.size / 50),
+      s"bloom dropped $lost of ${exact.size} clean docs")
+    val again = graft.ops.LlmPipeline.decontaminateBloom(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == bloom)
+  }
+
+  // ------------------------------------------------------- CDC chunk dedup
+
+  test("dedup_cdc_chunks: boundaries re-align after an insertion (fixed segments don't)") {
+    import spark.implicits._
+    // 200 distinct non-periodic words; the twin prepends one word
+    val words = (0 until 200).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = ("zzz " + a)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq((1L, a, "en", "s", a.length.toLong), (2L, b, "en", "s", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.LlmPipeline.dedupCdcChunks(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // CDC: after the one-word prefix shift, boundaries re-synchronize
+    // within ~one expected chunk, so MOST chunks are shared verbatim
+    val (nA, dupA) = rows(1L)
+    assert(dupA.toDouble / nA >= 0.6,
+      s"CDC re-alignment too weak: $dupA of $nA chunks shared")
+    // the fixed-width strawman on the same pair: 16-word segments shift
+    // by one word and share NOTHING
+    val segA = words.grouped(16).map(_.mkString(" ")).toSet
+    val segB = ("zzz" +: words).grouped(16).map(_.mkString(" ")).toSet
+    assert(segA.intersect(segB).isEmpty,
+      "fixed segments unexpectedly aligned — strawman invalid")
+  }
+
+  // ------------------------------------------------------ tokenizer report
+
+  test("pipeline_tokenizer_report: rows equal independent aggregates") {
+    val rep = graft.ops.LlmPipeline.pipelineTokenizerReport(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rep.keySet == Set("1_whitespace", "2_bpe", "3_unigram"))
+    val bpe = graft.ops.LlmPipeline.corpusBpeTokenize(spark, sf001)
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+        org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect().head
+    val uni = graft.ops.LlmPipeline.corpusUnigramTokenize(spark, sf001)
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+        org.apache.spark.sql.functions.sum("n_pieces")).collect().head
+    assert(rep("1_whitespace")._1 == bpe.getLong(0))
+    assert(rep("2_bpe")._1 == bpe.getLong(1))
+    assert(rep("3_unigram")._1 == uni.getLong(1))
+    assert(rep("2_bpe")._2 >= 1.0 && rep("3_unigram")._2 >= 1.0)
+    assert(rep("1_whitespace")._2 == 1.0)
+  }
+
+  test("stream_kmv_distinct: estimates within ±25% of exact per cell") {
+    val est = graft.ops.Streaming.streamKmvDistinct(spark, sf01).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getInt(2), r.getAs[Double]("est_distinct"))).toMap
+    assert(est.nonEmpty)
+    val exact = graft.io.Tables.events(spark, sf01)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("w.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, (kept, e)) =>
+      val x = exact(k)
+      assert(math.abs(e - x) <= math.max(2.0, 0.25 * x),
+        s"cell $k: est $e vs exact $x (kept $kept)")
+      if (kept < graft.ops.Custom.KmvK)
+        assert(e == x.toDouble, s"sub-K cell $k must be exact: $e vs $x")
+    }
+  }
+
   // -------------------------------------------- card + blocklist invariants
 
   test("pipeline_corpus_card: internal consistency") {

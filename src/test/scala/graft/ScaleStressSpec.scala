@@ -190,7 +190,14 @@ class ScaleStressSpec extends SparkSpec {
     // r11d third wave: t-closeness is two bounded groupBys + a
     // QI-domain grid; walks are frontier-sized joins on one exchange
     ("privacy_t_closeness", 15.0, 20.0),
-    ("graph_random_walk_sample", 24.0, 30.0))
+    ("graph_random_walk_sample", 24.0, 30.0),
+    // r11d fourth wave: bloom probe is map-side after the eval-set
+    // build; CDC chunking is per-row HOFs + one md5-keyed exchange;
+    // the tokenizer report composes two vocabulary-bounded trainers
+    ("decontaminate_bloom", 15.0, 25.0),
+    ("dedup_cdc_chunks", 15.0, 30.0),
+    ("pipeline_tokenizer_report", 15.0, 40.0),
+    ("stream_kmv_distinct", 15.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString

@@ -325,6 +325,18 @@ abstract class StreamingParitySpecBase extends SparkSpec with StateStoreVariant 
       batch.orderBy(col("user_id"), col("session_start")), "session")
   }
 
+  test("KMV sketch streaming aggregation: stream == batch") {
+    // a CUSTOM typed Aggregator as streaming state: the ≤K-value buffer
+    // rides the state store across micro-batches; the readout estimate
+    // must equal the batch twin exactly (the sketch is deterministic)
+    val streamed = runStream(
+      Streaming.kmvDistinctTransform(replay.withWatermark("ts", "10 minutes")),
+      "complete", "t_kmv")
+    assertSameRows(
+      Streaming.kmvDistinctReadout(streamed),
+      Streaming.streamKmvDistinct(spark, sf001), "kmv-distinct")
+  }
+
   test("stream-static join: stream == batch") {
     val streamed = runStream(
       Streaming.staticJoinTransform(replay, Tables.customer(spark, sf001)),
