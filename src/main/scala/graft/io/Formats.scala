@@ -137,6 +137,39 @@ object Formats {
       .orderBy(col("event_type"))
   }
 
+  /** Query key `sink_shard_manifest`: the corpus PUBLISHING step — the
+    * documents table written as 16 hash shards (`partitionBy` on the
+    * engine-portable Knuth bucket of doc_id, the reproducible shard
+    * assignment a training loader relies on), read BACK from the files,
+    * and summarized as the release MANIFEST: per shard the doc count,
+    * whitespace-token total, and an order-insensitive exact CONTENT
+    * digest (sum of each doc's md5-prefix-48-bits — 48-bit terms over
+    * any realistic shard count stay far inside 2⁶³, and addition makes
+    * the digest independent of file/row order, which parquet does not
+    * preserve). The oracle computes the same manifest from the ORIGINAL
+    * table, so a row lost, duplicated, or corrupted anywhere in the
+    * write→read round trip breaks the hash gate — this is the artifact
+    * a consumer checks before training on a published shard set.
+    *
+    * Scale: the write is one hash-partitioned pass; the manifest is one
+    * 16-group aggregate. At 100 TB shards are directories and the
+    * manifest is the same 16 rows. */
+  def sinkShardManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("shard",
+        expr("cast((doc_id * 2654435761L) % 4294967296L % 16 as int)"))
+    val dir = tmpDir("shardmanifest", d)
+    docs.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+          .as("content_digest"))
+      .orderBy(col("shard"))
+  }
+
   /** Dynamic Partition Pruning — THE 100 TB star-join feature: the fact
     * written `partitionBy(event_date)`, joined to a small GENERATED date
     * dim (a calendar the fact's scan cannot see statically) carrying a

@@ -837,6 +837,29 @@ object LlmPipeline {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** Query key `embedding_outlier_knn`: distance-based embedding-quality
+    * culling — a vector whose nearest neighbors are all FAR is an
+    * encoder failure, OCR garbage, or an off-distribution document, and
+    * dropping it is cheaper than training on it (the kNN-outlier shape
+    * of LOF without the density ratio — the curation decision only
+    * needs the first moment). Score = mean of the top-3 exact cosine
+    * similarities (one [[knnCosine]] pass, already 1e-4-snapped); the
+    * outlier cut is the exact 10th percentile of that score broadcast
+    * as a one-row boundary (analytics_pareto's no-window recipe).
+    * Oracle-exempt (the kNN kernel is); Round11dSpec pins the threshold
+    * semantics (every outlier scores ≤ every keeper), the ~10% rate,
+    * planted-junk recall, and determinism. */
+  def embeddingOutlierKnn(s: SparkSession, d: String): DataFrame = {
+    val means = knnCosine(s, d)
+      .groupBy(col("vec_id"))
+      .agg((floor(sum(col("score")) / 3.0 * 1e4 + 0.5) / 1e4).as("mean_sim"))
+    val cut = means.agg(percentile(col("mean_sim"), lit(0.1)).as("p10"))
+    means.crossJoin(broadcast(cut))
+      .select(col("vec_id"), col("mean_sim"),
+        (col("mean_sim") <= col("p10")).cast("int").as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Product-quantization ANN — the third rung of the quantization
     * ladder (fp32 brute → int8 scalar [[knnQuantized]] → PQ): each
     * 64-d vector compresses to m=8 one-byte codes (one per 8-d

@@ -1085,6 +1085,16 @@ object OracleSql {
         "WHERE w IN ('slow', 'fast', 'big', 'small', 'a', 'the') " +
         "GROUP BY doc_id HAVING count(DISTINCT w) >= 3 ORDER BY doc_id"),
 
+    // the release manifest computed from the ORIGINAL table — the Spark
+    // side computes it from the written-and-reloaded shard files, so the
+    // hash gate certifies the whole publish round trip
+    "sink_shard_manifest" ->
+      ("SELECT ((doc_id * 2654435761) % 4294967296 % 16)::INT AS shard, " +
+        "count(*) AS n_docs, " +
+        "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens, " +
+        "sum(('0x' || substring(md5(text), 1, 12))::BIGINT)::BIGINT AS content_digest " +
+        "FROM documents GROUP BY 1 ORDER BY shard"),
+
     // content-defined chunking: the identical small-integer rolling
     // window + boundary rule + list slicing, replayed in DuckDB's list
     // dialect (list_slice is begin..end inclusive where Spark's slice

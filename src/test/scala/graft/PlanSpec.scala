@@ -834,7 +834,9 @@ class PlanSpec extends SparkSpec {
       // t-closeness crosses each QI class with the GLOBAL band
       // histogram — a band-domain-bounded (≤ 11-row) broadcast table,
       // stream_drift_psi's class; the composed report inherits it
-      "privacy_t_closeness", "pipeline_privacy_report")
+      "privacy_t_closeness", "pipeline_privacy_report",
+      // one-row p10 boundary fold (analytics_pareto's recipe)
+      "embedding_outlier_knn")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

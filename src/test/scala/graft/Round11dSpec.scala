@@ -419,6 +419,62 @@ class Round11dSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- embedding outliers
+
+  test("embedding_outlier_knn: threshold semantics, rate, planted-junk recall") {
+    val rows = graft.ops.LlmPipeline.embeddingOutlierKnn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val (out, keep) = rows.partition(_._3 == 1)
+    assert(out.nonEmpty && keep.nonEmpty)
+    // exact-percentile threshold: every outlier scores <= every keeper
+    assert(out.map(_._2).max <= keep.map(_._2).min)
+    val rate = out.length.toDouble / rows.length
+    assert(rate >= 0.08 && rate <= 0.20, s"outlier rate $rate")
+    // planted junk: 40 copies of a tight cluster + one orthogonal junk
+    // vector — the junk's neighbors are all far and it MUST flag
+    import spark.implicits._
+    val dim = 64
+    val base = Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val clustered = (0L until 40L).map { i =>
+      val v = base.clone()
+      v(1) = (i % 7).toFloat * 1e-3f
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / n))
+    }
+    val junk = (99L, Array.tabulate(dim)(i => if (i == 63) 1.0f else 0.0f))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-outlier").toString
+    (clustered :+ junk).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val planted = graft.ops.LlmPipeline.embeddingOutlierKnn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(planted(99L) == 1, "planted junk vector not flagged")
+  }
+
+  // ------------------------------------------------------- shard manifest
+
+  test("sink_shard_manifest: totals conserve and digest detects corruption") {
+    val m = graft.io.Formats.sinkShardManifest(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.io.Tables.documents(spark, sf001).count()
+    assert(m.map(_._2).sum == total, "manifest loses/duplicates docs")
+    assert(m.map(_._1).distinct.length == m.length)
+    // the digest is content-sensitive: recompute with one doc's text
+    // perturbed and the affected shard's digest must move
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, sf001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    docs.withColumn("text",
+        when(col("doc_id") === 0L, concat(col("text"), lit(" corrupted")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m2 = graft.io.Formats.sinkShardManifest(spark, tmp).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val m1 = m.map(t => t._1 -> t._4).toMap
+    assert(m1 != m2, "digest blind to content corruption")
+    assert(m1.count { case (k, v) => m2(k) != v } == 1,
+      "corruption should move exactly one shard digest")
+  }
+
   // -------------------------------------------- card + blocklist invariants
 
   test("pipeline_corpus_card: internal consistency") {

@@ -197,7 +197,12 @@ class ScaleStressSpec extends SparkSpec {
     ("decontaminate_bloom", 15.0, 25.0),
     ("dedup_cdc_chunks", 15.0, 30.0),
     ("pipeline_tokenizer_report", 15.0, 40.0),
-    ("stream_kmv_distinct", 15.0, 20.0))
+    ("stream_kmv_distinct", 15.0, 20.0),
+    // r11d fifth wave: the manifest is one partitioned write + one
+    // 16-group aggregate; the outlier op rides knnCosine's declared
+    // broadcast tier (knn_sharded is the beyond-broadcast twin)
+    ("sink_shard_manifest", 15.0, 30.0),
+    ("embedding_outlier_knn", 24.0, 30.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
