@@ -4361,30 +4361,53 @@ object LlmPipeline {
     * the re-attach share one md5-keyed exchange; per-doc rollup keys on
     * doc_id. Expected chunk length is the mod (16 words). */
   def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the chunker is a typed JVM kernel, NOT a Catalyst HOF chain: the
+    // equivalent transform/filter/slice lambda pipeline runs INTERPRETED
+    // and measured 13.6 s at sf0.1 where this loop does the identical
+    // arithmetic in 0.5 s; the DuckDB oracle still replays the HOF
+    // spelling, so the semantics stay list-arithmetic-gated
     val chunks = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("wh", expr(
-        "transform(ws, w -> cast(length(w) * 961 + ascii(w) * 31 " +
-          "+ ascii(substr(w, -1)) as bigint))"))
-      .withColumn("h", expr(
-        "transform(sequence(1, size(ws)), i -> element_at(wh, i) " +
-          "+ IF(i > 1, element_at(wh, i - 1) * 31, 0L) " +
-          "+ IF(i > 2, element_at(wh, i - 2) * 961, 0L) " +
-          "+ IF(i > 3, element_at(wh, i - 3) * 29791, 0L))"))
-      // the raw window polynomial's low bits inherit word-length
-      // structure — mix through the Knuth multiplicative hash (the
-      // corpus_mixture_sample recipe; h ≤ ~8e8 so the product stays
-      // far inside the signed-64 range in both engines) and cut the
-      // boundary on the mixed word's top sixteenth
-      .withColumn("bpos", expr(
-        "filter(sequence(1, size(ws)), i -> " +
-          "(element_at(h, i) * 2654435761L) % 4294967296L < 268435456L " +
-          "OR i = size(ws))"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, size(bpos)), j -> array_join(slice(ws, " +
-          "IF(j = 1, 1, element_at(bpos, j - 1) + 1), " +
-          "element_at(bpos, j) - IF(j = 1, 0, element_at(bpos, j - 1))), ' '))")))
-      .select(col("doc_id"), md5(col("col")).as("digest"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          val n = ws.length
+          val wh = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val w = ws(i)
+            val first = if (w.isEmpty) 0 else w.codePointAt(0)
+            val last = if (w.isEmpty) 0 else w.codePointAt(w.length - 1)
+            wh(i) = w.length.toLong * 961 + first.toLong * 31 + last
+            i += 1
+          }
+          // rolling 4-word polynomial, Knuth-mixed boundary on the top
+          // sixteenth — identical integers to the oracle's list chain
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          var start = 0
+          i = 0
+          while (i < n) {
+            var h = wh(i)
+            if (i >= 1) h += wh(i - 1) * 31
+            if (i >= 2) h += wh(i - 2) * 961
+            if (i >= 3) h += wh(i - 3) * 29791
+            val mixed = (h * 2654435761L) % 4294967296L
+            if (mixed < 268435456L || i == n - 1) {
+              val chunk = ws.slice(start, i + 1).mkString(" ")
+              val hex = md.digest(chunk.getBytes("UTF-8"))
+                .map(b => f"$b%02x").mkString
+              out += ((id, hex))
+              start = i + 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "digest")
     val counts = chunks.groupBy(col("digest")).agg(count(lit(1)).as("cnt"))
     chunks.join(counts, "digest")
       .groupBy(col("doc_id"))

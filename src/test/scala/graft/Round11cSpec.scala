@@ -200,7 +200,8 @@ class Round11cSpec extends SparkSpec {
     val rep = graft.ops.LlmPipeline.pipelineDedupReport(spark, sf01).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     assert(rep.map(_._1).toSeq ==
-      Seq("exact_doc", "near_doc_jaccard", "paragraph_seg", "substring_window"))
+      Seq("cdc_chunk", "exact_doc", "near_doc_jaccard", "paragraph_seg",
+        "substring_window"))
     rep.foreach { case (m, n, f, frac) =>
       assert(n > 0, s"$m units")
       assert(f >= 0 && f <= n, s"$m flagged $f of $n")
