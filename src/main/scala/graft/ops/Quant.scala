@@ -755,6 +755,47 @@ object Quant {
     * the oracle replays the identical recurrence as a recursive CTE
     * stepping row_number order. Emits only the per-user tail (n, level,
     * trend, one-step forecast), so output is |users| not |events|. */
+  /** Query key `ts_ewma_timedecay`: EWMA under IRREGULAR event spacing —
+    * the per-user smoother a real event stream needs (row-based EWMA
+    * treats a 1-second and a 3-day gap identically; time-decay weights
+    * the old state by a = e^(−Δt/τ), τ = 1 h, so state half-lives in
+    * wall time). Sequential recurrence, oracle-gated by the
+    * ts_holt_linear recipe: identical double arithmetic in identical
+    * order in a DuckDB recursive CTE — with one extra guard, the decay
+    * factor SNAPS to the 1e-6 grid before entering the recurrence
+    * (exp() is the one libm call the two engines could round apart by
+    * an ulp; the snap absorbs it, drift_js's ln treatment).
+    *
+    * Scale: per-user mapGroups over a user-keyed exchange — sequence
+    * length bounded by events-per-user, parallel across users. */
+  def tsEwmaTimedecay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (u: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)]) =>
+        val xs = it.toArray.sortBy(e => (us(e._2), e._3))
+        var sm = xs(0)._4
+        var prev = us(xs(0)._2)
+        var i = 1
+        while (i < xs.length) {
+          val tu = us(xs(i)._2)
+          val a = math.floor(
+            math.exp(-((tu - prev).toDouble / 3.6e9)) * 1e6) / 1e6
+          sm = a * sm + (1.0 - a) * xs(i)._4
+          prev = tu
+          i += 1
+        }
+        def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+        (u, xs.length.toLong, r4(sm))
+      }
+      .toDF("user_id", "n_obs", "ewma_last")
+      .orderBy(col("user_id"))
+  }
+
   def tsHoltLinear(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def us(t: java.sql.Timestamp): Long =

@@ -2251,6 +2251,24 @@ object OracleSql {
 
     // Holt level+trend: the recursive CTE replays the engine's sequential
     // fold step-for-step — identical double arithmetic in identical order
+    // irregular-gap EWMA: the identical recurrence in a recursive CTE;
+    // the decay factor floor-snaps to 1e-6 BEFORE the update so a 1-ulp
+    // exp() disagreement between engines cannot enter the state
+    "ts_ewma_timedecay" ->
+      ("WITH RECURSIVE x AS (SELECT user_id, value, epoch_us(ts) AS tu, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i " +
+        "FROM events), " +
+        "nn AS (SELECT user_id, max(i)::BIGINT AS n_obs FROM x GROUP BY user_id), " +
+        "r AS (SELECT user_id, i, tu, value AS s FROM x WHERE i = 1 " +
+        "UNION ALL SELECT x.user_id, x.i, x.tu, " +
+        "(floor(exp(-((x.tu - r.tu)::DOUBLE / 3.6e9)) * 1000000) / 1000000.0) * r.s " +
+        "+ (1.0 - floor(exp(-((x.tu - r.tu)::DOUBLE / 3.6e9)) * 1000000) / 1000000.0) * x.value " +
+        "FROM r JOIN x ON x.user_id = r.user_id AND x.i = r.i + 1) " +
+        "SELECT r.user_id, nn.n_obs, " +
+        "floor(r.s * 10000 + 0.5) / 10000.0 AS ewma_last " +
+        "FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n_obs " +
+        "ORDER BY r.user_id"),
+
     "ts_holt_linear" ->
       ("WITH RECURSIVE x AS (SELECT user_id, value, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i " +

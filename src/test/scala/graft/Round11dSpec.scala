@@ -475,6 +475,35 @@ class Round11dSpec extends SparkSpec {
       "corruption should move exactly one shard digest")
   }
 
+  // ------------------------------------------------------ time-decay EWMA
+
+  test("ts_ewma_timedecay: driver replay + analytic half-life points") {
+    val out = graft.ops.Quant.tsEwmaTimedecay(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val ev = graft.io.Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val xs = rows.sortBy(e => (us(e._2), e._3))
+      var sm = xs(0)._4
+      var prev = us(xs(0)._2)
+      xs.drop(1).foreach { e =>
+        val tu = us(e._2)
+        val a = math.floor(math.exp(-((tu - prev).toDouble / 3.6e9)) * 1e6) / 1e6
+        sm = a * sm + (1.0 - a) * e._4
+        prev = tu
+      }
+      val expect = math.floor(sm * 10000.0 + 0.5) / 10000.0
+      assert(out(u) == ((xs.length.toLong, expect)), s"user $u")
+    }
+    // analytic: one hour of decay weighs the old state by exactly
+    // floor(e^-1 * 1e6)/1e6
+    assert(math.floor(math.exp(-1.0) * 1e6) / 1e6 == 0.367879)
+  }
+
   // -------------------------------------------- card + blocklist invariants
 
   test("pipeline_corpus_card: internal consistency") {

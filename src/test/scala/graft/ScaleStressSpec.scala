@@ -202,7 +202,8 @@ class ScaleStressSpec extends SparkSpec {
     // 16-group aggregate; the outlier op rides knnCosine's declared
     // broadcast tier (knn_sharded is the beyond-broadcast twin)
     ("sink_shard_manifest", 15.0, 30.0),
-    ("embedding_outlier_knn", 24.0, 30.0))
+    ("embedding_outlier_knn", 24.0, 30.0),
+    ("ts_ewma_timedecay", 15.0, 25.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
