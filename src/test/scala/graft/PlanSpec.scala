@@ -854,6 +854,19 @@ class PlanSpec extends SparkSpec {
       s"unexpected nested-loop plans: ${found.toSeq.sorted.mkString(", ")}")
   }
 
+  test("text_blocklist_filter: the term table joins as a BroadcastHashJoin, never SMJ") {
+    // the whole point of the exploded-token + term-table shape is a
+    // map-side hash probe per word; a sort-merge join would shuffle the
+    // token stream on the word — the O(tokens·log) disaster the op
+    // exists to avoid at 10⁵-term blocklists
+    val df = graft.ops.Corpus.textBlocklistFilter(spark, sf001)
+    df.collect() // finalize AQE so runtime join selection is visible
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast term probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream shuffled on the word:\n$plan")
+  }
+
   test("analytics_pareto: decile bucketing broadcasts boundaries — no window anywhere in the plan") {
     val plan = physical(graft.ops.Quant.analyticsPareto(spark, sf01))
     // the old shape ranked every user through ONE partition-less window;
