@@ -177,31 +177,31 @@ class ScaleStressSpec extends SparkSpec {
     // r11d: card/blocklist/kmv are one-pass partial aggregates; layout
     // stats is three scans + tiny groupBys; HITS is pagerank-class
     // (per-round joins + keyed integer sums)
-    ("pipeline_corpus_card", 15.0, 25.0),
+    ("pipeline_corpus_card", 10.0, 25.0),
     ("text_blocklist_filter", 15.0, 20.0),
-    ("agg_kmv_intersect", 15.0, 20.0),
-    ("layout_pruning_stats", 15.0, 20.0),
+    ("agg_kmv_intersect", 10.0, 20.0),
+    ("layout_pruning_stats", 10.0, 20.0),
     ("graph_hits", 24.0, 40.0),
     // r11d second wave: binary ANN is broadcast-scan + join rescore;
     // the unigram pair is one corpus pass + vocabulary-bounded EM
     ("knn_binary_hamming", 15.0, 25.0),
     ("corpus_unigram_train", 10.0, 30.0),
-    ("corpus_unigram_tokenize", 15.0, 25.0),
+    ("corpus_unigram_tokenize", 10.0, 25.0),
     // r11d third wave: t-closeness is two bounded groupBys + a
     // QI-domain grid; walks are frontier-sized joins on one exchange
-    ("privacy_t_closeness", 15.0, 20.0),
+    ("privacy_t_closeness", 10.0, 20.0),
     ("graph_random_walk_sample", 24.0, 30.0),
     // r11d fourth wave: bloom probe is map-side after the eval-set
     // build; CDC chunking is per-row HOFs + one md5-keyed exchange;
     // the tokenizer report composes two vocabulary-bounded trainers
-    ("decontaminate_bloom", 15.0, 25.0),
+    ("decontaminate_bloom", 10.0, 25.0),
     ("dedup_cdc_chunks", 15.0, 30.0),
-    ("pipeline_tokenizer_report", 15.0, 40.0),
-    ("stream_kmv_distinct", 15.0, 20.0),
+    ("pipeline_tokenizer_report", 10.0, 40.0),
+    ("stream_kmv_distinct", 10.0, 20.0),
     // r11d fifth wave: the manifest is one partitioned write + one
     // 16-group aggregate; the outlier op rides knnCosine's declared
     // broadcast tier (knn_sharded is the beyond-broadcast twin)
-    ("sink_shard_manifest", 15.0, 30.0),
+    ("sink_shard_manifest", 10.0, 30.0),
     ("embedding_outlier_knn", 24.0, 30.0),
     ("ts_ewma_timedecay", 15.0, 25.0))
 
