@@ -143,10 +143,15 @@ object Formats {
     * assignment a training loader relies on), read BACK from the files,
     * and summarized as the release MANIFEST: per shard the doc count,
     * whitespace-token total, and an order-insensitive exact CONTENT
-    * digest (sum of each doc's md5-prefix-48-bits — 48-bit terms over
-    * any realistic shard count stay far inside 2⁶³, and addition makes
-    * the digest independent of file/row order, which parquet does not
-    * preserve). The oracle computes the same manifest from the ORIGINAL
+    * digest (sum of each doc's md5-prefix-48-bits, reduced mod 2⁵³ —
+    * the sum is carried in DECIMAL(38,0) here and HUGEINT in DuckDB, so
+    * the reduction is exact and overflow-free on both engines at any
+    * corpus size, and addition makes the digest independent of file/row
+    * order, which parquet does not preserve). The shard bucket likewise
+    * reduces doc_id mod 2³¹ BEFORE the Knuth multiply: 2³¹·2654435761
+    * < 2⁶³, so a doc_id beyond ~3.5e9 can overflow neither engine (the
+    * JVM would wrap to a negative shard where DuckDB raises).
+    * The oracle computes the same manifest from the ORIGINAL
     * table, so a row lost, duplicated, or corrupted anywhere in the
     * write→read round trip breaks the hash gate — this is the artifact
     * a consumer checks before training on a published shard set.
@@ -157,7 +162,7 @@ object Formats {
   def sinkShardManifest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("shard",
-        expr("cast((doc_id * 2654435761L) % 4294967296L % 16 as int)"))
+        expr("cast(((doc_id % 2147483648L) * 2654435761L) % 4294967296L % 16 as int)"))
     val dir = tmpDir("shardmanifest", d)
     docs.write.mode("overwrite").partitionBy("shard").parquet(dir)
     s.read.parquet(dir)
@@ -165,8 +170,9 @@ object Formats {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
-        sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
-          .as("content_digest"))
+        (sum(conv(substring(md5(col("text")), 1, 12), 16, 10)
+          .cast("decimal(38,0)")) % lit(9007199254740992L))
+          .cast("long").as("content_digest"))
       .orderBy(col("shard"))
   }
 

@@ -887,99 +887,21 @@ object LlmPipeline {
     import s.implicits._
     graft.functions.DotProduct.register(s)
     val m = 8
-    val k = 16
     val nCand = 32
     val v = vecs(s, d)
-    val nVec = v.count()
-    val stride = math.max(1L, nVec / k)
-    // k seed vectors by id-stride — k rows of metadata, not data-sized
-    val seeds: Array[Array[Float]] = v
-      .filter(t => t._1 % stride == 0L && t._1 / stride < k)
-      .collect().sortBy(_._1).map(_._2)
-    val kEff = seeds.length
-    val bcSeed = graft.Broadcasts.track(s.sparkContext.broadcast(seeds))
-    // one Lloyd step: per (subspace, seed, pos) grid-snapped integer
-    // sums — the aggregate is partial/map-side combinable and its
-    // result is 8·k·8 rows of codebook metadata
-    val sums = v.repartition(s.sparkContext.defaultParallelism)
-      .flatMap { case (_, emb) =>
-        val sd = bcSeed.value
-        val len = emb.length / m
-        (0 until m).iterator.flatMap { sub =>
-          val off = sub * len
-          var best = 0
-          var bestD = Double.MaxValue
-          var j = 0
-          while (j < sd.length) {
-            var dist = 0.0
-            var t = 0
-            while (t < len) {
-              val df = (emb(off + t) - sd(j)(off + t)).toDouble
-              dist += df * df; t += 1
-            }
-            if (dist < bestD) { bestD = dist; best = j }
-            j += 1
-          }
-          (0 until len).iterator.map(t =>
-            (sub, best, t, (emb(off + t).toDouble * 1e6).toLong))
-        }
-      }
-      .toDF("sub", "cj", "pos", "xq")
-      .groupBy(col("sub"), col("cj"), col("pos"))
-      .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-        r.getLong(3).toDouble / (1e6 * r.getLong(4))))
-      .toMap
-    val subLen = seeds.head.length / m
-    val codebook: Array[Array[Array[Float]]] =
-      Array.tabulate(m, kEff, subLen) { (sub, j, t) =>
-        sums.get((sub, j, t)).map(_.toFloat)
-          .getOrElse(seeds(j)(sub * subLen + t)) // empty cluster: seed
-      }
+    val codebook = pqCodebook(s, d, m, 16)
     val bcBook = graft.Broadcasts.track(s.sparkContext.broadcast(codebook))
     // encode on executors; the driver collects only the 32×-smaller
     // (id, 8 codes) matrix — same declared tier as the int8 grid
     val codes: Array[(Long, Array[Byte])] = v
       .repartition(s.sparkContext.defaultParallelism)
-      .map { case (id, emb) =>
-        val cb = bcBook.value
-        val len = emb.length / m
-        val cs = new Array[Byte](m)
-        var sub = 0
-        while (sub < m) {
-          val off = sub * len
-          var best = 0
-          var bestD = Double.MaxValue
-          var j = 0
-          while (j < cb(sub).length) {
-            var dist = 0.0
-            var t = 0
-            while (t < len) {
-              val df = (emb(off + t) - cb(sub)(j)(t)).toDouble
-              dist += df * df; t += 1
-            }
-            if (dist < bestD) { bestD = dist; best = j }
-            j += 1
-          }
-          cs(sub) = best.toByte; sub += 1
-        }
-        (id, cs)
-      }
+      .map { case (id, emb) => (id, pqEncodeOne(emb, bcBook.value)) }
       .collect().sortBy(_._1)
     val bcCodes = graft.Broadcasts.track(s.sparkContext.broadcast(codes))
     val cand = v.repartition(s.sparkContext.defaultParallelism)
       .flatMap { case (aid, aemb) =>
-        val cb = bcBook.value
         val refs = bcCodes.value
-        val len = aemb.length / m
-        // ADC lookup table: dot(query subvector, centroid) per (sub, j)
-        val lut = Array.tabulate(m, cb(0).length) { (sub, j) =>
-          val off = sub * len
-          var acc = 0.0
-          var t = 0
-          while (t < len) { acc += aemb(off + t).toDouble * cb(sub)(j)(t); t += 1 }
-          acc
-        }
+        val lut = pqAdcLut(aemb, bcBook.value)
         val top = new TopC(nCand)
         var i = 0
         while (i < refs.length) {
@@ -987,7 +909,7 @@ object LlmPipeline {
           if (bid != aid) {
             var approx = 0.0
             var sub = 0
-            while (sub < m) {
+            while (sub < lut.length) {
               approx += lut(sub)(cs(sub) & 0xff); sub += 1
             }
             top.offer(approx, bid)
@@ -1133,6 +1055,214 @@ object LlmPipeline {
         }
       }
     mergeTop3(local)
+  }
+
+  /** PQ codebook training shared by [[knnPq]] (flat scan) and
+    * [[knnIvfPq]] (cell-partitioned scan): k id-stride seed vectors per
+    * subspace, then ONE Lloyd step whose per-(subspace, seed, pos) sums
+    * are grid-snapped longs — a partial/map-side-combinable aggregate
+    * whose result is m·k·subLen rows of codebook METADATA, bit-identical
+    * under any partitioning (the integer-sum determinism recipe). Empty
+    * clusters fall back to their seed. */
+  private def pqCodebook(s: SparkSession, d: String, m: Int, k: Int)
+      : Array[Array[Array[Float]]] = {
+    import s.implicits._
+    val v = vecs(s, d)
+    val nVec = v.count()
+    val stride = math.max(1L, nVec / k)
+    // k seed vectors by id-stride — k rows of metadata, not data-sized
+    val seeds: Array[Array[Float]] = v
+      .filter(t => t._1 % stride == 0L && t._1 / stride < k)
+      .collect().sortBy(_._1).map(_._2)
+    val kEff = seeds.length
+    val bcSeed = graft.Broadcasts.track(s.sparkContext.broadcast(seeds))
+    val sums = v.repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (_, emb) =>
+        val sd = bcSeed.value
+        val len = emb.length / m
+        (0 until m).iterator.flatMap { sub =>
+          val off = sub * len
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < sd.length) {
+            var dist = 0.0
+            var t = 0
+            while (t < len) {
+              val df = (emb(off + t) - sd(j)(off + t)).toDouble
+              dist += df * df; t += 1
+            }
+            if (dist < bestD) { bestD = dist; best = j }
+            j += 1
+          }
+          (0 until len).iterator.map(t =>
+            (sub, best, t, (emb(off + t).toDouble * 1e6).toLong))
+        }
+      }
+      .toDF("sub", "cj", "pos", "xq")
+      .groupBy(col("sub"), col("cj"), col("pos"))
+      .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        r.getLong(3).toDouble / (1e6 * r.getLong(4))))
+      .toMap
+    val subLen = seeds.head.length / m
+    Array.tabulate(m, kEff, subLen) { (sub, j, t) =>
+      sums.get((sub, j, t)).map(_.toFloat)
+        .getOrElse(seeds(j)(sub * subLen + t)) // empty cluster: seed
+    }
+  }
+
+  /** Encode one vector against the PQ codebook: nearest sub-centroid per
+    * subspace by exact squared distance, ties to the lowest index. */
+  private def pqEncodeOne(
+      emb: Array[Float], cb: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = cb.length
+    val len = emb.length / m
+    val cs = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * len
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb(sub).length) {
+        var dist = 0.0
+        var t = 0
+        while (t < len) {
+          val df = (emb(off + t) - cb(sub)(j)(t)).toDouble
+          dist += df * df; t += 1
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      cs(sub) = best.toByte; sub += 1
+    }
+    cs
+  }
+
+  /** ADC lookup table for one query: dot(query subvector, sub-centroid)
+    * per (subspace, code) — m·k doubles; scoring a member is then m
+    * table lookups + adds, never touching its floats. */
+  private def pqAdcLut(
+      aemb: Array[Float], cb: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val m = cb.length
+    val len = aemb.length / m
+    Array.tabulate(m, cb(0).length) { (sub, j) =>
+      val off = sub * len
+      var acc = 0.0
+      var t = 0
+      while (t < len) { acc += aemb(off + t).toDouble * cb(sub)(j)(t); t += 1 }
+      acc
+    }
+  }
+
+  /** Query key `knn_ivf_pq`: IVF × PQ — the actual FAISS composition
+    * both [[knnIvf]] and [[knnPq]] gesture at, and the rung that
+    * completes the quantization ladder: the √n-cell coarse quantizer
+    * bounds WHICH members each query scores (nProbe cells), and inside
+    * a cell members exist ONLY as 8-byte PQ codes scanned via the
+    * query's ADC lookup table ([[pqAdcLut]] — m adds per member, no
+    * float access). The per-query top-32 ADC candidates leave the cells
+    * as an ids-only shuffle, dedup across overlapping probe cells, and
+    * rescore EXACTLY in fp32 through the [[knnLshJoined]] re-attach
+    * (two hash joins + codegen'd `graft_dot` + the native partial
+    * top-k) — so every reported score is bit-identical to brute force
+    * and the two approximations (cell recall × code recall) move recall
+    * only.
+    *
+    * Scale — where this beats both parents: [[knnIvf]]'s cell shuffle
+    * moves fp32 vectors (dim·4 B/member/probe); here members travel as
+    * (cid, id, m bytes) — 32× smaller at dim 64, the difference between
+    * shuffling 100 TB and 3 TB of index — and the scan inside a cell is
+    * integer-indexed LUT adds. Codebook training is one grid-snapped
+    * partial aggregate ([[pqCodebook]]); encode is map-side against the
+    * broadcast m·k·subLen codebook; nothing data-sized reaches the
+    * driver (the centroid table is √n index metadata, the declared
+    * tier). Oracle-exempt (two stacked approximations — knn_cosine is
+    * the family's exact anchor); Round12Spec pins per-query list shape,
+    * recall@3 vs brute, brute-identical scores on shared pairs, and
+    * determinism. */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    val m = 8
+    val nCand = 32
+    val nProbe = 3
+    val nVec = vecs(s, d).count()
+    val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
+    val cents = ivfCentroids(s, d, nCells)
+    val bcCents = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
+    val codebook = pqCodebook(s, d, m, 16)
+    val bcBook = graft.Broadcasts.track(s.sparkContext.broadcast(codebook))
+    // members: home cell + PQ codes, both assigned MAP-SIDE — the cell
+    // shuffle carries (cid, id, 8 code bytes), never the fp32 vector
+    val members = vecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { case (id, emb) =>
+        val cs = bcCents.value
+        var home = cs(0)._1
+        var bs = Double.MinValue
+        var i = 0
+        while (i < cs.length) {
+          val sim = dot(emb, cs(i)._2)
+          if (sim > bs || (sim == bs && cs(i)._1 < home)) {
+            bs = sim; home = cs(i)._1
+          }
+          i += 1
+        }
+        (home, false, id, pqEncodeOne(emb, bcBook.value),
+          Array.empty[Float])
+      }
+    // probes: the query carries its fp32 vector into its nProbe nearest
+    // cells — it must, to build the ADC table; queries are the small
+    // side of the fan-out (nProbe rows each vs 1 per member)
+    val probes = vecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (id, emb) =>
+        bcCents.value.map { case (cid, c) => (cid, dot(emb, c)) }
+          .sortBy { case (cid, sim) => (-sim, cid) }
+          .take(nProbe)
+          .map { case (cid, _) => (cid, true, id, Array.empty[Byte], emb) }
+          .toSeq
+      }
+    val pairs = members.union(probes)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val mem = rows.filter(!_._2).map(r => (r._3, r._4))
+        rows.iterator.filter(_._2).flatMap { case (_, _, aid, _, aemb) =>
+          val lut = pqAdcLut(aemb, bcBook.value)
+          val top = new TopC(nCand)
+          var bi = 0
+          while (bi < mem.length) {
+            val (bid, cs) = mem(bi)
+            if (bid != aid) {
+              var approx = 0.0
+              var sub = 0
+              while (sub < lut.length) {
+                approx += lut(sub)(cs(sub) & 0xff); sub += 1
+              }
+              top.offer(approx, bid)
+            }
+            bi += 1
+          }
+          top.ids.iterator.map(bid => (aid, bid))
+        }
+      }
+      // probe cells can overlap another query's home cell only via the
+      // nProbe fan-out — the same (a, b) pair surfacing from two probed
+      // cells is an exact duplicate; dedup ids-only before re-attach
+      .toDF("a_id", "b_id").distinct()
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val scored = pairs
+      .join(emb.toDF("a_id", "a_emb"), "a_id")
+      .join(emb.toDF("b_id", "b_emb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (floor(expr("graft_dot(a_emb, b_emb)") * 10000 + 0.5) / 10000)
+          .as("score"))
+    graft.plans.TopKPerGroup.topK(scored, "a_id", "score", "b_id", 3)
+      .select(col("a_id").as("vec_id"), col("rn"), col("b_id"), col("score"))
+      .orderBy(col("vec_id"), col("rn"))
   }
 
   /** One-shuffle merge of bucket/cell-local winners shared by the LSH and
@@ -4379,13 +4509,22 @@ object LlmPipeline {
           var i = 0
           while (i < n) {
             val w = ws(i)
+            // CODE-POINT semantics on purpose: DuckDB's len()/ascii()
+            // count characters, not UTF-16 units, so a non-BMP final
+            // char must hash as its full code point (codePointBefore),
+            // never as the low surrogate codePointAt(len-1) would give
             val first = if (w.isEmpty) 0 else w.codePointAt(0)
-            val last = if (w.isEmpty) 0 else w.codePointAt(w.length - 1)
-            wh(i) = w.length.toLong * 961 + first.toLong * 31 + last
+            val last = if (w.isEmpty) 0 else w.codePointBefore(w.length)
+            val cps = if (w.isEmpty) 0 else w.codePointCount(0, w.length)
+            wh(i) = cps.toLong * 961 + first.toLong * 31 + last
             i += 1
           }
           // rolling 4-word polynomial, Knuth-mixed boundary on the top
-          // sixteenth — identical integers to the oracle's list chain
+          // sixteenth — identical integers to the oracle's list chain.
+          // The pre-mix hash is reduced mod 2³¹ first: 2³¹·2654435761
+          // < 2⁶³, so the multiply can overflow NEITHER engine (the JVM
+          // would wrap silently where DuckDB raises — parity demands
+          // the product stay exact on both sides)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
           var start = 0
           i = 0
@@ -4394,7 +4533,7 @@ object LlmPipeline {
             if (i >= 1) h += wh(i - 1) * 31
             if (i >= 2) h += wh(i - 2) * 961
             if (i >= 3) h += wh(i - 3) * 29791
-            val mixed = (h * 2654435761L) % 4294967296L
+            val mixed = ((h % 2147483648L) * 2654435761L) % 4294967296L
             if (mixed < 268435456L || i == n - 1) {
               val chunk = ws.slice(start, i + 1).mkString(" ")
               val hex = md.digest(chunk.getBytes("UTF-8"))

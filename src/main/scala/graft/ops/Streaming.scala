@@ -255,7 +255,14 @@ object Streaming {
     * is the across-micro-batch combine, and state stays constant-size
     * per key no matter how many events a day carries (exact
     * countDistinct would hold per-user state). Shared by the batch twin
-    * and StreamingParitySpec's replay. */
+    * and StreamingParitySpec's replay.
+    *
+    * Like every transform in this file, the input must already carry
+    * `withWatermark("ts", ...)` for update/append eviction (the parity
+    * replay attaches a 10-minute one; the batch twin needs none) —
+    * WITHOUT a caller watermark, update/append mode accumulates one
+    * state row per (day, type) forever. State is evicted per watermark
+    * only when the caller attaches it. */
   def kmvDistinctTransform(events: DataFrame): DataFrame = {
     val kmv = udaf(Custom.KmvAgg)
     events

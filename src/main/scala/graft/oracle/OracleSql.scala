@@ -1089,10 +1089,10 @@ object OracleSql {
     // side computes it from the written-and-reloaded shard files, so the
     // hash gate certifies the whole publish round trip
     "sink_shard_manifest" ->
-      ("SELECT ((doc_id * 2654435761) % 4294967296 % 16)::INT AS shard, " +
+      ("SELECT (((doc_id % 2147483648) * 2654435761) % 4294967296 % 16)::INT AS shard, " +
         "count(*) AS n_docs, " +
         "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens, " +
-        "sum(('0x' || substring(md5(text), 1, 12))::BIGINT)::BIGINT AS content_digest " +
+        "(sum(('0x' || substring(md5(text), 1, 12))::BIGINT) % 9007199254740992)::BIGINT AS content_digest " +
         "FROM documents GROUP BY 1 ORDER BY shard"),
 
     // content-defined chunking: the identical small-integer rolling
@@ -1111,7 +1111,7 @@ object OracleSql {
         "+ CASE WHEN i > 3 THEN wh[i - 3] * 29791 ELSE 0 END) AS h FROM wh), " +
         "bp AS (SELECT doc_id, ws, " +
         "list_filter(range(1, len(ws) + 1), i -> " +
-        "(h[i] * 2654435761) % 4294967296 < 268435456 OR i = len(ws)) AS bpos FROM hs), " +
+        "((h[i] % 2147483648) * 2654435761) % 4294967296 < 268435456 OR i = len(ws)) AS bpos FROM hs), " +
         "ch AS (SELECT doc_id, md5(unnest(list_transform(range(1, len(bpos) + 1), " +
         "j -> array_to_string(list_slice(ws, " +
         "CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END, bpos[j]), ' ')))) AS digest FROM bp), " +

@@ -35,8 +35,11 @@ class CollectLintSpec extends AnyFunSuite {
     ("LlmPipeline.scala", "embeddingMatryoshkaEval") ->
       "DECLARED broadcast-matrix tier (knnCosine's); knn_sharded is the scale twin",
     ("LlmPipeline.scala", "knnPq") ->
-      ("k seed rows + 8x16x8 codebook metadata + the 32x-smaller PQ code " +
-        "matrix, all built on executors; fp32 rescore is a join"),
+      ("the 32x-smaller PQ code matrix, built on executors (codebook " +
+        "training lives in pqCodebook); fp32 rescore is a join"),
+    ("LlmPipeline.scala", "pqCodebook") ->
+      ("k seed rows + the m*k*subLen grid-snapped Lloyd sums — codebook " +
+        "METADATA shared by knnPq and knnIvfPq, trained on executors"),
     ("LlmPipeline.scala", "knnCosine") ->
       "DECLARED broadcast-matrix tier; knn_sharded is the beyond-broadcast twin",
     ("LlmPipeline.scala", "simThreshold") ->

@@ -47,7 +47,7 @@ lines = [
     f"sf0.1 bench total {bench['value']:.2f} s on local[32] "
     f"(min-of-{bench.get('runs_per_query', 3)} per query; machine-speed "
     f"calib_sec {float(bench.get('calib_sec', 'nan')):.3f}, series max "
-    f"{max(float(c['sec']) for c in bench.get('calib_series', [{'sec': 'nan'}])):.3f}"
+    f"{max(float(c['sec']) for c in (bench.get('calib_series') or [{'sec': 'nan'}])):.3f}"
     f" — compare totals across rounds only after scaling by calib).",
     "",
     "| key | gate | rows@sf0.01 | sf0.1 s |",
