@@ -766,8 +766,16 @@ object Quant {
     * (exp() is the one libm call the two engines could round apart by
     * an ulp; the snap absorbs it, drift_js's ln treatment).
     *
-    * Scale: per-user mapGroups over a user-keyed exchange — sequence
-    * length bounded by events-per-user, parallel across users. */
+    * Scale: SECONDARY SORT, not a per-user buffer — the user-keyed
+    * exchange is followed by an in-partition (user, ts, id) sort and a
+    * streaming fold whose state is O(1) doubles per OPEN user, so one
+    * bot user with 10⁸ events costs sort spill (disk-backed, fine), not
+    * task heap. The r11 form's groupByKey.mapGroups{it.toArray.sortBy}
+    * buffered whole user histories on the heap — bounded by
+    * events-per-user, which at 100 TB nothing bounds. Round12Spec pins
+    * the hot-user layout (one user owning ~16× the events) against a
+    * driver replay; the oracle hash is unchanged (same total order,
+    * same arithmetic). */
   def tsEwmaTimedecay(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def us(t: java.sql.Timestamp): Long =
@@ -775,22 +783,31 @@ object Quant {
     events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[(Long, java.sql.Timestamp, Long, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (u: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)]) =>
-        val xs = it.toArray.sortBy(e => (us(e._2), e._3))
-        var sm = xs(0)._4
-        var prev = us(xs(0)._2)
-        var i = 1
-        while (i < xs.length) {
-          val tu = us(xs(i)._2)
-          val a = math.floor(
-            math.exp(-((tu - prev).toDouble / 3.6e9)) * 1e6) / 1e6
-          sm = a * sm + (1.0 - a) * xs(i)._4
-          prev = tu
-          i += 1
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Long, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Long, Double) = {
+            val (u, ts0, _, v0) = rows.next()
+            var sm = v0
+            var prev = us(ts0)
+            var n = 1L
+            while (rows.hasNext && rows.head._1 == u) {
+              val (_, ts, _, v) = rows.next()
+              val tu = us(ts)
+              val a = math.floor(
+                math.exp(-((tu - prev).toDouble / 3.6e9)) * 1e6) / 1e6
+              sm = a * sm + (1.0 - a) * v
+              prev = tu
+              n += 1
+            }
+            def r4(x: Double): Double =
+              math.floor(x * 10000.0 + 0.5) / 10000.0
+            (u, n, r4(sm))
+          }
         }
-        def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
-        (u, xs.length.toLong, r4(sm))
       }
       .toDF("user_id", "n_obs", "ewma_last")
       .orderBy(col("user_id"))
@@ -798,25 +815,34 @@ object Quant {
 
   def tsHoltLinear(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    // same secondary-sort streaming fold as [[tsEwmaTimedecay]]: O(1)
+    // state (level, trend) per open user, never a per-user heap buffer
     events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[(Long, java.sql.Timestamp, Long, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (u: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)]) =>
-        val xs = it.toArray.sortBy(e => (us(e._2), e._3)).map(_._4)
-        var l = xs(0)
-        var b = 0.0
-        var i = 1
-        while (i < xs.length) {
-          val l2 = 0.5 * xs(i) + 0.5 * (l + b)
-          b = 0.25 * (l2 - l) + 0.75 * b
-          l = l2
-          i += 1
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Long, Double, Double, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Long, Double, Double, Double) = {
+            val (u, _, _, v0) = rows.next()
+            var l = v0
+            var b = 0.0
+            var n = 1L
+            while (rows.hasNext && rows.head._1 == u) {
+              val (_, _, _, v) = rows.next()
+              val l2 = 0.5 * v + 0.5 * (l + b)
+              b = 0.25 * (l2 - l) + 0.75 * b
+              l = l2
+              n += 1
+            }
+            def r4(x: Double): Double =
+              math.floor(x * 10000.0 + 0.5) / 10000.0
+            (u, n, r4(l), r4(b), r4(l + b))
+          }
         }
-        def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
-        (u, xs.length.toLong, r4(l), r4(b), r4(l + b))
       }
       .toDF("user_id", "n_obs", "level", "trend", "forecast_next")
       .orderBy(col("user_id"))
