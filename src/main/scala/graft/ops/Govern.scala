@@ -477,7 +477,13 @@ object Govern {
     * rule's TTR term is outside any linear BoW hypothesis class — a
     * documented ceiling, not a trainer defect), so a correct trainer
     * must push accuracy toward 1 here too. */
-  private[graft] def hashedFeatures(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def hashedFeatures(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    hashedFeaturesB(s, d, HashB)
+
+  /** [[hashedFeatures]] at a caller-chosen bucket count — the bias rides
+    * as bucket index `b` (so the weight dimension is b + 1). */
+  private[graft] def hashedFeaturesB(
+      s: SparkSession, d: String, b: Int): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val labels = docs.select(col("doc_id"),
@@ -488,12 +494,12 @@ object Govern {
       .select(col("doc_id"), size(col("ws")).cast("double").as("nt"),
         explode(col("ws")).as("w"))
       .groupBy(col("doc_id"), col("nt"),
-        pmod(xxhash64(col("w")), lit(HashB.toLong)).cast("int").as("bucket"))
+        pmod(xxhash64(col("w")), lit(b.toLong)).cast("int").as("bucket"))
       .agg(count(lit(1)).cast("double").as("cnt"))
       .select(col("doc_id"), col("bucket"),
         (floor(col("cnt") / col("nt") * 1e6) / 1e6).as("x"))
     val withBias = sparse.unionAll(
-      docs.select(col("doc_id"), lit(HashB).as("bucket"), lit(1.0).as("x")))
+      docs.select(col("doc_id"), lit(b).as("bucket"), lit(1.0).as("x")))
     (withBias, labels)
   }
 
@@ -601,6 +607,187 @@ object Govern {
     val (w, loss, acc, n) = hashedTrainLoop(sparse, labels)
     val rows = w.zipWithIndex.map { case (v, j) =>
       (if (j == HashB) "bias" else s"bucket_$j", math.floor(v * 1e9) / 1e9)
+    }.toSeq ++ Seq(
+      ("final_loss", math.floor(loss * 1e9) / 1e9),
+      ("final_accuracy", math.floor(acc * 1e9) / 1e9),
+      ("n_docs", n.toDouble))
+    rows.toDF("term", "value")
+  }
+
+  /** Iteration count of the L-BFGS tier (each costs ONE bucket-keyed
+    * gradient aggregate). */
+  private[graft] val LbfgsIters = 12
+
+  /** Bucket count of the L-BFGS tier — past d ≈ 10³, where the IRLS
+    * pair join's d(d+1)/2 readout stops being metadata. */
+  private[graft] val LbfgsB = 4096
+
+  /** FIRST-ORDER training over the same sparse hashed frame — the
+    * documented d ≈ 10³ swap of [[hashedTrainLoop]] made real: at
+    * d = 4097 the IRLS Hessian readout would be d(d+1)/2 ≈ 8.4M rows,
+    * so the Newton pair join is replaced by L-BFGS (history m = 5,
+    * two-loop recursion on the driver over d-vector metadata) whose
+    * per-iteration cluster cost is ONE bucket-keyed gradient aggregate
+    * — d snapped-integer rows to the driver, no pair frame anywhere.
+    * The first step is diagonally preconditioned (0.25·Σxⱼ² is the
+    * per-bucket Hessian bound of the sigmoid), after which the stored
+    * (s, y) pairs scale the direction — no line search, so every
+    * iteration is exactly one job.
+    *
+    * Determinism: per-doc margins and per-bucket gradient terms snap to
+    * the same integer grids as IRLS (1e-9 / 1e-8) before their sums, so
+    * the collected gradient is an order-independent integer vector
+    * under ANY partitioning, and the driver-side two-loop is a pure
+    * function of those integers — a single-node replay of the identical
+    * recipe reproduces the weights bit-exactly (Round12Spec).
+    *
+    * Scale: driver traffic per iteration is d + 1 longs (dimension-
+    * bounded metadata, the whitelisted readout tier); the sparse frame
+    * is cached pre-partitioned on doc_id and never self-joined. At
+    * fastText-scale d = 2²¹ the same loop holds — the readout is 16 MB
+    * of longs per iteration, independent of corpus size. */
+  private[graft] def lbfgsTrainLoop(
+      sparse0: DataFrame, labels0: DataFrame, dDim: Int)
+      : (Array[Double], Double, Double, Long) = {
+    val s = sparse0.sparkSession
+    import s.implicits._
+    val sparse = sparse0.repartition(col("doc_id")).cache()
+    val labels = labels0.repartition(col("doc_id")).cache()
+    try {
+      val n = labels.count()
+      def perdoc(wv: Array[Double]): DataFrame = {
+        val wdf = broadcast(wv.toSeq.zipWithIndex
+          .map { case (v, j) => (j, v) }.toDF("bucket", "wv"))
+        sparse.join(wdf, Seq("bucket"))
+          .groupBy(col("doc_id"))
+          .agg((sum(floor(col("wv") * col("x") * 1e9).cast("bigint")) / 1e9)
+            .as("z"))
+          .join(labels, Seq("doc_id"))
+          .withColumn("p",
+            least(greatest(lit(1.0) / (lit(1.0) + exp(-col("z"))), lit(1e-12)),
+              lit(1.0 - 1e-12)))
+      }
+      // ONE job per iteration: per-bucket Σ floor(x·err·1e8) — the
+      // snapped-integer score vector, d rows of metadata
+      def gradReadout(wv: Array[Double]): Array[Long] = {
+        val g = new Array[Long](dDim)
+        sparse
+          .join(perdoc(wv)
+            .select(col("doc_id"), (col("label") - col("p")).as("err")),
+            Seq("doc_id"))
+          .groupBy(col("bucket"))
+          .agg(sum(floor(col("x") * col("err") * 1e8).cast("bigint")).as("g"))
+          .collect()
+          .foreach(r0 => g(r0.getInt(0)) = r0.getLong(1))
+        g
+      }
+      // per-bucket Σ floor(x²·1e8) — the diagonal preconditioner, ONE
+      // job before the loop (weight-independent)
+      val diag = {
+        val dg = new Array[Long](dDim)
+        sparse.groupBy(col("bucket"))
+          .agg(sum(floor(col("x") * col("x") * 1e8).cast("bigint")).as("q"))
+          .collect()
+          .foreach(r0 => dg(r0.getInt(0)) = r0.getLong(1))
+        dg
+      }
+      val ridge = 1e-4
+      val w = Array.fill(dDim)(0.0)
+      val m = 5
+      val sHist = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val yHist = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var prevW: Array[Double] = null
+      var prevG: Array[Double] = null
+      def minusGrad(raw: Array[Long]): Array[Double] =
+        // minimization gradient of mean log-loss + ridge: the raw
+        // readout is Σ err·x (the ASCENT direction of log-likelihood)
+        Array.tabulate(dDim)(j => -(raw(j).toDouble / (1e8 * n)) + ridge * w(j))
+      for (_ <- 1 to LbfgsIters) {
+        val grad = minusGrad(gradReadout(w))
+        if (prevG != null) {
+          val sv = Array.tabulate(dDim)(j => w(j) - prevW(j))
+          val yv = Array.tabulate(dDim)(j => grad(j) - prevG(j))
+          var sy = 0.0
+          var i = 0
+          while (i < dDim) { sy += sv(i) * yv(i); i += 1 }
+          if (sy > 1e-12) {
+            sHist += sv; yHist += yv
+            if (sHist.length > m) { sHist.remove(0); yHist.remove(0) }
+          }
+        }
+        prevW = w.clone(); prevG = grad
+        val dir =
+          if (sHist.isEmpty) {
+            // diagonal-Newton first step: 0.25·Σx² bounds the sigmoid
+            // Hessian per bucket; + ridge keeps untouched buckets finite
+            Array.tabulate(dDim) { j =>
+              -grad(j) / (0.25 * diag(j).toDouble / (1e8 * n) + ridge)
+            }
+          } else {
+            // standard two-loop recursion, H0 = γI from the newest pair
+            val q = grad.clone()
+            val k = sHist.length
+            val alpha = new Array[Double](k)
+            val rho = Array.tabulate(k) { i =>
+              var d0 = 0.0
+              var t = 0
+              while (t < dDim) { d0 += sHist(i)(t) * yHist(i)(t); t += 1 }
+              1.0 / d0
+            }
+            var i = k - 1
+            while (i >= 0) {
+              var d0 = 0.0
+              var t = 0
+              while (t < dDim) { d0 += sHist(i)(t) * q(t); t += 1 }
+              alpha(i) = rho(i) * d0
+              t = 0
+              while (t < dDim) { q(t) -= alpha(i) * yHist(i)(t); t += 1 }
+              i -= 1
+            }
+            var yy = 0.0
+            var t = 0
+            while (t < dDim) { yy += yHist(k - 1)(t) * yHist(k - 1)(t); t += 1 }
+            val gamma = 1.0 / (rho(k - 1) * yy)
+            t = 0
+            while (t < dDim) { q(t) *= gamma; t += 1 }
+            i = 0
+            while (i < k) {
+              var d0 = 0.0
+              t = 0
+              while (t < dDim) { d0 += yHist(i)(t) * q(t); t += 1 }
+              val beta = rho(i) * d0
+              t = 0
+              while (t < dDim) { q(t) += (alpha(i) - beta) * sHist(i)(t); t += 1 }
+              i += 1
+            }
+            Array.tabulate(dDim)(j => -q(j))
+          }
+        var j = 0
+        while (j < dDim) { w(j) += dir(j); j += 1 }
+      }
+      val stats = perdoc(w).agg(
+        sum(floor(-(col("label") * log(col("p")) +
+          (lit(1.0) - col("label")) * log(lit(1.0) - col("p"))) * 1e6)
+          .cast("bigint")).as("loss"),
+        sum(((col("p") >= 0.5) === (col("label") >= 0.5)).cast("bigint"))
+          .as("correct")).head()
+      (w, stats.getAs[Long]("loss").toDouble / 1e6 / n,
+        stats.getAs[Long]("correct").toDouble / n, n)
+    } finally { sparse.unpersist(); labels.unpersist() }
+  }
+
+  /** Query key `classifier_lbfgs_train`: the d = 4096 hashing-trick
+    * trainer ([[lbfgsTrainLoop]]) — emits the full 4097-row weight
+    * table plus final loss/accuracy/n rows. Accuracy parity with the
+    * d = 64 IRLS tier on the BoW-representable rule, stopword-bucket
+    * dominance, bit-exact single-node replay, and determinism are
+    * pinned (Round12Spec). Spec-pinned (✗): no oracle could train. */
+  def classifierLbfgsTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (sparse, labels) = hashedFeaturesB(s, d, LbfgsB)
+    val (w, loss, acc, n) = lbfgsTrainLoop(sparse, labels, LbfgsB + 1)
+    val rows = w.zipWithIndex.map { case (v, j) =>
+      (if (j == LbfgsB) "bias" else s"bucket_$j", math.floor(v * 1e9) / 1e9)
     }.toSeq ++ Seq(
       ("final_loss", math.floor(loss * 1e9) / 1e9),
       ("final_accuracy", math.floor(acc * 1e9) / 1e9),

@@ -60,7 +60,11 @@ class CollectLintSpec extends AnyFunSuite {
     ("Govern.scala", "hessianScoreReadout") ->
       ("<= d(d+1)/2 + d = 2210 snapped-integer Hessian/score rows per " +
         "Newton round (d = 65 hash buckets) — dimension-bounded, " +
-        "row-count-independent metadata"))
+        "row-count-independent metadata"),
+    ("Govern.scala", "gradReadout") ->
+      ("d = 4097 snapped-integer gradient rows per L-BFGS iteration " +
+        "(plus the one-time diagonal) — dimension-bounded, " +
+        "row-count-independent metadata; no pair frame exists"))
 
   test("collect() appears only in declared broadcast-tier / metadata functions") {
     val defRe = """\s*(?:override\s+)?(?:private(?:\[\w+\])?\s+)?def (\w+)""".r

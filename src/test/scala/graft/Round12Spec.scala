@@ -109,4 +109,146 @@ class Round12Spec extends SparkSpec {
       s"holt skew replay mismatch (hot user: got ${holtGot.get(7L)} " +
         s"expected ${holtExp.get(7L)})")
   }
+
+  // ------------------------------------------------- L-BFGS trainer tier
+
+  /** Independent single-node replay of [[Govern.lbfgsTrainLoop]]'s
+    * recipe: snapped-integer gradient sums (order-free), then the same
+    * deterministic driver math — diagonal-Newton first step, m=5
+    * two-loop recursion, fixed unit step, ridge 1e-4. */
+  private def replayLbfgs(
+      sparse: Array[(Long, Int, Double)], labels: Map[Long, Double])
+      : (Array[Double], Double, Double) = {
+    import graft.ops.Govern
+    val dDim = Govern.LbfgsB + 1
+    val w = Array.fill(dDim)(0.0)
+    val byDoc = sparse.groupBy(_._1)
+    val n = byDoc.size
+    def pOf(rows: Array[(Long, Int, Double)]): Double = {
+      val z = rows.map { case (_, b, x) =>
+        math.floor(w(b) * x * 1e9).toLong }.sum / 1e9
+      val p0 = 1.0 / (1.0 + math.exp(-z))
+      math.min(math.max(p0, 1e-12), 1.0 - 1e-12)
+    }
+    val diag = Array.fill(dDim)(0L)
+    sparse.foreach { case (_, b, x) =>
+      diag(b) += math.floor(x * x * 1e8).toLong }
+    val ridge = 1e-4
+    val m = 5
+    val sHist = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val yHist = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var prevW: Array[Double] = null
+    var prevG: Array[Double] = null
+    for (_ <- 1 to Govern.LbfgsIters) {
+      val raw = Array.fill(dDim)(0L)
+      byDoc.foreach { case (_, rows) =>
+        val p = pOf(rows)
+        val err = labels(rows.head._1) - p
+        rows.foreach { case (_, b, x) =>
+          raw(b) += math.floor(x * err * 1e8).toLong }
+      }
+      val grad = Array.tabulate(dDim)(j =>
+        -(raw(j).toDouble / (1e8 * n)) + ridge * w(j))
+      if (prevG != null) {
+        val sv = Array.tabulate(dDim)(j => w(j) - prevW(j))
+        val yv = Array.tabulate(dDim)(j => grad(j) - prevG(j))
+        var sy = 0.0
+        var i = 0
+        while (i < dDim) { sy += sv(i) * yv(i); i += 1 }
+        if (sy > 1e-12) {
+          sHist += sv; yHist += yv
+          if (sHist.length > m) { sHist.remove(0); yHist.remove(0) }
+        }
+      }
+      prevW = w.clone(); prevG = grad
+      val dir =
+        if (sHist.isEmpty)
+          Array.tabulate(dDim) { j =>
+            -grad(j) / (0.25 * diag(j).toDouble / (1e8 * n) + ridge)
+          }
+        else {
+          val q = grad.clone()
+          val k = sHist.length
+          val alpha = new Array[Double](k)
+          val rho = Array.tabulate(k) { i =>
+            var d0 = 0.0
+            var t = 0
+            while (t < dDim) { d0 += sHist(i)(t) * yHist(i)(t); t += 1 }
+            1.0 / d0
+          }
+          var i = k - 1
+          while (i >= 0) {
+            var d0 = 0.0
+            var t = 0
+            while (t < dDim) { d0 += sHist(i)(t) * q(t); t += 1 }
+            alpha(i) = rho(i) * d0
+            t = 0
+            while (t < dDim) { q(t) -= alpha(i) * yHist(i)(t); t += 1 }
+            i -= 1
+          }
+          var yy = 0.0
+          var t = 0
+          while (t < dDim) { yy += yHist(k - 1)(t) * yHist(k - 1)(t); t += 1 }
+          val gamma = 1.0 / (rho(k - 1) * yy)
+          t = 0
+          while (t < dDim) { q(t) *= gamma; t += 1 }
+          i = 0
+          while (i < k) {
+            var d0 = 0.0
+            t = 0
+            while (t < dDim) { d0 += yHist(i)(t) * q(t); t += 1 }
+            val beta = rho(i) * d0
+            t = 0
+            while (t < dDim) { q(t) += (alpha(i) - beta) * sHist(i)(t); t += 1 }
+            i += 1
+          }
+          Array.tabulate(dDim)(j => -q(j))
+        }
+      var j = 0
+      while (j < dDim) { w(j) += dir(j); j += 1 }
+    }
+    var loss = 0L; var correct = 0L
+    byDoc.foreach { case (doc, rows) =>
+      val p = pOf(rows)
+      val y = labels(doc)
+      loss += math.floor(
+        -(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)) * 1e6).toLong
+      correct += (if ((p >= 0.5) == (y >= 0.5)) 1L else 0L)
+    }
+    (w, loss.toDouble / 1e6 / n, correct.toDouble / n)
+  }
+
+  test("classifier_lbfgs_train: distributed L-BFGS == single-node replay, bit-exact; partitioning-invariant") {
+    import graft.ops.Govern
+    val (sp, lb) = Govern.hashedFeaturesB(spark, sf001, Govern.LbfgsB)
+    val (dw, dloss, dacc, dn) =
+      Govern.lbfgsTrainLoop(sp, lb, Govern.LbfgsB + 1)
+    val sparse = sp.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val labels = lb.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(dn == labels.size)
+    val (rw, rloss, racc) = replayLbfgs(sparse, labels)
+    assert(dw.toSeq == rw.toSeq, "lbfgs weights differ from replay")
+    assert(dloss == rloss && dacc == racc)
+    val (dw2, _, _, _) = Govern.lbfgsTrainLoop(
+      sp.repartition(7), lb.repartition(3), Govern.LbfgsB + 1)
+    assert(dw.toSeq == dw2.toSeq, "weights depend on partitioning")
+  }
+
+  test("classifier_lbfgs_train: IRLS-parity accuracy at d=4096; stopword buckets dominate") {
+    import graft.ops.Govern
+    val out = Govern.classifierLbfgsTrain(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the same >= 0.95 bar the d=64 IRLS tier carries on this rule
+    assert(out("final_accuracy") >= 0.95, s"accuracy ${out("final_accuracy")}")
+    val bkts = spark.range(1)
+      .select(
+        pmod(xxhash64(lit("a")), lit(Govern.LbfgsB.toLong)).cast("int"),
+        pmod(xxhash64(lit("the")), lit(Govern.LbfgsB.toLong)).cast("int"))
+      .head()
+    val swBuckets = Set(bkts.getInt(0), bkts.getInt(1)).map(b => s"bucket_$b")
+    val weights = out.filter(_._1.startsWith("bucket_"))
+    val top = weights.toSeq.sortBy(-_._2).take(swBuckets.size).map(_._1).toSet
+    assert(top == swBuckets, s"top weights $top != stopword buckets $swBuckets")
+  }
 }
