@@ -11,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   *    residual JIT/shuffle-file effects; min is the engine's capability —
   *    and 3 samples ride out the transient host-level contention spikes
   *    measured to inflate a whole 2-run window ~2×),
+  *  - INTERLEAVED sampling (r12): the r11 driver run showed that
+  *    back-to-back samples share their contention window — 8 keys
+  *    recorded 2–9× inflated with all 3 samples inside one spike, so
+  *    min-of-3 could not recover the quiet truth. RUNS=3 now runs as
+  *    three temporally separated passes over the WHOLE keyset (pass 1
+  *    all keys, pass 2 all keys, …), putting the full-keyset duration
+  *    (minutes) between a key's samples: a contention window of seconds
+  *    now taints at most ONE sample per key and the min survives. The
+  *    producer→consumer ordering holds within each pass, so build-once
+  *    memoization still charges training to the producer's first run.
   *  - broadcasts built by the broadcast-kernel operators are destroyed and
   *    the SQL cache is cleared after EVERY run, so no query's memory
   *    footprint lands on the next query's timing,
@@ -116,17 +126,30 @@ object Bench {
       }
       o
     }
-    val sampleMap = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // Interleaved passes: samples of one key are separated by a whole
+    // pass over the keyset, so a transient contention window (seconds)
+    // can no longer taint every sample of any key. qIdx counts
+    // EXECUTIONS (not keys), so the calib sentinel keeps its ~25-query
+    // cadence across all passes.
+    val sampleMap = scala.collection.mutable.LinkedHashMap.empty[
+      String, scala.collection.mutable.ArrayBuffer[Double]]
+    val firstErr = scala.collection.mutable.Map.empty[String, String]
     var qIdx = 0
+    for (_ <- 1 to runs; name <- order) {
+      once(name, selected(name)) match {
+        case Right(t) =>
+          sampleMap.getOrElseUpdate(
+            name, scala.collection.mutable.ArrayBuffer.empty) += t
+        case Left(m) => if (!firstErr.contains(name)) firstErr(name) = m
+      }
+      qIdx += 1
+      if (qIdx % CalibEvery == 0) calibSeries += ((qIdx, calibOnce()))
+    }
     val results: Map[String, Either[String, Double]] = order.map { name =>
-      val fn = selected(name)
-        val attempts = (1 to runs).map(_ => once(name, fn))
-        val oks = attempts.collect { case Right(t) => t }
-        if (oks.nonEmpty) sampleMap(name) = oks
-        qIdx += 1
-        if (qIdx % CalibEvery == 0) calibSeries += ((qIdx, calibOnce()))
-        name -> (if (oks.nonEmpty) Right(oks.min)
-                 else attempts.head)
+      name -> (sampleMap.get(name) match {
+        case Some(ss) if ss.nonEmpty => Right(ss.min)
+        case _ => Left(firstErr.getOrElse(name, "no sample recorded"))
+      })
     }.toMap
     // the in-loop append already fired when nq is a multiple of
     // CalibEvery — don't duplicate the index (ADVICE round-10)
@@ -136,6 +159,14 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => k -> m }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val total = ok.values.sum
+    // Calib-normalized total (r11 verdict task 5): total expressed in
+    // multiples of the QUIETEST observed calibration sample, so two
+    // runs on differently-loaded hosts compare on one axis. The min of
+    // the series is the host's demonstrated capability; a run whose
+    // value_per_calib matches another's is the same engine speed
+    // regardless of absolute seconds.
+    val calibMin = math.max(calibSeries.map(_._2).min, 1e-3)
+    val totalPerCalib = total / calibMin
 
     // Full per-query map → file (unbounded; for the judge / local tooling).
     val fullQs = ok.toSeq.sortBy(_._1)
@@ -149,7 +180,7 @@ object Bench {
     val calibJson = calibSeries
       .map { case (i, s) => s"""{"at_query":$i,"sec":${fmt(s)}}""" }
       .mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_series":$calibJson,"queries":$fullQs,"samples":$fullSamples,"errors":$fullEs,"n_err":${errs.size},"runs_per_query":$runs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_min":${fmt(calibMin)},"value_per_calib":${fmt(totalPerCalib)},"calib_series":$calibJson,"queries":$fullQs,"samples":$fullSamples,"errors":$fullEs,"n_err":${errs.size},"runs_per_query":$runs,"interleaved":true,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not kill the bench
@@ -169,7 +200,7 @@ object Bench {
       .map { case (k, m) => "\"" + k + "\":\"" + esc(m.take(60)) + "\"" }
       .mkString("{", ",", "}")
     val calibMax = calibSeries.map(_._2).max
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"queries":$subset,"errors":$esCompact,"n_err":${errs.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"value_per_calib":${fmt(totalPerCalib)},"queries":$subset,"errors":$esCompact,"n_err":${errs.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

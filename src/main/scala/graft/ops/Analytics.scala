@@ -1033,10 +1033,16 @@ object Analytics {
     * Scale: per round one equi join (attach neighbor estimates), one
     * per-node window + aggregate — all partial-aggregable on the node
     * key; no peeling set ever funnels through the driver (the r8 kcore
-    * hole this formulation sidesteps entirely). Convergence is checked
-    * with one count per round; rounds are bounded by the graph's
-    * degeneracy ordering depth (hits the fixpoint in single digits on
-    * the fixture graphs). */
+    * hole this formulation sidesteps entirely). Rounds are bounded by
+    * the graph's degeneracy ordering depth (hits the fixpoint in single
+    * digits on the fixture graphs). ONE job per round (r12): the round
+    * checkpoint is LAZY, so the convergence count's job is what
+    * materializes it — the separate materialize-then-count round-trip
+    * is gone. (Pre-partitioning the checkpointed edge list on the join
+    * key was measured and REJECTED: Spark 4.1's localCheckpoint does
+    * not preserve outputPartitioning through the LogicalRDD, so the
+    * up-front repartition is a pure extra shuffle — single-key A/B at
+    * sf0.1 read ~10% slower with it.) */
   def graphCoreness(s: SparkSession, d: String): DataFrame = {
     val e = coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
@@ -1057,10 +1063,14 @@ object Analytics {
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .groupBy(col("src"))
         .agg(max(least(col("rn"), col("cd"))).as("h"))
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes this round's blocks — the filter sits ABOVE the
+      // RDD boundary, so the count computes and caches every partition
+      // in the same job it counts changed rows in (1 job/round, not 2)
       val next = c.withColumnRenamed("cv", "prev").join(h, "src")
         .select(col("src"), least(col("prev"), col("h")).as("cv"),
           col("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = next.where(col("cv") =!= col("prev")).count()
       // free the superseded round only after its successor materialized
       prevRdd.foreach(_.unpersist(false))
@@ -1108,7 +1118,9 @@ object Analytics {
     while (!done && rounds < 64) {
       val deg = e.select(col("p1").as("p")).union(e.select(col("p2").as("p")))
         .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-      val low = deg.where(col("deg") < k).select(col("p")).localCheckpoint()
+      // lazy: the size count materializes the peel set (1 job, not 2)
+      val low = deg.where(col("deg") < k).select(col("p"))
+        .localCheckpoint(eager = false)
       val nLow = low.count()
       if (nLow == 0) done = true
       else {

@@ -2781,9 +2781,11 @@ object LlmPipeline {
     while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(edges("dst").as("v"), labels("lbl"))
+      // lazy: the fixpoint-sum aggregate materializes the round's
+      // checkpoint in its own job (1 job/round, not 2)
       val next = labels.unionByName(prop)
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = lblSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
