@@ -848,6 +848,57 @@ object Quant {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user 1-D KALMAN filter (local-level model) over the event
+    * value series — the optimal-gain generalization of the fixed-α
+    * EWMA family: x̂ᵢ = x̂ᵢ₋₁ + K·(zᵢ − x̂ᵢ₋₁) where the gain
+    * K = P⁻/(P⁻+R) adapts as the error variance P converges to its
+    * steady state (so early observations move the estimate more than
+    * late ones — exactly what the constant-α EWMA cannot express).
+    * Process noise Q = 0.25, observation noise R = 1.0 — DYADIC
+    * constants, so every operand is exact in both engines and the
+    * recurrence is pure add/multiply/divide (IEEE-identical everywhere,
+    * no libm, no snap needed until the final 1e-4 rounding); the DuckDB
+    * twin spells the identical arithmetic in a recursive CTE
+    * (ts_holt_linear's recipe).
+    *
+    * Scale: the r12 secondary-sort streaming fold — user-keyed
+    * exchange, in-partition (user, ts, id) sort, O(1) doubles of state
+    * per open user; a bot user with 10⁸ events lands in disk-backed
+    * sort spill, never on a task heap. */
+  def tsKalman1d(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Long, Double, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Long, Double, Double) = {
+            val (u, _, _, v0) = rows.next()
+            var xs = v0
+            var p = 1.0
+            var n = 1L
+            while (rows.hasNext && rows.head._1 == u) {
+              val (_, _, _, v) = rows.next()
+              val pp = p + 0.25
+              val k = pp / (pp + 1.0)
+              xs = xs + k * (v - xs)
+              p = (1.0 - k) * pp
+              n += 1
+            }
+            def r4(x: Double): Double =
+              math.floor(x * 10000.0 + 0.5) / 10000.0
+            (u, n, r4(xs), r4(p))
+          }
+        }
+      }
+      .toDF("user_id", "n_obs", "estimate", "err_var")
+      .orderBy(col("user_id"))
+  }
+
   def tsCusum(s: SparkSession, d: String): DataFrame = {
     val wp = Window.partitionBy(col("user_id"))
     val wo = wp.orderBy(col("ts"), col("event_id"))

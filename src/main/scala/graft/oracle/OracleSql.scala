@@ -2286,6 +2286,25 @@ object OracleSql {
         "FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n_obs " +
         "ORDER BY r.user_id"),
 
+    // local-level Kalman: Q=0.25/R=1.0 are dyadic, the recurrence is
+    // pure +/*/÷ — IEEE-identical across engines with no snap until
+    // the final 1e-4 rounding (ts_holt_linear's recursive-CTE recipe)
+    "ts_kalman_1d" ->
+      ("WITH RECURSIVE x AS (SELECT user_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i " +
+        "FROM events), " +
+        "nn AS (SELECT user_id, max(i)::BIGINT AS n_obs FROM x GROUP BY user_id), " +
+        "r AS (SELECT user_id, i, value AS xs, 1.0::DOUBLE AS p FROM x WHERE i = 1 " +
+        "UNION ALL SELECT x.user_id, x.i, " +
+        "r.xs + ((r.p + 0.25) / ((r.p + 0.25) + 1.0)) * (x.value - r.xs) AS xs, " +
+        "(1.0 - ((r.p + 0.25) / ((r.p + 0.25) + 1.0))) * (r.p + 0.25) AS p " +
+        "FROM r JOIN x ON x.user_id = r.user_id AND x.i = r.i + 1) " +
+        "SELECT r.user_id, nn.n_obs, " +
+        "floor(r.xs * 10000 + 0.5) / 10000.0 AS estimate, " +
+        "floor(r.p * 10000 + 0.5) / 10000.0 AS err_var " +
+        "FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n_obs " +
+        "ORDER BY r.user_id"),
+
     // degree assortativity: exact BIGINT moments over the directed edge
     // list, closed form in double with the engine's operand order
     "graph_assortativity" ->
