@@ -2101,4 +2101,109 @@ object Analytics {
       .distinct()
     hits(edges, rounds = 4).orderBy(col("kind"), col("id"))
   }
+
+  /** Approximate BETWEENNESS centrality on the cnt≥2 co-order part
+    * graph — sampled Brandes: exact single-source shortest-path DAG
+    * counting and backward dependency accumulation from K = 16
+    * deterministically hash-ranked seed nodes (the 16 smallest
+    * xxhash64(v), tie-broken by v), all seeds advanced TOGETHER on a
+    * (seed, node) keyspace so one BFS level costs one edge join + one
+    * keyed groupBy regardless of K. σ (shortest-path counts) stay
+    * exact BIGINTs; each dependency contribution δp ← σp/σw·(1+δw)
+    * snaps to the 1e-9 grid BEFORE the per-predecessor sum (longs —
+    * order-independent under any partitioning), and each level's δ
+    * re-enters the next as the exact grid value, so the whole backward
+    * cascade is deterministic (the HITS/IRLS integer-ladder recipe).
+    *
+    * Scale: forward pass is frontier-sized joins against the
+    * once-checkpointed edge list, with LAZY round checkpoints whose
+    * emptiness count doubles as the materializer (the r12 coreness
+    * shape — one job per level); per-level frames are checkpointed
+    * (seed, node, σ) tables totalling K·|V| rows, never driver-side.
+    * The backward pass walks the same level frames in reverse, one
+    * join + groupBy per level. K is a budget knob independent of graph
+    * size (Bader-style source sampling), so 100 TB costs K·O(m) per
+    * level. Oracle-exempt (iterative multi-join fixpoint); Round12Spec
+    * pins exact equality with a driver-side brute Brandes from the
+    * same seeds on the same grid, plus the star-center sanity. */
+  def graphBetweennessApprox(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    betweennessFrom(und, k = 16)
+  }
+
+  /** Sampled-Brandes core over a symmetric (src, dst) edge list; see
+    * [[graphBetweennessApprox]]. `dep_sum` is the raw accumulated
+    * dependency Σ_seeds δ_seed(v) on the 1e-6 grid; `bc_est` rescales
+    * by n/(2K) — the unbiased estimate of the classic undirected
+    * betweenness (each unordered pair counted once). */
+  private[graft] def betweennessFrom(und: DataFrame, k: Int): DataFrame = {
+    val verts = und.select(col("src").as("v")).distinct()
+    val seeds = verts
+      .withColumn("h", xxhash64(col("v")))
+      .orderBy(col("h"), col("v")).limit(k)
+      .select(col("v").as("seed"))
+      .localCheckpoint()
+    var frontier = seeds
+      .select(col("seed"), col("seed").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 64) {
+      val visited = levels.map(_.select(col("seed"), col("v")))
+        .reduce(_ unionAll _)
+      val next = frontier
+        .join(und, frontier("v") === und("src"))
+        .select(col("seed"), und("dst").as("v"), col("sigma"))
+        .groupBy(col("seed"), col("v")).agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("seed", "v"), "left_anti")
+        .localCheckpoint(eager = false)
+      if (next.count() == 0) done = true
+      else { levels += next; frontier = next }
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"betweenness: BFS did not terminate in $rounds levels")
+    val maxD = levels.length - 1
+    val nD = verts.count().toDouble
+    // backward: at loop entry `deltas` is the FINAL (seed, v, sigma, dl)
+    // frame for distance `lvl` — in a shortest-path DAG every
+    // contribution into level lvl-1 comes from level lvl only
+    var deltas = levels(maxD).withColumn("dl", lit(0L))
+    val finals = scala.collection.mutable.ArrayBuffer(deltas)
+    for (lvl <- maxD to 1 by -1) {
+      val w = deltas
+      val contribs = w.join(und, w("v") === und("dst"))
+        .select(col("seed"), und("src").as("p"),
+          col("sigma").as("sw"), col("dl"))
+        .join(levels(lvl - 1).select(col("seed"), col("v").as("p"),
+          col("sigma").as("sp")), Seq("seed", "p"))
+        .select(col("seed"), col("p"),
+          floor((col("sp").cast("double") / col("sw").cast("double")) *
+            (lit(1.0) + col("dl").cast("double") / 1e9) * 1e9)
+            .cast("long").as("c"))
+        .groupBy(col("seed"), col("p")).agg(sum(col("c")).as("dl"))
+      deltas = levels(lvl - 1)
+        .join(contribs.withColumnRenamed("p", "v"), Seq("seed", "v"), "left")
+        .select(col("seed"), col("v"), col("sigma"),
+          coalesce(col("dl"), lit(0L)).as("dl"))
+        .localCheckpoint()
+      finals += deltas
+    }
+    finals.reduce(_ unionAll _)
+      .where(col("v") =!= col("seed")) // a seed never routes through itself
+      .groupBy(col("v")).agg(sum(col("dl")).as("dls"))
+      .select(col("v").as("part"),
+        (floor(col("dls").cast("double") / 1e9 * 1e6 + 0.5) / 1e6)
+          .as("dep_sum"),
+        (floor(col("dls").cast("double") / 1e9 * lit(nD / (2.0 * k)) * 1e6
+          + 0.5) / 1e6).as("bc_est"))
+      .orderBy(col("part"))
+  }
 }

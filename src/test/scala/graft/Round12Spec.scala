@@ -235,6 +235,109 @@ class Round12Spec extends SparkSpec {
     assert(dw.toSeq == dw2.toSeq, "weights depend on partitioning")
   }
 
+  // ------------------------------------------- sampled-Brandes betweenness
+
+  /** Driver-side brute Brandes from the same seeds with the same 1e-9
+    * contribution grid — must equal the distributed cascade EXACTLY. */
+  private def bruteBetweenness(
+      edges: Array[(Long, Long)], seeds: Seq[Long], k: Int)
+      : (Map[Long, Double], Map[Long, Double]) = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val n = edges.map(_._1).distinct.length
+    val depGrid = scala.collection.mutable.Map.empty[Long, Long]
+    seeds.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Seq(s)
+      var d = 0
+      val byLevel = scala.collection.mutable.ArrayBuffer(Seq(s))
+      while (frontier.nonEmpty) {
+        val nextSigma = scala.collection.mutable.Map.empty[Long, Long]
+        frontier.foreach { v =>
+          adj.getOrElse(v, Array.empty[Long]).foreach { w =>
+            if (!dist.contains(w))
+              nextSigma(w) = nextSigma.getOrElse(w, 0L) + sigma(v)
+          }
+        }
+        d += 1
+        nextSigma.foreach { case (w, sg) => dist(w) = d; sigma(w) = sg }
+        frontier = nextSigma.keys.toSeq
+        if (frontier.nonEmpty) byLevel += frontier
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Long]
+      for (lvl <- byLevel.length - 1 to 1 by -1) {
+        byLevel(lvl).foreach { w =>
+          val dw = delta.getOrElse(w, 0L)
+          adj.getOrElse(w, Array.empty[Long]).foreach { p =>
+            if (dist.get(p).contains(lvl - 1)) {
+              val c = math.floor(
+                (sigma(p).toDouble / sigma(w).toDouble) *
+                  (1.0 + dw.toDouble / 1e9) * 1e9).toLong
+              delta(p) = delta.getOrElse(p, 0L) + c
+            }
+          }
+        }
+      }
+      delta.foreach { case (v, dl) =>
+        if (v != s) depGrid(v) = depGrid.getOrElse(v, 0L) + dl
+      }
+    }
+    val dep = depGrid.map { case (v, g) =>
+      v -> math.floor(g.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    }.toMap
+    val bc = depGrid.map { case (v, g) =>
+      v -> math.floor(
+        g.toDouble / 1e9 * (n.toDouble / (2.0 * k)) * 1e6 + 0.5) / 1e6
+    }.toMap
+    (dep, bc)
+  }
+
+  test("graph_betweenness_approx == driver brute Brandes from the same seeds, exactly") {
+    import graft.ops.Analytics
+    val got = Analytics.graphBetweennessApprox(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // rebuild the same graph + seed choice the operator used
+    val und = {
+      import spark.implicits._
+      val pairs = graft.ops.Analytics.coOrderPairs(spark, sf01)
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+        .as[(Long, Long)].collect()
+      pairs.flatMap(p => Seq(p, p.swap))
+    }
+    val seeds = {
+      import spark.implicits._
+      und.map(_._1).distinct.toSeq.toDF("v")
+        .select(col("v"), xxhash64(col("v")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (v, h) => (h, v) }.take(16).map(_._1).toSeq
+    }
+    val (dep, bc) = bruteBetweenness(und, seeds, 16)
+    val gotDep = got.map(t => t._1 -> t._2).toMap
+    val gotBc = got.map(t => t._1 -> t._3).toMap
+    // every node with nonzero dependency appears with the exact value
+    dep.foreach { case (v, d0) =>
+      assert(gotDep.get(v).contains(d0),
+        s"dep($v): got ${gotDep.get(v)} expected $d0")
+      assert(gotBc.get(v).contains(bc(v)),
+        s"bc($v): got ${gotBc.get(v)} expected ${bc(v)}")
+    }
+    gotDep.filter(_._2 != 0.0).keys.foreach(v =>
+      assert(dep.contains(v), s"distributed emitted unexpected dep for $v"))
+    assert(dep.exists(_._2 > 0.0), "fixture graph produced no dependency")
+  }
+
+  test("graph_betweenness_approx: star center carries all betweenness, leaves none") {
+    import spark.implicits._
+    val star = (1L to 40L).flatMap(l => Seq((0L, l), (l, 0L)))
+      .toDF("src", "dst")
+    val out = graft.ops.Analytics.betweennessFrom(star, 16).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out.getOrElse(0L, 0.0) > 0.0, s"center bc ${out.get(0L)}")
+    (1L to 40L).foreach(l =>
+      assert(out.getOrElse(l, 0.0) == 0.0, s"leaf $l bc ${out.get(l)}"))
+  }
+
   test("classifier_lbfgs_train: IRLS-parity accuracy at d=4096; stopword buckets dominate") {
     import graft.ops.Govern
     val out = Govern.classifierLbfgsTrain(spark, sf01).collect()
