@@ -1244,13 +1244,15 @@ object Analytics {
       df.queryExecution.logical.collectFirst {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       }
-    var comm = deg.select(col("src").as("p"), col("src").as("c"))
+    // comm carries (p, c, deg): deg is functional on p, so riding it in
+    // the checkpointed frame eliminates TWO per-round equi joins (the
+    // tot-side deg attach and scored's deg attach) — 8 joins saved per
+    // louvain invocation at identical semantics (r12 wall-time pass)
+    var comm = deg.select(col("src").as("p"), col("src").as("c"), col("deg"))
       .localCheckpoint()
     (1 to rounds).foreach { round =>
       val prev = rddOf(comm)
-      val tot = comm
-        .join(deg.withColumnRenamed("src", "p"), Seq("p"))
-        .groupBy(col("c")).agg(sum(col("deg")).as("tot"))
+      val tot = comm.groupBy(col("c")).agg(sum(col("deg")).as("tot"))
       // weighted links from v to each neighboring community, PLUS the
       // zero-link stay row (max() dedups it against a real in-community
       // sum — weights are ≥ 1, so max ≡ the real sum when one exists)
@@ -1261,10 +1263,10 @@ object Analytics {
           lit(0L).as("k")))
         .groupBy(col("src"), col("c2")).agg(max(col("k")).as("k"))
       val scored = links
-        .join(comm.select(col("p").as("src"), col("c").as("cur")), Seq("src"))
-        .join(deg, Seq("src"))
+        .join(comm.select(col("p").as("src"), col("c").as("cur"),
+          col("deg")), Seq("src"))
         .join(tot.withColumnRenamed("c", "c2"), Seq("c2"))
-        .select(col("src"), col("c2"), col("cur"),
+        .select(col("src"), col("c2"), col("cur"), col("deg"),
           floor((col("k").cast("double") / lit(m) -
             col("deg").cast("double") *
               (col("tot") - when(col("c2") === col("cur"), col("deg"))
@@ -1272,17 +1274,18 @@ object Analytics {
               (lit(2.0) * lit(m) * lit(m))) * 1e12 + 0.5)
             .cast("long").as("gain"))
       val chosen = scored
-        .groupBy(col("src"), col("cur"))
+        .groupBy(col("src"), col("cur"), col("deg"))
         .agg(min_by(col("c2"), struct((-col("gain")).as("ng"), col("c2")))
           .as("best"))
       comm = chosen
         .select(col("src").as("p"),
           when(pmod(col("src") + lit(round.toLong), lit(2L)) === 0,
-            col("best")).otherwise(col("cur")).as("c"))
+            col("best")).otherwise(col("cur")).as("c"),
+          col("deg"))
         .localCheckpoint()
       prev.foreach(_.unpersist(blocking = false))
     }
-    comm
+    comm.select(col("p"), col("c"))
   }
 
   private[graft] def louvainComm(
@@ -2134,6 +2137,71 @@ object Analytics {
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
       .localCheckpoint()
     betweennessFrom(und, k = 16)
+  }
+
+  /** Approximate CLOSENESS centrality — the Eppstein–Wang companion of
+    * [[graphBetweennessApprox]]: exact BFS distances from the SAME
+    * K = 16 hash-ranked seeds (one edge join + one keyed groupBy per
+    * level, all seeds together; by undirected symmetry d(s,v) =
+    * d(v,s)), then per node the exact integer farness sample
+    * Σ_seeds d(s,v) over the seeds that reach v. Everything emitted
+    * derives from exact BIGINTs (dist_sum, n_reached) plus two IEEE
+    * divisions, so the operator is bit-deterministic under any
+    * partitioning with no grid needed; `closeness_est` =
+    * n_reached/dist_sum (the inverse mean sampled distance), 1e-6
+    * floor-rounded. Oracle-exempt (seed choice rides the engine's
+    * xxhash64); Round12Spec pins exact equality with a driver BFS
+    * replay from the same seeds. */
+  def graphClosenessApprox(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    closenessFrom(und, k = 16)
+  }
+
+  /** Sampled-closeness core over a symmetric (src, dst) edge list; see
+    * [[graphClosenessApprox]]. */
+  private[graft] def closenessFrom(und: DataFrame, k: Int): DataFrame = {
+    val verts = und.select(col("src").as("v")).distinct()
+    val seeds = verts
+      .withColumn("h", xxhash64(col("v")))
+      .orderBy(col("h"), col("v")).limit(k)
+      .select(col("v").as("seed"))
+      .localCheckpoint()
+    var frontier = seeds.select(col("seed"), col("seed").as("v"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 64) {
+      val visited = levels.reduce(_ unionAll _)
+      val next = frontier
+        .join(und, frontier("v") === und("src"))
+        .select(col("seed"), und("dst").as("v"))
+        .distinct()
+        .join(visited, Seq("seed", "v"), "left_anti")
+        .localCheckpoint(eager = false)
+      if (next.count() == 0) done = true
+      else { levels += next; frontier = next }
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"closeness: BFS did not terminate in $rounds levels")
+    levels.zipWithIndex
+      .map { case (df, dist) => df.withColumn("d", lit(dist.toLong)) }
+      .reduce(_ unionAll _)
+      .where(col("v") =!= col("seed")) // own distance 0 carries no signal
+      .groupBy(col("v"))
+      .agg(sum(col("d")).as("dist_sum"),
+        count(lit(1)).as("n_reached"))
+      .select(col("v").as("part"), col("dist_sum"), col("n_reached"),
+        (floor(col("n_reached").cast("double") /
+          col("dist_sum").cast("double") * 1e6) / 1e6).as("closeness_est"))
+      .orderBy(col("part"))
   }
 
   /** Sampled-Brandes core over a symmetric (src, dst) edge list; see

@@ -327,6 +327,59 @@ class Round12Spec extends SparkSpec {
     assert(dep.exists(_._2 > 0.0), "fixture graph produced no dependency")
   }
 
+  test("graph_closeness_approx == driver BFS replay from the same seeds, exactly") {
+    import graft.ops.Analytics
+    val got = Analytics.graphClosenessApprox(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val und = {
+      import spark.implicits._
+      val pairs = Analytics.coOrderPairs(spark, sf01)
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+        .as[(Long, Long)].collect()
+      pairs.flatMap(p => Seq(p, p.swap))
+    }
+    val seeds = {
+      import spark.implicits._
+      und.map(_._1).distinct.toSeq.toDF("v")
+        .select(col("v"), xxhash64(col("v")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (v, h) => (h, v) }.take(16).map(_._1).toSeq
+    }
+    val adj = und.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2) }
+    val distSum = scala.collection.mutable.Map.empty[Long, Long]
+    val nReach = scala.collection.mutable.Map.empty[Long, Long]
+    seeds.foreach { s0 =>
+      val dist = scala.collection.mutable.Map(s0 -> 0L)
+      var frontier = Seq(s0)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val nf = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        nf.foreach(w => dist(w) = d)
+        frontier = nf
+      }
+      dist.foreach { case (v, dv) =>
+        if (v != s0) {
+          distSum(v) = distSum.getOrElse(v, 0L) + dv
+          nReach(v) = nReach.getOrElse(v, 0L) + 1L
+        }
+      }
+    }
+    val expect = distSum.keys.map { v =>
+      v -> ((distSum(v), nReach(v),
+        math.floor(nReach(v).toDouble / distSum(v).toDouble * 1e6) / 1e6))
+    }.toMap
+    assert(got.length == expect.size,
+      s"row count ${got.length} != ${expect.size}")
+    got.foreach { case (v, ds, nr, ce) =>
+      assert(expect.get(v).contains((ds, nr, ce)),
+        s"closeness($v): got ($ds,$nr,$ce) expected ${expect.get(v)}")
+    }
+    assert(got.nonEmpty && got.exists(_._4 > 0.0))
+  }
+
   test("graph_betweenness_approx: star center carries all betweenness, leaves none") {
     import spark.implicits._
     val star = (1L to 40L).flatMap(l => Seq((0L, l), (l, 0L)))
