@@ -2757,12 +2757,24 @@ object LlmPipeline {
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = Tables.embeddings(s, d)
+    val labels0 = Tables.embeddings(s, d)
       .select(col("vec_id").as("v"), col("vec_id").as("lbl"))
-      .localCheckpoint()
-    // labels only ever DECREASE (min-propagation), so the global label sum
-    // is a fixpoint detector: unchanged sum ⇔ no node changed. One cheap
-    // aggregate per round instead of an old-vs-new join.
+    minLabelCc(labels0, edges)
+      .select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The min-label CC loop shared by [[dedupClusterCc]] and
+    * [[dedupMinhashCc]]: `edgesSym` must be the SYMMETRIC checkpointed
+    * edge list (freed here once the loop converges), `labels0` the
+    * (v, lbl) start frame with lbl = v. Labels only ever DECREASE
+    * (min-propagation), so the global label sum is a fixpoint detector:
+    * unchanged sum ⇔ no node changed — one cheap aggregate per round
+    * instead of an old-vs-new join, and that aggregate's job is also
+    * what materializes the round's LAZY checkpoint (1 job/round). */
+  private[graft] def minLabelCc(
+      labels0: DataFrame, edgesSym: DataFrame): DataFrame = {
+    var labels = labels0.localCheckpoint()
     def lblSum(df: DataFrame): Long =
       df.agg(sum(col("lbl"))).head().getLong(0)
     var prevSum = lblSum(labels)
@@ -2772,15 +2784,15 @@ object LlmPipeline {
     // A localCheckpoint pins its blocks in executor storage until GC; over
     // many rounds the superseded checkpoints accumulate (ADVICE round-3).
     // Each round frees the PREVIOUS round's blocks once the new checkpoint
-    // has materialized (localCheckpoint is eager, so `next` no longer
+    // has materialized (the fixpoint sum ran, so `next` no longer
     // depends on them).
     def pinnedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.logical.collectFirst {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       }
     while (!converged && rounds < maxRounds) {
-      val prop = edges.join(labels, edges("src") === labels("v"))
-        .select(edges("dst").as("v"), labels("lbl"))
+      val prop = edgesSym.join(labels, edgesSym("src") === labels("v"))
+        .select(edgesSym("dst").as("v"), labels("lbl"))
       // lazy: the fixpoint-sum aggregate materializes the round's
       // checkpoint in its own job (1 job/round, not 2)
       val next = labels.unionByName(prop)
@@ -2793,16 +2805,45 @@ object LlmPipeline {
       labels = next
       rounds += 1
     }
-    pinnedRdd(edges).foreach(_.unpersist(blocking = false))
+    pinnedRdd(edgesSym).foreach(_.unpersist(blocking = false))
     if (!converged)
       // silent non-convergence would return WRONG cluster labels; the cap
       // is a diameter bound (≫ any near-dup clump), so hitting it means a
       // bug or pathological input — fail loudly (ADVICE round-3)
       throw new IllegalStateException(
-        s"dedupClusterCc: min-label propagation did not converge in " +
+        s"minLabelCc: min-label propagation did not converge in " +
           s"$maxRounds rounds — non-converged labels would be wrong")
-    labels.select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
-      .orderBy(col("vec_id"))
+    labels
+  }
+
+  /** Fuzzy-dedup CLUSTERING over the minhash candidate graph — the
+    * composed Dolma/FineWeb production shape: banded-minhash LSH
+    * candidates, exact-Jaccard verification at 0.8 (both stages =
+    * [[dedupNearMinhash]]'s kernel, bit-identical pairs), then
+    * connected components by min-label propagation so transitive
+    * near-dup chains (A≈B≈C with A≉C) land in ONE cluster with the
+    * smallest member as survivor. Every document gets a verdict row:
+    * cluster_id = min doc_id of its component (itself when unique),
+    * is_dup = it would be dropped keeping one doc per cluster.
+    *
+    * Scale: candidates are band-key collisions (ids only), the CC loop
+    * shuffles (doc, label) pairs keyed by doc — the [[dedupClusterCc]]
+    * argument end-to-end; at 100 TB the same composition runs with the
+    * large-star/small-star rounds. Oracle-exempt (minhash band keys
+    * ride MurmurHash3); Round12Spec pins exact equality with a
+    * driver-side union-find over the identical verified pair set. */
+  def dedupMinhashCc(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNearMinhash(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    val labels0 = Tables.documents(s, d)
+      .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+    minLabelCc(labels0, edges)
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("v") =!= col("lbl")).as("is_dup"))
+      .orderBy(col("doc_id"))
   }
 
   /** Pregel-style PageRank core: fixed-iteration power method over an

@@ -327,6 +327,36 @@ class Round12Spec extends SparkSpec {
     assert(dep.exists(_._2 > 0.0), "fixture graph produced no dependency")
   }
 
+  test("dedup_minhash_cc == driver union-find over the same verified pair set") {
+    import graft.ops.LlmPipeline
+    val got = LlmPipeline.dedupMinhashCc(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val pairs = LlmPipeline.dedupNearMinhash(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.io.Tables.documents(spark, sf01)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // union-find with path compression; root = min member by final pass
+    val parent = scala.collection.mutable.Map(docs.map(d0 => d0 -> d0): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = docs.map(d0 => d0 -> find(d0)).toMap
+    assert(got.length == docs.length, "one verdict row per document")
+    got.foreach { case (d0, c0, dup) =>
+      assert(expect(d0) == c0, s"cluster($d0): got $c0 expected ${expect(d0)}")
+      assert(dup == (c0 != d0))
+    }
+    assert(got.exists(_._3), "duplicate-rich fixture produced no dup verdict")
+  }
+
   test("graph_closeness_approx == driver BFS replay from the same seeds, exactly") {
     import graft.ops.Analytics
     val got = Analytics.graphClosenessApprox(spark, sf01).collect()
