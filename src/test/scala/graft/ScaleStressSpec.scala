@@ -236,7 +236,22 @@ class ScaleStressSpec extends SparkSpec {
     ("stream_session_30m", 15.0, 20.0),
     ("stream_stateful_session", 15.0, 20.0),
     ("stream_stateful_tws", 15.0, 20.0),
-    ("stream_holt_forecast", 15.0, 20.0))
+    ("stream_holt_forecast", 15.0, 20.0),
+    // r12 third wave: this round's own new >=1s keys, measured over
+    // two quiet runs. betweenness/closeness (1.0x/0.8x, 0.8x/0.8x):
+    // K=16 seed BFS is JOB-COUNT-bound, not row-bound — 16x disjoint
+    // copies spread the same K seeds thinner, so per-level work barely
+    // grows. lbfgs (1.5x/1.3x): 12 fixed gradient aggregates, row-
+    // linear map side. kalman (1.0x/1.5x): one exchange + linear fold.
+    // minhash_cc (4.7x/7.7x): consumes the near-minhash pair set,
+    // output-bound on the duplicate-saturated replicas like
+    // dedup_near_minhash itself (9-10x) — the CC rounds ride the
+    // grown edge set; the ceiling still traps a quadratic build.
+    ("graph_betweenness_approx", 10.0, 20.0),
+    ("graph_closeness_approx", 10.0, 20.0),
+    ("dedup_minhash_cc", 24.0, 20.0),
+    ("classifier_lbfgs_train", 10.0, 20.0),
+    ("ts_kalman_1d", 10.0, 20.0))
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
