@@ -918,6 +918,49 @@ object SqlApi {
     """)
   }
 
+  /** Time-based RANGE window frame — `RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING AND CURRENT ROW` over a timestamp ORDER BY: the trailing
+    * wall-clock-hour rollup ROWS frames cannot express (a burst of 50
+    * events in a minute and a single event after a quiet day both get
+    * exactly their last hour). Both engines implement the standard's
+    * peer semantics (the frame ends at the LAST peer of the current
+    * row's ts), so counts/cent sums are exact-integer comparable.
+    * Scale: one (user_id) exchange; the range frame is a sliding
+    * pointer over the sorted partition, O(n) per partition. */
+  def sqlWindowRangeInterval(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT user_id, event_id,
+             count(*) OVER w AS n_last_hour,
+             sum(cast(floor(value * 100 + 0.5) AS bigint)) OVER w AS cents_last_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id
+    """)
+  }
+
+  /** Error-safe arithmetic — the ANSI-mode escape hatches a pipeline
+    * needs when raw data divides by zero or carries unparseable
+    * strings: try_divide → NULL on a zero divisor (instead of +Inf or
+    * an ANSI error), try_cast → NULL on a malformed cast (instead of a
+    * job-killing exception). The DuckDB twin spells the same semantics
+    * as x / NULLIF(y, 0) and TRY_CAST. All map-side, codegen'd,
+    * zero-shuffle except the output sort. */
+  def fnTryArith(s: SparkSession, d: String): DataFrame = {
+    ensureViews(s, d)
+    s.sql("""
+      SELECT event_id,
+             try_divide(1e2, value - value) AS div_zero,
+             floor(try_divide(cast(floor(value * 100 + 0.5) AS bigint), 7)
+                   * 1e6) / 1e6 AS div7,
+             try_cast(event_type AS DOUBLE) AS bad_double,
+             try_cast(substr(event_type, 1, 2) AS INT) AS bad_int
+      FROM events
+      ORDER BY event_id
+    """)
+  }
+
   /** The recursion statement, shared with OracleSql up to the edge-table
     * source name — both engines run the identical loop. */
   def recursiveBfsCore(edges: String): String =

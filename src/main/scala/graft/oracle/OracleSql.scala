@@ -2286,6 +2286,26 @@ object OracleSql {
         "FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n_obs " +
         "ORDER BY r.user_id"),
 
+    // standard peer semantics on both engines: the RANGE frame ends at
+    // the last peer of the current row's ts; exact-integer outputs
+    "sql_window_range_interval" ->
+      ("SELECT user_id, event_id, " +
+        "count(*) OVER w AS n_last_hour, " +
+        "(sum(cast(floor(value * 100 + 0.5) AS BIGINT)) OVER w)::BIGINT AS cents_last_hour " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
+
+    // Spark's try_divide/try_cast == DuckDB's NULLIF-divide/TRY_CAST
+    "fn_try_arith" ->
+      ("SELECT event_id, " +
+        "1e2 / NULLIF(value - value, 0) AS div_zero, " +
+        "floor((cast(floor(value * 100 + 0.5) AS BIGINT) / 7) * 1e6) / 1e6 AS div7, " +
+        "TRY_CAST(event_type AS DOUBLE) AS bad_double, " +
+        "TRY_CAST(substr(event_type, 1, 2) AS INT) AS bad_int " +
+        "FROM events ORDER BY event_id"),
+
     // local-level Kalman: Q=0.25/R=1.0 are dyadic, the recurrence is
     // pure +/*/÷ — IEEE-identical across engines with no snap until
     // the final 1e-4 rounding (ts_holt_linear's recursive-CTE recipe)
