@@ -55,6 +55,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, must be set before the first session in this JVM:
+      // the default 100-entry codegen class cache thrashes across 360
+      // distinct query plans (~3-5 generated classes each), so under
+      // INTERLEAVED sampling every sample pays Janino recompilation —
+      // sub-second keys read ~50-100 ms high. 8192 entries hold the
+      // whole surface's generated classes across all passes.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q1,q2
