@@ -15,6 +15,10 @@ object Verify {
       // unless read as raw long nanos (converted to µs in Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf: 360 distinct plans thrash the default 100-entry
+      // codegen class cache (see Bench.scala — measured ~2x on
+      // sub-second keys); one setting holds the whole surface
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

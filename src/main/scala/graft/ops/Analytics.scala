@@ -2204,6 +2204,68 @@ object Analytics {
       .orderBy(col("part"))
   }
 
+  /** Sampled ECCENTRICITY + diameter lower bound — the third readout of
+    * the seed-BFS scaffolding: ecc(s) = max distance reached from seed
+    * s (exact per seed), and max over seeds is the classic iFUB-style
+    * LOWER bound on the graph diameter (a sampled BFS can miss the true
+    * peripheral pair, never exceed it). One row per seed plus one
+    * seed = −1 summary row carrying the bound; unreachable components don't
+    * contribute (BFS never visits them). All values exact BIGINTs.
+    * Oracle-exempt (xxhash64 seed choice); Round12Spec pins exact
+    * equality with a driver BFS replay and the path-graph identity
+    * (ecc of an endpoint seed = n−1). */
+  def graphEccentricitySample(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    eccentricityFrom(und, k = 16)
+  }
+
+  /** Per-seed BFS eccentricities over a symmetric edge list; see
+    * [[graphEccentricitySample]]. */
+  private[graft] def eccentricityFrom(und: DataFrame, k: Int): DataFrame = {
+    val verts = und.select(col("src").as("v")).distinct()
+    val seeds = verts
+      .withColumn("h", xxhash64(col("v")))
+      .orderBy(col("h"), col("v")).limit(k)
+      .select(col("v").as("seed"))
+      .localCheckpoint()
+    var frontier = seeds.select(col("seed"), col("seed").as("v"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 64) {
+      val visited = levels.reduce(_ unionAll _)
+      val next = frontier
+        .join(und, frontier("v") === und("src"))
+        .select(col("seed"), und("dst").as("v"))
+        .distinct()
+        .join(visited, Seq("seed", "v"), "left_anti")
+        .localCheckpoint(eager = false)
+      if (next.count() == 0) done = true
+      else { levels += next; frontier = next }
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"eccentricity: BFS did not terminate in $rounds levels")
+    val perSeed = levels.zipWithIndex
+      .map { case (df, dist) => df.withColumn("d", lit(dist.toLong)) }
+      .reduce(_ unionAll _)
+      .groupBy(col("seed"))
+      .agg(max(col("d")).as("ecc"), count(lit(1)).as("n_reached"))
+    perSeed
+      .select(col("seed"), col("ecc"), col("n_reached"))
+      .unionAll(perSeed.agg(max(col("ecc")).as("ecc"),
+          max(lit(0L)).as("n_reached"))
+        .select(lit(-1L).as("seed"), col("ecc"), col("n_reached")))
+      .orderBy(col("seed"))
+  }
+
   /** Sampled-Brandes core over a symmetric (src, dst) edge list; see
     * [[graphBetweennessApprox]]. `dep_sum` is the raw accumulated
     * dependency Σ_seeds δ_seed(v) on the 1e-6 grid; `bc_est` rescales

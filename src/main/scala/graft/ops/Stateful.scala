@@ -367,6 +367,65 @@ object Stateful {
       .orderBy(col("user_id"))
   }
 
+  /** [[graft.ops.Quant.tsKalman1d]]'s local-level Kalman recurrence
+    * lifted to the arriving-data shape: 3 values per user (n, x̂, P) in
+    * the state store, each micro-batch folds its chunk in (ts,
+    * event_id) order and emits the user's refreshed estimate +
+    * error variance. Update-mode semantics: downstream reads the
+    * LATEST row per user. Same cross-batch ordering precondition as
+    * the Welford/Holt folds (Kinesis per-shard ordering, shard key =
+    * user); within a batch the fold sorts its chunk. */
+  case class KalmanState(n: Long, x: Double, p: Double)
+  case class KalmanOut(
+      user_id: Long, n_obs: Long, estimate: Double, err_var: Double)
+
+  private[graft] def kalmanFold(
+      evs: Array[Event], st: KalmanState): KalmanState = {
+    val sorted = evs.sortBy(e => (micros(e.ts), e.event_id))
+    var n = st.n; var x = st.x; var p = st.p
+    sorted.foreach { e =>
+      if (n == 0L) { x = e.value; p = 1.0 }
+      else {
+        val pp = p + 0.25
+        val k = pp / (pp + 1.0)
+        x = x + k * (e.value - x)
+        p = (1.0 - k) * pp
+      }
+      n += 1
+    }
+    KalmanState(n, x, p)
+  }
+
+  private def kalmanOut(u: Long, st: KalmanState): KalmanOut =
+    KalmanOut(u, st.n, r4d(st.x), r4d(st.p))
+
+  /** Works in batch mode too (state starts empty, one chunk = the whole
+    * history) — the query entry; Round12Spec pins batch-mode equality
+    * with ts_kalman_1d bit-for-bit plus split-fold resume parity (the
+    * state is a sufficient statistic: folding any prefix, then the
+    * rest from the stored state, equals one fold). */
+  def kalmanStream(events: Dataset[Event]): Dataset[KalmanOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[Event], state: GroupState[KalmanState]) =>
+          val st = kalmanFold(it.toArray,
+            state.getOption.getOrElse(KalmanState(0L, 0.0, 0.0)))
+          state.update(st)
+          Iterator.single(kalmanOut(u, st))
+      }
+  }
+
+  /** Query entry (oracle-exempt; the batch-mode run of the stateful
+    * operator must equal ts_kalman_1d's output bit-for-bit). */
+  def streamKalmanFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kalmanStream(Tables.events(s, d).as[Event])
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
   /** The same sessionization through `transformWithState` — Spark 4.x's
     * arbitrary-stateful-processing API (successor to
     * flatMapGroupsWithState): explicit `StatefulProcessor` lifecycle with

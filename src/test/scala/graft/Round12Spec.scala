@@ -327,6 +327,31 @@ class Round12Spec extends SparkSpec {
     assert(dep.exists(_._2 > 0.0), "fixture graph produced no dependency")
   }
 
+  test("stream_kalman_filter: batch-mode == ts_kalman_1d bit-for-bit; split-fold resume parity") {
+    import graft.ops.{Quant, Stateful}
+    val batch = Quant.tsKalman1d(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val stream = Stateful.streamKalmanFilter(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(batch.toSeq == stream.toSeq,
+      "stateful batch-mode output differs from the declarative form")
+    // resume parity: the (n, x, P) state is a sufficient statistic —
+    // folding a prefix, then the remainder from the stored state,
+    // must equal one whole fold exactly
+    import spark.implicits._
+    val evs = graft.io.Tables.events(spark, sf001)
+      .as[graft.ops.Stateful.Event]
+      .collect().filter(_.user_id == 1L)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.length >= 4, "fixture user 1 too small for the split pin")
+    val whole = Stateful.kalmanFold(evs, Stateful.KalmanState(0L, 0.0, 0.0))
+    (1 until evs.length by math.max(1, evs.length / 5)).foreach { cut =>
+      val resumed = Stateful.kalmanFold(evs.drop(cut),
+        Stateful.kalmanFold(evs.take(cut), Stateful.KalmanState(0L, 0.0, 0.0)))
+      assert(resumed == whole, s"resume at $cut diverged: $resumed != $whole")
+    }
+  }
+
   test("dedup_minhash_cc == driver union-find over the same verified pair set") {
     import graft.ops.LlmPipeline
     val got = LlmPipeline.dedupMinhashCc(spark, sf01).collect()
@@ -408,6 +433,53 @@ class Round12Spec extends SparkSpec {
         s"closeness($v): got ($ds,$nr,$ce) expected ${expect.get(v)}")
     }
     assert(got.nonEmpty && got.exists(_._4 > 0.0))
+  }
+
+  test("graph_eccentricity_sample == driver BFS; path-graph endpoint ecc = n-1") {
+    import graft.ops.Analytics
+    val got = Analytics.graphEccentricitySample(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val und = {
+      import spark.implicits._
+      val pairs = Analytics.coOrderPairs(spark, sf01)
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+        .as[(Long, Long)].collect()
+      pairs.flatMap(p => Seq(p, p.swap))
+    }
+    val seeds = {
+      import spark.implicits._
+      und.map(_._1).distinct.toSeq.toDF("v")
+        .select(col("v"), xxhash64(col("v")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (v, h) => (h, v) }.take(16).map(_._1).toSeq
+    }
+    val adj = und.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2) }
+    val expect = seeds.map { s0 =>
+      val dist = scala.collection.mutable.Map(s0 -> 0L)
+      var frontier = Seq(s0); var d0 = 0L
+      while (frontier.nonEmpty) {
+        d0 += 1
+        val nf = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        nf.foreach(w => dist(w) = d0)
+        frontier = nf
+      }
+      s0 -> ((dist.values.max, dist.size.toLong))
+    }.toMap
+    val gotMap = got.filter(_._1 >= 0L).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(gotMap == expect, s"per-seed ecc mismatch:\n$gotMap\nvs\n$expect")
+    val lb = got.find(_._1 == -1L).get
+    assert(lb._2 == expect.values.map(_._1).max, "diameter LB != max ecc")
+    // path graph 0-1-2-...-9: any endpoint seed has ecc n-1, interior
+    // seeds strictly less; the -1 row carries the max
+    import spark.implicits._
+    val path = (0L until 9L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val pe = Analytics.eccentricityFrom(path, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pe(-1L) == 9L, s"path diameter LB ${pe(-1L)} != 9")
+    assert(pe(0L) == 9L && pe(9L) == 9L, "endpoint ecc != n-1")
   }
 
   test("graph_betweenness_approx: star center carries all betweenness, leaves none") {
