@@ -692,6 +692,16 @@ class PlanSpec extends SparkSpec {
       s"funnel chain should shuffle once on user_id, saw $shuffles:\n$plan")
   }
 
+  test("sql_window_range_interval: both frame functions stack on ONE user_id exchange") {
+    val plan = physical(graft.ops.SqlApi.sqlWindowRangeInterval(spark, sf01))
+    // the count and the cent sum share the interval RANGE frame, so the
+    // planner must evaluate both in one Window over one exchange — a
+    // second hashpartitioning would mean the frames didn't merge
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"interval-range window should shuffle once on user_id, saw $shuffles:\n$plan")
+  }
+
   test("join_null_safe: <=> stays a hash-joinable equi key, not nested-loop") {
     val plan = physical(graft.ops.Relational.joinNullSafe(spark, sf01))
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
