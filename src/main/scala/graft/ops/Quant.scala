@@ -899,6 +899,73 @@ object Quant {
       .orderBy(col("user_id"))
   }
 
+  /** Query key `ts_holt_winters`: additive TRIPLE exponential smoothing
+    * (Holt–Winters) with weekly seasonality — the top of the smoothing
+    * ladder (EWMA → time-decay → Holt → Kalman → this): an events feed
+    * has a demonstrated weekday cycle ([[tsWeekdayProfile]] /
+    * tsSeasonalResidual) that level+trend smoothers chase instead of
+    * learn. Daily series per user: the per-day cent sums are EXACT
+    * integer aggregates (order-independent under any partitioning), so
+    * the sequential recurrence starts from bit-identical inputs on both
+    * engines. α = 1/2, β = 1/4, γ = 1/4 — dyadic, so every step is pure
+    * IEEE add/multiply and the DuckDB recursive-CTE twin (seasonal
+    * state as 7 explicit columns, Monday-based `weekday` slots ≡
+    * isodow−1) replays the fold bit-for-bit, no snap needed until the
+    * final 1e-4 rounding. Init: l₀ = x₀, b₀ = 0, s ≡ 0 — the seasonal
+    * offsets are LEARNED through γ over the observed cycles, not
+    * pre-fit, keeping the recurrence uniform (the ts_holt_linear
+    * convention). Forecast = l + b + s[next day's slot].
+    *
+    * Scale: one partial-aggregable (user, day) groupBy bounds the fold
+    * input to ≤ |users|·|days| rows — a bot user with 10⁸ events enters
+    * the fold as ≤ 366 daily rows — then the r12 secondary-sort
+    * streaming fold: user-keyed exchange, in-partition (user, day)
+    * sort, O(1) state (level, trend, 7 slots) per OPEN user. */
+  def tsHoltWinters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+      .select(col("user_id"), col("day"), weekday(col("day")).as("wd"),
+        (col("cents").cast("double") / lit(1e2)).as("v"))
+      .as[(Long, java.sql.Date, Int, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("day"))
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Long, Double, Double, Double, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Long, Double, Double, Double, Double) = {
+            val (u, _, wd0, v0) = rows.next()
+            var l = v0
+            var b = 0.0
+            var n = 1L
+            val sa = new Array[Double](7)
+            var lastWd = wd0
+            while (rows.hasNext && rows.head._1 == u) {
+              val (_, _, wd, v) = rows.next()
+              val sc = sa(wd)
+              val l2 = 0.5 * (v - sc) + 0.5 * (l + b)
+              b = 0.25 * (l2 - l) + 0.75 * b
+              sa(wd) = 0.25 * (v - l2) + 0.75 * sc
+              l = l2
+              lastWd = wd
+              n += 1
+            }
+            def r4(x: Double): Double =
+              math.floor(x * 10000.0 + 0.5) / 10000.0
+            val sNext = sa((lastWd + 1) % 7)
+            (u, n, r4(l), r4(b), r4(sNext), r4(l + b + sNext))
+          }
+        }
+      }
+      .toDF("user_id", "n_days", "level", "trend", "season_next",
+        "forecast_next")
+      .orderBy(col("user_id"))
+  }
+
   def tsCusum(s: SparkSession, d: String): DataFrame = {
     val wp = Window.partitionBy(col("user_id"))
     val wo = wp.orderBy(col("ts"), col("event_id"))

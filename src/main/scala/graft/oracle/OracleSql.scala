@@ -17,6 +17,45 @@ package graft.oracle
   */
 object OracleSql {
 
+  /** ts_holt_winters twin: additive triple smoothing over per-user daily
+    * cent sums; the recursive CTE carries the 7 Monday-based seasonal
+    * slots as explicit DOUBLE columns s0..s6, and the engine's level
+    * expression l2 is spelled INLINE everywhere the fold uses it (the
+    * ts_holt_linear recipe — identical dyadic arithmetic in identical
+    * order, so the recurrence is bit-identical across engines). Built
+    * programmatically: 7 CASE arms per seasonal column are mechanical. */
+  private def holtWintersSql: String = {
+    val sc = "CASE x.wd " +
+      (0 to 6).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END"
+    val l2 = s"(0.5 * (x.v - $sc) + 0.5 * (r.l + r.b))"
+    val sInit = (0 to 6).map(k => s"0.0::DOUBLE AS s$k").mkString(", ")
+    val sStep = (0 to 6).map(k =>
+      s"CASE WHEN x.wd = $k THEN 0.25 * (x.v - $l2) + 0.75 * r.s$k " +
+        s"ELSE r.s$k END AS s$k").mkString(", ")
+    val sNext = "CASE (r.wd + 1) % 7 " +
+      (0 to 6).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END"
+    "WITH RECURSIVE x AS (SELECT user_id, day, (isodow(day) - 1)::INT AS wd, " +
+      "cents::DOUBLE / 1e2 AS v, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY day) AS i FROM " +
+      "(SELECT user_id, CAST(ts AS DATE) AS day, " +
+      "sum(floor(value * 100 + 0.5)::BIGINT) AS cents " +
+      "FROM events GROUP BY 1, 2)), " +
+      "nn AS (SELECT user_id, max(i)::BIGINT AS n_days FROM x GROUP BY user_id), " +
+      "r AS (SELECT user_id, i, wd, v AS l, 0.0::DOUBLE AS b, " + sInit +
+      " FROM x WHERE i = 1 " +
+      "UNION ALL SELECT x.user_id, x.i, x.wd, " +
+      s"$l2 AS l, " +
+      s"0.25 * ($l2 - r.l) + 0.75 * r.b AS b, " + sStep +
+      " FROM r JOIN x ON x.user_id = r.user_id AND x.i = r.i + 1) " +
+      "SELECT r.user_id, nn.n_days, " +
+      "floor(r.l * 10000 + 0.5) / 10000.0 AS level, " +
+      "floor(r.b * 10000 + 0.5) / 10000.0 AS trend, " +
+      s"floor(($sNext) * 10000 + 0.5) / 10000.0 AS season_next, " +
+      s"floor((r.l + r.b + $sNext) * 10000 + 0.5) / 10000.0 AS forecast_next " +
+      "FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n_days " +
+      "ORDER BY r.user_id"
+  }
+
   val sql: Map[String, String] = {
     val base: Map[String, String] = Map(
 
@@ -2324,6 +2363,10 @@ object OracleSql {
         "floor(r.p * 10000 + 0.5) / 10000.0 AS err_var " +
         "FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n_obs " +
         "ORDER BY r.user_id"),
+
+    // Holt-Winters: the recursive CTE replays the engine's fold with the
+    // 7-slot seasonal state as explicit columns — see holtWintersSql
+    "ts_holt_winters" -> holtWintersSql,
 
     // degree assortativity: exact BIGINT moments over the directed edge
     // list, closed form in double with the engine's operand order
