@@ -2261,6 +2261,162 @@ object Analytics {
       .orderBy(col("seed"))
   }
 
+  /** Query key `graph_scc`: STRONGLY connected components — the classic
+    * directed decomposition the graph family lacked (PageRank and HITS
+    * both run on directed edges SCC structures). Directed part graph:
+    * a → b when some order lists part a at a smaller linenumber than
+    * part b (the purchase-sequence edge), on pairs whose TOTAL co-order
+    * count is ≥ 2 (the undirected family's threshold applied to the
+    * pair, keeping every OBSERVED direction): a pair sequenced both
+    * ways closes a 2-cycle, a pair always sequenced one way stays a
+    * DAG edge — so the mutually-re-ordered core collapses into
+    * nontrivial SCCs while one-way accessories stay singletons
+    * (measured sf0.01: 415 SCCs, 74 nontrivial; a per-direction cnt ≥ 2
+    * threshold yields all singletons and cnt ≥ 1 one complete SCC —
+    * both degenerate).
+    * Algorithm: TRIM + forward-coloring + backward extraction (the
+    * Orzan / Slota shape — the standard distributed SCC):
+    *  1. TRIM: a node with no in- or no out-edge in the live subgraph
+    *     is its own SCC — peel to exhaustion (graphKcore's loop);
+    *  2. COLOR: propagate min reachable-from id forward to fixpoint
+    *     (the min-label CC loop on DIRECTED edges);
+    *  3. EXTRACT: for each pivot c (color(c) = c), its SCC is exactly
+    *     {v : color(v) = c ∧ v ⇝ c} — one backward BFS from ALL pivots
+    *     together on the (color, node) keyspace, color-restricted;
+    *  4. settle, drop, repeat on the remainder (capped, throws if not
+    *     converged — never a silent partial answer).
+    * Deterministic end-to-end: min-id colors, exhaustive BFS, no
+    * sampling. Oracle-exempt (iterative multi-join fixpoint on a
+    * self-join-derived graph); Round13Spec pins EXACT equality with a
+    * driver-side Tarjan at sf0.01 plus cycle/DAG synthetic identities.
+    *
+    * Scale: every step is an equi join or keyed aggregate on node ids —
+    * trim is the kcore peel, coloring is the CC loop, extraction is the
+    * bfsLevels frontier join; localCheckpoint per round with the lazy
+    * materialize-in-the-count convention, nothing graph-sized at the
+    * driver. Round count tracks the SCC condensation's depth, not |V|:
+    * the trim pass absorbs the DAG tails that would otherwise cost one
+    * coloring round each (the Slota trim argument). */
+  def graphScc(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val dir = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val und = dir
+      .groupBy(least(col("src"), col("dst")).as("p1"),
+        greatest(col("src"), col("dst")).as("p2"))
+      .agg(sum(col("cnt")).as("tot")).where(col("tot") >= 2)
+      .select(col("p1"), col("p2"))
+    val e = dir
+      .join(und,
+        least(dir("src"), dir("dst")) === und("p1") &&
+          greatest(dir("src"), dir("dst")) === und("p2"),
+        "left_semi")
+      .select(col("src"), col("dst"))
+    sccFrom(e)
+      .withColumn("scc_size",
+        count(lit(1)).over(Window.partitionBy(col("scc_id"))))
+      .orderBy(col("part"))
+  }
+
+  /** SCC core over a directed (src, dst) edge list (distinct, no self
+    * loops); returns (part, scc_id) with scc_id = the component's
+    * smallest member id. See [[graphScc]]. */
+  private[graft] def sccFrom(edges0: DataFrame): DataFrame = {
+    var edges = edges0.localCheckpoint()
+    var active = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v"))).distinct().localCheckpoint()
+    val settled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    var done = false
+    while (!done && outer < 32) {
+      // (a) trim to exhaustion: missing an in- OR out-edge ⇒ singleton
+      var trims = 0
+      var trimDone = false
+      while (!trimDone && trims < 64) {
+        val keep = active
+          .join(edges.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
+          .join(edges.select(col("dst").as("v")).distinct(), Seq("v"), "left_semi")
+          .localCheckpoint(eager = false)
+        val cut = active.join(keep, Seq("v"), "left_anti")
+          .localCheckpoint(eager = false)
+        if (cut.count() == 0) trimDone = true
+        else {
+          settled += cut.select(col("v").as("part"), col("v").as("scc_id"))
+            .localCheckpoint()
+          active = keep.localCheckpoint()
+          edges = edges
+            .join(active.select(col("v").as("src")), Seq("src"), "left_semi")
+            .join(active.select(col("v").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint()
+        }
+        trims += 1
+      }
+      if (!trimDone)
+        throw new IllegalStateException(s"graphScc: trim ran $trims rounds")
+      if (active.isEmpty) done = true
+      else {
+        // (b) forward min-id coloring to fixpoint on the trimmed core
+        var color = active.select(col("v"), col("v").as("c")).localCheckpoint()
+        var inner = 0
+        var stable = false
+        while (!stable && inner < 64) {
+          val msgs = color.join(edges, color("v") === edges("src"))
+            .select(edges("dst").as("v"), col("c"))
+          val next = color.select(col("v"), col("c")).unionAll(msgs)
+            .groupBy(col("v")).agg(min(col("c")).as("c"))
+            .localCheckpoint(eager = false)
+          val changed = next
+            .join(color.select(col("v"), col("c").as("c0")), Seq("v"))
+            .where(col("c") =!= col("c0")).count()
+          color = next
+          if (changed == 0) stable = true
+          inner += 1
+        }
+        if (!stable)
+          throw new IllegalStateException(s"graphScc: coloring ran $inner rounds")
+        // (c) backward BFS from every pivot at once, color-restricted:
+        // SCC(c) = {v : color(v) = c and v reaches c}
+        var scc = color.where(col("v") === col("c"))
+          .select(col("c"), col("v")).localCheckpoint()
+        var frontier = scc
+        var back = 0
+        var backDone = false
+        while (!backDone && back < 64) {
+          val next = frontier.join(edges, frontier("v") === edges("dst"))
+            .select(col("c"), edges("src").as("v"))
+            .distinct()
+            .join(color.select(col("v"), col("c").as("vc")), Seq("v"))
+            .where(col("c") === col("vc")).select(col("c"), col("v"))
+            .join(scc, Seq("c", "v"), "left_anti")
+            .localCheckpoint(eager = false)
+          if (next.count() == 0) backDone = true
+          else { scc = scc.unionAll(next).localCheckpoint(); frontier = next }
+          back += 1
+        }
+        if (!backDone)
+          throw new IllegalStateException(s"graphScc: backward BFS ran $back rounds")
+        settled += scc.select(col("v").as("part"), col("c").as("scc_id"))
+          .localCheckpoint()
+        active = active
+          .join(scc.select(col("v")), Seq("v"), "left_anti").localCheckpoint()
+        if (active.isEmpty) done = true
+        else edges = edges
+          .join(active.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(active.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint()
+      }
+      outer += 1
+    }
+    if (!done)
+      throw new IllegalStateException(s"graphScc: no fixpoint in $outer rounds")
+    settled.reduce(_ unionAll _)
+  }
+
   /** Sampled-Brandes core over a symmetric (src, dst) edge list; see
     * [[graphBetweennessApprox]]. `dep_sum` is the raw accumulated
     * dependency Σ_seeds δ_seed(v) on the 1e-6 grid; `bc_est` rescales
