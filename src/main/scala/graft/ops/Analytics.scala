@@ -2261,6 +2261,189 @@ object Analytics {
       .orderBy(col("seed"))
   }
 
+  // ---------------------------------------------------------------- ALS
+
+  private[graft] val AlsK = 8
+  private[graft] val AlsRounds = 4
+  private[graft] val AlsLambda = 0.125 // dyadic ridge — exact in IEEE
+
+  /** Deterministic factor init: entry f of id's factor vector is the
+    * byteswap64 hash of (id·31 + f) reduced to the 1e-6 grid in [0, 1) —
+    * reproducible on any engine, no RNG state. */
+  private[graft] def alsInit(id: Long, f: Int): Double =
+    math.floorMod(scala.util.hashing.byteswap64(id * 31L + f),
+      1000000L).toDouble / 1e6
+
+  /** Solve the SPD system (A + λI)x = b by Cholesky — plain double
+    * arithmetic (divide + sqrt are correctly rounded, no libm), so the
+    * result is bit-deterministic given bit-identical inputs. A is the
+    * packed upper triangle (a(i)(j), i ≤ j). */
+  private[graft] def solveSpd(
+      a: Array[Array[Double]], b: Array[Double], lambda: Double)
+      : Array[Double] = {
+    val k = b.length
+    val m = Array.tabulate(k, k)((i, j) =>
+      (if (i <= j) a(i)(j) else a(j)(i)) + (if (i == j) lambda else 0.0))
+    val l = Array.ofDim[Double](k, k)
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j <= i) {
+        var sum = m(i)(j)
+        var t = 0
+        while (t < j) { sum -= l(i)(t) * l(j)(t); t += 1 }
+        if (i == j) l(i)(i) = math.sqrt(sum)
+        else l(i)(j) = sum / l(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    val y = new Array[Double](k)
+    i = 0
+    while (i < k) {
+      var sum = b(i)
+      var t = 0
+      while (t < i) { sum -= l(i)(t) * y(t); t += 1 }
+      y(i) = sum / l(i)(i)
+      i += 1
+    }
+    val x = new Array[Double](k)
+    i = k - 1
+    while (i >= 0) {
+      var sum = y(i)
+      var t = i + 1
+      while (t < k) { sum -= l(t)(i) * x(t); t += 1 }
+      x(i) = sum / l(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** One ALS half-step: re-solve every `solveSide` factor from the fixed
+    * `fixedSide` factors. Normal-equation terms (q qᵀ and r·q products)
+    * snap to the 1e-9 grid BEFORE their per-key streaming sums — exact
+    * longs, order-independent under any partitioning (the IRLS integer
+    * ladder lifted to ALS) — and each solved coordinate floor-snaps to
+    * 1e-6 so the next half-step starts from grid values on any engine. */
+  private def alsHalfStep(
+      ratings: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      fixed: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      solveUsers: Boolean): org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
+    val s = ratings.sparkSession
+    import s.implicits._
+    val k = AlsK
+    // (fid, sid, r): fid indexes the FIXED factor table, sid the side
+    // being re-solved — items are fixed when solving users and vice versa
+    val joinKeyed = ratings
+      .map { case (u, i, r) => if (solveUsers) (i, u, r) else (u, i, r) }
+      .toDF("fid", "sid", "r")
+      .join(fixed.toDF("fid", "q"), "fid")
+      .select(col("sid"), col("r"), col("q"))
+      .as[(Long, Double, Array[Double])]
+    joinKeyed
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val aSum = Array.ofDim[Long](k, k)
+        val bSum = new Array[Long](k)
+        it.foreach { case (_, r, q) =>
+          var a = 0
+          while (a < k) {
+            var b = a
+            while (b < k) {
+              aSum(a)(b) += math.floor(q(a) * q(b) * 1e9).toLong
+              b += 1
+            }
+            bSum(a) += math.floor(r * q(a) * 1e9).toLong
+            a += 1
+          }
+        }
+        val aMat = Array.tabulate(k, k)((a, b) =>
+          if (a <= b) aSum(a)(b).toDouble / 1e9 else 0.0)
+        val bVec = Array.tabulate(k)(a => bSum(a).toDouble / 1e9)
+        val x = solveSpd(aMat, bVec, AlsLambda)
+        (sid, x.map(v => math.floor(v * 1e6) / 1e6))
+      }
+  }
+
+  /** Query key `recommend_als`: implicit-feedback matrix factorization
+    * over the customer × part purchase matrix — the collaborative-
+    * filtering capability the co-occurrence family (assoc_rules /
+    * adamic_adar) gestures at but cannot express: rank-8 factors learned
+    * by 4 rounds of ALTERNATING least squares (rating = purchase count;
+    * ridge λ = 1/8, dyadic), then top-5 part recommendations per
+    * customer over the 2-hop candidate set with already-bought parts
+    * anti-joined away.
+    *
+    * Determinism (the IRLS/L-BFGS ladder applied to ALS): factor init is
+    * a byteswap64 hash on the 1e-6 grid ([[alsInit]]); each half-step's
+    * normal-equation sums are 1e-9-snapped longs keyed by the side being
+    * solved (k(k+1)/2 + k = 44 longs of METADATA per key — order-free
+    * under any partitioning); the per-key 8×8 Cholesky solve is pure
+    * correctly-rounded double arithmetic on those exact sums; solved
+    * coordinates re-enter the next half-step floor-snapped to 1e-6. So
+    * the whole 4-round trajectory is bit-reproducible — Round13Spec pins
+    * EXACT equality with a single-node replay, partitioning invariance,
+    * and a monotonically decreasing regularized objective.
+    *
+    * Scale: ratings shuffle once per half-step keyed by the solve side;
+    * factor tables shuffle by id and are never broadcast or collected
+    * (|C| and |P| both scale past memory); the candidate join rides the
+    * thresholded co-order graph exactly like graph_adamic_adar, so the
+    * readout is wedge-bounded, not |C|·|P|. Oracle-exempt (iterative
+    * multi-join fixpoint). */
+  def recommendAls(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ratings = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(count(lit(1)).cast("double").as("r"))
+      .as[(Long, Long, Double)]
+      .localCheckpoint()
+    val items0 = ratings.map(_._2).distinct()
+      .map(i => (i, Array.tabulate(AlsK)(f => alsInit(i, f))))
+      .localCheckpoint()
+    var userF: org.apache.spark.sql.Dataset[(Long, Array[Double])] = null
+    var itemF = items0
+    for (_ <- 1 to AlsRounds) {
+      userF = alsHalfStep(ratings, itemF, solveUsers = true)
+        .localCheckpoint()
+      itemF = alsHalfStep(ratings, userF, solveUsers = false)
+        .localCheckpoint()
+    }
+    // 2-hop candidates: parts co-ordered (cnt >= 2) with a part the
+    // customer bought, minus what they already bought
+    val co = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+    val coSym = co.union(co.select(col("p2"), col("p1"))).toDF("item", "cand")
+    val rdf = ratings.toDF("user", "item", "r")
+    val cands = rdf.select(col("user"), col("item"))
+      .join(coSym, "item")
+      .select(col("user"), col("cand").as("item")).distinct()
+      .join(rdf.select(col("user"), col("item")), Seq("user", "item"),
+        "left_anti")
+    // dot product in a typed JVM map (Catalyst HOF lambdas run
+    // interpreted — the CDC-chunker lesson), r4-snapped
+    val scored = cands
+      .join(userF.toDF("user", "p"), "user")
+      .join(itemF.toDF("item", "q"), "item")
+      .select(col("user"), col("item"), col("p"), col("q"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (u, i, p, q) =>
+        var acc = 0.0
+        var f = 0
+        while (f < p.length) { acc += p(f) * q(f); f += 1 }
+        (u, i, math.floor(acc * 10000 + 0.5) / 10000)
+      }
+      .toDF("user", "item", "score")
+    graft.plans.TopKPerGroup.topK(scored, "user", "score", "item", 5)
+      .select(col("user").as("c_custkey"), col("rn"),
+        col("item").as("l_partkey"), col("score"))
+      .orderBy(col("c_custkey"), col("rn"))
+  }
+
   /** Query key `graph_scc`: STRONGLY connected components — the classic
     * directed decomposition the graph family lacked (PageRank and HITS
     * both run on directed edges SCC structures). Directed part graph:

@@ -205,4 +205,151 @@ class Round13Spec extends SparkSpec {
       s"$nontrivial non-singleton, largest ${sizes.values.max}")
     assert(sizes.values.max > 1, "fixture graph must contain a nontrivial SCC")
   }
+
+  // -------------------------------------------------- recommend_als
+
+  /** Independent Cholesky solve of (A + λI)x = b (re-implemented here,
+    * not shared with the operator, so a solver bug cannot self-verify). */
+  private def chol(a: Array[Array[Double]], b: Array[Double],
+      lambda: Double): Array[Double] = {
+    val k = b.length
+    val m = Array.tabulate(k, k)((i, j) =>
+      (if (i <= j) a(i)(j) else a(j)(i)) + (if (i == j) lambda else 0.0))
+    val l = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- 0 to i) {
+      var s = m(i)(j)
+      for (t <- 0 until j) s -= l(i)(t) * l(j)(t)
+      if (i == j) l(i)(i) = math.sqrt(s) else l(i)(j) = s / l(j)(j)
+    }
+    val y = new Array[Double](k)
+    for (i <- 0 until k) {
+      var s = b(i)
+      for (t <- 0 until i) s -= l(i)(t) * y(t)
+      y(i) = s / l(i)(i)
+    }
+    val x = new Array[Double](k)
+    for (i <- (k - 1) to 0 by -1) {
+      var s = y(i)
+      for (t <- (i + 1) until k) s -= l(t)(i) * x(t)
+      x(i) = s / l(i)(i)
+    }
+    x
+  }
+
+  /** Single-node ALS replay of the published recipe: grid init, 1e-9
+    * snapped normal-equation sums, Cholesky, 1e-6 snapped solutions. */
+  private def replayAls(ratings: Seq[(Long, Long, Double)])
+      : (Map[Long, Array[Double]], Map[Long, Array[Double]], Seq[Double]) = {
+    val k = graft.ops.Analytics.AlsK
+    val lambda = graft.ops.Analytics.AlsLambda
+    def init(id: Long): Array[Double] = Array.tabulate(k)(f =>
+      math.floorMod(scala.util.hashing.byteswap64(id * 31L + f),
+        1000000L).toDouble / 1e6)
+    def half(fix: Map[Long, Array[Double]], byFixed: Boolean)
+        : Map[Long, Array[Double]] =
+      ratings.map { case (u, i, r) => if (byFixed) (i, u, r) else (u, i, r) }
+        .groupBy(_._2).map { case (sid, rows) =>
+          val aSum = Array.ofDim[Long](k, k)
+          val bSum = new Array[Long](k)
+          rows.foreach { case (fid, _, r) =>
+            val q = fix(fid)
+            for (a <- 0 until k) {
+              for (b <- a until k)
+                aSum(a)(b) += math.floor(q(a) * q(b) * 1e9).toLong
+              bSum(a) += math.floor(r * q(a) * 1e9).toLong
+            }
+          }
+          val aMat = Array.tabulate(k, k)((a, b) =>
+            if (a <= b) aSum(a)(b).toDouble / 1e9 else 0.0)
+          val bVec = Array.tabulate(k)(a => bSum(a).toDouble / 1e9)
+          sid -> chol(aMat, bVec, lambda).map(v => math.floor(v * 1e6) / 1e6)
+        }
+    var itemF = ratings.map(_._2).distinct.map(i => i -> init(i)).toMap
+    var userF = Map.empty[Long, Array[Double]]
+    val objs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def obj(): Double = {
+      val sse = ratings.map { case (u, i, r) =>
+        val p = userF(u); val q = itemF(i)
+        val e = r - p.zip(q).map { case (a, b) => a * b }.sum
+        e * e
+      }.sum
+      val reg = lambda * (userF.values.map(_.map(x => x * x).sum).sum +
+        itemF.values.map(_.map(x => x * x).sum).sum)
+      sse + reg
+    }
+    for (_ <- 1 to graft.ops.Analytics.AlsRounds) {
+      userF = half(itemF, byFixed = true)
+      itemF = half(userF, byFixed = false)
+      objs += obj()
+    }
+    (userF, itemF, objs.toSeq)
+  }
+
+  test("recommend_als: operator equals a single-node replay end-to-end; objective decreases") {
+    import spark.implicits._
+    // driver ratings derived from the fixtures independently
+    val ords = spark.read.parquet(s"$sf01/orders.parquet")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().toSeq
+    val ratings = li.map { case (o, p) => (ords(o), p) }
+      .groupBy(identity).map { case ((u, i), v) => (u, i, v.length.toDouble) }
+      .toSeq
+    val (userF, itemF, objs) = replayAls(ratings)
+    // ALS objective must decrease each round (the exact per-side solve
+    // is the argmin; the 1e-6 output snap can only move it by noise)
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 1.000001 + 1e-6, s"objective rose: $objs")
+    }
+    info(f"objective trajectory: ${objs.map(o => f"$o%.1f").mkString(" -> ")}")
+    // replay the readout: 2-hop candidates from the cnt>=2 co-order
+    // graph, existing edges removed, score = p.q r4-snapped, top-5 by
+    // (score desc, item asc)
+    val byOrderParts = li.groupBy(_._1).values.toSeq
+    val coCnt = byOrderParts.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val coSym = (coCnt ++ coCnt.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val owned = ratings.map(t => (t._1, t._2)).toSet
+    val expected = ratings.map(t => (t._1, t._2)).distinct
+      .flatMap { case (u, p) => coSym.getOrElse(p, Seq.empty).map(c => (u, c)) }
+      .distinct
+      .filterNot(owned)
+      .map { case (u, i) =>
+        val p = userF(u); val q = itemF(i)
+        var acc = 0.0
+        var f = 0
+        while (f < p.length) { acc += p(f) * q(f); f += 1 }
+        (u, i, math.floor(acc * 10000 + 0.5) / 10000)
+      }
+      .groupBy(_._1).flatMap { case (u, cs) =>
+        cs.sortBy(c => (-c._3, c._2)).take(5).zipWithIndex
+          .map { case ((_, i, sc), rn) => (u, rn + 1, i, sc) }
+      }.toSet
+    val got = graft.ops.Analytics.recommendAls(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected,
+      s"ALS readout differs from replay: ${got.size} vs ${expected.size} rows; " +
+        s"sample diff ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+  }
+
+  test("recommend_als: partitioning invariance (7 vs 3 shuffle partitions)") {
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      val a = graft.ops.Analytics.recommendAls(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      conf.set("spark.sql.shuffle.partitions", "3")
+      val b = graft.ops.Analytics.recommendAls(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(a.sameElements(b), "ALS output depends on partitioning")
+      assert(a.nonEmpty, "no recommendations at sf0.001")
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
 }
