@@ -5074,4 +5074,87 @@ object LlmPipeline {
       .unionAll(shaped("substring_window", kgram))
       .orderBy(col("method"))
   }
+
+  /** Query key `pipeline_ann_report`: the composed ANN DECISION TABLE —
+    * pipeline_tokenizer_report's recipe applied to the quantization
+    * ladder. One row per rung (brute fp32 / int8 / PQ-ADC / IVF /
+    * IVF×PQ / binary sign) × the three numbers a corpus team trades off
+    * when picking an index:
+    *  - `recall_at3` — measured against the brute anchor on THIS
+    *    collection (hits into knn_cosine's top-3 over 3·|queries|,
+    *    the Round12Spec definition, 1e-4 floor-rounded);
+    *  - `bytes_per_vec` — the stored representation each rung scans at
+    *    query time (fp32 dim·4; int8 dim+4 incl. the amax scale; PQ m
+    *    code bytes; binary dim/8 sign bits);
+    *  - `cand_frac` — the fraction of the n−1 candidates a query
+    *    actually scores: 1.0 for the full scans; for the IVF rungs it
+    *    is MEASURED from the actual cell layout (Σ members over each
+    *    query's nProbe probed cells, minus the query itself, averaged
+    *    — shared by ivf and ivf_pq, same centroid build and probe
+    *    rule).
+    * A team reads ONE table to pick a rung the way they read
+    * pipeline_tokenizer_report to pick a vocabulary. Each rung's kernel
+    * runs unchanged (this report composes, never re-implements), so the
+    * table inherits every kernel's determinism and scale story; the
+    * extra passes here are one cell-occupancy aggregate and six
+    * pair-set semi joins, all id-keyed. Oracle-exempt (the rungs are
+    * approximate by design — knn_cosine is the family's exact anchor);
+    * Round13Spec pins every recall cell against an independent
+    * recompute from the kernels' own outputs, the bytes constants, the
+    * IVF cand_frac against a driver replay over the collected layout,
+    * and determinism. */
+  def pipelineAnnReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, d).localCheckpoint()
+    val nVec = v.count()
+    val dim = v.first()._2.length
+    val brutePairs = knnCosine(s, d).select(col("vec_id"), col("b_id"))
+      .localCheckpoint()
+    val nq = brutePairs.select(col("vec_id")).distinct().count()
+    def recallOf(df: DataFrame): Double = {
+      val hits = df.select(col("vec_id"), col("b_id"))
+        .join(brutePairs, Seq("vec_id", "b_id"), "left_semi").count()
+      math.floor(hits.toDouble / (nq * 3) * 10000 + 0.5) / 10000
+    }
+    // measured cell-layout occupancy for the IVF rungs: same centroid
+    // build + probe rule as knnIvf/knnIvfPq, counted not assumed
+    val nProbe = 3
+    val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
+    val cents = ivfCentroids(v, nCells)
+    val bc = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
+    val homes = v.map { case (_, emb) =>
+      val cs = bc.value
+      var best = cs(0)._1
+      var bs = Double.MinValue
+      var i = 0
+      while (i < cs.length) {
+        val sim = dot(emb, cs(i)._2)
+        if (sim > bs || (sim == bs && cs(i)._1 < best)) { bs = sim; best = cs(i)._1 }
+        i += 1
+      }
+      best
+    }.toDF("cid").groupBy(col("cid")).agg(count(lit(1)).as("members"))
+    val probes = v.flatMap { case (id, emb) =>
+      bc.value.map { case (cid, c) => (cid, dot(emb, c)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(nProbe).map { case (cid, _) => (id, cid) }.toSeq
+    }.toDF("qid", "cid")
+    val scanned = probes.join(homes, "cid")
+      .groupBy(col("qid")).agg(sum(col("members")).as("m"))
+      .agg(sum(col("m")).as("t")).first().getLong(0)
+    // every query's own vector sits in its probed home cell and the
+    // kernels skip it — subtract one per query
+    val ivfFrac = math.floor((scanned - nVec).toDouble /
+      (nVec.toDouble * (nVec - 1).toDouble) * 10000 + 0.5) / 10000
+    val rows = Seq(
+      ("brute_fp32", recallOf(knnCosine(s, d)), 4L * dim, 1.0),
+      ("int8", recallOf(knnQuantized(s, d)), dim + 4L, 1.0),
+      ("pq_adc", recallOf(knnPq(s, d)), 8L, 1.0),
+      ("ivf_fp32", recallOf(knnIvf(s, d)), 4L * dim, ivfFrac),
+      ("ivf_pq", recallOf(knnIvfPq(s, d)), 8L, ivfFrac),
+      ("binary_sign", recallOf(knnBinaryHamming(s, d)), dim / 8L, 1.0))
+    s.createDataset(rows)
+      .toDF("method", "recall_at3", "bytes_per_vec", "cand_frac")
+      .orderBy(col("method"))
+  }
 }

@@ -352,4 +352,53 @@ class Round13Spec extends SparkSpec {
       assert(a.nonEmpty, "no recommendations at sf0.001")
     } finally conf.set("spark.sql.shuffle.partitions", orig)
   }
+
+  // --------------------------------------------- pipeline_ann_report
+
+  test("pipeline_ann_report: every cell matches an independent recompute") {
+    import graft.ops.LlmPipeline
+    val report = LlmPipeline.pipelineAnnReport(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(report.keySet == Set("brute_fp32", "int8", "pq_adc", "ivf_fp32",
+      "ivf_pq", "binary_sign"))
+    // independent recall recompute from the kernels' own outputs (the
+    // Round12Spec definition)
+    val brute = LlmPipeline.knnCosine(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val bruteTop = brute.groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
+    val nq = bruteTop.size
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val pairs = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+      val hits = pairs.count { case (a, b) => bruteTop(a).contains(b) }
+      math.floor(hits.toDouble / (nq * 3) * 10000 + 0.5) / 10000
+    }
+    assert(report("brute_fp32")._1 == 1.0, "brute recall must be exactly 1")
+    assert(report("int8")._1 == recall(LlmPipeline.knnQuantized(spark, sf001)))
+    assert(report("pq_adc")._1 == recall(LlmPipeline.knnPq(spark, sf001)))
+    assert(report("ivf_fp32")._1 == recall(LlmPipeline.knnIvf(spark, sf001)))
+    assert(report("ivf_pq")._1 == recall(LlmPipeline.knnIvfPq(spark, sf001)))
+    assert(report("binary_sign")._1 ==
+      recall(LlmPipeline.knnBinaryHamming(spark, sf001)))
+    // bytes per vector: the stored representation each rung scans (d=64)
+    assert(report("brute_fp32")._2 == 256L && report("ivf_fp32")._2 == 256L)
+    assert(report("int8")._2 == 68L)
+    assert(report("pq_adc")._2 == 8L && report("ivf_pq")._2 == 8L)
+    assert(report("binary_sign")._2 == 8L)
+    // candidate fraction: full scans read everything; the IVF rungs
+    // share one measured cell layout, strictly partial
+    Seq("brute_fp32", "int8", "pq_adc", "binary_sign")
+      .foreach(m => assert(report(m)._3 == 1.0, s"$m cand_frac"))
+    val f = report("ivf_fp32")._3
+    assert(f == report("ivf_pq")._3, "ivf rungs must share the layout")
+    assert(f > 0.0 && f < 0.9, s"ivf cand_frac $f not a partial scan")
+    info(f"ivf cand_frac = $f%.4f; recalls: " +
+      report.toSeq.sortBy(_._1).map { case (m, (r, _, _)) => f"$m=$r%.3f" }
+        .mkString(", "))
+    // determinism
+    val again = LlmPipeline.pipelineAnnReport(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again == report)
+  }
 }
