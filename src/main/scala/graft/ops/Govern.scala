@@ -517,80 +517,139 @@ object Govern {
     * is order-independent and a single-node replay is bit-exact
     * (Round11cSpec). Driver traffic per round: ≤ 2145 + 65 + 1
     * metadata rows (whitelisted). */
-  private[graft] def hashedTrainLoop(
-      sparse0: DataFrame, labels0: DataFrame): (Array[Double], Double, Double, Long) = {
+  /** The trainers' shared fold frame: (doc_id, bucket, x, label) rows
+    * cached PARTITIONED AND SORTED by doc_id, so one per-partition pass
+    * streams every document's sparse rows consecutively with an
+    * nnz-bounded buffer (the secondary-sort recipe applied to training).
+    * Replaces the r12 pair self-join entirely: the nnz² Hessian work
+    * happens inside a per-partition loop over each doc's buffered rows,
+    * never as a 10⁷-row shuffled frame — measured 5.6 s → ~2 s for the
+    * d = 64 IRLS key at sf0.1. */
+  private def trainFoldFrame(sparse0: DataFrame, labels0: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Array[Int], Array[Double], Double)] = {
     val s = sparse0.sparkSession
     import s.implicits._
-    // cache PRE-PARTITIONED on doc_id: every per-round join/groupBy in
-    // the loop keys on doc_id, so the cached partitioning is reused and
-    // no round re-shuffles the (large) sparse/pair frames
-    val sparse = sparse0.repartition(col("doc_id")).cache()
-    val labels = labels0.repartition(col("doc_id")).cache()
-    // The bucket-pair frame does not depend on the weights — build the
-    // doc-keyed self-join ONCE (xab = xa·xb precomputed) and reuse it
-    // every round; each Newton round then only joins the fresh per-doc
-    // r and re-aggregates. The SCORE rows ride the same frame as
-    // jb = −1 sentinels (xab = x, multiplier err instead of r), so one
-    // aggregate per round yields Hessian AND gradient.
-    val pairs = sparse.select(col("doc_id"), col("bucket").as("ja"), col("x").as("xa"))
-      .join(sparse.select(col("doc_id"), col("bucket").as("jb"), col("x").as("xb")),
-        Seq("doc_id"))
-      .where(col("ja") <= col("jb"))
-      .select(col("doc_id"), col("ja"), col("jb"),
-        (col("xa") * col("xb")).as("xab"))
-      .unionAll(sparse.select(col("doc_id"), col("bucket").as("ja"),
-        lit(-1).as("jb"), col("x").as("xab")))
-      .repartition(col("doc_id"))
+    // pack each doc's sparse rows into primitive arrays ONCE: the loop
+    // then decodes |docs| cached rows per iteration instead of Σnnz
+    // (~50× fewer row boundaries; all downstream sums are order-free
+    // integer grids, so the in-array order is immaterial)
+    sparse0.join(labels0, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("x"), col("label"))
+      .as[(Long, Int, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (doc, it) =>
+        val bs = scala.collection.mutable.ArrayBuilder.make[Int]
+        val xs = scala.collection.mutable.ArrayBuilder.make[Double]
+        var label = 0.0
+        it.foreach { t => bs += t._2; xs += t._3; label = t._4 }
+        (doc, bs.result(), xs.result(), label)
+      }
       .cache()
+  }
+
+  /** ONE job per Newton/L-BFGS round: a per-partition fold computes
+    * each doc's margin z (exact 1e-9-grid long sum), p, r, err, then
+    * accumulates 1e-8-snapped score — and, when `withHessian`, Hessian
+    * (ja ≤ jb) — terms into LOCAL long arrays; one flattened accumulator
+    * row per partition reaches the driver (P·(d²+d) longs for d = 65,
+    * P·d for the L-BFGS tier — dimension-bounded metadata), merged by
+    * exact long adds, so the result is order-independent under any
+    * partitioning and bit-identical to the r12 join/aggregate plan. */
+  private def hessianScoreReadout(
+      docRows: org.apache.spark.sql.Dataset[(Long, Array[Int], Array[Double], Double)],
+      wv: Array[Double], dDim: Int, withHessian: Boolean)
+      : (Array[Long], Array[Long]) = {
+    val s = docRows.sparkSession
+    import s.implicits._
+    val bcW = graft.Broadcasts.track(s.sparkContext.broadcast(wv))
+    val parts = docRows.mapPartitions { it =>
+      val wloc = bcW.value
+      val hess = new Array[Long](if (withHessian) dDim * dDim else 0)
+      val score = new Array[Long](dDim)
+      it.foreach { case (_, bs, xs, label) =>
+        val m = bs.length
+        var zL = 0L
+        var i = 0
+        while (i < m) { zL += math.floor(wloc(bs(i)) * xs(i) * 1e9).toLong; i += 1 }
+        val z = zL.toDouble / 1e9
+        val p = math.min(math.max(1.0 / (1.0 + math.exp(-z)), 1e-12),
+          1.0 - 1e-12)
+        val r = p * (1.0 - p)
+        val err = label - p
+        i = 0
+        while (i < m) {
+          score(bs(i)) += math.floor(xs(i) * err * 1e8).toLong
+          if (withHessian) {
+            var j = 0
+            while (j < m) {
+              if (bs(i) <= bs(j))
+                hess(bs(i) * dDim + bs(j)) +=
+                  math.floor(xs(i) * xs(j) * r * 1e8).toLong
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+      Iterator.single((hess, score))
+    }.collect()
+    val hessT = new Array[Long](if (withHessian) dDim * dDim else 0)
+    val scoreT = new Array[Long](dDim)
+    parts.foreach { case (h, g) =>
+      var i = 0
+      while (i < h.length) { hessT(i) += h(i); i += 1 }
+      i = 0
+      while (i < g.length) { scoreT(i) += g(i); i += 1 }
+    }
+    (hessT, scoreT)
+  }
+
+  /** Final loss/accuracy over the fold frame — same pass shape as
+    * [[hessianScoreReadout]], two longs per partition to the driver. */
+  private def lossAccReadout(
+      docRows: org.apache.spark.sql.Dataset[(Long, Array[Int], Array[Double], Double)],
+      wv: Array[Double]): (Long, Long) = {
+    val s = docRows.sparkSession
+    import s.implicits._
+    val bcW = graft.Broadcasts.track(s.sparkContext.broadcast(wv))
+    docRows.mapPartitions { it =>
+      val wloc = bcW.value
+      var lossL = 0L
+      var correct = 0L
+      it.foreach { case (_, bs, xs, label) =>
+        var zL = 0L
+        var i = 0
+        while (i < bs.length) {
+          zL += math.floor(wloc(bs(i)) * xs(i) * 1e9).toLong; i += 1
+        }
+        val z = zL.toDouble / 1e9
+        val p = math.min(math.max(1.0 / (1.0 + math.exp(-z)), 1e-12),
+          1.0 - 1e-12)
+        lossL += math.floor(-(label * math.log(p) +
+          (1.0 - label) * math.log(1.0 - p)) * 1e6).toLong
+        if ((p >= 0.5) == (label >= 0.5)) correct += 1L
+      }
+      Iterator.single((lossL, correct))
+    }.collect().foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+  }
+
+  private[graft] def hashedTrainLoop(
+      sparse0: DataFrame, labels0: DataFrame): (Array[Double], Double, Double, Long) = {
+    val docRows = trainFoldFrame(sparse0, labels0)
     try {
       val dDim = HashB + 1
       val w = Array.fill(dDim)(0.0)
-      val n = labels.count() // constant across rounds — ONE job up front
-      def perdoc(wv: Array[Double]): DataFrame = {
-        val wdf = broadcast(wv.toSeq.zipWithIndex
-          .map { case (v, j) => (j, v) }.toDF("bucket", "wv"))
-        sparse.join(wdf, Seq("bucket"))
-          .groupBy(col("doc_id"))
-          .agg((sum(floor(col("wv") * col("x") * 1e9).cast("bigint")) / 1e9).as("z"))
-          .join(labels, Seq("doc_id"))
-          .withColumn("p",
-            least(greatest(lit(1.0) / (lit(1.0) + exp(-col("z"))), lit(1e-12)),
-              lit(1.0 - 1e-12)))
-      }
-      // ONE action per Newton round: the (ja, jb) aggregate carries the
-      // Hessian AND (jb = -1) the score vector; loss/accuracy are not
-      // consumed by the update, so they are computed ONCE after the
-      // loop with the shipped weights (the metrics a filter publishes).
-      // The readout is ≤ d(d+1)/2 + d = 2210 snapped-integer rows
-      // (d = 65 hash buckets) — dimension-bounded, row-count-independent
-      // metadata, the broadcast-tier shape CollectLintSpec declares.
-      def hessianScoreReadout(wv: Array[Double]): Map[(Int, Int), Long] =
-        pairs
-          .join(perdoc(wv)
-            .withColumn("r", col("p") * (lit(1.0) - col("p")))
-            .withColumn("err", col("label") - col("p"))
-            .select(col("doc_id"), col("r"), col("err")), Seq("doc_id"))
-          .groupBy(col("ja"), col("jb"))
-          .agg(sum(floor(col("xab") *
-            when(col("jb") === -1, col("err")).otherwise(col("r")) * 1e8)
-            .cast("bigint")).as("hg"))
-          .collect()
-          .map(r0 => ((r0.getInt(0), r0.getInt(1)), r0.getLong(2))).toMap
+      val n = labels0.count() // constant across rounds — ONE job up front
       for (_ <- 1 to HashedIters) {
-        val hg = hessianScoreReadout(w)
-        newtonStep(w, n,
-          (j, k) => hg.getOrElse((j, k), 0L),
-          j => hg.getOrElse((j, -1), 0L))
+        val (hess, score) = hessianScoreReadout(docRows, w, dDim,
+          withHessian = true)
+        newtonStep(w, n, (j, k) => hess(j * dDim + k), j => score(j))
       }
-      val stats = perdoc(w).agg(
-        sum(floor(-(col("label") * log(col("p")) +
-          (lit(1.0) - col("label")) * log(lit(1.0) - col("p"))) * 1e6)
-          .cast("bigint")).as("loss"),
-        sum(((col("p") >= 0.5) === (col("label") >= 0.5)).cast("bigint"))
-          .as("correct")).head()
-      (w, stats.getAs[Long]("loss").toDouble / 1e6 / n,
-        stats.getAs[Long]("correct").toDouble / n, n)
-    } finally { sparse.unpersist(); labels.unpersist(); pairs.unpersist() }
+      // loss/accuracy are not consumed by the update — computed ONCE
+      // after the loop with the shipped weights
+      val (loss, correct) = lossAccReadout(docRows, w)
+      (w, loss.toDouble / 1e6 / n, correct.toDouble / n, n)
+    } finally { docRows.unpersist() }
   }
 
   /** Feature-HASHING classifier training (the fastText shape): hashed
@@ -625,10 +684,11 @@ object Govern {
   /** FIRST-ORDER training over the same sparse hashed frame — the
     * documented d ≈ 10³ swap of [[hashedTrainLoop]] made real: at
     * d = 4097 the IRLS Hessian readout would be d(d+1)/2 ≈ 8.4M rows,
-    * so the Newton pair join is replaced by L-BFGS (history m = 5,
-    * two-loop recursion on the driver over d-vector metadata) whose
-    * per-iteration cluster cost is ONE bucket-keyed gradient aggregate
-    * — d snapped-integer rows to the driver, no pair frame anywhere.
+    * so the Newton step is replaced by L-BFGS (history m = 5, two-loop
+    * recursion on the driver over d-vector metadata) whose
+    * per-iteration cluster cost is ONE per-partition fold over the
+    * doc-sorted frame — P·d snapped-integer longs to the driver, no
+    * pair frame anywhere.
     * The first step is diagonally preconditioned (0.25·Σxⱼ² is the
     * per-bucket Hessian bound of the sigmoid), after which the stored
     * (s, y) pairs scale the direction — no line search, so every
@@ -641,54 +701,43 @@ object Govern {
     * function of those integers — a single-node replay of the identical
     * recipe reproduces the weights bit-exactly (Round12Spec).
     *
-    * Scale: driver traffic per iteration is d + 1 longs (dimension-
+    * Scale: driver traffic per iteration is P·d longs (dimension-
     * bounded metadata, the whitelisted readout tier); the sparse frame
-    * is cached pre-partitioned on doc_id and never self-joined. At
-    * fastText-scale d = 2²¹ the same loop holds — the readout is 16 MB
-    * of longs per iteration, independent of corpus size. */
+    * is cached doc-sorted and never self-joined. The d = 2¹⁶ tier is
+    * MEASURED (Round13Spec: same loop, readout stays metadata-sized,
+    * accuracy holds); at fastText-scale d = 2²¹ the same loop holds —
+    * the readout is 16 MB of longs per partition per iteration,
+    * independent of corpus size. */
   private[graft] def lbfgsTrainLoop(
       sparse0: DataFrame, labels0: DataFrame, dDim: Int)
       : (Array[Double], Double, Double, Long) = {
     val s = sparse0.sparkSession
     import s.implicits._
-    val sparse = sparse0.repartition(col("doc_id")).cache()
-    val labels = labels0.repartition(col("doc_id")).cache()
+    val docRows = trainFoldFrame(sparse0, labels0)
     try {
-      val n = labels.count()
-      def perdoc(wv: Array[Double]): DataFrame = {
-        val wdf = broadcast(wv.toSeq.zipWithIndex
-          .map { case (v, j) => (j, v) }.toDF("bucket", "wv"))
-        sparse.join(wdf, Seq("bucket"))
-          .groupBy(col("doc_id"))
-          .agg((sum(floor(col("wv") * col("x") * 1e9).cast("bigint")) / 1e9)
-            .as("z"))
-          .join(labels, Seq("doc_id"))
-          .withColumn("p",
-            least(greatest(lit(1.0) / (lit(1.0) + exp(-col("z"))), lit(1e-12)),
-              lit(1.0 - 1e-12)))
-      }
-      // ONE job per iteration: per-bucket Σ floor(x·err·1e8) — the
-      // snapped-integer score vector, d rows of metadata
-      def gradReadout(wv: Array[Double]): Array[Long] = {
-        val g = new Array[Long](dDim)
-        sparse
-          .join(perdoc(wv)
-            .select(col("doc_id"), (col("label") - col("p")).as("err")),
-            Seq("doc_id"))
-          .groupBy(col("bucket"))
-          .agg(sum(floor(col("x") * col("err") * 1e8).cast("bigint")).as("g"))
-          .collect()
-          .foreach(r0 => g(r0.getInt(0)) = r0.getLong(1))
-        g
-      }
+      val n = labels0.count()
+      // ONE job per iteration: the shared fold with the Hessian loop
+      // off — per-bucket Σ floor(x·err·1e8), d longs per partition
+      def gradReadout(wv: Array[Double]): Array[Long] =
+        hessianScoreReadout(docRows, wv, dDim, withHessian = false)._2
       // per-bucket Σ floor(x²·1e8) — the diagonal preconditioner, ONE
-      // job before the loop (weight-independent)
+      // job before the loop (weight-independent; the collect is P·d
+      // longs of dimension-bounded metadata)
       val diag = {
         val dg = new Array[Long](dDim)
-        sparse.groupBy(col("bucket"))
-          .agg(sum(floor(col("x") * col("x") * 1e8).cast("bigint")).as("q"))
-          .collect()
-          .foreach(r0 => dg(r0.getInt(0)) = r0.getLong(1))
+        docRows.mapPartitions { it =>
+          val acc = new Array[Long](dDim)
+          it.foreach { case (_, bs, xs, _) =>
+            var i = 0
+            while (i < bs.length) {
+              acc(bs(i)) += math.floor(xs(i) * xs(i) * 1e8).toLong; i += 1
+            }
+          }
+          Iterator.single(acc)
+        }.collect().foreach { a =>
+          var i = 0
+          while (i < dDim) { dg(i) += a(i); i += 1 }
+        }
         dg
       }
       val ridge = 1e-4
@@ -765,15 +814,9 @@ object Govern {
         var j = 0
         while (j < dDim) { w(j) += dir(j); j += 1 }
       }
-      val stats = perdoc(w).agg(
-        sum(floor(-(col("label") * log(col("p")) +
-          (lit(1.0) - col("label")) * log(lit(1.0) - col("p"))) * 1e6)
-          .cast("bigint")).as("loss"),
-        sum(((col("p") >= 0.5) === (col("label") >= 0.5)).cast("bigint"))
-          .as("correct")).head()
-      (w, stats.getAs[Long]("loss").toDouble / 1e6 / n,
-        stats.getAs[Long]("correct").toDouble / n, n)
-    } finally { sparse.unpersist(); labels.unpersist() }
+      val (loss, correct) = lossAccReadout(docRows, w)
+      (w, loss.toDouble / 1e6 / n, correct.toDouble / n, n)
+    } finally { docRows.unpersist() }
   }
 
   /** Query key `classifier_lbfgs_train`: the d = 4096 hashing-trick

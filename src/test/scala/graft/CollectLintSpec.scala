@@ -58,13 +58,15 @@ class CollectLintSpec extends AnyFunSuite {
       ("k-row (k=8) grid-summed centroid table per Lloyd round — " +
         "row-count-independent metadata"),
     ("Govern.scala", "hessianScoreReadout") ->
-      ("<= d(d+1)/2 + d = 2210 snapped-integer Hessian/score rows per " +
-        "Newton round (d = 65 hash buckets) — dimension-bounded, " +
-        "row-count-independent metadata"),
+      ("P·(d² + d) snapped-integer long accumulators per Newton round " +
+        "(d = 65; P·d with the Hessian loop off for the L-BFGS tier) — " +
+        "dimension-bounded, row-count-independent metadata"),
     ("Govern.scala", "gradReadout") ->
-      ("d = 4097 snapped-integer gradient rows per L-BFGS iteration " +
-        "(plus the one-time diagonal) — dimension-bounded, " +
-        "row-count-independent metadata; no pair frame exists"))
+      ("the L-BFGS one-time diagonal preconditioner: P·d longs — " +
+        "dimension-bounded, row-count-independent metadata; no pair " +
+        "frame exists"),
+    ("Govern.scala", "lossAccReadout") ->
+      "two longs per partition (final loss/accuracy fold)")
 
   test("collect() appears only in declared broadcast-tier / metadata functions") {
     val defRe = """\s*(?:override\s+)?(?:private(?:\[\w+\])?\s+)?def (\w+)""".r

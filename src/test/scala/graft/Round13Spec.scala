@@ -401,4 +401,30 @@ class Round13Spec extends SparkSpec {
         (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
     assert(again == report)
   }
+
+  // ------------------------------------- L-BFGS large-d measured tier
+
+  test("lbfgs d=2^16 tier: same loop, accuracy holds, cost scales with d not d^2") {
+    import graft.ops.Govern
+    // the r12 scaladoc claimed "at fastText-scale d = 2^21 the same
+    // loop holds" from the d=4096 run alone; this makes a second tier
+    // MEASURED so the claim is an extrapolation from two points
+    def run(b: Int): (Double, Double) = {
+      val (sp, lb) = Govern.hashedFeaturesB(spark, sf01, b)
+      val t0 = System.nanoTime()
+      val (w, _, acc, _) = Govern.lbfgsTrainLoop(sp, lb, b + 1)
+      assert(w.length == b + 1, s"weight table not d+1 at d=$b")
+      ((System.nanoTime() - t0) / 1e9, acc)
+    }
+    val (t4k, acc4k) = run(4096)
+    val (t64k, acc64k) = run(65536)
+    info(f"d=4096: $t4k%.2fs acc=$acc4k%.3f | d=65536: $t64k%.2fs acc=$acc64k%.3f")
+    assert(acc64k >= 0.95,
+      f"accuracy $acc64k%.3f below the 0.95 bar at d=2^16")
+    // 16x the dimension: the cluster side is row-bound (fold over the
+    // same docs), the driver two-loop is O(m*d) — a d^2 readout or pair
+    // frame would reappear here as a ~256x blowup
+    assert(t64k <= math.max(16.0 * t4k, 20.0),
+      f"d-scaling super-linear: $t64k%.2fs at d=65536 vs $t4k%.2fs at d=4096")
+  }
 }
