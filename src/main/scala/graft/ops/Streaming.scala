@@ -262,7 +262,10 @@ object Streaming {
     * replay attaches a 10-minute one; the batch twin needs none) —
     * WITHOUT a caller watermark, update/append mode accumulates one
     * state row per (day, type) forever. State is evicted per watermark
-    * only when the caller attaches it. */
+    * only when the caller attaches it — an EXECUTED contract, not
+    * prose: StreamingParitySpec's update-mode eviction test pins that
+    * the watermark removes exactly the expired day cells from the
+    * state store under both backends. */
   def kmvDistinctTransform(events: DataFrame): DataFrame = {
     val kmv = udaf(Custom.KmvAgg)
     events

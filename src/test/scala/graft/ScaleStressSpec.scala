@@ -260,7 +260,18 @@ class ScaleStressSpec extends SparkSpec {
     // fixed ImageIO init amortizes, same tier as multimodal_phash_pixels)
     ("graph_eccentricity_sample", 10.0, 20.0),
     ("source_orc", 10.0, 20.0),
-    ("multimodal_pixel_stats", 24.0, 30.0))
+    ("multimodal_pixel_stats", 24.0, 30.0),
+    // r13 new keys, measured on a quiet run. holt_winters 0.7x (the
+    // (user, day) pre-aggregate bounds the fold input). graph_scc
+    // 0.3x — JOB-COUNT-bound like the seed-BFS family: 16x disjoint
+    // copies keep the condensation depth, rounds dominate. als 17.0x:
+    // EXACTLY the linear shape — 8 alternating half-steps each shuffle
+    // the 16x rating set, so the ratio is 16 plus amortized fixed cost
+    // (t1 3.96s -> t16 67.5s); a quadratic regression reads ~256x. The
+    // ceiling covers the measured 67.5s with contention headroom.
+    ("ts_holt_winters", 10.0, 20.0),
+    ("graph_scc", 10.0, 25.0),
+    ("recommend_als", 24.0, 85.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
@@ -275,7 +286,8 @@ class ScaleStressSpec extends SparkSpec {
     "graph_adamic_adar" -> "exact wedge join; gated twin graph_adamic_adar_approx",
     "assoc_pairs" -> "pair-emitting self-join, output-bound; manual-harness target (ScaleStress.scala)",
     "dedup_ngram_jaccard" -> "quadratic by design, fixture-bounded; scale answer is the minhash path",
-    "knn_cosine" -> "brute all-pairs oracle anchor; gated twins knn_lsh/_ivf/_pq")
+    "knn_cosine" -> "brute all-pairs oracle anchor; gated twins knn_lsh/_ivf/_pq",
+    "pipeline_ann_report" -> "composes the brute anchor + full-scan rungs by design (recall needs them); the gated twins are the rung keys themselves")
 
   private lazy val stressDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
