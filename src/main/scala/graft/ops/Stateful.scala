@@ -426,6 +426,121 @@ object Stateful {
       .orderBy(col("user_id"))
   }
 
+  /** [[graft.ops.Quant.tsHoltWinters]]'s triple-smoothing recurrence
+    * lifted to the arriving-data shape — the stateful twin completing the
+    * smoothing-ladder pairing (EWMA→…→Kalman each have one; this is the
+    * Holt–Winters rung). State per user is O(1): (n closed days, level,
+    * trend, the 7 Monday-based seasonal slots as explicit doubles — case
+    * class equality stays structural — plus the OPEN day's epoch-day /
+    * weekday / exact running cent sum). A day CLOSES only when a later
+    * day's event arrives, so the daily cent sum is complete before it
+    * enters the recurrence no matter where micro-batch boundaries fall;
+    * the emission folds the still-open day into a COPY of the state, so
+    * the update-mode readout equals the batch fold over everything seen
+    * while resume stays exact (the stored state never double-counts).
+    * Cross-batch per-user event-time ordering is the same precondition as
+    * the Welford/Holt/Kalman folds (Kinesis per-shard ordering, shard key
+    * = user); a violation that would silently corrupt a closed day
+    * THROWS instead. Within a batch the fold sorts its chunk. */
+  case class HwState(
+      nDays: Long, l: Double, b: Double,
+      s0: Double, s1: Double, s2: Double, s3: Double,
+      s4: Double, s5: Double, s6: Double,
+      openDay: Long, openWd: Int, openCents: Long)
+
+  case class HwOut(
+      user_id: Long, n_days: Long, level: Double, trend: Double,
+      season_next: Double, forecast_next: Double)
+
+  private[graft] val hwEmpty =
+    HwState(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+      Long.MinValue, 0, 0L)
+
+  /** Monday-based weekday of an epoch day (1970-01-01 was a Thursday,
+    * Monday-based index 3) — matches Spark's `weekday` on the UTC date. */
+  private def epochDayWd(day: Long): Int = Math.floorMod(day + 3L, 7L).toInt
+
+  private[graft] def hwFold(evs: Array[Event], st: HwState): HwState = {
+    val sorted = evs.sortBy(e => (micros(e.ts), e.event_id))
+    var nDays = st.nDays; var l = st.l; var b = st.b
+    val sa = Array(st.s0, st.s1, st.s2, st.s3, st.s4, st.s5, st.s6)
+    var openDay = st.openDay; var openWd = st.openWd
+    var openCents = st.openCents
+    def closeOpenDay(): Unit = {
+      val v = openCents.toDouble / 100.0
+      if (nDays == 0L) { l = v; b = 0.0 }
+      else {
+        val sc = sa(openWd)
+        val l2 = 0.5 * (v - sc) + 0.5 * (l + b)
+        b = 0.25 * (l2 - l) + 0.75 * b
+        sa(openWd) = 0.25 * (v - l2) + 0.75 * sc
+        l = l2
+      }
+      nDays += 1
+    }
+    sorted.foreach { e =>
+      val day = Math.floorDiv(micros(e.ts), 86400000000L)
+      val c = math.floor(e.value * 100 + 0.5).toLong
+      if (openDay == Long.MinValue) {
+        openDay = day; openWd = epochDayWd(day); openCents = c
+      } else if (day == openDay) openCents += c
+      else if (day > openDay) {
+        closeOpenDay()
+        openDay = day; openWd = epochDayWd(day); openCents = c
+      } else throw new IllegalStateException(
+        s"hwFold: event day $day precedes the open day $openDay — " +
+          "cross-batch per-user ordering precondition violated")
+    }
+    HwState(nDays, l, b, sa(0), sa(1), sa(2), sa(3), sa(4), sa(5), sa(6),
+      openDay, openWd, openCents)
+  }
+
+  /** Provisional readout: closes the open day on LOCALS (the stored
+    * state is untouched, so resume never double-folds a day). Equals the
+    * batch fold over all days seen so far, last daily row = the open
+    * day — hence bit-equality with [[graft.ops.Quant.tsHoltWinters]]. */
+  private def hwOut(u: Long, st: HwState): HwOut = {
+    var l = st.l; var b = st.b
+    val sa = Array(st.s0, st.s1, st.s2, st.s3, st.s4, st.s5, st.s6)
+    val v = st.openCents.toDouble / 100.0
+    if (st.nDays == 0L) { l = v; b = 0.0 }
+    else {
+      val sc = sa(st.openWd)
+      val l2 = 0.5 * (v - sc) + 0.5 * (l + b)
+      b = 0.25 * (l2 - l) + 0.75 * b
+      sa(st.openWd) = 0.25 * (v - l2) + 0.75 * sc
+      l = l2
+    }
+    val sNext = sa((st.openWd + 1) % 7)
+    HwOut(u, st.nDays + 1L, r4d(l), r4d(b), r4d(sNext), r4d(l + b + sNext))
+  }
+
+  /** Works in batch mode too (state starts empty, one chunk = the whole
+    * history) — the query entry, which therefore shares ts_holt_winters'
+    * DuckDB recursive-CTE oracle verbatim; the multi-batch resume and
+    * mid-day/day-boundary split parity are pinned in Round13Spec. */
+  def hwStream(events: Dataset[Event]): Dataset[HwOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[Event], state: GroupState[HwState]) =>
+          val st = hwFold(it.toArray, state.getOption.getOrElse(hwEmpty))
+          state.update(st)
+          Iterator.single(hwOut(u, st))
+      }
+  }
+
+  /** Query entry — oracle-GATED: batch mode must hash-match the same
+    * recursive-CTE twin as ts_holt_winters (identical columns, rounding,
+    * order), the strongest possible pin for a stateful operator. */
+  def streamHoltWinters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    hwStream(Tables.events(s, d).as[Event])
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
   /** The same sessionization through `transformWithState` — Spark 4.x's
     * arbitrary-stateful-processing API (successor to
     * flatMapGroupsWithState): explicit `StatefulProcessor` lifecycle with

@@ -2368,6 +2368,12 @@ object OracleSql {
     // 7-slot seasonal state as explicit columns — see holtWintersSql
     "ts_holt_winters" -> holtWintersSql,
 
+    // the stateful twin's batch mode is bit-identical to the
+    // declarative fold (provisional open-day readout on locals), so it
+    // shares the recursive-CTE twin verbatim — the strongest pin a
+    // stateful operator can carry
+    "stream_holt_winters" -> holtWintersSql,
+
     // degree assortativity: exact BIGINT moments over the directed edge
     // list, closed form in double with the engine's operand order
     "graph_assortativity" ->

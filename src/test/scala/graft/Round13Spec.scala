@@ -427,4 +427,48 @@ class Round13Spec extends SparkSpec {
     assert(t64k <= math.max(16.0 * t4k, 20.0),
       f"d-scaling super-linear: $t64k%.2fs at d=65536 vs $t4k%.2fs at d=4096")
   }
+
+  // --------------------------------------------- stream_holt_winters
+
+  test("stream_holt_winters: batch-mode == ts_holt_winters bit-for-bit; split-resume parity incl. day boundaries") {
+    import graft.ops.{Quant, Stateful}
+    val batch = Quant.tsHoltWinters(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val stream = Stateful.streamHoltWinters(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(batch.toSeq == stream.toSeq,
+      "stateful batch-mode output differs from the declarative fold")
+    // resume parity: the stored state never folds the OPEN day, so any
+    // split — mid-day or exactly at a day boundary — must resume to the
+    // same state as one whole fold (case-class equality is structural:
+    // the 7 seasonal slots are explicit doubles)
+    import spark.implicits._
+    val evs = graft.io.Tables.events(spark, sf001)
+      .as[graft.ops.Stateful.Event]
+      .collect().filter(_.user_id == 1L)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.length >= 4, "fixture user 1 too small for the split pin")
+    val whole = Stateful.hwFold(evs, Stateful.hwEmpty)
+    val dayOf = (e: graft.ops.Stateful.Event) =>
+      Math.floorDiv(e.ts.getTime, 86400000L)
+    val boundaryCuts = (1 until evs.length)
+      .filter(i => dayOf(evs(i)) != dayOf(evs(i - 1)))
+    val cuts = ((1 until evs.length by math.max(1, evs.length / 5)) ++
+      boundaryCuts.take(3)).distinct
+    assert(boundaryCuts.nonEmpty, "no day-boundary split available")
+    cuts.foreach { cut =>
+      val resumed = Stateful.hwFold(evs.drop(cut),
+        Stateful.hwFold(evs.take(cut), Stateful.hwEmpty))
+      assert(resumed == whole, s"resume at $cut diverged")
+    }
+    // the ordering precondition is enforced, not assumed: a regressed
+    // (earlier-day) chunk after a close must throw, not corrupt
+    val lastDayStart = boundaryCuts.last
+    intercept[IllegalStateException] {
+      Stateful.hwFold(evs.take(lastDayStart),
+        Stateful.hwFold(evs.drop(lastDayStart), Stateful.hwEmpty))
+    }
+  }
 }
