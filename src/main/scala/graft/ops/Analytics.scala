@@ -2391,6 +2391,49 @@ object Analytics {
     * thresholded co-order graph exactly like graph_adamic_adar, so the
     * readout is wedge-bounded, not |C|·|P|. Oracle-exempt (iterative
     * multi-join fixpoint). */
+  /** Query key `recommend_item_knn`: item-item collaborative filtering
+    * over the order × part incidence matrix — the MEMORY-BASED
+    * recommender next to [[recommendAls]]'s model-based one (the classic
+    * Amazon item-to-item shape: neighbors are precomputed per ITEM, so
+    * serving a user is a lookup, not a factorization). Similarity is the
+    * cosine of binary basket vectors: sim(a,b) = cooc(a,b)/√(n(a)·n(b))
+    * over DISTINCT (order, part) incidences; top-5 neighbors per part,
+    * ranked on the 4-dp-rounded grid with neighbor-id tiebreak (the
+    * knn_cosine oracle recipe — rank after rounding, so the order both
+    * engines sort is a grid value computed from exact BIGINTs with one
+    * correctly-rounded √ and ÷ each).
+    *
+    * Scale: the co-occurrence self-join is wedge-bounded by basket size
+    * (Σ_orders |basket|² — lineitem ≤ 7 lines/order, never |parts|²),
+    * the n(·) table is an id-keyed partial aggregate joined back by id,
+    * and the rank window partitions by part. Everything shuffles on part
+    * ids; nothing is collected. Oracle = the identical SQL in DuckDB. */
+  def recommendItemKnn(s: SparkSession, d: String): DataFrame = {
+    val inc = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val cooc = inc.as("a").join(inc.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part"),
+        col("b.l_partkey").as("neighbor"))
+      .agg(count(lit(1)).as("cooc"))
+    val n = inc.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val sim = cooc
+      .join(n.select(col("l_partkey").as("part"), col("n").as("na")),
+        Seq("part"))
+      .join(n.select(col("l_partkey").as("neighbor"), col("n").as("nb")),
+        Seq("neighbor"))
+      .withColumn("sim", round(col("cooc").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")), 4))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("sim").desc, col("neighbor").asc)
+    sim.withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= 5)
+      .select(col("part"), col("rn"), col("neighbor"), col("sim"),
+        col("cooc"))
+      .orderBy(col("part"), col("rn"))
+  }
+
   def recommendAls(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ratings = Tables.orders(s, d)

@@ -2374,6 +2374,26 @@ object OracleSql {
     // stateful operator can carry
     "stream_holt_winters" -> holtWintersSql,
 
+    // item-item cosine over binary baskets: exact BIGINT cooc/n counts,
+    // one correctly-rounded sqrt + divide, ranked AFTER the 4-dp snap
+    // with neighbor-id tiebreak (the knn_cosine recipe)
+    "recommend_item_knn" ->
+      ("WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "n AS (SELECT l_partkey, count(*) AS n FROM d GROUP BY 1), " +
+        "c AS (SELECT a.l_partkey AS part, b.l_partkey AS neighbor, " +
+        "count(*) AS cooc FROM d a JOIN d b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey " +
+        "GROUP BY 1, 2), " +
+        "s AS (SELECT c.part, c.neighbor, c.cooc, " +
+        "floor((c.cooc::DOUBLE / sqrt((na.n * nb.n)::DOUBLE)) * 10000 + 0.5) " +
+        "/ 10000.0 AS sim " +
+        "FROM c JOIN n na ON na.l_partkey = c.part " +
+        "JOIN n nb ON nb.l_partkey = c.neighbor) " +
+        "SELECT part, rn, neighbor, sim, cooc FROM (" +
+        "SELECT part, neighbor, cooc, sim, (row_number() OVER (" +
+        "PARTITION BY part ORDER BY sim DESC, neighbor ASC))::INT AS rn " +
+        "FROM s) WHERE rn <= 5 ORDER BY part, rn"),
+
     // degree assortativity: exact BIGINT moments over the directed edge
     // list, closed form in double with the engine's operand order
     "graph_assortativity" ->

@@ -273,8 +273,11 @@ class ScaleStressSpec extends SparkSpec {
     ("graph_scc", 10.0, 25.0),
     ("recommend_als", 24.0, 85.0),
     // r13 second wave: the stateful HW twin rides the same linear fold
-    // as ts_holt_winters (state O(1) per user)
-    ("stream_holt_winters", 10.0, 20.0))
+    // as ts_holt_winters (state O(1) per user); item-item cosine is
+    // wedge-bounded by basket size — measured 1.7x at 16x (disjoint
+    // copies add orders, not basket density)
+    ("stream_holt_winters", 10.0, 20.0),
+    ("recommend_item_knn", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
