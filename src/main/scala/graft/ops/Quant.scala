@@ -1130,6 +1130,60 @@ object Quant {
     * Scale: three partial-aggregable groupBys over tiny keys (7 / 24 /
     * 1 rows) broadcast back onto the stream — raw events shuffle
     * nowhere. */
+  /** Query key `ts_stl_decompose`: STL-lite seasonal/trend decomposition
+    * of the per-event-type daily series — the DECOMPOSITION companion of
+    * the smoothing ladder (Holt–Winters FORECASTS through learned
+    * seasonality; this EXPLAINS a series into trend + weekly seasonal +
+    * residual, the first plot an analyst draws on a feed). Classic
+    * moving-average STL skeleton: trend = centered 7-row moving average
+    * over the observed daily sequence (rows with a full 7-observed-day
+    * window only — edge days carry no trend row, the standard MA
+    * convention), detrended = value − trend, seasonal(wd) = per-weekday
+    * mean of the detrended values, residual = detrended − seasonal.
+    *
+    * Determinism: the 7-day moving SUM is over exact BIGINT cent sums
+    * (order-free regardless of either engine's window-aggregation tree),
+    * one division makes the trend double; the per-weekday seasonal mean
+    * would be an order-dependent double sum, so each detrended value
+    * snaps to the 1e-6 grid FIRST (identical doubles ⇒ identical longs)
+    * and the slot mean divides exact integer sums — the
+    * seq_markov_perplexity recipe. day is emitted as midnight TIMESTAMP
+    * (the DATE-rendering gotcha).
+    *
+    * Scale: the (type, day) pre-aggregate bounds everything downstream
+    * to ≤ |types|·|days| rows — the window partitions by event_type over
+    * daily rows (a bounded-histogram-shaped input, same adjudication as
+    * the drift sites), never over raw events. */
+  def tsStlDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s7", sum(col("cents")).over(w))
+      .where(col("n7") === 7)
+      .withColumn("trend", col("s7").cast("double") / lit(7e2))
+      .withColumn("v", col("cents").cast("double") / lit(1e2))
+      .withColumn("det", col("v") - col("trend"))
+      .withColumn("wd", weekday(col("day")))
+      .withColumn("g", floor(col("det") * 1e6 + 0.5).cast("long"))
+    val seas = t.groupBy(col("event_type"), col("wd"))
+      .agg(sum(col("g")).as("sg"), count(lit(1)).as("sn"))
+      .withColumn("seasonal",
+        col("sg").cast("double") / col("sn").cast("double") / lit(1e6))
+    t.join(seas.select(col("event_type"), col("wd"), col("seasonal")),
+        Seq("event_type", "wd"))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        round(col("v"), 4).as("value"), round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("det") - col("seasonal"), 4).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def tsSeasonalResidual(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
       .select(col("event_id"), col("ts"),

@@ -3081,6 +3081,35 @@ object OracleSql {
         "FROM e JOIN w USING (wd) JOIN h USING (hod), g " +
         "ORDER BY event_id"),
 
+    // STL-lite: 7-row centered moving SUM over exact BIGINT daily cents
+    // (window-tree order irrelevant), one division to double; per-weekday
+    // seasonal mean over 1e-6-grid-snapped detrended values (exact
+    // integer sums); full-window rows only; day as midnight TIMESTAMP
+    "ts_stl_decompose" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "t0 AS (SELECT event_type, day, cents, " +
+        "count(*) OVER w AS n7, sum(cents) OVER w AS s7 FROM daily " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "t AS (SELECT event_type, day, (isodow(day) - 1)::INT AS wd, " +
+        "cents::DOUBLE / 1e2 AS v, s7::DOUBLE / 7e2 AS trend, " +
+        "cents::DOUBLE / 1e2 - s7::DOUBLE / 7e2 AS det, " +
+        "floor((cents::DOUBLE / 1e2 - s7::DOUBLE / 7e2) * 1e6 + 0.5)::BIGINT AS g " +
+        "FROM t0 WHERE n7 = 7), " +
+        "seas AS (SELECT event_type, wd, " +
+        "sum(g)::BIGINT AS sg, count(*) AS sn FROM t GROUP BY 1, 2) " +
+        "SELECT t.event_type, t.day::TIMESTAMP AS day, " +
+        "floor(t.v * 10000 + 0.5) / 10000.0 AS value, " +
+        "floor(t.trend * 10000 + 0.5) / 10000.0 AS trend, " +
+        "floor((seas.sg::DOUBLE / seas.sn::DOUBLE / 1e6) * 10000 + 0.5) " +
+        "/ 10000.0 AS seasonal, " +
+        "floor((t.det - seas.sg::DOUBLE / seas.sn::DOUBLE / 1e6) " +
+        "* 10000 + 0.5) / 10000.0 AS residual " +
+        "FROM t JOIN seas ON seas.event_type = t.event_type " +
+        "AND seas.wd = t.wd ORDER BY t.event_type, t.day"),
+
     // Spark VARIANT path extraction == DuckDB JSON operators; payload
     // values are small ints, every cast exact
     "fn_variant_json" ->

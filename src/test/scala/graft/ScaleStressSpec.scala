@@ -277,7 +277,9 @@ class ScaleStressSpec extends SparkSpec {
     // wedge-bounded by basket size — measured 1.7x at 16x (disjoint
     // copies add orders, not basket density)
     ("stream_holt_winters", 10.0, 20.0),
-    ("recommend_item_knn", 10.0, 20.0))
+    ("recommend_item_knn", 10.0, 20.0),
+    // STL-lite: one (type, day) pre-aggregate then day-bounded windows
+    ("ts_stl_decompose", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
