@@ -2523,7 +2523,12 @@ object Analytics {
     * driver. Round count tracks the SCC condensation's depth, not |V|:
     * the trim pass absorbs the DAG tails that would otherwise cost one
     * coloring round each (the Slota trim argument). */
-  def graphScc(s: SparkSession, d: String): DataFrame = {
+  /** The directed purchase-sequence part graph shared by [[graphScc]]
+    * and [[graphCondensation]]: a → b when an order lists a before b,
+    * every observed direction kept on pairs whose TOTAL co-order count
+    * is ≥ 2 (the §2.25 graph_scc definition). */
+  private[graft] def directedPartEdges(
+      s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
     val dir = li.as("a").join(li.as("b"),
@@ -2537,13 +2542,16 @@ object Analytics {
         greatest(col("src"), col("dst")).as("p2"))
       .agg(sum(col("cnt")).as("tot")).where(col("tot") >= 2)
       .select(col("p1"), col("p2"))
-    val e = dir
+    dir
       .join(und,
         least(dir("src"), dir("dst")) === und("p1") &&
           greatest(dir("src"), dir("dst")) === und("p2"),
         "left_semi")
       .select(col("src"), col("dst"))
-    sccFrom(e)
+  }
+
+  def graphScc(s: SparkSession, d: String): DataFrame = {
+    sccFrom(directedPartEdges(s, d))
       .withColumn("scc_size",
         count(lit(1)).over(Window.partitionBy(col("scc_id"))))
       .orderBy(col("part"))
@@ -2641,6 +2649,76 @@ object Analytics {
     if (!done)
       throw new IllegalStateException(s"graphScc: no fixpoint in $outer rounds")
     settled.reduce(_ unionAll _)
+  }
+
+  /** Query key `graph_condensation`: the condensation DAG of
+    * [[graphScc]] — one row per strongly connected component with the
+    * structural metadata a pipeline reads off the directed decomposition
+    * (what PageRank's convergence and any dependency-ordered processing
+    * actually depend on): scc_size, in/out degree in the condensation
+    * (distinct neighbor COMPONENTS, internal edges dropped), and depth =
+    * the longest path from any source component — the level at which a
+    * topological schedule would run this component, and the number of
+    * sequential passes a dependency-ordered job needs.
+    *
+    * Algorithm: contract [[sccFrom]]'s coloring over the directed edge
+    * list (two id-keyed joins + distinct), then longest-path by
+    * Bellman-Ford-style relaxation on the COMPONENT graph — per round
+    * one keyed aggregate (max over incoming depth+1), convergence count
+    * materializes the lazy localCheckpoint, rounds bounded by the
+    * condensation depth (the same quantity graph_scc's outer loop
+    * tracks), capped and THROWING rather than emitting a partial answer
+    * (a cycle surviving contraction — impossible by construction —
+    * would otherwise relax forever). Nothing graph-sized at the driver.
+    *
+    * Pinned EXACT against a driver recompute from the Round13Spec
+    * Tarjan (condensation edges + topological DP) at sf0.01. */
+  def graphCondensation(s: SparkSession, d: String): DataFrame = {
+    val e = directedPartEdges(s, d).localCheckpoint()
+    val comp = sccFrom(e)
+      .select(col("part"), col("scc_id")).localCheckpoint()
+    val sizes = comp.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+    val ce = e
+      .join(comp.select(col("part").as("src"), col("scc_id").as("csrc")),
+        Seq("src"))
+      .join(comp.select(col("part").as("dst"), col("scc_id").as("cdst")),
+        Seq("dst"))
+      .where(col("csrc") =!= col("cdst"))
+      .select(col("csrc"), col("cdst")).distinct()
+      .localCheckpoint()
+    var depth = sizes.select(col("scc_id"), lit(0L).as("depth"))
+      .localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 64) {
+      val relaxed = depth.join(ce, depth("scc_id") === ce("csrc"))
+        .select(col("cdst").as("scc_id"), (col("depth") + 1L).as("depth"))
+      val next = depth.select(col("scc_id"), col("depth")).unionAll(relaxed)
+        .groupBy(col("scc_id")).agg(max(col("depth")).as("depth"))
+        .localCheckpoint(eager = false)
+      val changed = next
+        .join(depth.select(col("scc_id"), col("depth").as("d0")),
+          Seq("scc_id"))
+        .where(col("depth") =!= col("d0")).count()
+      depth = next
+      if (changed == 0) stable = true
+      rounds += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"graphCondensation: longest-path relaxation ran $rounds rounds " +
+        "without converging — the contracted graph is not a DAG")
+    val outDeg = ce.groupBy(col("csrc").as("scc_id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inDeg = ce.groupBy(col("cdst").as("scc_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    sizes
+      .join(depth, Seq("scc_id"))
+      .join(outDeg, Seq("scc_id"), "left")
+      .join(inDeg, Seq("scc_id"), "left")
+      .select(col("scc_id"), col("scc_size"), col("depth"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("scc_id"))
   }
 
   /** Sampled-Brandes core over a symmetric (src, dst) edge list; see

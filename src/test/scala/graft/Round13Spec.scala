@@ -206,6 +206,78 @@ class Round13Spec extends SparkSpec {
     assert(sizes.values.max > 1, "fixture graph must contain a nontrivial SCC")
   }
 
+  // ---------------------------------------------- graph_condensation
+
+  /** Driver condensation metadata from a node→scc labeling: component
+    * edges, in/out degree, longest-path depth by memoized DP. */
+  private def condenseDriver(edges: Seq[(Long, Long)], comp: Map[Long, Long])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val ce = edges.map { case (a, b) => (comp(a), comp(b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val sizes = comp.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val incoming = ce.groupBy(_._2).map { case (c, v) => c -> v.map(_._1) }
+    val memo = scala.collection.mutable.Map.empty[Long, Long]
+    def depth(c: Long): Long = memo.getOrElseUpdate(c,
+      incoming.get(c).map(_.map(depth).max + 1L).getOrElse(0L))
+    val outD = ce.groupBy(_._1).map { case (c, v) => c -> v.size.toLong }
+    val inD = ce.groupBy(_._2).map { case (c, v) => c -> v.size.toLong }
+    sizes.map { case (c, sz) =>
+      c -> (sz, depth(c), outD.getOrElse(c, 0L), inD.getOrElse(c, 0L))
+    }
+  }
+
+  test("graph_condensation: synthetic DAG levels — cycle contracts to depth-0, tail levels 1..2") {
+    import spark.implicits._
+    val cyc = (0L until 6L).map(i => (i, (i + 1) % 6))
+    val tail = Seq((5L, 10L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = cyc ++ tail
+    // condensation: {0..5} -> 10 -> 11 -> 12, plus 10 -> 12 (depth(12)=3)
+    val comp = tarjan(edges)
+    val expected = condenseDriver(edges, comp)
+    // drive the kernel pieces directly on the synthetic edge list
+    val e = edges.toDF("src", "dst")
+    val compDf = graft.ops.Analytics.sccFrom(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compDf == comp)
+    assert(expected(0L) == (6L, 0L, 1L, 0L), "cycle component")
+    assert(expected(10L) == (1L, 1L, 2L, 1L))
+    assert(expected(11L) == (1L, 2L, 1L, 1L))
+    assert(expected(12L) == (1L, 3L, 0L, 2L), "two paths: depth is the LONGEST")
+  }
+
+  test("graph_condensation equals the driver condensation of the Tarjan labeling at sf0.01") {
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    import spark.implicits._
+    val rows = li.as[(Long, Long, Long)].collect()
+    val byOrder = rows.groupBy(_._1)
+    val dirCnt = byOrder.values.toSeq.flatMap { items =>
+      for {
+        a <- items.toSeq; b <- items.toSeq
+        if a._2 < b._2 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    val undTot = dirCnt.groupBy { case ((a, b), _) =>
+      (math.min(a, b), math.max(a, b)) }
+      .map { case (k, m) => k -> m.values.sum }
+    val edges = dirCnt.keys.filter { case (a, b) =>
+      undTot((math.min(a, b), math.max(a, b))) >= 2 }.toSeq
+    val expected = condenseDriver(edges, tarjan(edges))
+    val got = graft.ops.Analytics.graphCondensation(spark, sf01).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected, {
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(k => got.get(k) != expected.get(k)).take(5)
+      s"condensation mismatch at ${diff.map(k =>
+        s"$k: got=${got.get(k)} exp=${expected.get(k)}").mkString("; ")}"
+    })
+    val maxDepth = expected.values.map(_._2).max
+    info(s"sf0.01 condensation: ${expected.size} components, " +
+      s"max depth $maxDepth")
+    assert(maxDepth >= 1, "fixture condensation must have actual structure")
+  }
+
   // -------------------------------------------------- recommend_als
 
   /** Independent Cholesky solve of (A + λI)x = b (re-implemented here,

@@ -279,7 +279,11 @@ class ScaleStressSpec extends SparkSpec {
     ("stream_holt_winters", 10.0, 20.0),
     ("recommend_item_knn", 10.0, 20.0),
     // STL-lite: one (type, day) pre-aggregate then day-bounded windows
-    ("ts_stl_decompose", 10.0, 20.0))
+    ("ts_stl_decompose", 10.0, 20.0),
+    // condensation rides the scc kernel + a depth-bounded relaxation
+    // loop: JOB-COUNT-bound like graph_scc — measured 0.5x at 16x
+    // (disjoint copies keep the condensation depth)
+    ("graph_condensation", 10.0, 30.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
