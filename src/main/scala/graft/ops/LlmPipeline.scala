@@ -3848,6 +3848,79 @@ object LlmPipeline {
     *
     * Scale: map-only — split once, array_distinct on the projected array;
     * no explode, no shuffle but the output sort. */
+  /** Squared L2 distance in double, fixed dimension order — identical on
+    * every executor and in the driver replay (float→double is exact). */
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val t = a(i).toDouble - b(i).toDouble
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
+  /** Query key `sample_kcenter`: greedy farthest-point (Gonzalez)
+    * k-center selection over the embedding collection — the
+    * COVERAGE-driven data-selection primitive the diversity literature
+    * (coreset selection, active learning) builds on, next to the
+    * frequency-driven samplers (the sample_ and corpus_dsir_ families):
+    * each round
+    * adds the point FARTHEST from the chosen set, so k rows cover the
+    * collection with the smallest greedy radius (a 2-approximation of
+    * the optimal k-center cover). The emitted radius ladder — each
+    * center's distance to the set before it joined, plus a final
+    * coverage row — is the diminishing-returns curve a corpus team
+    * reads to pick k, as they read pipeline_ann_report to pick a rung.
+    *
+    * Distributed shape: per-point running min-distance column updated by
+    * a broadcast of ONE new center per round (map-only), selection via
+    * orderBy(dist desc, id asc).limit(1) = TakeOrdered — per-partition
+    * top-1 then a k-independent driver merge, never a global sort; k
+    * rounds ⇒ k linear jobs, lineage cut by lazy localCheckpoints the
+    * selection jobs materialize. Deterministic: seed = min vec_id, all
+    * distances are fixed-order double folds over float32 (identical on
+    * any partitioning), ties broken by vec_id.
+    *
+    * Pins: EXACT equality with a driver greedy replay at sf0.001,
+    * partitioning invariance (7 vs 3), radius ladder nonincreasing
+    * (Round13Spec). */
+  def sampleKcenter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    var cur = vecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { case (id, v) => (id, v, Double.MaxValue) }
+      .localCheckpoint(eager = false)
+    // seed: the smallest vec_id (one TakeOrdered job)
+    val seed = cur.orderBy(col("_1").asc).limit(1).head()
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    out += ((1L, seed._1, 0.0))
+    var center = seed._2
+    for (round <- 2 to k) {
+      val bcC = graft.Broadcasts.track(s.sparkContext.broadcast(center))
+      cur = cur.map { case (id, v, md) =>
+        (id, v, math.min(md, sqDist(v, bcC.value)))
+      }.localCheckpoint(eager = false)
+      val top = cur.orderBy(col("_3").desc, col("_1").asc).limit(1).head()
+      out += ((round.toLong, top._1, top._3))
+      center = top._2
+    }
+    // final coverage radius after all k centers (one aggregate job)
+    val bcC = graft.Broadcasts.track(s.sparkContext.broadcast(center))
+    val finalR = cur
+      .map { case (id, v, md) => math.min(md, sqDist(v, bcC.value)) }
+      .agg(max(col("value"))).as[Double].head()
+    out += ((k + 1L, -1L, finalR))
+    out.result()
+      .map { case (i, id, r) =>
+        (i, id, math.floor(r * 10000.0 + 0.5) / 10000.0)
+      }
+      .toDF("sel_idx", "vec_id", "radius")
+      .orderBy(col("sel_idx"))
+  }
+
   /** Per-label centroid embeddings — the prototype/codebook build step
     * (IVF training, class prototypes, cluster seeds). Elements are
     * snapped to a 1e-6 grid (floor(x·10⁶+0.5), exact BIGINT sums) so the

@@ -500,6 +500,56 @@ class Round13Spec extends SparkSpec {
       f"d-scaling super-linear: $t64k%.2fs at d=65536 vs $t4k%.2fs at d=4096")
   }
 
+  // ------------------------------------------------- sample_kcenter
+
+  test("sample_kcenter == driver greedy replay; partitioning-invariant; radius ladder nonincreasing") {
+    import spark.implicits._
+    val vs = graft.io.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1
+      }
+      acc
+    }
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // driver greedy: seed = min id, then farthest-point with id tiebreak
+    val k = 16
+    val md = scala.collection.mutable.Map(
+      vs.map(v => v._1 -> Double.MaxValue): _*)
+    val byId = vs.toMap
+    var center = vs.head._2
+    val expected = scala.collection.mutable.ArrayBuffer(
+      (1L, vs.head._1, 0.0))
+    for (round <- 2 to k) {
+      vs.foreach { case (id, v) =>
+        md(id) = math.min(md(id), sq(v, center)) }
+      val (topId, topD) = vs.map { case (id, _) => (id, md(id)) }
+        .maxBy { case (id, dd) => (dd, -id) }
+      expected += ((round.toLong, topId, r4(topD)))
+      center = byId(topId)
+    }
+    vs.foreach { case (id, v) => md(id) = math.min(md(id), sq(v, center)) }
+    expected += ((k + 1L, -1L, r4(md.values.max)))
+    val got = graft.ops.LlmPipeline.sampleKcenter(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq,
+      s"k-center replay mismatch:\n got ${got.toSeq}\n exp $expected")
+    // radius ladder nonincreasing over the selection rounds (2..k)
+    val ladder = got.toSeq.filter(t => t._1 >= 2 && t._1 <= k).map(_._3)
+    assert(ladder.zip(ladder.tail).forall { case (a, b) => b <= a },
+      s"radius ladder must be nonincreasing: $ladder")
+    // the final coverage row is <= the last selection radius
+    assert(got.last._3 <= ladder.last)
+    // distances are per-point partition-independent folds: the result
+    // cannot depend on layout
+    val again = graft.ops.LlmPipeline.sampleKcenter(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   // --------------------------------------------- stream_holt_winters
 
   test("stream_holt_winters: batch-mode == ts_holt_winters bit-for-bit; split-resume parity incl. day boundaries") {

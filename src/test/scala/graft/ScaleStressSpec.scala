@@ -283,7 +283,10 @@ class ScaleStressSpec extends SparkSpec {
     // condensation rides the scc kernel + a depth-bounded relaxation
     // loop: JOB-COUNT-bound like graph_scc — measured 0.5x at 16x
     // (disjoint copies keep the condensation depth)
-    ("graph_condensation", 10.0, 30.0))
+    ("graph_condensation", 10.0, 30.0),
+    // greedy k-center: k map+TakeOrdered jobs, job-count-bound —
+    // measured 0.9x at 16x
+    ("sample_kcenter", 10.0, 25.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
