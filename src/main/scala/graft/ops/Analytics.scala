@@ -2721,6 +2721,101 @@ object Analytics {
       .orderBy(col("scc_id"))
   }
 
+  /** Query key `graph_mst_boruvka`: maximum-similarity spanning forest
+    * of the undirected co-order part graph by Borůvka rounds — the
+    * single-linkage BACKBONE of the similarity graph (weight = co-order
+    * count; maximizing it ≡ minimizing 1/cnt, the classic MST-on-
+    * similarity): the ≤ n−1 strongest edges that keep every connected
+    * part reachable — the skeleton hierarchical clustering and
+    * graph-sparsification passes start from (cutting its weakest edges
+    * IS single-linkage clustering).
+    *
+    * Distributed shape: the DATA-SIZED work — scoring every edge
+    * against the current component cut and reducing to one best edge
+    * per component under the STRICT total order (cnt desc, p1 asc,
+    * p2 asc) — is one partially-aggregated reduceGroups job per round
+    * over the edge set. The CONTRACTION state is over the part CATALOG
+    * (a dimension, not a fact table), so it lives in a driver
+    * union-find with the root map broadcast each round — the same
+    * dim-fits-in-memory adjudication that lets knn_cosine broadcast the
+    * reference matrix and cache_hot_dim pin a dimension; at a part
+    * catalog beyond driver memory the contraction moves to distributed
+    * label propagation ([[graft.ops.LlmPipeline.minLabelCc]]) at
+    * diameter-many extra jobs per round. Component count at least
+    * halves per round ⇒ ≤ log₂ n rounds, capped and throwing; the
+    * chosen per-round edges are collected (≤ live components, halving —
+    * ≤ 2(n−1) rows over the whole run, forest-sized).
+    *
+    * The strict total order makes the forest UNIQUE (all cut maxima are
+    * strict), so Borůvka must equal a driver Kruskal under the same
+    * order — the pin. A cycle among per-round chosen edges is
+    * impossible under a strict order (the cycle's minimum edge is
+    * nobody's cut maximum); the union step asserts it anyway.
+    *
+    * Pins: EXACT equality with driver Kruskal (union-find) at sf0.01,
+    * forest identity |F| = n − #components (Round13Spec). */
+  def graphMstBoruvka(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)]
+      .localCheckpoint()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // the part catalog (dim-sized): one job, fixes the union-find domain
+    val ids = e0.flatMap(t => Iterator(t._1, t._2)).distinct().collect()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    var round = 1
+    var done = false
+    while (!done && round <= 34) {
+      val roots = ids.map(i => i -> find(i)).toMap
+      val bc = graft.Broadcasts.track(s.sparkContext.broadcast(roots))
+      // one job: per-component best cut edge, map-side partial reduce
+      val best = e0.flatMap { case (a, b, c) =>
+        val m = bc.value
+        val ra = m(a); val rb = m(b)
+        if (ra == rb) Iterator.empty
+        else Iterator((ra, (c, a, b)), (rb, (c, a, b)))
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val (_, (c1, a1, b1)) = x; val (_, (c2, a2, b2)) = y
+          val keep = c1 > c2 || (c1 == c2 &&
+            (a1 < a2 || (a1 == a2 && b1 <= b2)))
+          if (keep) x else y
+        }
+        .map(_._2._2)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        // dedup (both endpoints may pick the same edge), deterministic
+        // insertion order for the asserted unions
+        best.distinct.sortBy { case (c, a, b) => (-c, a, b) }
+          .foreach { case (c, a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra == rb) throw new IllegalStateException(
+              s"graphMstBoruvka: chosen edge ($a,$b) closes a cycle — " +
+                "impossible under a strict total order")
+            parent(math.max(ra, rb)) = math.min(ra, rb)
+            out += ((a, b, c, round))
+          }
+        round += 1
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"graphMstBoruvka: no fixpoint in $round rounds — component count " +
+        "must at least halve per round, so this is a contraction bug")
+    out.toSeq.toDF("p1", "p2", "cnt", "round")
+      .orderBy(col("p1"), col("p2"))
+  }
+
   /** Sampled-Brandes core over a symmetric (src, dst) edge list; see
     * [[graphBetweennessApprox]]. `dep_sum` is the raw accumulated
     * dependency Σ_seeds δ_seed(v) on the 1e-6 grid; `bc_est` rescales

@@ -500,6 +500,57 @@ class Round13Spec extends SparkSpec {
       f"d-scaling super-linear: $t64k%.2fs at d=65536 vs $t4k%.2fs at d=4096")
   }
 
+  // ---------------------------------------------- graph_mst_boruvka
+
+  test("graph_mst_boruvka == driver Kruskal under the same strict edge order at sf0.01") {
+    import spark.implicits._
+    // driver edge list: undirected co-order pairs with counts
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.toSeq
+      .flatMap { items =>
+        val ps = items.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j))
+      }
+      .groupBy(identity).map { case ((a, b), v) => (a, b, v.size.toLong) }
+      .toSeq
+    // Kruskal under (cnt desc, p1 asc, p2 asc) — the strict total order
+    // that makes the maximum spanning forest unique
+    val sorted = edges.sortBy { case (a, b, c) => (-c, a, b) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var cc = x
+      while (parent(cc) != r) { val n = parent(cc); parent(cc) = r; cc = n }
+      r
+    }
+    val kruskal = sorted.flatMap { case (a, b, c) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None
+      else { parent(math.max(ra, rb)) = math.min(ra, rb); Some((a, b, c)) }
+    }.toSet
+    val got = graft.ops.Analytics.graphMstBoruvka(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.distinct.length, "forest has duplicate edges")
+    assert(got.toSet == kruskal, {
+      val extra = got.toSet -- kruskal
+      val missing = kruskal -- got.toSet
+      s"forest differs from Kruskal: extra=${extra.take(3)} " +
+        s"missing=${missing.take(3)}"
+    })
+    // forest identity: |edges| = n - #components
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val comps = nodes.map(find).distinct.size
+    assert(got.length == nodes.size - comps,
+      s"|F|=${got.length} != n-#cc=${nodes.size - comps}")
+    info(s"sf0.01 forest: ${got.length} edges over ${nodes.size} parts, " +
+      s"$comps components")
+  }
+
   // ------------------------------------------------- sample_kcenter
 
   test("sample_kcenter == driver greedy replay; partitioning-invariant; radius ladder nonincreasing") {

@@ -286,7 +286,10 @@ class ScaleStressSpec extends SparkSpec {
     ("graph_condensation", 10.0, 30.0),
     // greedy k-center: k map+TakeOrdered jobs, job-count-bound —
     // measured 0.9x at 16x
-    ("sample_kcenter", 10.0, 25.0))
+    ("sample_kcenter", 10.0, 25.0),
+    // Boruvka MSF: <= log2(n) one-job rounds (reduceGroups cut maxima +
+    // broadcast root map) — measured 1.2x at 16x
+    ("graph_mst_boruvka", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
