@@ -3848,6 +3848,66 @@ object LlmPipeline {
     *
     * Scale: map-only — split once, array_distinct on the projected array;
     * no explode, no shuffle but the output sort. */
+  /** Query key `cluster_dbscan`: density-based clustering over the
+    * embedding collection — the CLUSTER-shaped readout of the same
+    * ε-neighbor graph the vector dedup family walks (near-dup clumps,
+    * template families, boilerplate clusters — the structures a corpus
+    * team inspects before deciding what to drop), with the outlier set
+    * (noise) falling out for free, where k-means ([[clusterKmeans]])
+    * forces every point into a cell. Standard DBSCAN on the cosine
+    * ε-graph: ε ≡ cosine ≥ 0.32 (a strict score
+    * subfilter of [[simThreshold]]'s τ = 0.3 graph — the composition
+    * inherits its r4-snapped scores, determinism and broadcast-matrix
+    * scale story, LSH/IVF bucketing being the documented scale path;
+    * 0.32/4 is the fixture's informative rung: 0.30/4 gives ONE giant
+    * component, measured in the parameter probe), minPts = 4 counting
+    * the point itself (core ⇔ ≥ 3 ε-neighbors);
+    * clusters = connected components of core-core edges
+    * ([[minLabelCc]], labels = min core id); border points (non-core
+    * with ≥ 1 core neighbor) join the SMALLEST core cluster label —
+    * DBSCAN's classic border ambiguity resolved deterministically;
+    * everything else is noise (cluster_id −1).
+    *
+    * Scale: the pair kernel is the data-sized work (its story);
+    * degree/core/border are id-keyed aggregates and semi joins on the
+    * pair list; the CC loop runs on core-core edges only. Pins: EXACT
+    * equality with a driver DBSCAN replay (independent dot/threshold/
+    * BFS) at sf0.01, plus role-count sanity (Round13Spec). */
+  def clusterDbscan(s: SparkSession, d: String): DataFrame = {
+    val pairs = simThreshold(s, d).where(col("score") >= 0.32)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val sym = pairs.unionAll(pairs.select(col("b_id"), col("a_id")))
+      .toDF("v", "u")
+    val core = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 3).select(col("v")).localCheckpoint()
+    // checkpoint the edge frame itself: minLabelCc unpersists the first
+    // LogicalRDD it finds in the edges plan, which must be THIS frame's
+    // blocks, not the shared core/pairs checkpoints upstream
+    val coreEdges = sym
+      .join(core, Seq("v"), "left_semi")
+      .join(core.toDF("u"), Seq("u"), "left_semi")
+      .select(col("v").as("src"), col("u").as("dst"))
+      .localCheckpoint()
+    val lbl = minLabelCc(
+      core.select(col("v"), col("v").as("lbl")), coreEdges)
+    val borders = sym
+      .join(core, Seq("v"), "left_anti")
+      .join(lbl.toDF("u", "lbl"), Seq("u"))
+      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+    val assigned = lbl
+      .select(col("v").as("vec_id"), col("lbl").as("cluster_id"),
+        lit("core").as("role"))
+      .unionByName(borders.select(col("v").as("vec_id"),
+        col("lbl").as("cluster_id"), lit("border").as("role")))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(assigned, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Squared L2 distance in double, fixed dimension order — identical on
     * every executor and in the driver replay (float→double is exact). */
   private def sqDist(a: Array[Float], b: Array[Float]): Double = {

@@ -500,6 +500,69 @@ class Round13Spec extends SparkSpec {
       f"d-scaling super-linear: $t64k%.2fs at d=65536 vs $t4k%.2fs at d=4096")
   }
 
+  // ------------------------------------------------- cluster_dbscan
+
+  test("cluster_dbscan == driver DBSCAN replay (independent dot/threshold/BFS) at sf0.01") {
+    import spark.implicits._
+    val vs = graft.io.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    // epsilon-neighbor adjacency: r4-snapped cosine >= 0.3 (the
+    // sim_threshold contract), excluding self
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    for (i <- vs.indices; j <- (i + 1) until vs.length) {
+      if (r4(dotd(vs(i)._2, vs(j)._2)) >= 0.32) {
+        adj(vs(i)._1) = vs(j)._1 :: adj(vs(i)._1)
+        adj(vs(j)._1) = vs(i)._1 :: adj(vs(j)._1)
+      }
+    }
+    val core = vs.map(_._1).filter(id => adj(id).size >= 3).toSet
+    // clusters: BFS over core-core edges, label = min core id reached
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (seed <- core.toSeq.sorted if !label.contains(seed)) {
+      val comp = scala.collection.mutable.ArrayBuffer(seed)
+      val seen = scala.collection.mutable.Set(seed)
+      var i = 0
+      while (i < comp.length) {
+        adj(comp(i)).filter(core).foreach { n =>
+          if (!seen(n)) { seen += n; comp += n } }
+        i += 1
+      }
+      val m = comp.min
+      comp.foreach(v => label(v) = m)
+    }
+    val expected = vs.map(_._1).map { id =>
+      if (core(id)) (id, "core", label(id))
+      else {
+        val coreNbrs = adj(id).filter(core)
+        if (coreNbrs.nonEmpty) (id, "border", coreNbrs.map(label).min)
+        else (id, "noise", -1L)
+      }
+    }.toSeq
+    val got = graft.ops.LlmPipeline.clusterDbscan(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected, {
+      val gm = got.map(t => t._1 -> t).toMap
+      val diffs = expected.filter(e => gm.get(e._1) != Some(e)).take(5)
+      s"dbscan mismatch at ${diffs.map(e =>
+        s"${e._1}: exp=$e got=${gm.get(e._1)}").mkString("; ")}"
+    })
+    val roles = got.groupBy(_._2).map { case (k, v) => k -> v.size }
+    info(s"sf0.01 dbscan: roles=$roles, " +
+      s"clusters=${got.filter(_._3 >= 0).map(_._3).distinct.size}")
+    assert(roles.getOrElse("core", 0) > 0 && roles.getOrElse("noise", 0) > 0,
+      "fixture must produce both cores and noise")
+    assert(got.filter(_._3 >= 0).map(_._3).distinct.size >= 2,
+      "fixture must produce more than one cluster at the 0.32/4 rung")
+  }
+
   // ---------------------------------------------- graph_mst_boruvka
 
   test("graph_mst_boruvka == driver Kruskal under the same strict edge order at sf0.01") {

@@ -289,7 +289,12 @@ class ScaleStressSpec extends SparkSpec {
     ("sample_kcenter", 10.0, 25.0),
     // Boruvka MSF: <= log2(n) one-job rounds (reduceGroups cut maxima +
     // broadcast root map) — measured 1.2x at 16x
-    ("graph_mst_boruvka", 10.0, 20.0))
+    ("graph_mst_boruvka", 10.0, 20.0),
+    // DBSCAN composes the sim_threshold pair kernel (its scale story) +
+    // id-keyed aggregates + the core-core CC loop — measured 2.5x at 16x
+    // (the brute pair kernel is the quadratic-by-design anchor; its
+    // gated twins are the LSH/IVF keys, the knn_cosine adjudication)
+    ("cluster_dbscan", 15.0, 30.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
