@@ -2754,13 +2754,10 @@ object Analytics {
     *
     * Pins: EXACT equality with driver Kruskal (union-find) at sf0.01,
     * forest identity |F| = n − #components (Round13Spec). */
-  def graphMstBoruvka(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e0 = coOrderPairs(s, d)
-      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
-      .as[(Long, Long, Long)]
-      .localCheckpoint()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+  /** Path-compressing union-find over part ids (driver-side contraction
+    * state for [[graphMstBoruvka]] — see its scale note). */
+  private final class PartUnionFind {
+    private val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       parent.getOrElseUpdate(x, x)
       var r = x
@@ -2769,13 +2766,25 @@ object Analytics {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
+    def union(a: Long, b: Long): Unit =
+      parent(math.max(a, b)) = math.min(a, b)
+  }
+
+  def graphMstBoruvka(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)]
+      .localCheckpoint()
+    val uf = new PartUnionFind
     // the part catalog (dim-sized): one job, fixes the union-find domain
     val ids = e0.flatMap(t => Iterator(t._1, t._2)).distinct().collect()
+    ids.foreach(uf.find)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
     var round = 1
     var done = false
     while (!done && round <= 34) {
-      val roots = ids.map(i => i -> find(i)).toMap
+      val roots = ids.map(i => i -> uf.find(i)).toMap
       val bc = graft.Broadcasts.track(s.sparkContext.broadcast(roots))
       // one job: per-component best cut edge, map-side partial reduce
       val best = e0.flatMap { case (a, b, c) =>
@@ -2799,11 +2808,11 @@ object Analytics {
         // insertion order for the asserted unions
         best.distinct.sortBy { case (c, a, b) => (-c, a, b) }
           .foreach { case (c, a, b) =>
-            val (ra, rb) = (find(a), find(b))
+            val (ra, rb) = (uf.find(a), uf.find(b))
             if (ra == rb) throw new IllegalStateException(
               s"graphMstBoruvka: chosen edge ($a,$b) closes a cycle — " +
                 "impossible under a strict total order")
-            parent(math.max(ra, rb)) = math.min(ra, rb)
+            uf.union(ra, rb)
             out += ((a, b, c, round))
           }
         round += 1

@@ -66,7 +66,12 @@ class CollectLintSpec extends AnyFunSuite {
         "dimension-bounded, row-count-independent metadata; no pair " +
         "frame exists"),
     ("Govern.scala", "lossAccReadout") ->
-      "two longs per partition (final loss/accuracy fold)")
+      "two longs per partition (final loss/accuracy fold)",
+    ("Analytics.scala", "graphMstBoruvka") ->
+      ("part-CATALOG union-find (dimension-sized, the knn_cosine " +
+        "broadcast adjudication): node ids once, then per-round best " +
+        "cut edges — <= live components, halving, <= 2(n-1) rows total " +
+        "(forest-sized); the edge-scoring work stays distributed"))
 
   test("collect() appears only in declared broadcast-tier / metadata functions") {
     val defRe = """\s*(?:override\s+)?(?:private(?:\[\w+\])?\s+)?def (\w+)""".r
