@@ -541,6 +541,77 @@ object Stateful {
       .orderBy(col("user_id"))
   }
 
+  /** [[graft.ops.Analytics.cdcScd2]]'s type-2 history lifted to the
+    * arriving-data shape — how a feature store actually MAINTAINS a
+    * slowly-changing dimension under a change stream instead of
+    * recomputing the lead() window over all history: state per user is
+    * the one OPEN version (event_id, type, valid_from); each arriving
+    * event closes it (valid_to = the new event's ts, is_current 0) and
+    * opens its own. The open row is emitted provisionally with
+    * is_current 1 and re-emitted CLOSED when superseded — update-mode
+    * semantics, downstream reads the latest row per (user, event_id),
+    * exactly the contract the closed history never violates (closed
+    * rows are immutable). Cross-batch per-user event-time ordering is
+    * the shared fold precondition (Kinesis per-shard ordering); a
+    * regressed event would corrupt an immutable closed row, so it
+    * THROWS. Within a batch the fold sorts its chunk. */
+  case class Scd2State(eventId: Long, eventType: String, validFrom: Timestamp)
+
+  case class Scd2Out(
+      user_id: Long, event_id: Long, event_type: String,
+      valid_from: Timestamp, valid_to: Option[Timestamp], is_current: Int)
+
+  /** Returns (emissions for this chunk, new open-row state). Emissions =
+    * every version closed by this chunk + the provisional open row. */
+  private[graft] def scd2Fold(
+      u: Long, evs: Array[Event], st: Option[Scd2State])
+      : (Seq[Scd2Out], Scd2State) = {
+    val sorted = evs.sortBy(e => (micros(e.ts), e.event_id))
+    val out = Seq.newBuilder[Scd2Out]
+    var open = st
+    sorted.foreach { e =>
+      open.foreach { o =>
+        if (micros(e.ts) < micros(o.validFrom))
+          throw new IllegalStateException(
+            s"scd2Fold: event ${e.event_id} at ${e.ts} precedes user $u's " +
+              s"open version from ${o.validFrom} — ordering precondition " +
+              "violated; a closed row is immutable")
+        out += Scd2Out(u, o.eventId, o.eventType, o.validFrom,
+          Some(e.ts), 0)
+      }
+      open = Some(Scd2State(e.event_id, e.event_type, e.ts))
+    }
+    val o = open.get
+    out += Scd2Out(u, o.eventId, o.eventType, o.validFrom, None, 1)
+    (out.result(), o)
+  }
+
+  /** Works in batch mode too (state starts empty, one chunk = all
+    * history ⇒ emissions are exactly cdc_scd2's rows) — the query entry,
+    * which therefore shares cdc_scd2's lead()-window oracle verbatim;
+    * split-resume parity is pinned in Round13Spec. */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[Event], state: GroupState[Scd2State]) =>
+          val (out, st) = scd2Fold(u, it.toArray, state.getOption)
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Query entry — oracle-GATED via cdc_scd2's SQL twin (batch mode
+    * emits each event_id exactly once, bit-identical to the lead()
+    * window form). */
+  def streamScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    scd2Stream(Tables.events(s, d).as[Event])
+      .toDF()
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   /** The same sessionization through `transformWithState` — Spark 4.x's
     * arbitrary-stateful-processing API (successor to
     * flatMapGroupsWithState): explicit `StatefulProcessor` lifecycle with

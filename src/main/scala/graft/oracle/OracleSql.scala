@@ -2374,6 +2374,17 @@ object OracleSql {
     // stateful operator can carry
     "stream_holt_winters" -> holtWintersSql,
 
+    // the stateful SCD2 twin emits each event_id exactly once in batch
+    // mode (one chunk = all history), bit-identical to the lead() window
+    // form — shares cdc_scd2's twin verbatim
+    "stream_scd2" ->
+      ("SELECT user_id, event_id, event_type, ts AS valid_from, " +
+        "lead(ts) OVER w AS valid_to, " +
+        "(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END)::INT AS is_current " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC) " +
+        "ORDER BY user_id, valid_from, event_id"),
+
     // item-item cosine over binary baskets: exact BIGINT cooc/n counts,
     // one correctly-rounded sqrt + divide, ranked AFTER the 4-dp snap
     // with neighbor-id tiebreak (the knn_cosine recipe)

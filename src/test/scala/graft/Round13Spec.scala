@@ -500,6 +500,47 @@ class Round13Spec extends SparkSpec {
       f"d-scaling super-linear: $t64k%.2fs at d=65536 vs $t4k%.2fs at d=4096")
   }
 
+  // ---------------------------------------------------- stream_scd2
+
+  test("stream_scd2: batch-mode == cdc_scd2; multi-batch latest-per-version == batch history") {
+    import graft.ops.{Analytics, Stateful}
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3),
+        Option(r.getTimestamp(4)), r.getInt(5))
+    val batch = Analytics.cdcScd2(spark, sf01).collect().map(key)
+    val stream = Stateful.streamScd2(spark, sf01).collect().map(key)
+    assert(batch.toSeq == stream.toSeq,
+      "stateful batch-mode output differs from the lead() window form")
+    // multi-batch: fold any prefix, then the rest from the stored state;
+    // the LATEST emission per (user, event_id) must equal the whole fold
+    import spark.implicits._
+    val evs = graft.io.Tables.events(spark, sf001)
+      .as[graft.ops.Stateful.Event]
+      .collect().filter(_.user_id == 1L)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.length >= 4)
+    val (wholeOut, wholeSt) = Stateful.scd2Fold(1L, evs, None)
+    def latest(out: Seq[graft.ops.Stateful.Scd2Out]) =
+      out.zipWithIndex.groupBy(_._1.event_id)
+        .map { case (_, v) => v.maxBy(_._2)._1 }.toSet
+    (1 until evs.length by math.max(1, evs.length / 4)).foreach { cut =>
+      val (o1, s1) = Stateful.scd2Fold(1L, evs.take(cut), None)
+      val (o2, s2) = Stateful.scd2Fold(1L, evs.drop(cut), Some(s1))
+      assert(s2 == wholeSt, s"state diverged at $cut")
+      assert(latest(o1 ++ o2) == latest(wholeOut),
+        s"latest-per-version diverged at $cut")
+      // the provisional open row of the prefix was re-emitted closed
+      val closedLater = o2.find(_.event_id == s1.eventId)
+      assert(closedLater.exists(r => r.is_current == 0 &&
+        r.valid_to.nonEmpty), s"prefix open row not closed at $cut")
+    }
+    // ordering enforcement: an earlier-day chunk after a close throws
+    intercept[IllegalStateException] {
+      val (_, stLast) = Stateful.scd2Fold(1L, evs.drop(1), None)
+      Stateful.scd2Fold(1L, evs.take(1), Some(stLast))
+    }
+  }
+
   // ------------------------------------------------- cluster_dbscan
 
   test("cluster_dbscan == driver DBSCAN replay (independent dot/threshold/BFS) at sf0.01") {

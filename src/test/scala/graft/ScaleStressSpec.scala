@@ -271,7 +271,13 @@ class ScaleStressSpec extends SparkSpec {
     // ceiling covers the measured 67.5s with contention headroom.
     ("ts_holt_winters", 10.0, 20.0),
     ("graph_scc", 10.0, 25.0),
-    ("recommend_als", 24.0, 85.0),
+    // als's RATIO is t1-noise-dominated: t16 is stable (67.5s quiet,
+    // 70.4s contended) but t1 swings 2.3-4.0s with shuffle-init luck,
+    // so the observed ratio spans 17-31x at a CONSTANT t16. The 85s
+    // absolute ceiling is the complexity-class pin here (a quadratic
+    // signature reads ~256x = far past it); the ratio bound just has to
+    // clear the t1 variance band.
+    ("recommend_als", 40.0, 85.0),
     // r13 second wave: the stateful HW twin rides the same linear fold
     // as ts_holt_winters (state O(1) per user); item-item cosine is
     // wedge-bounded by basket size — measured 1.7x at 16x (disjoint
@@ -294,7 +300,9 @@ class ScaleStressSpec extends SparkSpec {
     // id-keyed aggregates + the core-core CC loop — measured 2.5x at 16x
     // (the brute pair kernel is the quadratic-by-design anchor; its
     // gated twins are the LSH/IVF keys, the knn_cosine adjudication)
-    ("cluster_dbscan", 15.0, 30.0))
+    ("cluster_dbscan", 15.0, 30.0),
+    // stateful SCD2 twin: per-key constant-state fold, one shuffle
+    ("stream_scd2", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
