@@ -3848,6 +3848,65 @@ object LlmPipeline {
     *
     * Scale: map-only — split once, array_distinct on the projected array;
     * no explode, no shuffle but the output sort. */
+  /** Query key `multimodal_audio_energy`: frame-windowed loudness /
+    * silence profiling of an audio payload column — the AUDIO modality's
+    * member of the multimodal family (images have phash/pixel_stats;
+    * this is the corpus-triage pass an audio pipeline runs first: drop
+    * silent clips, flag clipped ones, bucket by loudness). The payload
+    * is the doc's UTF-8 bytes read as PCM16LE — the family's documented
+    * codec stand-in (multimodal_binary's convention; unlike image
+    * decode, PCM frame energy needs NO codec library, so the math here
+    * is the real production math, not a stub): frames of 256 samples,
+    * per-frame energy as an EXACT Σx² in Long (≤ 2¹⁵²·2⁸ per frame —
+    * overflow-free), rms = √(Σx²/256)/32768 with one correctly-rounded
+    * sqrt+divide per frame, silence ⇔ rms < 0.02, per-doc mean/max rms
+    * folded in frame order (fixed order ⇒ deterministic doubles).
+    *
+    * Scale: map-only over the payload column (no shuffle but the output
+    * sort); frame loop is linear in payload bytes. Pins: EXACT driver
+    * replay at sf0.01 + planted silent/loud payloads land on the
+    * expected side of the threshold (Round13Spec). */
+  def multimodalAudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val n = b.length / 2
+          val frame = 256
+          var f = 0
+          var nf = 0L
+          var sumR = 0.0
+          var maxR = 0.0
+          var silent = 0L
+          while (f + frame <= n) {
+            var i = 0
+            var ss = 0L
+            while (i < frame) {
+              val lo = b(2 * (f + i)) & 0xff
+              val hi = b(2 * (f + i) + 1).toInt
+              val sample = (hi << 8) | lo
+              ss += sample.toLong * sample.toLong
+              i += 1
+            }
+            val rms = math.sqrt(ss.toDouble / frame) / 32768.0
+            sumR += rms
+            if (rms > maxR) maxR = rms
+            if (rms < 0.02) silent += 1
+            nf += 1
+            f += frame
+          }
+          val mean = if (nf == 0) 0.0 else sumR / nf
+          val sil = if (nf == 0) 0.0 else silent.toDouble / nf
+          (id, n.toLong, nf, r4(mean), r4(maxR), r4(sil))
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_frames", "mean_rms", "max_rms",
+        "silence_ratio")
+      .orderBy(col("doc_id"))
+  }
+
   /** Query key `cluster_dbscan`: density-based clustering over the
     * embedding collection — the CLUSTER-shaped readout of the same
     * ε-neighbor graph the vector dedup family walks (near-dup clumps,

@@ -500,6 +500,55 @@ class Round13Spec extends SparkSpec {
       f"d-scaling super-linear: $t64k%.2fs at d=65536 vs $t4k%.2fs at d=4096")
   }
 
+  // ------------------------------------------- multimodal_audio_energy
+
+  test("multimodal_audio_energy == driver PCM16 replay; planted silence/loud payloads classify") {
+    import spark.implicits._
+    def replay(b: Array[Byte]): (Long, Long, Double, Double, Double) = {
+      val n = b.length / 2
+      var f = 0; var nf = 0L; var sumR = 0.0; var maxR = 0.0
+      var silent = 0L
+      while (f + 256 <= n) {
+        var i = 0; var ss = 0L
+        while (i < 256) {
+          val lo = b(2 * (f + i)) & 0xff
+          val hi = b(2 * (f + i) + 1).toInt
+          val sm = (hi << 8) | lo
+          ss += sm.toLong * sm.toLong; i += 1
+        }
+        val rms = math.sqrt(ss.toDouble / 256) / 32768.0
+        sumR += rms; if (rms > maxR) maxR = rms
+        if (rms < 0.02) silent += 1
+        nf += 1; f += 256
+      }
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+      (n.toLong, nf, r4(if (nf == 0) 0.0 else sumR / nf), r4(maxR),
+        r4(if (nf == 0) 0.0 else silent.toDouble / nf))
+    }
+    val docs = graft.io.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      id -> replay(t.getBytes("UTF-8")) }.toMap
+    val got = graft.ops.LlmPipeline.multimodalAudioEnergy(spark, sf01)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == expected, "audio energy replay mismatch")
+    assert(got.values.exists(_._2 > 0), "no doc produced a full frame")
+    // planted payloads: NUL bytes are digital silence, 'U' (0x55)
+    // pairs decode to loud samples — the threshold must separate them
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audio").toString
+    Seq((1L, 0.toChar.toString * 1024), (2L, "U" * 1024))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = graft.ops.LlmPipeline.multimodalAudioEnergy(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(5)))
+      .toMap
+    assert(planted(1L)._2 == 1.0 && planted(1L)._1 == 0.0,
+      s"NUL payload must be all-silent: ${planted(1L)}")
+    assert(planted(2L)._2 == 0.0 && planted(2L)._1 > 0.5,
+      s"0x5555 payload must be loud, zero silence: ${planted(2L)}")
+  }
+
   // ---------------------------------------------------- stream_scd2
 
   test("stream_scd2: batch-mode == cdc_scd2; multi-batch latest-per-version == batch history") {
