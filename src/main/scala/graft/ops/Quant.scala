@@ -1154,7 +1154,18 @@ object Quant {
     * to ≤ |types|·|days| rows — the window partitions by event_type over
     * daily rows (a bounded-histogram-shaped input, same adjudication as
     * the drift sites), never over raw events. */
-  def tsStlDecompose(s: SparkSession, d: String): DataFrame = {
+  def tsStlDecompose(s: SparkSession, d: String): DataFrame =
+    stlCore(s, d)
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        round(col("v"), 4).as("value"), round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("det") - col("seasonal"), 4).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** Shared STL-lite frame for [[tsStlDecompose]] / [[tsAnomalyStl]]:
+    * (event_type, day, wd, v, trend, det, seasonal), full-window rows
+    * only — see tsStlDecompose's determinism notes. */
+  private def stlCore(s: SparkSession, d: String): DataFrame = {
     val daily = events(s, d)
       .select(col("event_type"), to_date(col("ts")).as("day"),
         floor(col("value") * 100 + 0.5).cast("long").as("c"))
@@ -1176,11 +1187,41 @@ object Quant {
       .withColumn("seasonal",
         col("sg").cast("double") / col("sn").cast("double") / lit(1e6))
     t.join(seas.select(col("event_type"), col("wd"), col("seasonal")),
-        Seq("event_type", "wd"))
+      Seq("event_type", "wd"))
+  }
+
+  /** Query key `ts_anomaly_stl`: anomaly detection on the STL RESIDUAL —
+    * the decomposition put to work (the reason an analyst runs STL at
+    * all): a spike that is merely "Saturday" is absorbed by the seasonal
+    * component, so z-scoring the residual flags what the raw-value
+    * z-score (anomaly_zscore) and MAD (ts_anomaly_mad) families would
+    * either miss or double-flag. Per event_type: σ from EXACT integer
+    * moments of the cent-grid residual (g = floor(res·1e2+0.5) BIGINT;
+    * n·Σg² − (Σg)² is exact in BIGINT at any fixture scale, ONE double
+    * divide + √ descaled by the grid²), z = res/σ rounded 4-dp,
+    * anomaly ⇔ |z| > 3.
+    *
+    * Scale: rides [[stlCore]]'s (type, day)-bounded frame; the moment
+    * aggregate is per-type metadata. Oracle = identical SQL in DuckDB. */
+  def tsAnomalyStl(s: SparkSession, d: String): DataFrame = {
+    val t = stlCore(s, d)
+      .withColumn("res", col("det") - col("seasonal"))
+      .withColumn("g2", floor(col("res") * 1e2 + 0.5).cast("long"))
+    val mo = t.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum(col("g2")).as("s1"),
+        sum(col("g2") * col("g2")).as("s2"))
+      .withColumn("sigma",
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double") / lit(1e4)))
+      .select(col("et"), col("sigma"))
+    t.join(mo, t("event_type") === mo("et"))
+      .where(col("sigma") > 0)
       .select(col("event_type"), col("day").cast("timestamp").as("day"),
-        round(col("v"), 4).as("value"), round(col("trend"), 4).as("trend"),
-        round(col("seasonal"), 4).as("seasonal"),
-        round(col("det") - col("seasonal"), 4).as("residual"))
+        round(col("res"), 4).as("residual"),
+        round(col("sigma"), 4).as("sigma"),
+        round(col("res") / col("sigma"), 4).as("z"),
+        when(abs(col("res") / col("sigma")) > 3, 1).otherwise(0)
+          .cast("int").as("is_anomaly"))
       .orderBy(col("event_type"), col("day"))
   }
 

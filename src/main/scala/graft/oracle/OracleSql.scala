@@ -3121,6 +3121,43 @@ object OracleSql {
         "FROM t JOIN seas ON seas.event_type = t.event_type " +
         "AND seas.wd = t.wd ORDER BY t.event_type, t.day"),
 
+    // STL residual z-score: sigma from exact BIGINT moments of the
+    // cent-grid residual (n*ss - s*s exact), one divide + sqrt descaled
+    // by the grid^2; z compares identical doubles on both engines
+    "ts_anomaly_stl" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "t0 AS (SELECT event_type, day, cents, " +
+        "count(*) OVER w AS n7, sum(cents) OVER w AS s7 FROM daily " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "t AS (SELECT event_type, day, (isodow(day) - 1)::INT AS wd, " +
+        "cents::DOUBLE / 1e2 AS v, s7::DOUBLE / 7e2 AS trend, " +
+        "cents::DOUBLE / 1e2 - s7::DOUBLE / 7e2 AS det, " +
+        "floor((cents::DOUBLE / 1e2 - s7::DOUBLE / 7e2) * 1e6 + 0.5)::BIGINT AS g " +
+        "FROM t0 WHERE n7 = 7), " +
+        "seas AS (SELECT event_type, wd, " +
+        "sum(g)::BIGINT AS sg, count(*) AS sn FROM t GROUP BY 1, 2), " +
+        "r AS (SELECT t.event_type, t.day, " +
+        "t.det - seas.sg::DOUBLE / seas.sn::DOUBLE / 1e6 AS res " +
+        "FROM t JOIN seas ON seas.event_type = t.event_type " +
+        "AND seas.wd = t.wd), " +
+        "r2 AS (SELECT event_type, day, res, " +
+        "floor(res * 1e2 + 0.5)::BIGINT AS g2 FROM r), " +
+        "mo AS (SELECT event_type AS et, " +
+        "sqrt((count(*) * sum(g2 * g2) - sum(g2) * sum(g2))::DOUBLE / " +
+        "(count(*) * count(*))::DOUBLE / 1e4) AS sigma " +
+        "FROM r2 GROUP BY 1) " +
+        "SELECT r2.event_type, r2.day::TIMESTAMP AS day, " +
+        "floor(r2.res * 10000 + 0.5) / 10000.0 AS residual, " +
+        "floor(mo.sigma * 10000 + 0.5) / 10000.0 AS sigma, " +
+        "floor((r2.res / mo.sigma) * 10000 + 0.5) / 10000.0 AS z, " +
+        "(CASE WHEN abs(r2.res / mo.sigma) > 3 THEN 1 ELSE 0 END)::INT " +
+        "AS is_anomaly " +
+        "FROM r2 JOIN mo ON mo.et = r2.event_type WHERE mo.sigma > 0 " +
+        "ORDER BY r2.event_type, r2.day"),
+
     // Spark VARIANT path extraction == DuckDB JSON operators; payload
     // values are small ints, every cast exact
     "fn_variant_json" ->

@@ -304,7 +304,9 @@ class ScaleStressSpec extends SparkSpec {
     // stateful SCD2 twin: per-key constant-state fold, one shuffle
     ("stream_scd2", 10.0, 20.0),
     // map-only PCM frame loop, linear in payload bytes — 1.2x at 16x
-    ("multimodal_audio_energy", 10.0, 20.0))
+    ("multimodal_audio_energy", 10.0, 20.0),
+    // STL residual z: rides stlCore's (type, day)-bounded frame
+    ("ts_anomaly_stl", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
