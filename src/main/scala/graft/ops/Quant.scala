@@ -1162,6 +1162,59 @@ object Quant {
         round(col("det") - col("seasonal"), 4).as("residual"))
       .orderBy(col("event_type"), col("day"))
 
+  /** Query key `ts_sax_symbolize`: SAX (Symbolic Aggregate approXimation)
+    * of the per-user daily series — the symbolic representation motif
+    * mining, similarity search and sequence-model features build on
+    * (Lin/Keogh's recipe: z-normalize, Piecewise Aggregate Approximation,
+    * then Gaussian-breakpoint binning to a small alphabet): 7-observed-
+    * day PAA windows (full windows only), alphabet 4 with the standard
+    * N(0,1) quartile breakpoints ±0.6745 and 0. One row per (user,
+    * window) keeps the output scalar — the SAX "word" is a trivial
+    * downstream pivot.
+    *
+    * Determinism: per-user mean/σ from EXACT BIGINT cent moments
+    * (n·Σc² − (Σc)², the ts_anomaly_stl recipe), and the PAA mean's
+    * numerator is an exact 7-day cent SUM — z_paa = (Σc/7e2 − mean)/σ
+    * touches doubles only in correctly-rounded single operations, so the
+    * breakpoint comparisons bin identical doubles in both engines.
+    * Scale: the (user, day) pre-aggregate bounds everything; the
+    * row-number window partitions by user over daily rows. */
+  def tsSaxSymbolize(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+    val mo = daily.groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") /
+        col("n").cast("double") / lit(1e2))
+      .withColumn("sigma",
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double") / lit(1e4)))
+      .where(col("sigma") > 0)
+      .select(col("u"), col("mean"), col("sigma"))
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val win = daily
+      .withColumn("i", row_number().over(wo))
+      .withColumn("win_idx", ((col("i") - 1) / 7).cast("int"))
+      .groupBy(col("user_id"), col("win_idx"))
+      .agg(count(lit(1)).as("nw"), sum(col("cents")).as("wc"),
+        min(col("day")).as("start_day"))
+      .where(col("nw") === 7)
+    val z = col("wc").cast("double") / lit(7e2) - col("mean")
+    win.join(mo, win("user_id") === mo("u"))
+      .select(col("user_id"), col("win_idx"),
+        col("start_day").cast("timestamp").as("start_day"),
+        round(z / col("sigma"), 4).as("z_paa"),
+        when(z / col("sigma") < -0.6745, "a")
+          .when(z / col("sigma") < 0, "b")
+          .when(z / col("sigma") < 0.6745, "c")
+          .otherwise("d").as("symbol"))
+      .orderBy(col("user_id"), col("win_idx"))
+  }
+
   /** Shared STL-lite frame for [[tsStlDecompose]] / [[tsAnomalyStl]]:
     * (event_type, day, wd, v, trend, det, seasonal), full-window rows
     * only — see tsStlDecompose's determinism notes. */

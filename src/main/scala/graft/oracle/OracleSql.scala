@@ -3121,6 +3121,34 @@ object OracleSql {
         "FROM t JOIN seas ON seas.event_type = t.event_type " +
         "AND seas.wd = t.wd ORDER BY t.event_type, t.day"),
 
+    // SAX: per-user mean/sigma from exact BIGINT cent moments, PAA
+    // numerator an exact 7-day cent sum, breakpoint CASE on identical
+    // doubles; full windows only, sigma > 0
+    "ts_sax_symbolize" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "mo AS (SELECT user_id AS u, " +
+        "sum(cents)::DOUBLE / count(*)::DOUBLE / 1e2 AS mean, " +
+        "sqrt((count(*) * sum(cents * cents) - sum(cents) * sum(cents))::DOUBLE / " +
+        "(count(*) * count(*))::DOUBLE / 1e4) AS sigma " +
+        "FROM daily GROUP BY 1), " +
+        "w AS (SELECT user_id, " +
+        "((row_number() OVER (PARTITION BY user_id ORDER BY day) - 1) // 7)::INT " +
+        "AS win_idx, day, cents FROM daily), " +
+        "g AS (SELECT user_id, win_idx, count(*) AS nw, " +
+        "sum(cents)::BIGINT AS wc, min(day) AS start_day " +
+        "FROM w GROUP BY 1, 2) " +
+        "SELECT g.user_id, g.win_idx, g.start_day::TIMESTAMP AS start_day, " +
+        "floor(((wc::DOUBLE / 7e2 - mo.mean) / mo.sigma) * 10000 + 0.5) " +
+        "/ 10000.0 AS z_paa, " +
+        "CASE WHEN (wc::DOUBLE / 7e2 - mo.mean) / mo.sigma < -0.6745 THEN 'a' " +
+        "WHEN (wc::DOUBLE / 7e2 - mo.mean) / mo.sigma < 0 THEN 'b' " +
+        "WHEN (wc::DOUBLE / 7e2 - mo.mean) / mo.sigma < 0.6745 THEN 'c' " +
+        "ELSE 'd' END AS symbol " +
+        "FROM g JOIN mo ON mo.u = g.user_id AND mo.sigma > 0 " +
+        "WHERE g.nw = 7 ORDER BY g.user_id, g.win_idx"),
+
     // STL residual z-score: sigma from exact BIGINT moments of the
     // cent-grid residual (n*ss - s*s exact), one divide + sqrt descaled
     // by the grid^2; z compares identical doubles on both engines

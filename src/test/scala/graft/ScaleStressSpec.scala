@@ -306,7 +306,9 @@ class ScaleStressSpec extends SparkSpec {
     // map-only PCM frame loop, linear in payload bytes — 1.2x at 16x
     ("multimodal_audio_energy", 10.0, 20.0),
     // STL residual z: rides stlCore's (type, day)-bounded frame
-    ("ts_anomaly_stl", 10.0, 20.0))
+    ("ts_anomaly_stl", 10.0, 20.0),
+    // SAX: (user, day) pre-aggregate then day-bounded window + groupBy
+    ("ts_sax_symbolize", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
