@@ -1162,6 +1162,124 @@ object Quant {
         round(col("det") - col("seasonal"), 4).as("residual"))
       .orderBy(col("event_type"), col("day"))
 
+  /** Query key `pipeline_smoothing_report`: the composed SMOOTHING
+    * decision table — pipeline_ann_report's recipe applied to the
+    * now-complete smoothing ladder (naive / EWMA / Holt / Kalman /
+    * Holt–Winters): one row per rung × {n_users in the shared cohort,
+    * one-step-ahead MAE on a per-user last-day holdout, state doubles
+    * per key, beats_naive}. A feed team reads ONE table to pick a
+    * forecaster, as they read the ANN report to pick an index rung and
+    * the tokenizer report to pick a vocabulary.
+    *
+    * Protocol: every rung folds the SAME per-user daily cent series
+    * (exact integer pre-aggregate) over days 1..n−1 with its standard
+    * dyadic params (α = 1/2; Holt β = 1/4; Kalman Q = 0.25, R = 1;
+    * HW γ = 1/4, 7 slots) and forecasts day n; users need n ≥ 9 days so
+    * the cohort is IDENTICAL across rungs (a rung must not look better
+    * by being measurable on easier users). Per-user absolute errors
+    * snap to the 1e-4 grid (identical doubles ⇒ identical longs), MAE
+    * divides exact integer sums. ONE fold pass computes all five rungs
+    * (the states ride together), one tiny aggregate comes back — the
+    * report rows are method-count metadata assembled on the driver.
+    *
+    * Pins: each rung's MAE equals an independent driver recompute,
+    * shared cohort, determinism (Round13Spec). */
+  def pipelineSmoothingReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val errs = smoothingErrs(s, d)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // metadata-sized assembly: 5 rows, beats_naive needs the cross-row
+    // naive anchor
+    val mae = errs.map { case (m, nu, sa0) =>
+      m -> (nu, math.floor(sa0.toDouble / nu.toDouble + 0.5) / 1e4)
+    }.toMap
+    val naiveMae = mae("naive")._2
+    val stateDoubles = Map("naive" -> 1, "ewma" -> 1, "holt" -> 2,
+      "kalman" -> 2, "holt_winters" -> 9)
+    Seq("naive", "ewma", "holt", "kalman", "holt_winters")
+      .map { m =>
+        val (nu, e) = mae(m)
+        (m, nu, e, stateDoubles(m), if (e < naiveMae) 1 else 0)
+      }
+      .toDF("method", "n_users", "mae", "state_doubles", "beats_naive")
+      .orderBy(col("method"))
+  }
+
+  /** The distributed half of [[pipelineSmoothingReport]]: one secondary-
+    * sort fold computing every rung's holdout error, aggregated to the
+    * 5-row (method, n_users, error-sum) frame. */
+  private def smoothingErrs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+      .select(col("user_id"), col("day"), weekday(col("day")).as("wd"),
+        (col("cents").cast("double") / lit(1e2)).as("v"))
+      .as[(Long, java.sql.Date, Int, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("day"))
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[Seq[(String, Long)]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Seq[(String, Long)] = {
+            val u = rows.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+            while (rows.hasNext && rows.head._1 == u) {
+              val (_, _, wd, v) = rows.next()
+              buf += ((wd, v))
+            }
+            if (buf.length < 9) Seq.empty
+            else {
+              val train = buf.view.slice(0, buf.length - 1)
+              val (lastWd, actual) = buf.last
+              // fold all rungs together over the training days
+              var naive = 0.0
+              var ew = 0.0
+              var hl = 0.0; var hb = 0.0
+              var kx = 0.0; var kp = 1.0
+              var wl = 0.0; var wb = 0.0
+              val sa = new Array[Double](7)
+              var n = 0
+              train.foreach { case (wd, v) =>
+                if (n == 0) { naive = v; ew = v; hl = v; kx = v; wl = v }
+                else {
+                  naive = v
+                  ew = 0.5 * v + 0.5 * ew
+                  val hl2 = 0.5 * v + 0.5 * (hl + hb)
+                  hb = 0.25 * (hl2 - hl) + 0.75 * hb
+                  hl = hl2
+                  val pp = kp + 0.25
+                  val k = pp / (pp + 1.0)
+                  kx = kx + k * (v - kx)
+                  kp = (1.0 - k) * pp
+                  val sc = sa(wd)
+                  val wl2 = 0.5 * (v - sc) + 0.5 * (wl + wb)
+                  wb = 0.25 * (wl2 - wl) + 0.75 * wb
+                  sa(wd) = 0.25 * (v - wl2) + 0.75 * sc
+                  wl = wl2
+                }
+                n += 1
+              }
+              def g(x: Double): Long =
+                math.floor(math.abs(x - actual) * 10000.0 + 0.5).toLong
+              Seq(
+                ("naive", g(naive)), ("ewma", g(ew)),
+                ("holt", g(hl + hb)), ("kalman", g(kx)),
+                ("holt_winters", g(wl + wb + sa(lastWd))))
+            }
+          }
+        }
+      }
+      .flatMap(identity)
+      .toDF("method", "ae")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_users"), sum(col("ae")).as("sae"))
+  }
+
   /** Query key `ts_sax_symbolize`: SAX (Symbolic Aggregate approXimation)
     * of the per-user daily series — the symbolic representation motif
     * mining, similarity search and sequence-model features build on

@@ -67,6 +67,9 @@ class CollectLintSpec extends AnyFunSuite {
         "frame exists"),
     ("Govern.scala", "lossAccReadout") ->
       "two longs per partition (final loss/accuracy fold)",
+    ("Quant.scala", "pipelineSmoothingReport") ->
+      ("5-row (method, count, error-sum) aggregate — the report table " +
+        "is method-count metadata; the per-user folds stay distributed"),
     ("Analytics.scala", "graphMstBoruvka") ->
       ("part-CATALOG union-find (dimension-sized, the knn_cosine " +
         "broadcast adjudication): node ids once, then per-round best " +

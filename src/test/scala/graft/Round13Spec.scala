@@ -500,6 +500,84 @@ class Round13Spec extends SparkSpec {
       f"d-scaling super-linear: $t64k%.2fs at d=65536 vs $t4k%.2fs at d=4096")
   }
 
+  // ------------------------------------- pipeline_smoothing_report
+
+  test("pipeline_smoothing_report: every rung's MAE equals an independent driver recompute on the shared cohort") {
+    import spark.implicits._
+    // independent recompute: daily cent series per user, the five folds
+    // re-implemented here, same n >= 9 cohort and 1e-4 error grid
+    val daily = graft.io.Tables.events(spark, sf01)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byUser = daily.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(_._2.toEpochDay)
+        .map(t => (t._2.getDayOfWeek.getValue - 1, t._3.toDouble / 100.0))
+    }
+    val sums = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    byUser.values.filter(_.length >= 9).foreach { series =>
+      val train = series.dropRight(1)
+      val (lastWd, actual) = series.last
+      var naive = 0.0; var ew = 0.0
+      var hl = 0.0; var hb = 0.0
+      var kx = 0.0; var kp = 1.0
+      var wl = 0.0; var wb = 0.0
+      val sa = new Array[Double](7)
+      var n = 0
+      train.foreach { case (wd, v) =>
+        if (n == 0) { naive = v; ew = v; hl = v; kx = v; wl = v }
+        else {
+          naive = v
+          ew = 0.5 * v + 0.5 * ew
+          val hl2 = 0.5 * v + 0.5 * (hl + hb)
+          hb = 0.25 * (hl2 - hl) + 0.75 * hb; hl = hl2
+          val pp = kp + 0.25; val k = pp / (pp + 1.0)
+          kx = kx + k * (v - kx); kp = (1.0 - k) * pp
+          val sc = sa(wd)
+          val wl2 = 0.5 * (v - sc) + 0.5 * (wl + wb)
+          wb = 0.25 * (wl2 - wl) + 0.75 * wb
+          sa(wd) = 0.25 * (v - wl2) + 0.75 * sc; wl = wl2
+        }
+        n += 1
+      }
+      def g(x: Double): Long =
+        math.floor(math.abs(x - actual) * 10000.0 + 0.5).toLong
+      Seq(("naive", g(naive)), ("ewma", g(ew)), ("holt", g(hl + hb)),
+        ("kalman", g(kx)), ("holt_winters", g(wl + wb + sa(lastWd))))
+        .foreach { case (m, e) =>
+          val (cn, cs) = sums(m); sums(m) = (cn + 1, cs + e) }
+    }
+    val expected = sums.map { case (m, (cn, cs)) =>
+      m -> (cn, math.floor(cs.toDouble / cn.toDouble + 0.5) / 1e4) }.toMap
+    val got = graft.ops.Quant.pipelineSmoothingReport(spark, sf01)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got.keySet ==
+      Set("naive", "ewma", "holt", "kalman", "holt_winters"))
+    got.foreach { case (m, (nu, mae, _, _)) =>
+      assert((nu, mae) == expected(m),
+        s"$m: got ($nu, $mae) expected ${expected(m)}")
+    }
+    // shared cohort: identical n_users on every rung
+    assert(got.values.map(_._1).toSet.size == 1, "cohort differs by rung")
+    // beats_naive is consistent with the table's own numbers
+    val naiveMae = got("naive")._2
+    got.foreach { case (m, (_, mae, _, bn)) =>
+      assert(bn == (if (mae < naiveMae) 1 else 0), s"$m beats_naive flag") }
+    info(got.toSeq.sortBy(_._2._2).map { case (m, (_, mae, _, _)) =>
+      f"$m=$mae%.4f" }.mkString("MAE ladder: ", ", ", ""))
+    // determinism
+    val again = graft.ops.Quant.pipelineSmoothingReport(spark, sf01)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toMap
+    assert(again == got)
+  }
+
   // ------------------------------------------- multimodal_audio_energy
 
   test("multimodal_audio_energy == driver PCM16 replay; planted silence/loud payloads classify") {

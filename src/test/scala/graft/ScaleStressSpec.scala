@@ -308,7 +308,9 @@ class ScaleStressSpec extends SparkSpec {
     // STL residual z: rides stlCore's (type, day)-bounded frame
     ("ts_anomaly_stl", 10.0, 20.0),
     // SAX: (user, day) pre-aggregate then day-bounded window + groupBy
-    ("ts_sax_symbolize", 10.0, 20.0))
+    ("ts_sax_symbolize", 10.0, 20.0),
+    // one shared secondary-sort fold over daily rows, 5-row readout
+    ("pipeline_smoothing_report", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
