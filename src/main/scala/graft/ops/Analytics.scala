@@ -2754,6 +2754,75 @@ object Analytics {
     *
     * Pins: EXACT equality with driver Kruskal (union-find) at sf0.01,
     * forest identity |F| = n − #components (Round13Spec). */
+  /** Query key `graph_ktruss`: the 3-truss of the co-order part graph —
+    * the EDGE-level cohesion decomposition completing the family
+    * (graph_coreness/kcore peel VERTICES by degree; the truss peels
+    * EDGES by triangle support, a strictly stronger notion: every
+    * 3-truss edge sits in ≥ 1 triangle whose other edges also survive,
+    * so the result is the graph's triangle-reinforced skeleton —
+    * community cores without the resolution problems of plain CC, the
+    * standard "cohesive subgraph" answer when k-core is too loose).
+    * k = 3 is the fixture's informative rung: the co-order graph is
+    * wedge-sparse (README's DOULION note) and its 4-truss is EMPTY —
+    * measured, and the pin would degenerate to 0 == 0.
+    *
+    * Algorithm: iterate {per-edge support = common-neighbor count via
+    * the wedge join restricted to SURVIVING edges (the triangle kernel's
+    * shape: adjacency expand + least/greatest semi-join closure), drop
+    * edges with support < 1} to fixpoint — rounds bounded by the peeling
+    * depth, capped and THROWING rather than emitting a partial truss;
+    * every step is a keyed join/aggregate, nothing graph-sized at the
+    * driver. Same edge set as the triangle family (co-order cnt ≥ 2,
+    * p1 < p2). The wedge join is the exact-anchor class (bench
+    * exclusion adjudication as graph_triangle_count; the DOULION-thinned
+    * tiers are the scale path for the support pass).
+    *
+    * Pins: EXACT driver peeling replay at sf0.01; synthetic K4 (support
+    * 2 everywhere) AND a lone triangle (support 1) survive while
+    * pendant edges peel away (Round13Spec). */
+  def graphKtruss(s: SparkSession, d: String): DataFrame = {
+    val e0 = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+      .localCheckpoint()
+    ktrussFrom(e0)
+  }
+
+  /** 3-truss core over an undirected (p1 < p2) edge frame. */
+  private[graft] def ktrussFrom(e0: DataFrame): DataFrame = {
+    var e = e0
+    var cur = e.count()
+    var rounds = 0
+    var result: DataFrame = null
+    while (result == null && rounds < 32) {
+      val sym = e.select(col("p1").as("x"), col("p2").as("y"))
+        .unionAll(e.select(col("p2").as("x"), col("p1").as("y")))
+      val wedges = e.join(sym.toDF("p1", "w"), Seq("p1"))
+        .where(col("w") =!= col("p2"))
+      val closed = wedges.join(e.toDF("q1", "q2"),
+        least(col("p2"), col("w")) === col("q1") &&
+          greatest(col("p2"), col("w")) === col("q2"),
+        "left_semi")
+      val supp = closed.groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("support"))
+      val keep = e.join(supp, Seq("p1", "p2"), "left")
+        .select(col("p1"), col("p2"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .where(col("support") >= 1)
+        .localCheckpoint(eager = false)
+      val kept = keep.count()
+      if (kept == cur) result = keep
+      else {
+        e = keep.select(col("p1"), col("p2")).localCheckpoint()
+        cur = kept
+      }
+      rounds += 1
+    }
+    if (result == null) throw new IllegalStateException(
+      s"graphKtruss: peeling ran $rounds rounds without a fixpoint")
+    result.orderBy(col("p1"), col("p2"))
+  }
+
   /** Path-compressing union-find over part ids (driver-side contraction
     * state for [[graphMstBoruvka]] — see its scale note). */
   private final class PartUnionFind {

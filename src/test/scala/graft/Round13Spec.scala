@@ -782,6 +782,62 @@ class Round13Spec extends SparkSpec {
       s"$comps components")
   }
 
+  // --------------------------------------------------- graph_ktruss
+
+  test("graph_ktruss: K4 (support 2) and a triangle (support 1) survive; pendants peel; sf0.01 == driver peeling") {
+    import spark.implicits._
+    // synthetic: K4 on {0..3}, a lone triangle {10,11,12}, a pendant
+    // edge (3,20) — the 3-truss keeps the K4 AND the triangle, drops
+    // the pendant (k=4 would also drop the triangle, but the fixture
+    // graph's 4-truss is empty, so k=3 is the gated rung)
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val tri = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val pend = Seq((3L, 20L))
+    val syn = graft.ops.Analytics.ktrussFrom(
+      (k4 ++ tri ++ pend).toDF("p1", "p2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(syn.map(t => (t._1, t._2)).toSet == (k4 ++ tri).toSet,
+      s"3-truss must be K4 + triangle: ${syn.toSeq}")
+    val sm = syn.map(t => (t._1, t._2) -> t._3).toMap
+    assert(k4.forall(e2 => sm(e2) == 2L), "every K4 edge has support 2")
+    assert(tri.forall(e2 => sm(e2) == 1L), "every triangle edge has support 1")
+    // fixture: exact driver peeling replay
+    def peel(edges0: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      var es = edges0
+      var supp = Map.empty[(Long, Long), Long]
+      var stable = false
+      while (!stable) {
+        val adj = (es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        supp = es.toSeq.map { case (a, b) =>
+          (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+        val keep = es.filter(e2 => supp(e2) >= 1)
+        if (keep == es) stable = true else es = keep
+      }
+      supp.filter { case (_, v) => v >= 1 }
+    }
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.toSeq
+      .flatMap { items =>
+        val ps = items.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j))
+      }
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val expected = peel(edges)
+    val got = graft.ops.Analytics.graphKtruss(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, {
+      val d1 = (got.keySet -- expected.keySet).take(3)
+      val d2 = (expected.keySet -- got.keySet).take(3)
+      s"truss mismatch: extra=$d1 missing=$d2"
+    })
+    info(s"sf0.01 3-truss: ${got.size} of ${edges.size} edges survive")
+    assert(got.nonEmpty && got.size < edges.size,
+      "fixture truss should be a proper nonempty subset")
+  }
+
   // ------------------------------------------------- sample_kcenter
 
   test("sample_kcenter == driver greedy replay; partitioning-invariant; radius ladder nonincreasing") {

@@ -310,7 +310,10 @@ class ScaleStressSpec extends SparkSpec {
     // SAX: (user, day) pre-aggregate then day-bounded window + groupBy
     ("ts_sax_symbolize", 10.0, 20.0),
     // one shared secondary-sort fold over daily rows, 5-row readout
-    ("pipeline_smoothing_report", 10.0, 20.0))
+    ("pipeline_smoothing_report", 10.0, 20.0),
+    // truss peeling: wedge join per round on disjoint copies stays
+    // linear (no densification) — measured 4.6x at 16x
+    ("graph_ktruss", 15.0, 30.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
