@@ -2754,6 +2754,56 @@ object Analytics {
     *
     * Pins: EXACT equality with driver Kruskal (union-find) at sf0.01,
     * forest identity |F| = n − #components (Round13Spec). */
+  /** Query key `pipeline_graph_report`: the composed GRAPH-SAMPLING
+    * decision table — the ann/tokenizer/smoothing-report recipe applied
+    * to the DOULION family: one row per metric × {exact value, sampled
+    * value, rel_err}, for the three exact/approx pairs the engine
+    * carries (triangle count, mean clustering coefficient over the
+    * deg ≥ 2 cohort, Adamic–Adar top-50 overlap). A graph team reads
+    * ONE table to decide whether the thinned tiers are acceptable at
+    * their density, as a feed team reads the smoothing report to pick a
+    * forecaster — this is the measured answer to "what does 1-in-k edge
+    * sampling cost me HERE", not a textbook error bound.
+    *
+    * Composes the unchanged kernels (inherits their determinism: the
+    * adaptive rate sits at its floor k = 2 on the fixture, and the
+    * xxhash64 edge draw is partition-free). Means run on the 1e-4 grid
+    * (exact integer sums); the driver touches one-row aggregates and
+    * the two top-50 pair sets — metadata, lint-whitelisted. Pins: every
+    * cell equals an independent recompute from the kernels' own
+    * outputs; determinism (Round13Spec). */
+  /** 1e-4-grid mean of a double column (exact integer sums) — the
+    * report's one-row readout helper. */
+  private def meanOnGrid4(df: DataFrame, c: String): Double = {
+    val r = df.agg(count(lit(1)).as("n"),
+      sum(floor(col(c) * 1e4 + 0.5).cast("long")).as("g")).head()
+    math.floor(r.getLong(1).toDouble / r.getLong(0).toDouble + 0.5) / 1e4
+  }
+
+  def pipelineGraphReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val triEx = graphTriangleCount(s, d).head().getLong(2)
+    val triAp = graphTriangleApprox(s, d).head().getLong(2)
+    val ccEx = meanOnGrid4(graphClusteringCoeff(s, d), "coeff")
+    val ccAp = meanOnGrid4(graphClusteringCoeffApprox(s, d), "coeff_est")
+    val aaEx = Quant.graphAdamicAdar(s, d).select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aaAp = Quant.graphAdamicAdarApprox(s, d).select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (aaEx & aaAp).size
+    def rel(ex: Double, ap: Double): Double =
+      if (ex == 0.0) 0.0
+      else math.floor(math.abs(ap - ex) / ex * 10000.0 + 0.5) / 1e4
+    Seq(
+      ("adamic_top50_overlap", 50.0, hits.toDouble,
+        rel(50.0, hits.toDouble)),
+      ("avg_clustering", ccEx, ccAp, rel(ccEx, ccAp)),
+      ("triangles", triEx.toDouble, triAp.toDouble,
+        rel(triEx.toDouble, triAp.toDouble)))
+      .toDF("metric", "exact", "sampled", "rel_err")
+      .orderBy(col("metric"))
+  }
+
   /** Query key `graph_ktruss`: the 3-truss of the co-order part graph —
     * the EDGE-level cohesion decomposition completing the family
     * (graph_coreness/kcore peel VERTICES by degree; the truss peels

@@ -782,6 +782,53 @@ class Round13Spec extends SparkSpec {
       s"$comps components")
   }
 
+  // -------------------------------------------- pipeline_graph_report
+
+  test("pipeline_graph_report: every cell equals an independent recompute from the kernels") {
+    import graft.ops.{Analytics, Quant}
+    val rep = Analytics.pipelineGraphReport(spark, sf01).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rep.keySet ==
+      Set("triangles", "avg_clustering", "adamic_top50_overlap"))
+    val triEx = Analytics.graphTriangleCount(spark, sf01)
+      .head().getLong(2).toDouble
+    val triAp = Analytics.graphTriangleApprox(spark, sf01)
+      .head().getLong(2).toDouble
+    assert(rep("triangles")._1 == triEx && rep("triangles")._2 == triAp)
+    def meanGrid(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val xs = df.select(col(c)).collect().map(_.getDouble(0))
+        .map(x => math.floor(x * 1e4 + 0.5).toLong)
+      math.floor(xs.sum.toDouble / xs.length.toDouble + 0.5) / 1e4
+    }
+    assert(rep("avg_clustering")._1 ==
+      meanGrid(Analytics.graphClusteringCoeff(spark, sf01), "coeff"))
+    assert(rep("avg_clustering")._2 ==
+      meanGrid(Analytics.graphClusteringCoeffApprox(spark, sf01),
+        "coeff_est"))
+    val ex = Quant.graphAdamicAdar(spark, sf01)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ap = Quant.graphAdamicAdarApprox(spark, sf01)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep("adamic_top50_overlap")._1 == 50.0)
+    assert(rep("adamic_top50_overlap")._2 == (ex & ap).size.toDouble)
+    // rel_err cells consistent with the table's own exact/sampled pair
+    rep.foreach { case (m, (e, a, re)) =>
+      val want = if (e == 0.0) 0.0
+        else math.floor(math.abs(a - e) / e * 10000.0 + 0.5) / 1e4
+      assert(re == want, s"$m rel_err")
+    }
+    info(rep.toSeq.sortBy(_._1).map { case (m, (e, a, re)) =>
+      f"$m: exact=$e%.1f sampled=$a%.1f rel=$re%.4f" }.mkString("; "))
+    // determinism
+    val again = Analytics.pipelineGraphReport(spark, sf01).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(again == rep)
+  }
+
   // --------------------------------------------------- graph_ktruss
 
   test("graph_ktruss: K4 (support 2) and a triangle (support 1) survive; pendants peel; sf0.01 == driver peeling") {
