@@ -66,6 +66,39 @@ object Quant {
     * Scale: three whole-partition window aggregates stack on ONE
     * user_id hash exchange — no groupBy + join-back, no second shuffle
     * at any event volume. */
+  /** Query key `feature_target_encode`: leave-one-out target encoding of
+    * the event_type categorical against the value target — the fourth
+    * member of the feature-engineering family (minmax / zscore / robust
+    * scale all transform NUMERIC columns; this is the standard encoder
+    * for a CATEGORICAL column feeding a linear/tree model, with the two
+    * classic leakage guards built in: the row's OWN target leaves its
+    * group statistic — LOO — and an m = 16 smoothing prior pulls rare
+    * categories toward the global mean instead of memorizing them).
+    * enc_i = ((Σ_type − xᵢ) + 16·prior) / (n_type − 1 + 16), prior =
+    * the global cent mean; all sums exact BIGINT cents, the encode is
+    * three correctly-rounded double ops.
+    *
+    * Scale: NO per-category window over the fact table (a hot category
+    * would funnel through one task) — per-type sums are a partial
+    * aggregate joined back broadcast, the global prior is a one-row
+    * cross join, the encode is map-side. Oracle = identical SQL. */
+  def featureTargetEncode(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val byType = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nt"), sum(col("c")).as("st"))
+    val glob = ev.agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"))
+    ev.join(broadcast(byType), Seq("event_type"))
+      .crossJoin(broadcast(glob))
+      .select(col("event_id"), col("event_type"),
+        round(((col("st") - col("c")).cast("double") +
+          lit(16.0) * (col("sg").cast("double") / col("ng").cast("double"))) /
+          (col("nt") - 1 + 16).cast("double") / lit(1e2), 6)
+          .as("target_enc"))
+      .orderBy(col("event_id"))
+  }
+
   def featureZscoreNorm(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     val num = dec(col("n")) * col("s2") - col("s1") * col("s1")

@@ -3121,6 +3121,21 @@ object OracleSql {
         "FROM t JOIN seas ON seas.event_type = t.event_type " +
         "AND seas.wd = t.wd ORDER BY t.event_type, t.day"),
 
+    // LOO target encoding: exact BIGINT cent sums, three
+    // correctly-rounded double ops in the engine's operand order
+    "feature_target_encode" ->
+      ("WITH e AS (SELECT event_id, event_type, " +
+        "floor(value * 100 + 0.5)::BIGINT AS c FROM events), " +
+        "t AS (SELECT event_type, count(*) AS nt, sum(c)::BIGINT AS st " +
+        "FROM e GROUP BY 1), " +
+        "g AS (SELECT count(*) AS ng, sum(c)::BIGINT AS sg FROM e) " +
+        "SELECT e.event_id, e.event_type, " +
+        "floor((((t.st - e.c)::DOUBLE + " +
+        "16.0 * (g.sg::DOUBLE / g.ng::DOUBLE)) / " +
+        "(t.nt - 1 + 16)::DOUBLE / 1e2) * 1000000 + 0.5) / 1000000.0 " +
+        "AS target_enc " +
+        "FROM e JOIN t USING (event_type), g ORDER BY e.event_id"),
+
     // SAX: per-user mean/sigma from exact BIGINT cent moments, PAA
     // numerator an exact 7-day cent sum, breakpoint CASE on identical
     // doubles; full windows only, sigma > 0
