@@ -186,6 +186,29 @@ object Govern {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Query key `privacy_dp_topk`: differentially private top-k — the
+    * report-noisy-max mechanism generalized to k = 3: each day's top
+    * event types ranked by the SAME keyed Laplace release
+    * [[privacyDpNoisyCount]] publishes (ranking on independently-noised
+    * counts IS the repeated noisy-max release; privacy follows from the
+    * counts' own DP by post-processing — no fresh budget is spent on
+    * the ranking). Deterministic end-to-end: the noise is key-derived
+    * (the family's no-RNG recipe), ties break by type. The rank window
+    * partitions by day over the (days × types) released grid — the
+    * bounded-histogram shape, never the fact table.
+    *
+    * Pins: equals a driver recompute from privacy_dp_noisy_count's own
+    * output; k-monotonicity (top-2 is a prefix of top-3) (Round13Spec). */
+  def privacyDpTopk(s: SparkSession, d: String): DataFrame = {
+    val noisy = privacyDpNoisyCount(s, d)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+      .orderBy(col("released").desc, col("event_type").asc)
+    noisy.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select(col("day"), col("rank"), col("event_type"), col("released"))
+      .orderBy(col("day"), col("rank"))
+  }
+
   /** Key-derived Laplace(b) noise from (event_type, day-string) — the
     * shared chain of [[privacyDpNoisyCount]] and the streaming release:
     * u ∈ (0,1) from the low 52 bits of xxhash64(type, day, 42), then

@@ -782,6 +782,31 @@ class Round13Spec extends SparkSpec {
       s"$comps components")
   }
 
+  // -------------------------------------------------- privacy_dp_topk
+
+  test("privacy_dp_topk == driver ranking of privacy_dp_noisy_count's own release") {
+    import graft.ops.Govern
+    val noisy = Govern.privacyDpNoisyCount(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(4)))
+    val expected = noisy.groupBy(_._2).toSeq.flatMap { case (day, rows) =>
+      rows.sortBy { case (t, _, rel) => (-rel, t) }.take(3).zipWithIndex
+        .map { case ((t, _, rel), i) => (day, i + 1, t, rel) }
+    }.sortBy(t => (t._1.getTime, t._2))
+    val got = Govern.privacyDpTopk(spark, sf01).collect()
+      .map(r => (r.getDate(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, "dp top-k differs from ranking the release")
+    // post-processing only: every released count in the top-k table
+    // appears verbatim in the noisy-count release (no fresh noise)
+    val rel = noisy.map(t => (t._1, t._2.toString, t._3)).toSet
+    assert(got.forall(t => rel.contains((t._3, t._1.toString, t._4))))
+    // k-monotonicity: top-2 prefix of top-3 per day
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.length).toSeq)
+    }
+  }
+
   // -------------------------------------------- pipeline_graph_report
 
   test("pipeline_graph_report: every cell equals an independent recompute from the kernels") {

@@ -317,7 +317,9 @@ class ScaleStressSpec extends SparkSpec {
     // composes the wedge kernels (their scale story); 2.4x at 16x
     ("pipeline_graph_report", 15.0, 35.0),
     // broadcast per-type sums + map-side encode, one shuffle
-    ("feature_target_encode", 10.0, 20.0))
+    ("feature_target_encode", 10.0, 20.0),
+    // rank over the (days x types) released grid — bounded histogram
+    ("privacy_dp_topk", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
