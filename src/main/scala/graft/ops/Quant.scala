@@ -1313,6 +1313,58 @@ object Quant {
       .agg(count(lit(1)).as("n_users"), sum(col("ae")).as("sae"))
   }
 
+  /** Query key `ts_acf_correlogram`: the autocorrelation function at
+    * calendar lags 1..7 per event_type — the CORRELOGRAM an analyst
+    * reads before picking a seasonal model (ts_autocorr_lag1 gives one
+    * point; the weekly cycle shows as the lag-7 spike, and this table
+    * is the evidence for Holt–Winters' 7-slot choice). Lags are
+    * CALENDAR days (join on day + k), not row offsets, so gaps in the
+    * observed series cannot misalign the pairs.
+    *
+    * Determinism: mean from exact cent sums; each centered product
+    * (v_t−μ)(v_{t+k}−μ) and each squared deviation snaps to the 1e-6
+    * grid BEFORE its sum (identical doubles ⇒ identical longs), so
+    * acf(k) = Σ_pairs / Σ_den divides exact integers. Scale: the
+    * (type, day) pre-aggregate bounds everything; the lag join is
+    * day-keyed over daily rows × 7 lags. Oracle = identical SQL. */
+  def tsAcfCorrelogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n").cast("double") / lit(1e2))
+          .as("mean"))
+    val dv = daily.join(m, Seq("event_type"))
+      .withColumn("v", col("cents").cast("double") / lit(1e2))
+    val den = dv
+      .withColumn("dd",
+        floor((col("v") - col("mean")) * (col("v") - col("mean")) * 1e6
+          + 0.5).cast("long"))
+      .groupBy(col("event_type")).agg(sum(col("dd")).as("dg"))
+    val lags = (1 to 7).toDF("lag")
+    val bSide = dv.select(col("event_type"), col("day"), col("v"))
+      .toDF("event_type", "day2", "v2")
+      .localCheckpoint(eager = false)
+    val num = dv.crossJoin(broadcast(lags))
+      .withColumn("day2", date_add(col("day"), col("lag")))
+      .join(bSide, Seq("event_type", "day2"))
+      .withColumn("pg",
+        floor((col("v") - col("mean")) * (col("v2") - col("mean")) * 1e6
+          + 0.5).cast("long"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("pg")).as("ng"))
+    num.join(den, Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        round(col("ng").cast("double") / col("dg").cast("double"), 4)
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** Query key `ts_sax_symbolize`: SAX (Symbolic Aggregate approXimation)
     * of the per-user daily series — the symbolic representation motif
     * mining, similarity search and sequence-model features build on

@@ -3121,6 +3121,32 @@ object OracleSql {
         "FROM t JOIN seas ON seas.event_type = t.event_type " +
         "AND seas.wd = t.wd ORDER BY t.event_type, t.day"),
 
+    // correlogram: calendar-lag self-join on the daily grid, centered
+    // products and squared deviations snapped to the 1e-6 grid before
+    // their sums, one integer divide per (type, lag)
+    "ts_acf_correlogram" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "sum(floor(value * 100 + 0.5)::BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, " +
+        "sum(cents)::DOUBLE / count(*)::DOUBLE / 1e2 AS mean " +
+        "FROM daily GROUP BY 1), " +
+        "dv AS (SELECT d.event_type, d.day, cents::DOUBLE / 1e2 AS v, " +
+        "m.mean FROM daily d JOIN m USING (event_type)), " +
+        "den AS (SELECT event_type, " +
+        "sum(floor((v - mean) * (v - mean) * 1e6 + 0.5)::BIGINT) AS dg " +
+        "FROM dv GROUP BY 1), " +
+        "num AS (SELECT a.event_type, l.lag, count(*) AS n_pairs, " +
+        "sum(floor((a.v - a.mean) * (b.v - a.mean) * 1e6 + 0.5)::BIGINT) " +
+        "AS ng FROM dv a CROSS JOIN " +
+        "(SELECT unnest(range(1, 8))::INT AS lag) l " +
+        "JOIN dv b ON b.event_type = a.event_type " +
+        "AND b.day = a.day + l.lag GROUP BY 1, 2) " +
+        "SELECT num.event_type, num.lag, num.n_pairs, " +
+        "floor((ng::DOUBLE / dg::DOUBLE) * 10000 + 0.5) / 10000.0 AS acf " +
+        "FROM num JOIN den USING (event_type) " +
+        "ORDER BY num.event_type, num.lag"),
+
     // LOO target encoding: exact BIGINT cent sums, three
     // correctly-rounded double ops in the engine's operand order
     "feature_target_encode" ->

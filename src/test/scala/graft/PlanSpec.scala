@@ -841,6 +841,15 @@ class PlanSpec extends SparkSpec {
       // r11d one-row scalar folds: HITS broadcasts the L2-norm row each
       // half-round; layout stats broadcasts the global min/max range row
       "graph_hits", "layout_pruning_stats",
+      // r13: the LOO encoder folds the one-row global-prior aggregate
+      // back with crossJoin(broadcast(...)) — ts_seasonal_residual's
+      // class; the per-type sums join by key (BHJ), only the prior is
+      // a one-row BNLJ
+      "feature_target_encode",
+      // r13: the correlogram crosses daily rows with the 7-row lag
+      // table — stream_drift_psi's bounded-broadcast-table class; the
+      // lag self-join itself is day-keyed (BHJ/SMJ)
+      "ts_acf_correlogram",
       // t-closeness crosses each QI class with the GLOBAL band
       // histogram — a band-domain-bounded (≤ 11-row) broadcast table,
       // stream_drift_psi's class; the composed report inherits it

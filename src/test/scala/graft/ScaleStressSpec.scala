@@ -319,7 +319,9 @@ class ScaleStressSpec extends SparkSpec {
     // broadcast per-type sums + map-side encode, one shuffle
     ("feature_target_encode", 10.0, 20.0),
     // rank over the (days x types) released grid — bounded histogram
-    ("privacy_dp_topk", 10.0, 20.0))
+    ("privacy_dp_topk", 10.0, 20.0),
+    // day-keyed lag self-join over the (type, day) pre-aggregate
+    ("ts_acf_correlogram", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
