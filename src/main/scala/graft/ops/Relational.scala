@@ -614,6 +614,39 @@ object Relational {
   /** Exact median & p90 per event type. Exact percentile (not the sketch)
     * so the oracle hash-matches; at 100 TB swap to approx_percentile and an
     * ε-bound check — noted here as the scale path. */
+  /** Query key `agg_winsorized_mean`: the robust-mean rung between the
+    * plain mean (agg_stats) and the median (agg_percentile) — clip each
+    * value into its type's [p5, p95] band, then average: the standard
+    * way a metrics pipeline reports a per-segment mean that one bot
+    * user or one refund cannot drag (feature_robust_scale is the
+    * per-ROW robust transform; this is the per-GROUP robust summary).
+    * Both engines interpolate percentiles identically (the
+    * agg_percentile pin), the clip compares identical doubles, and
+    * each clipped value snaps to the 1e-4 grid BEFORE the sum so the
+    * mean divides exact integers.
+    *
+    * Scale: one percentile aggregate per type broadcast back (never a
+    * rank window over the fact table), clip map-side, one partial
+    * aggregate. Oracle = identical SQL in DuckDB. */
+  def aggWinsorizedMean(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("g",
+        floor(least(greatest(col("value"), col("lo")), col("hi")) * 1e4
+          + 0.5).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        min(col("lo")).as("lo0"), min(col("hi")).as("hi0"))
+      .select(col("event_type"), col("n"),
+        round(col("lo0"), 4).as("lo"), round(col("hi0"), 4).as("hi"),
+        round(col("sg").cast("double") / col("n").cast("double") / lit(1e4),
+          4).as("wmean"))
+      .orderBy(col("event_type"))
+  }
+
   def aggPercentile(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))

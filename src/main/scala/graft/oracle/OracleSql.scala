@@ -719,6 +719,21 @@ object OracleSql {
         "floor((quantile_cont(value, 0.9)) * 10000 + 0.5) / 10000.0 AS p90 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    // winsorized mean: shared percentile interpolation, identical-double
+    // clip, 1e-4 grid snap before the sum, one integer divide
+    "agg_winsorized_mean" ->
+      ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, " +
+        "quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1), " +
+        "g AS (SELECT e.event_type, b.lo, b.hi, " +
+        "floor(least(greatest(e.value, b.lo), b.hi) * 1e4 + 0.5)::BIGINT " +
+        "AS g FROM events e JOIN b USING (event_type)) " +
+        "SELECT event_type, count(*) AS n, " +
+        "floor(min(lo) * 10000 + 0.5) / 10000.0 AS lo, " +
+        "floor(min(hi) * 10000 + 0.5) / 10000.0 AS hi, " +
+        "floor((sum(g)::DOUBLE / count(*)::DOUBLE / 1e4) * 10000 + 0.5) " +
+        "/ 10000.0 AS wmean " +
+        "FROM g GROUP BY 1 ORDER BY 1"),
+
     "agg_collect" ->
       ("SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS types " +
         "FROM events GROUP BY user_id ORDER BY user_id"),

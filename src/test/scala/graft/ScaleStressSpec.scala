@@ -321,7 +321,9 @@ class ScaleStressSpec extends SparkSpec {
     // rank over the (days x types) released grid — bounded histogram
     ("privacy_dp_topk", 10.0, 20.0),
     // day-keyed lag self-join over the (type, day) pre-aggregate
-    ("ts_acf_correlogram", 10.0, 20.0))
+    ("ts_acf_correlogram", 10.0, 20.0),
+    // percentile row broadcast back + map-side clip + one partial agg
+    ("agg_winsorized_mean", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
