@@ -60,6 +60,40 @@ object Analytics {
     * (Catalyst stacks the three Window operators on a single exchange;
     * a join-per-stage funnel would scan and shuffle once per stage).
     * Output is one global summary row. */
+  /** Query key `funnel_any_order`: set-completion funnel — the
+    * order-free companion of [[funnelOrdered]] (an ordered funnel
+    * undercounts whenever the product lets steps happen in any order;
+    * the set form answers "who did ALL of {click, view, purchase}" and
+    * how long the set took to complete): per user the FIRST ts of each
+    * target type (one conditional min aggregate per type — partial
+    * aggregation collapses map-side, no window over the fact table),
+    * completed ⇔ all three present, completion span = greatest(firsts)
+    * − least(firsts) in floor seconds (unix_timestamp ≡ epoch-second,
+    * exact integers). One row per user who did at least one step;
+    * oracle = identical SQL in DuckDB. */
+  def funnelAnyOrder(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase"))
+      .where(col("t_click").isNotNull || col("t_view").isNotNull ||
+        col("t_purchase").isNotNull)
+      .select(col("user_id"), col("t_click"), col("t_view"),
+        col("t_purchase"),
+        (col("t_click").isNotNull && col("t_view").isNotNull &&
+          col("t_purchase").isNotNull).cast("int").as("completed"),
+        when(col("t_click").isNotNull && col("t_view").isNotNull &&
+            col("t_purchase").isNotNull,
+          unix_timestamp(greatest(col("t_click"), col("t_view"),
+            col("t_purchase"))) -
+            unix_timestamp(least(col("t_click"), col("t_view"),
+              col("t_purchase"))))
+          .as("span_s"))
+      .orderBy(col("user_id"))
+
   def funnelOrdered(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     val anchored = events(s, d)

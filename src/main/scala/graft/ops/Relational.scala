@@ -614,6 +614,27 @@ object Relational {
   /** Exact median & p90 per event type. Exact percentile (not the sketch)
     * so the oracle hash-matches; at 100 TB swap to approx_percentile and an
     * ε-bound check — noted here as the scale path. */
+  /** Query key `agg_geometric_mean`: the multiplicative-mean rung of the
+    * mean family (arithmetic agg_stats / winsorized / THIS) — the right
+    * average for ratio-scaled positives (growth factors, latencies,
+    * per-token losses: one 100× value moves the arithmetic mean 100×,
+    * the geometric mean by ×100^(1/n)). exp(mean(ln x)) over value > 0;
+    * each ln snaps to the 1e-6 grid BEFORE the sum (drift_js's ln
+    * recipe — identical doubles ⇒ identical longs), the mean divides
+    * exact integers, ONE exp at the end. Scale: one partial aggregate.
+    * Oracle = identical SQL in DuckDB. */
+  def aggGeometricMean(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("value") > 0)
+      .select(col("event_type"),
+        floor(log(col("value")) * 1e6 + 0.5).cast("long").as("g"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
+      .select(col("event_type"), col("n"),
+        round(exp(col("sg").cast("double") / col("n").cast("double") /
+          lit(1e6)), 4).as("gmean"))
+      .orderBy(col("event_type"))
+
   /** Query key `agg_winsorized_mean`: the robust-mean rung between the
     * plain mean (agg_stats) and the median (agg_percentile) — clip each
     * value into its type's [p5, p95] band, then average: the standard

@@ -714,6 +714,14 @@ object OracleSql {
         "floor((covar_samp(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000.0 AS cov_qty_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
+    // geometric mean: 1e-6-grid ln sums (drift_js recipe), one exp
+    "agg_geometric_mean" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "floor(exp(sum(floor(ln(value) * 1e6 + 0.5)::BIGINT)::DOUBLE / " +
+        "count(*)::DOUBLE / 1e6) * 10000 + 0.5) / 10000.0 AS gmean " +
+        "FROM events WHERE value > 0 GROUP BY event_type " +
+        "ORDER BY event_type"),
+
     "agg_percentile" ->
       ("SELECT event_type, floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000.0 AS p50, " +
         "floor((quantile_cont(value, 0.9)) * 10000 + 0.5) / 10000.0 AS p90 " +
@@ -1620,6 +1628,32 @@ object OracleSql {
     // ------------------------------------------- §2.14 round-4 analytics
     // Ordered funnel: each stage anchored at the min ts AFTER the previous
     // stage's anchor (the sequencing a pivot-style funnel gets wrong).
+    // set-completion funnel: three conditional-min firsts, exact
+    // epoch-second span for completers
+    "funnel_any_order" ->
+      ("SELECT user_id, " +
+        "min(CASE WHEN event_type = 'click' THEN ts END) AS t_click, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase, " +
+        "(min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL AND " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL AND " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL)::INT " +
+        "AS completed, " +
+        "CASE WHEN min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL " +
+        "AND min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL " +
+        "AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL " +
+        "THEN floor(epoch(greatest(min(CASE WHEN event_type = 'click' THEN ts END), " +
+        "min(CASE WHEN event_type = 'view' THEN ts END), " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END))))::BIGINT - " +
+        "floor(epoch(least(min(CASE WHEN event_type = 'click' THEN ts END), " +
+        "min(CASE WHEN event_type = 'view' THEN ts END), " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END))))::BIGINT END " +
+        "AS span_s " +
+        "FROM events GROUP BY user_id " +
+        "HAVING t_click IS NOT NULL OR t_view IS NOT NULL " +
+        "OR t_purchase IS NOT NULL " +
+        "ORDER BY user_id"),
+
     "funnel_ordered" ->
       ("WITH c AS (SELECT user_id, min(ts) AS t1 FROM events " +
         "WHERE event_type = 'click' GROUP BY user_id), " +

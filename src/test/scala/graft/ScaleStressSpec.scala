@@ -323,7 +323,10 @@ class ScaleStressSpec extends SparkSpec {
     // day-keyed lag self-join over the (type, day) pre-aggregate
     ("ts_acf_correlogram", 10.0, 20.0),
     // percentile row broadcast back + map-side clip + one partial agg
-    ("agg_winsorized_mean", 10.0, 20.0))
+    ("agg_winsorized_mean", 10.0, 20.0),
+    // map-side ln grid + one partial agg / three conditional-min firsts
+    ("agg_geometric_mean", 10.0, 20.0),
+    ("funnel_any_order", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
