@@ -123,7 +123,12 @@ object Bench {
     // order alone runs tokenize first (r9 verdict: 6.13 s recorded
     // against the apply op).
     val order: Seq[String] = {
-      val deps = Seq(("corpus_bpe_train", "corpus_bpe_tokenize"))
+      val deps = Seq(
+        ("corpus_bpe_train", "corpus_bpe_tokenize"),
+        // the scc labeling memo: the producer (graph_scc, which always
+        // recomputes) must run before the consumer (graph_condensation)
+        // within each pass so the pair's costs separate cleanly
+        ("graph_scc", "graph_condensation"))
       var o = selected.keys.toSeq.sorted
       deps.foreach { case (prod, cons) =>
         if (o.contains(prod) && o.contains(cons)) {
@@ -184,13 +189,21 @@ object Bench {
     val fullSamples = sampleMap.toSeq.sortBy(_._1)
       .map { case (k, ss) => "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // Per-key sample spread max/min (r13 verdict task 7): the one-number
+    // contention indicator, so a reader separates host noise (spread >> 1
+    // with a quiet min) from a real regression (all samples moved
+    // together, spread ~ 1) without re-deriving it from "samples".
+    val fullSpread = sampleMap.toSeq.sortBy(_._1)
+      .map { case (k, ss) =>
+        "\"" + k + "\":" + fmt(ss.max / math.max(ss.min, 1e-3)) }
+      .mkString("{", ",", "}")
     // field renamed at_query -> at_exec in r13: under interleaved
     // sampling the index counts EXECUTIONS (0..runs*nq), not keys, so
     // r11-era tooling must not align it with a key index (ADVICE r12)
     val calibJson = calibSeries
       .map { case (i, s) => s"""{"at_exec":$i,"sec":${fmt(s)}}""" }
       .mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_min":${fmt(calibMin)},"value_per_calib":${fmt(totalPerCalib)},"calib_series":$calibJson,"queries":$fullQs,"samples":$fullSamples,"errors":$fullEs,"n_err":${errs.size},"runs_per_query":$runs,"interleaved":true,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_min":${fmt(calibMin)},"value_per_calib":${fmt(totalPerCalib)},"calib_series":$calibJson,"queries":$fullQs,"samples":$fullSamples,"spread":$fullSpread,"errors":$fullEs,"n_err":${errs.size},"runs_per_query":$runs,"interleaved":true,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not kill the bench

@@ -1,0 +1,90 @@
+package graft
+
+/** In-process memo for DIMENSION/metadata-sized derived results, keyed by
+  * (kernel name, corpus-file fingerprint) — the BPE merge-table precedent
+  * (ops/LlmPipeline.scala's two-layer tokenizer cache) generalized. This
+  * is layer 1 only — no cross-process staging, because unlike a
+  * tokenizer's merges file none of these results is a production
+  * artifact that ships on its own.
+  *
+  * Contract (the TRAIN-always-trains rule, ADVICE round-10): the op that
+  * OWNS a kernel's benchmarked cost always computes fresh and refreshes
+  * the memo (`refresh`); only DERIVED consumers (the condensation over
+  * the scc labeling, the composed pipeline reports) read it
+  * (`getOrCompute`). Stored values must be session-free plain JVM data
+  * and at most dimension-sized — the same fits-in-memory adjudication as
+  * the broadcast-join tier.
+  *
+  * Fingerprints hash the table's file listing (relative path, size,
+  * mtime), so a same-path overwrite (mode overwrite in tests, the
+  * ScaleStress replicas) invalidates instead of silently serving results
+  * derived from the old data; a fingerprinting failure on a local path
+  * disables the memo entirely, because a path-only key cannot see a
+  * same-path overwrite (ADVICE rounds 9–10). */
+object Memo {
+  import scala.jdk.CollectionConverters._
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Corpus identity for `dir/table`: SHA-256 over the sorted (relative
+    * path, size, mtime) listing for local paths; a shared-store URI
+    * (hdfs://, s3a://) falls back to the raw path string — path-keyed
+    * with no mtime invalidation, the documented trade-off (those stores
+    * version by path convention anyway). */
+  def fingerprint(dir: String, table: String): Option[String] = {
+    def hash(lines: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update((dir + "/" + table + "\n" + lines.mkString("\n"))
+        .getBytes("UTF-8"))
+      md.digest().take(12).map(b => f"$b%02x").mkString
+    }
+    val scheme =
+      try new java.net.URI(dir).getScheme
+      catch { case _: Exception => null }
+    if (scheme != null && scheme != "file" && scheme.length > 1)
+      return Some(hash(Seq(s"path:$dir"))) // remote store: path-versioned
+    try {
+      val root = java.nio.file.Paths.get(
+        if (scheme == "file") new java.net.URI(dir).getPath else dir, table)
+      val lines =
+        if (!java.nio.file.Files.exists(root)) Seq(s"absent:$dir")
+        else {
+          val st = java.nio.file.Files.walk(root)
+          try st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => s"${root.relativize(p)}|${java.nio.file.Files.size(p)}|" +
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .toSeq.sorted
+          finally st.close()
+        }
+      Some(hash(lines))
+    } catch { case _: Exception => None } // local walk failed: never cache
+  }
+
+  /** Consumer side: the cached value when the fingerprint is fresh, else
+    * compute (and store, so sibling consumers share one computation). */
+  def getOrCompute[T <: AnyRef](kernel: String, fp: Option[String])(
+      compute: => T): T =
+    fp match {
+      case Some(f) =>
+        val k = kernel + ":" + f
+        Option(cache.get(k)) match {
+          case Some(v) => v.asInstanceOf[T]
+          case None => val v = compute; cache.put(k, v); v
+        }
+      case None => compute
+    }
+
+  /** Producer side: ALWAYS computes — the op owns this cost and must
+    * never serve a benchmark from its own cache — then refreshes. */
+  def refresh[T <: AnyRef](kernel: String, fp: Option[String])(
+      compute: => T): T = {
+    val v = compute
+    fp.foreach(f => cache.put(kernel + ":" + f, v))
+    v
+  }
+
+  /** Test hook: drop everything (state isolation between specs). */
+  private[graft] def clear(): Unit = cache.clear()
+}

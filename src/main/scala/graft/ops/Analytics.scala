@@ -49,17 +49,6 @@ object Analytics {
       .orderBy(col("event_type"), col("rn"))
   }
 
-  /** Ordered 3-stage funnel: users who clicked, then VIEWED strictly after
-    * their first click, then PURCHASED strictly after that first qualifying
-    * view. The ordering constraint is what groupBy-pivot funnels get wrong
-    * — each stage's anchor is the min event time AFTER the previous
-    * stage's anchor, so the steps chain.
-    *
-    * Scale: ONE scan of events and ONE user_id shuffle — the stage
-    * anchors chain as conditional window minima over the same partition
-    * (Catalyst stacks the three Window operators on a single exchange;
-    * a join-per-stage funnel would scan and shuffle once per stage).
-    * Output is one global summary row. */
   /** Query key `funnel_any_order`: set-completion funnel — the
     * order-free companion of [[funnelOrdered]] (an ordered funnel
     * undercounts whenever the product lets steps happen in any order;
@@ -94,6 +83,17 @@ object Analytics {
           .as("span_s"))
       .orderBy(col("user_id"))
 
+  /** Ordered 3-stage funnel: users who clicked, then VIEWED strictly after
+    * their first click, then PURCHASED strictly after that first qualifying
+    * view. The ordering constraint is what groupBy-pivot funnels get wrong
+    * — each stage's anchor is the min event time AFTER the previous
+    * stage's anchor, so the steps chain.
+    *
+    * Scale: ONE scan of events and ONE user_id shuffle — the stage
+    * anchors chain as conditional window minima over the same partition
+    * (Catalyst stacks the three Window operators on a single exchange;
+    * a join-per-stage funnel would scan and shuffle once per stage).
+    * Output is one global summary row. */
   def funnelOrdered(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     val anchored = events(s, d)
@@ -2353,19 +2353,89 @@ object Analytics {
     x
   }
 
+  /** The 44-long snapped normal-equation state of one ALS solve key:
+    * k(k+1)/2 upper-triangle Gram sums then k moment sums (k = 8). */
+  private[graft] case class AlsBuf(s: Array[Long])
+  private[graft] case class AlsVec(x: Array[Double])
+
+  /** Map-side-combinable normal-equation accumulation for one ALS
+    * half-step (r13 verdict task 3 — the groupByKey.mapGroups form
+    * shipped every joined (r, q) pair to its solve key; this typed
+    * Aggregator collapses them to 44-long partials BEFORE the shuffle,
+    * so the exchange carries factor-table-sized state, not
+    * ratings-sized pairs). reduce() adds each rating's 1e-9-snapped
+    * terms, merge() adds partials — exact integer addition is
+    * associative and commutative, so the finished sums and the Cholesky
+    * solve on them are BIT-IDENTICAL to the sequential fold under any
+    * partitioning (the Round13Spec replay + invariance pins hold
+    * unchanged). */
+  private object AlsNormalEq
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double, Array[Double]), AlsBuf, AlsVec] {
+    private val k = AlsK
+    private val tri = k * (k + 1) / 2
+    def zero: AlsBuf = AlsBuf(new Array[Long](tri + k))
+    def reduce(buf: AlsBuf, x: (Long, Double, Array[Double])): AlsBuf = {
+      val st = buf.s
+      val r = x._2
+      val q = x._3
+      var idx = 0
+      var a = 0
+      while (a < k) {
+        var b = a
+        while (b < k) {
+          st(idx) += math.floor(q(a) * q(b) * 1e9).toLong
+          idx += 1
+          b += 1
+        }
+        st(tri + a) += math.floor(r * q(a) * 1e9).toLong
+        a += 1
+      }
+      buf
+    }
+    def merge(x: AlsBuf, y: AlsBuf): AlsBuf = {
+      var i = 0
+      while (i < x.s.length) { x.s(i) += y.s(i); i += 1 }
+      x
+    }
+    def finish(buf: AlsBuf): AlsVec = {
+      val st = buf.s
+      val aMat = Array.ofDim[Double](k, k)
+      var idx = 0
+      var a = 0
+      while (a < k) {
+        var b = a
+        while (b < k) {
+          aMat(a)(b) = st(idx).toDouble / 1e9
+          idx += 1
+          b += 1
+        }
+        a += 1
+      }
+      val bVec = Array.tabulate(k)(a => st(tri + a).toDouble / 1e9)
+      AlsVec(solveSpd(aMat, bVec, AlsLambda)
+        .map(v => math.floor(v * 1e6) / 1e6))
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[AlsBuf] =
+      org.apache.spark.sql.Encoders.product[AlsBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[AlsVec] =
+      org.apache.spark.sql.Encoders.product[AlsVec]
+  }
+
   /** One ALS half-step: re-solve every `solveSide` factor from the fixed
     * `fixedSide` factors. Normal-equation terms (q qᵀ and r·q products)
     * snap to the 1e-9 grid BEFORE their per-key streaming sums — exact
     * longs, order-independent under any partitioning (the IRLS integer
     * ladder lifted to ALS) — and each solved coordinate floor-snaps to
-    * 1e-6 so the next half-step starts from grid values on any engine. */
+    * 1e-6 so the next half-step starts from grid values on any engine.
+    * Accumulation runs through [[AlsNormalEq]] (partial aggregation
+    * map-side; the shuffle ships 44-long states, not rating pairs). */
   private def alsHalfStep(
       ratings: org.apache.spark.sql.Dataset[(Long, Long, Double)],
       fixed: org.apache.spark.sql.Dataset[(Long, Array[Double])],
       solveUsers: Boolean): org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
     val s = ratings.sparkSession
     import s.implicits._
-    val k = AlsK
     // (fid, sid, r): fid indexes the FIXED factor table, sid the side
     // being re-solved — items are fixed when solving users and vice versa
     val joinKeyed = ratings
@@ -2376,27 +2446,8 @@ object Analytics {
       .as[(Long, Double, Array[Double])]
     joinKeyed
       .groupByKey(_._1)
-      .mapGroups { (sid, it) =>
-        val aSum = Array.ofDim[Long](k, k)
-        val bSum = new Array[Long](k)
-        it.foreach { case (_, r, q) =>
-          var a = 0
-          while (a < k) {
-            var b = a
-            while (b < k) {
-              aSum(a)(b) += math.floor(q(a) * q(b) * 1e9).toLong
-              b += 1
-            }
-            bSum(a) += math.floor(r * q(a) * 1e9).toLong
-            a += 1
-          }
-        }
-        val aMat = Array.tabulate(k, k)((a, b) =>
-          if (a <= b) aSum(a)(b).toDouble / 1e9 else 0.0)
-        val bVec = Array.tabulate(k)(a => bSum(a).toDouble / 1e9)
-        val x = solveSpd(aMat, bVec, AlsLambda)
-        (sid, x.map(v => math.floor(v * 1e6) / 1e6))
-      }
+      .agg(AlsNormalEq.toColumn)
+      .map { case (sid, v) => (sid, v.x) }
   }
 
   /** Query key `recommend_als`: implicit-feedback matrix factorization
@@ -2425,49 +2476,6 @@ object Analytics {
     * thresholded co-order graph exactly like graph_adamic_adar, so the
     * readout is wedge-bounded, not |C|·|P|. Oracle-exempt (iterative
     * multi-join fixpoint). */
-  /** Query key `recommend_item_knn`: item-item collaborative filtering
-    * over the order × part incidence matrix — the MEMORY-BASED
-    * recommender next to [[recommendAls]]'s model-based one (the classic
-    * Amazon item-to-item shape: neighbors are precomputed per ITEM, so
-    * serving a user is a lookup, not a factorization). Similarity is the
-    * cosine of binary basket vectors: sim(a,b) = cooc(a,b)/√(n(a)·n(b))
-    * over DISTINCT (order, part) incidences; top-5 neighbors per part,
-    * ranked on the 4-dp-rounded grid with neighbor-id tiebreak (the
-    * knn_cosine oracle recipe — rank after rounding, so the order both
-    * engines sort is a grid value computed from exact BIGINTs with one
-    * correctly-rounded √ and ÷ each).
-    *
-    * Scale: the co-occurrence self-join is wedge-bounded by basket size
-    * (Σ_orders |basket|² — lineitem ≤ 7 lines/order, never |parts|²),
-    * the n(·) table is an id-keyed partial aggregate joined back by id,
-    * and the rank window partitions by part. Everything shuffles on part
-    * ids; nothing is collected. Oracle = the identical SQL in DuckDB. */
-  def recommendItemKnn(s: SparkSession, d: String): DataFrame = {
-    val inc = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val cooc = inc.as("a").join(inc.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part"),
-        col("b.l_partkey").as("neighbor"))
-      .agg(count(lit(1)).as("cooc"))
-    val n = inc.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-    val sim = cooc
-      .join(n.select(col("l_partkey").as("part"), col("n").as("na")),
-        Seq("part"))
-      .join(n.select(col("l_partkey").as("neighbor"), col("n").as("nb")),
-        Seq("neighbor"))
-      .withColumn("sim", round(col("cooc").cast("double") /
-        sqrt((col("na") * col("nb")).cast("double")), 4))
-    val w = Window.partitionBy(col("part"))
-      .orderBy(col("sim").desc, col("neighbor").asc)
-    sim.withColumn("rn", row_number().over(w).cast("int"))
-      .where(col("rn") <= 5)
-      .select(col("part"), col("rn"), col("neighbor"), col("sim"),
-        col("cooc"))
-      .orderBy(col("part"), col("rn"))
-  }
-
   def recommendAls(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ratings = Tables.orders(s, d)
@@ -2521,6 +2529,76 @@ object Analytics {
       .orderBy(col("c_custkey"), col("rn"))
   }
 
+  /** Query key `recommend_item_knn`: item-item collaborative filtering
+    * over the order × part incidence matrix — the MEMORY-BASED
+    * recommender next to [[recommendAls]]'s model-based one (the classic
+    * Amazon item-to-item shape: neighbors are precomputed per ITEM, so
+    * serving a user is a lookup, not a factorization). Similarity is the
+    * cosine of binary basket vectors: sim(a,b) = cooc(a,b)/√(n(a)·n(b))
+    * over DISTINCT (order, part) incidences; top-5 neighbors per part,
+    * ranked on the 4-dp-rounded grid with neighbor-id tiebreak (the
+    * knn_cosine oracle recipe — rank after rounding, so the order both
+    * engines sort is a grid value computed from exact BIGINTs with one
+    * correctly-rounded √ and ÷ each).
+    *
+    * Scale: the co-occurrence self-join is wedge-bounded by basket size
+    * (Σ_orders |basket|² — lineitem ≤ 7 lines/order, never |parts|²),
+    * the n(·) table is an id-keyed partial aggregate joined back by id,
+    * and the rank window partitions by part. Everything shuffles on part
+    * ids; nothing is collected. Oracle = the identical SQL in DuckDB. */
+  def recommendItemKnn(s: SparkSession, d: String): DataFrame = {
+    val inc = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val cooc = inc.as("a").join(inc.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part"),
+        col("b.l_partkey").as("neighbor"))
+      .agg(count(lit(1)).as("cooc"))
+    val n = inc.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val sim = cooc
+      .join(n.select(col("l_partkey").as("part"), col("n").as("na")),
+        Seq("part"))
+      .join(n.select(col("l_partkey").as("neighbor"), col("n").as("nb")),
+        Seq("neighbor"))
+      .withColumn("sim", round(col("cooc").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")), 4))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("sim").desc, col("neighbor").asc)
+    sim.withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= 5)
+      .select(col("part"), col("rn"), col("neighbor"), col("sim"),
+        col("cooc"))
+      .orderBy(col("part"), col("rn"))
+  }
+
+  /** The directed purchase-sequence part graph shared by [[graphScc]]
+    * and [[graphCondensation]]: a → b when an order lists a before b,
+    * every observed direction kept on pairs whose TOTAL co-order count
+    * is ≥ 2 (the §2.25 graph_scc definition). */
+  private[graft] def directedPartEdges(
+      s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val dir = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val und = dir
+      .groupBy(least(col("src"), col("dst")).as("p1"),
+        greatest(col("src"), col("dst")).as("p2"))
+      .agg(sum(col("cnt")).as("tot")).where(col("tot") >= 2)
+      .select(col("p1"), col("p2"))
+    dir
+      .join(und,
+        least(dir("src"), dir("dst")) === und("p1") &&
+          greatest(dir("src"), dir("dst")) === und("p2"),
+        "left_semi")
+      .select(col("src"), col("dst"))
+  }
+
   /** Query key `graph_scc`: STRONGLY connected components — the classic
     * directed decomposition the graph family lacked (PageRank and HITS
     * both run on directed edges SCC structures). Directed part graph:
@@ -2557,38 +2635,36 @@ object Analytics {
     * driver. Round count tracks the SCC condensation's depth, not |V|:
     * the trim pass absorbs the DAG tails that would otherwise cost one
     * coloring round each (the Slota trim argument). */
-  /** The directed purchase-sequence part graph shared by [[graphScc]]
-    * and [[graphCondensation]]: a → b when an order lists a before b,
-    * every observed direction kept on pairs whose TOTAL co-order count
-    * is ≥ 2 (the §2.25 graph_scc definition). */
-  private[graft] def directedPartEdges(
-      s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    val dir = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_linenumber") < col("b.l_linenumber") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(count(lit(1)).as("cnt"))
-    val und = dir
-      .groupBy(least(col("src"), col("dst")).as("p1"),
-        greatest(col("src"), col("dst")).as("p2"))
-      .agg(sum(col("cnt")).as("tot")).where(col("tot") >= 2)
-      .select(col("p1"), col("p2"))
-    dir
-      .join(und,
-        least(dir("src"), dir("dst")) === und("p1") &&
-          greatest(dir("src"), dir("dst")) === und("p2"),
-        "left_semi")
-      .select(col("src"), col("dst"))
-  }
-
   def graphScc(s: SparkSession, d: String): DataFrame = {
-    sccFrom(directedPartEdges(s, d))
+    sccLabelRows(s, d, producer = true)
       .withColumn("scc_size",
         count(lit(1)).over(Window.partitionBy(col("scc_id"))))
       .orderBy(col("part"))
+  }
+
+  /** The (part, scc_id) labeling shared by [[graphScc]] (producer —
+    * ALWAYS recomputes and refreshes, the BPE TRAIN-always-trains rule,
+    * so its benchmarked cost stays the labeling cost) and
+    * [[graphCondensation]] (consumer — reads the memo, so the pair stops
+    * double-running the trim + coloring + pivot-BFS fixpoint; r13
+    * verdict task 2). The memoized value is the label ARRAY over the
+    * part CATALOG — dimension-sized plain data, the same
+    * fits-in-driver-memory adjudication as the Borůvka union-find —
+    * keyed by the lineitem fingerprint so a same-path overwrite (tests,
+    * ScaleStress replicas) invalidates. */
+  private[graft] def sccLabelRows(
+      s: SparkSession, d: String, producer: Boolean): DataFrame = {
+    import s.implicits._
+    val fp = graft.Memo.fingerprint(d, "lineitem.parquet")
+    lazy val fresh: Array[(Long, Long)] =
+      sccFrom(directedPartEdges(s, d))
+        .select(col("part"), col("scc_id"))
+        .as[(Long, Long)]
+        .collect()
+    val rows =
+      if (producer) graft.Memo.refresh("scc_labels", fp)(fresh)
+      else graft.Memo.getOrCompute("scc_labels", fp)(fresh)
+    s.createDataset(rows.toIndexedSeq).toDF("part", "scc_id")
   }
 
   /** SCC core over a directed (src, dst) edge list (distinct, no self
@@ -2709,8 +2785,9 @@ object Analytics {
     * Tarjan (condensation edges + topological DP) at sf0.01. */
   def graphCondensation(s: SparkSession, d: String): DataFrame = {
     val e = directedPartEdges(s, d).localCheckpoint()
-    val comp = sccFrom(e)
-      .select(col("part"), col("scc_id")).localCheckpoint()
+    // consumer of the shared labeling: memo hit when graph_scc (or an
+    // earlier condensation) already labeled this corpus in-session
+    val comp = sccLabelRows(s, d, producer = false)
     val sizes = comp.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
     val ce = e
       .join(comp.select(col("part").as("src"), col("scc_id").as("csrc")),
@@ -2755,39 +2832,14 @@ object Analytics {
       .orderBy(col("scc_id"))
   }
 
-  /** Query key `graph_mst_boruvka`: maximum-similarity spanning forest
-    * of the undirected co-order part graph by Borůvka rounds — the
-    * single-linkage BACKBONE of the similarity graph (weight = co-order
-    * count; maximizing it ≡ minimizing 1/cnt, the classic MST-on-
-    * similarity): the ≤ n−1 strongest edges that keep every connected
-    * part reachable — the skeleton hierarchical clustering and
-    * graph-sparsification passes start from (cutting its weakest edges
-    * IS single-linkage clustering).
-    *
-    * Distributed shape: the DATA-SIZED work — scoring every edge
-    * against the current component cut and reducing to one best edge
-    * per component under the STRICT total order (cnt desc, p1 asc,
-    * p2 asc) — is one partially-aggregated reduceGroups job per round
-    * over the edge set. The CONTRACTION state is over the part CATALOG
-    * (a dimension, not a fact table), so it lives in a driver
-    * union-find with the root map broadcast each round — the same
-    * dim-fits-in-memory adjudication that lets knn_cosine broadcast the
-    * reference matrix and cache_hot_dim pin a dimension; at a part
-    * catalog beyond driver memory the contraction moves to distributed
-    * label propagation ([[graft.ops.LlmPipeline.minLabelCc]]) at
-    * diameter-many extra jobs per round. Component count at least
-    * halves per round ⇒ ≤ log₂ n rounds, capped and throwing; the
-    * chosen per-round edges are collected (≤ live components, halving —
-    * ≤ 2(n−1) rows over the whole run, forest-sized).
-    *
-    * The strict total order makes the forest UNIQUE (all cut maxima are
-    * strict), so Borůvka must equal a driver Kruskal under the same
-    * order — the pin. A cycle among per-round chosen edges is
-    * impossible under a strict order (the cycle's minimum edge is
-    * nobody's cut maximum); the union step asserts it anyway.
-    *
-    * Pins: EXACT equality with driver Kruskal (union-find) at sf0.01,
-    * forest identity |F| = n − #components (Round13Spec). */
+  /** 1e-4-grid mean of a double column (exact integer sums) — the
+    * report's one-row readout helper. */
+  private def meanOnGrid4(df: DataFrame, c: String): Double = {
+    val r = df.agg(count(lit(1)).as("n"),
+      sum(floor(col(c) * 1e4 + 0.5).cast("long")).as("g")).head()
+    math.floor(r.getLong(1).toDouble / r.getLong(0).toDouble + 0.5) / 1e4
+  }
+
   /** Query key `pipeline_graph_report`: the composed GRAPH-SAMPLING
     * decision table — the ann/tokenizer/smoothing-report recipe applied
     * to the DOULION family: one row per metric × {exact value, sampled
@@ -2806,14 +2858,6 @@ object Analytics {
     * the two top-50 pair sets — metadata, lint-whitelisted. Pins: every
     * cell equals an independent recompute from the kernels' own
     * outputs; determinism (Round13Spec). */
-  /** 1e-4-grid mean of a double column (exact integer sums) — the
-    * report's one-row readout helper. */
-  private def meanOnGrid4(df: DataFrame, c: String): Double = {
-    val r = df.agg(count(lit(1)).as("n"),
-      sum(floor(col(c) * 1e4 + 0.5).cast("long")).as("g")).head()
-    math.floor(r.getLong(1).toDouble / r.getLong(0).toDouble + 0.5) / 1e4
-  }
-
   def pipelineGraphReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val triEx = graphTriangleCount(s, d).head().getLong(2)
@@ -2923,6 +2967,39 @@ object Analytics {
       parent(math.max(a, b)) = math.min(a, b)
   }
 
+  /** Query key `graph_mst_boruvka`: maximum-similarity spanning forest
+    * of the undirected co-order part graph by Borůvka rounds — the
+    * single-linkage BACKBONE of the similarity graph (weight = co-order
+    * count; maximizing it ≡ minimizing 1/cnt, the classic MST-on-
+    * similarity): the ≤ n−1 strongest edges that keep every connected
+    * part reachable — the skeleton hierarchical clustering and
+    * graph-sparsification passes start from (cutting its weakest edges
+    * IS single-linkage clustering).
+    *
+    * Distributed shape: the DATA-SIZED work — scoring every edge
+    * against the current component cut and reducing to one best edge
+    * per component under the STRICT total order (cnt desc, p1 asc,
+    * p2 asc) — is one partially-aggregated reduceGroups job per round
+    * over the edge set. The CONTRACTION state is over the part CATALOG
+    * (a dimension, not a fact table), so it lives in a driver
+    * union-find with the root map broadcast each round — the same
+    * dim-fits-in-memory adjudication that lets knn_cosine broadcast the
+    * reference matrix and cache_hot_dim pin a dimension; at a part
+    * catalog beyond driver memory the contraction moves to distributed
+    * label propagation ([[graft.ops.LlmPipeline.minLabelCc]]) at
+    * diameter-many extra jobs per round. Component count at least
+    * halves per round ⇒ ≤ log₂ n rounds, capped and throwing; the
+    * chosen per-round edges are collected (≤ live components, halving —
+    * ≤ 2(n−1) rows over the whole run, forest-sized).
+    *
+    * The strict total order makes the forest UNIQUE (all cut maxima are
+    * strict), so Borůvka must equal a driver Kruskal under the same
+    * order — the pin. A cycle among per-round chosen edges is
+    * impossible under a strict order (the cycle's minimum edge is
+    * nobody's cut maximum); the union step asserts it anyway.
+    *
+    * Pins: EXACT equality with driver Kruskal (union-find) at sf0.01,
+    * forest identity |F| = n − #components (Round13Spec). */
   def graphMstBoruvka(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e0 = coOrderPairs(s, d)

@@ -3907,6 +3907,70 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Query key `multimodal_video_framestats`: inter-frame motion /
+    * scene-cut profiling of a video payload column — the VIDEO member
+    * completing the multimodal triad (images: phash/pixel_stats; audio:
+    * frame energy; video triage is the first pass a video pipeline
+    * runs: drop static clips, count hard cuts, bucket by motion). The
+    * payload is the doc's UTF-8 bytes read as 16×16 8-bit grayscale
+    * frames (256 bytes/frame) — the family's documented codec stand-in
+    * (multimodal_binary's convention): like PCM energy and unlike image
+    * decode, frame-delta statistics need NO codec library, so the math
+    * here is the real production math, not a stub. Per frame: luma sum
+    * as an EXACT Σ in Long; per frame PAIR: Σ|Δ| exact; a hard cut ⇔
+    * mean |Δ| ≥ 24 luma steps, tested as the INTEGER comparison
+    * ΣΔ ≥ 24·256 (no epsilon); per-doc means divide exact integer sums
+    * once (r4 grid).
+    *
+    * Scale: map-only over the payload column (no shuffle but the output
+    * sort); the delta loop is linear in payload bytes. Pins: EXACT
+    * driver replay at sf0.01 + planted static (zero delta, no cuts) and
+    * alternating-frame (max delta, all cuts) payloads land on the
+    * expected side (Round14Spec). */
+  def multimodalVideoFramestats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val fpx = 256 // 16x16 frame, one byte per pixel
+        it.map { case (id, b) =>
+          val nf = b.length / fpx
+          var lumaSum = 0L
+          var i = 0
+          val lim = nf * fpx
+          while (i < lim) { lumaSum += (b(i) & 0xff); i += 1 }
+          var deltaSum = 0L
+          var cuts = 0L
+          var maxDelta = 0L
+          var f = 1
+          while (f < nf) {
+            var j = 0
+            var ds = 0L
+            while (j < fpx) {
+              val d0 = (b((f - 1) * fpx + j) & 0xff) - (b(f * fpx + j) & 0xff)
+              ds += math.abs(d0)
+              j += 1
+            }
+            deltaSum += ds
+            if (ds > maxDelta) maxDelta = ds
+            if (ds >= 24L * fpx) cuts += 1
+            f += 1
+          }
+          val meanLuma =
+            if (nf == 0) 0.0 else lumaSum.toDouble / (nf.toLong * fpx)
+          val meanDelta =
+            if (nf <= 1) 0.0
+            else deltaSum.toDouble / ((nf - 1).toLong * fpx)
+          val maxD = if (nf <= 1) 0.0 else maxDelta.toDouble / fpx
+          (id, nf.toLong, r4(meanLuma), r4(meanDelta), r4(maxD), cuts)
+        }
+      }
+      .toDF("doc_id", "n_frames", "mean_luma", "mean_delta", "max_delta",
+        "cut_count")
+      .orderBy(col("doc_id"))
+  }
+
   /** Query key `cluster_dbscan`: density-based clustering over the
     * embedding collection — the CLUSTER-shaped readout of the same
     * ε-neighbor graph the vector dedup family walks (near-dup clumps,
@@ -4007,11 +4071,19 @@ object LlmPipeline {
     * (Round13Spec). */
   def sampleKcenter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val k = 16
     var cur = vecs(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .map { case (id, v) => (id, v, Double.MaxValue) }
       .localCheckpoint(eager = false)
+    // cap k at the collection size (one cheap metadata-scale count): once
+    // every point is a center the remaining min-distances are all 0 and
+    // the greedy argmax would re-select an already-chosen vec_id,
+    // emitting duplicate centers — or head() would throw on an empty
+    // collection (ADVICE r13)
+    val n = cur.count()
+    if (n == 0L) throw new IllegalStateException(
+      "sample_kcenter: empty embedding collection — no seed point exists")
+    val k = math.min(16L, n).toInt
     // seed: the smallest vec_id (one TakeOrdered job)
     val seed = cur.orderBy(col("_1").asc).limit(1).head()
     val out = Seq.newBuilder[(Long, Long, Double)]
@@ -5295,6 +5367,268 @@ object LlmPipeline {
     * recompute from the kernels' own outputs, the bytes constants, the
     * IVF cand_frac against a driver replay over the collected layout,
     * and determinism. */
+  // ------------------------------------------------------------------
+  // HNSW rung (round 14, r13 verdict task 4)
+  // ------------------------------------------------------------------
+
+  private val HnswM = 8 // upper-layer out-degree
+  private val HnswM0 = 16 // layer-0 out-degree after symmetrization
+  private val HnswEf = 64 // layer-0 beam width
+  private val HnswMaxLevel = 3
+
+  /** Deterministic HNSW layer for a vector id: the standard geometric
+    * level draw with P(level ≥ l) = 32^−l, the uniform derived from the
+    * fixed multiplicative hash (odd multiplier mod 2³² — the
+    * sample_reservoir bijection) instead of an RNG, so the assignment is
+    * a pure function of the id under any partitioning/engine. */
+  private def hnswLevel(id: Long): Int = {
+    val h = Math.floorMod(id * 2654435761L + 40503L, 4294967296L)
+    val u = (h + 1).toDouble / 4294967296.0 // (0, 1]
+    var l = 0
+    var t = 1.0 / 32.0
+    while (u <= t && l < HnswMaxLevel) { l += 1; t /= 32.0 }
+    l
+  }
+
+  /** Classic HNSW searchLayer: ef-beam over one layer's adjacency under
+    * the (score desc, id asc) TOTAL order everywhere (candidate pop,
+    * result eviction, termination) — exact doubles + total order ⇒ the
+    * walk is deterministic. Returns the ≤ ef best (id, exact score)
+    * plus the number of score evaluations (the measured cand_frac). */
+  private def hnswSearchLayer(
+      q: Array[Float], eps: Seq[Long], ef: Int,
+      adj: Long => Array[Long],
+      emb: Long => Array[Float]): (Array[(Long, Double)], Long) = {
+    // max-first: higher score wins, smaller id breaks ties
+    val bestFirst = Ordering.fromLessThan[(Double, Long)]((a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2))
+    val candidates = scala.collection.mutable.PriorityQueue.empty(bestFirst)
+    val results = scala.collection.mutable.PriorityQueue.empty(bestFirst.reverse)
+    val visited = new java.util.HashSet[Long]()
+    var nScored = 0L
+    def score(id: Long): Double = { nScored += 1; dot(q, emb(id)) }
+    eps.distinct.foreach { ep =>
+      if (visited.add(ep)) {
+        val sc = score(ep)
+        candidates.enqueue((sc, ep))
+        results.enqueue((sc, ep))
+      }
+    }
+    while (results.size > ef) results.dequeue()
+    var stop = false
+    while (!stop && candidates.nonEmpty) {
+      val (cs, cid) = candidates.dequeue()
+      if (results.size >= ef && cs < results.head._1) stop = true
+      else {
+        val nbrs = adj(cid)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (visited.add(nb)) {
+            val sc = score(nb)
+            if (results.size < ef || sc > results.head._1 ||
+                (sc == results.head._1 && nb < results.head._2)) {
+              results.enqueue((sc, nb))
+              if (results.size > ef) results.dequeue()
+              candidates.enqueue((sc, nb))
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val ranked: Seq[(Double, Long)] = results.dequeueAll.reverse
+    (ranked.map(p => (p._2, p._1)).toArray, nScored)
+  }
+
+  /** Layer-0 HNSW adjacency, built DISTRIBUTED: per node the top-M0
+    * neighbors among the members of its 2 best IVF cells (the index
+    * family's own coarse quantizer as the candidate generator — a
+    * deterministic stand-in for the sequential insert-time candidate
+    * search, which has no order-free distributed equivalent), then one
+    * keyed shuffle symmetrizes (HNSW links are bidirectional) and
+    * re-caps at M0 under (score desc, dst asc). Node-local scoring ⇒
+    * partitioning-invariant by construction. */
+  private def hnswLayer0Edges(
+      s: SparkSession,
+      v: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      bcRef: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]])
+      : DataFrame = {
+    import s.implicits._
+    val nVec = bcRef.value.length
+    val nCells = math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
+    val cents = ivfCentroids(v, nCells)
+    val bcC = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
+    val directed = v.repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val refs = bcRef.value
+        val cs = bcC.value
+        def bestCell(emb: Array[Float]): Long = {
+          var best = cs(0)._1
+          var bs = Double.MinValue
+          var i = 0
+          while (i < cs.length) {
+            val sim = dot(emb, cs(i)._2)
+            if (sim > bs || (sim == bs && cs(i)._1 < best)) {
+              bs = sim; best = cs(i)._1
+            }
+            i += 1
+          }
+          best
+        }
+        lazy val byCell: java.util.HashMap[Long, Array[Int]] = {
+          val m = new java.util.HashMap[Long,
+            scala.collection.mutable.ArrayBuffer[Int]]()
+          var i = 0
+          while (i < refs.length) {
+            val cid = bestCell(refs(i)._2)
+            var b = m.get(cid)
+            if (b == null) {
+              b = scala.collection.mutable.ArrayBuffer.empty[Int]
+              m.put(cid, b)
+            }
+            b += i
+            i += 1
+          }
+          val out = new java.util.HashMap[Long, Array[Int]]()
+          m.forEach((k, b) => out.put(k, b.toArray))
+          out
+        }
+        it.flatMap { case (id, emb) =>
+          // 2 best probe cells, (sim desc, cid asc)
+          val probes = cs.map { case (cid, c) => (cid, dot(emb, c)) }
+            .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
+          val top = new TopC(HnswM0)
+          probes.foreach { cid =>
+            val members = byCell.get(cid)
+            if (members != null) {
+              var i = 0
+              while (i < members.length) {
+                val (mid, memb) = refs(members(i))
+                if (mid != id) top.offer(dot(emb, memb), mid)
+                i += 1
+              }
+            }
+          }
+          top.scored.map { case (bid, sc) => (id, bid, sc) }
+        }
+      }
+      .toDF("src", "dst", "score")
+    val sym = directed
+      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst"),
+        col("score")))
+      .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+    graft.plans.TopKPerGroup.topK(sym, "src", "score", "dst", HnswM0)
+      .select(col("src"), col("rn"), col("dst"))
+  }
+
+  /** The full HNSW search over the collection: (vec_id, rn, b_id, score,
+    * n_scored) — the kernel behind [[knnHnsw]] (which drops n_scored)
+    * and the ann report's hnsw row (which averages it into the measured
+    * cand_frac). Greedy descent through the upper layers from the
+    * deterministic global entry point (max level, min id), then the
+    * ef-beam at layer 0, exact fp32→double scores throughout, top-3
+    * ranked on the r4 grid with id tie-break ([[Top3]] — the ladder's
+    * shared kernel, so the exact-score pin against the brute anchor
+    * holds by construction).
+    *
+    * Scale story: the layer-0 adjacency build is the distributed work
+    * (node-local candidate scoring + one keyed symmetrize shuffle); the
+    * search side rides the DECLARED broadcast tier — reference matrix +
+    * M0·n link ids (index METADATA, the ivfCentroids adjudication) —
+    * with knn_sharded as the beyond-broadcast twin; upper layers are
+    * 32^−l-thin and rebuilt locally per task from the broadcast matrix
+    * (≤ (n/32)² dots, amortized across that task's whole query slice). */
+  private[graft] def hnswSearchAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, d).localCheckpoint()
+    val bcRef = graft.Broadcasts.track(
+      s.sparkContext.broadcast(v.collect().sortBy(_._1)))
+    val adj0 = hnswLayer0Edges(s, v, bcRef)
+      .as[(Long, Int, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (srcId, rows) =>
+        (srcId, rows.sortBy(_._2).map(_._3))
+      }
+    val bcAdj = graft.Broadcasts.track(s.sparkContext.broadcast(adj0))
+    v.repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val refs = bcRef.value
+        val adjMap = bcAdj.value
+        val embOf = new java.util.HashMap[Long, Array[Float]]()
+        refs.foreach { case (id, e) => embOf.put(id, e) }
+        val empty = Array.empty[Long]
+        def adj0Of(id: Long): Array[Long] = adjMap.getOrElse(id, empty)
+        // deterministic entry point: max level, then min id
+        var entry = -1L
+        var entryLvl = -1
+        refs.foreach { case (id, _) =>
+          val l = hnswLevel(id)
+          if (l > entryLvl || (l == entryLvl && id < entry)) {
+            entryLvl = l; entry = id
+          }
+        }
+        // lazy per-task upper-layer adjacency: members are 32^-l thin
+        lazy val upperAdj: Array[java.util.HashMap[Long, Array[Long]]] = {
+          val out = Array.fill(entryLvl + 1)(
+            new java.util.HashMap[Long, Array[Long]]())
+          var l = 1
+          while (l <= entryLvl) {
+            val members = refs.filter { case (id, _) => hnswLevel(id) >= l }
+            members.foreach { case (id, e) =>
+              val top = new TopC(HnswM)
+              members.foreach { case (mid, memb) =>
+                if (mid != id) top.offer(dot(e, memb), mid)
+              }
+              out(l).put(id, top.ids)
+            }
+            l += 1
+          }
+          out
+        }
+        it.flatMap { case (qid, qemb) =>
+          var ep = entry
+          var lvl = entryLvl
+          var nsc = 0L
+          while (lvl >= 1) {
+            val a = upperAdj(lvl)
+            val (best, n) = hnswSearchLayer(qemb, Seq(ep), 1,
+              id => { val r = a.get(id); if (r == null) empty else r },
+              embOf.get)
+            nsc += n
+            if (best.nonEmpty) ep = best(0)._1
+            lvl -= 1
+          }
+          val (res, n0) = hnswSearchLayer(qemb, Seq(ep), HnswEf,
+            adj0Of, embOf.get)
+          nsc += n0
+          val top = new Top3
+          res.foreach { case (bid, sc) =>
+            if (bid != qid) top.offer(r4(sc), bid)
+          }
+          top.ranked(qid).map { case (a, rn, b, sc) => (a, rn, b, sc, nsc) }
+        }
+      }
+      .toDF("vec_id", "rn", "b_id", "score", "n_scored")
+  }
+
+  /** Query key `knn_hnsw`: hierarchical navigable-small-world ANN — the
+    * GRAPH-INDEX rung completing the ladder (flat scans: brute/int8/
+    * binary/PQ; partition indexes: IVF×{fp32,int8,PQ}; hash indexes:
+    * LSH; this is the navigable-graph family every modern vector store
+    * ships). Deterministic throughout: hash-derived geometric levels,
+    * id-tiebroken neighbor selection, total-order beam — see
+    * [[hnswSearchAll]] for the build/search split and the scale story.
+    * Oracle-exempt (a graph walk has no SQL twin); Round14Spec pins
+    * determinism, partitioning invariance, the exact-score property
+    * (every emitted score equals the brute r4 dot for that pair), and
+    * recall@3 ≥ the ivf_pq rung at comparable candidate fraction. */
+  def knnHnsw(s: SparkSession, d: String): DataFrame =
+    hnswSearchAll(s, d)
+      .select(col("vec_id"), col("rn"), col("b_id"), col("score"))
+      .orderBy(col("vec_id"), col("rn"))
+
   def pipelineAnnReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val v = vecs(s, d).localCheckpoint()
@@ -5338,13 +5672,25 @@ object LlmPipeline {
     // kernels skip it — subtract one per query
     val ivfFrac = math.floor((scanned - nVec).toDouble /
       (nVec.toDouble * (nVec - 1).toDouble) * 10000 + 0.5) / 10000
+    // hnsw rung (r14): one kernel run feeds recall AND the measured
+    // per-query evaluation count (its cand_frac is counted, not assumed,
+    // like the IVF occupancy above)
+    val hnswAll = hnswSearchAll(s, d).localCheckpoint()
+    val hnswFrac = {
+      val scored = hnswAll.select(col("vec_id"), col("n_scored"))
+        .groupBy(col("vec_id")).agg(max(col("n_scored")).as("m"))
+        .agg(sum(col("m"))).first().getLong(0)
+      math.floor(scored.toDouble /
+        (nVec.toDouble * (nVec - 1).toDouble) * 10000 + 0.5) / 10000
+    }
     val rows = Seq(
       ("brute_fp32", recallOf(knnCosine(s, d)), 4L * dim, 1.0),
       ("int8", recallOf(knnQuantized(s, d)), dim + 4L, 1.0),
       ("pq_adc", recallOf(knnPq(s, d)), 8L, 1.0),
       ("ivf_fp32", recallOf(knnIvf(s, d)), 4L * dim, ivfFrac),
       ("ivf_pq", recallOf(knnIvfPq(s, d)), 8L, ivfFrac),
-      ("binary_sign", recallOf(knnBinaryHamming(s, d)), dim / 8L, 1.0))
+      ("binary_sign", recallOf(knnBinaryHamming(s, d)), dim / 8L, 1.0),
+      ("hnsw_fp32", recallOf(hnswAll), 4L * dim + 8L * HnswM0, hnswFrac))
     s.createDataset(rows)
       .toDF("method", "recall_at3", "bytes_per_vec", "cand_frac")
       .orderBy(col("method"))

@@ -54,18 +54,6 @@ object Quant {
       .orderBy(col("lang"))
   }
 
-  /** Per-user z-score standardization of event values (the standard-
-    * scaler counterpart of feature_minmax_norm): mean and sample std are
-    * derived from EXACT cent sums — Σx and Σx² accumulate as integers
-    * (DECIMAL(38,0) ≡ HUGEINT headroom for the squares), then
-    * z = (x − S₁/n) / √((n·S₂ − S₁²)/(n(n−1))) runs the same IEEE chain
-    * on identical integers in both engines. Users with < 2 events or
-    * zero variance (the integer numerator n·S₂ − S₁² = 0 — an EXACT
-    * test, no epsilon) are excluded.
-    *
-    * Scale: three whole-partition window aggregates stack on ONE
-    * user_id hash exchange — no groupBy + join-back, no second shuffle
-    * at any event volume. */
   /** Query key `feature_target_encode`: leave-one-out target encoding of
     * the event_type categorical against the value target — the fourth
     * member of the feature-engineering family (minmax / zscore / robust
@@ -99,6 +87,18 @@ object Quant {
       .orderBy(col("event_id"))
   }
 
+  /** Per-user z-score standardization of event values (the standard-
+    * scaler counterpart of feature_minmax_norm): mean and sample std are
+    * derived from EXACT cent sums — Σx and Σx² accumulate as integers
+    * (DECIMAL(38,0) ≡ HUGEINT headroom for the squares), then
+    * z = (x − S₁/n) / √((n·S₂ − S₁²)/(n(n−1))) runs the same IEEE chain
+    * on identical integers in both engines. Users with < 2 events or
+    * zero variance (the integer numerator n·S₂ − S₁² = 0 — an EXACT
+    * test, no epsilon) are excluded.
+    *
+    * Scale: three whole-partition window aggregates stack on ONE
+    * user_id hash exchange — no groupBy + join-back, no second shuffle
+    * at any event volume. */
   def featureZscoreNorm(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     val num = dec(col("n")) * col("s2") - col("s1") * col("s1")
@@ -1154,15 +1154,6 @@ object Quant {
           (acc, x) => acc + x.getField("term")), 6).as("kl_uniform"))
   }
 
-  /** Two-way seasonal residual per event: value minus the additive
-    * weekday + hour-of-day baseline (wd_mean + hod_mean − grand_mean) —
-    * what's left after calendar seasonality, the input a drift/anomaly
-    * stage actually wants. All three baselines divide exact cent sums
-    * once; the residual is one affine chain on identical operands.
-    *
-    * Scale: three partial-aggregable groupBys over tiny keys (7 / 24 /
-    * 1 rows) broadcast back onto the stream — raw events shuffle
-    * nowhere. */
   /** Query key `ts_stl_decompose`: STL-lite seasonal/trend decomposition
     * of the per-event-type daily series — the DECOMPOSITION companion of
     * the smoothing ladder (Holt–Winters FORECASTS through learned
@@ -1227,6 +1218,12 @@ object Quant {
     val mae = errs.map { case (m, nu, sa0) =>
       m -> (nu, math.floor(sa0.toDouble / nu.toDouble + 0.5) / 1e4)
     }.toMap
+    // name the cohort requirement instead of surfacing an opaque
+    // NoSuchElementException on sparse data (ADVICE r13)
+    if (mae.isEmpty) throw new IllegalStateException(
+      "pipeline_smoothing_report: no user has the required n >= 9 " +
+        "distinct event days at this scale — the shared holdout cohort " +
+        "is empty, so no rung is measurable")
     val naiveMae = mae("naive")._2
     val stateDoubles = Map("naive" -> 1, "ewma" -> 1, "holt" -> 2,
       "kalman" -> 2, "holt_winters" -> 9)
@@ -1481,6 +1478,15 @@ object Quant {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Two-way seasonal residual per event: value minus the additive
+    * weekday + hour-of-day baseline (wd_mean + hod_mean − grand_mean) —
+    * what's left after calendar seasonality, the input a drift/anomaly
+    * stage actually wants. All three baselines divide exact cent sums
+    * once; the residual is one affine chain on identical operands.
+    *
+    * Scale: three partial-aggregable groupBys over tiny keys (7 / 24 /
+    * 1 rows) broadcast back onto the stream — raw events shuffle
+    * nowhere. */
   def tsSeasonalResidual(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
       .select(col("event_id"), col("ts"),

@@ -715,6 +715,66 @@ object Relational {
       lpad(unix_micros(ts).cast("string"), 20, "0"),
       lpad(id.cast("string"), 20, "0"))
 
+  /** Query key `sql_merge_upsert`: MERGE INTO semantics — the one CDC
+    * shape the family still lacked (scd2 keeps history, upsert_latest
+    * keeps latest state, cdc_deletes retires keys; MERGE is the ANSI
+    * three-clause form a warehouse applies a change BATCH with: WHEN
+    * MATCHED AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN
+    * NOT MATCHED AND op<>'D' THEN INSERT). Target = the current-state
+    * compaction of the even-event_id half of the log; source = the
+    * latest change per key from the odd half, tombstones derived
+    * deterministically (odd ids: event_id % 5 = 0 → 'D', the
+    * cdc_deletes convention shifted to the odd domain). MERGE requires
+    * a UNIQUE source row per key — the latest-wins pre-compaction (the
+    * same zero-padded (ts, event_id) arg-max as cdc_upsert_latest)
+    * guarantees it by construction instead of failing at runtime.
+    * Output carries an `action` column (delete rows are ABSENT;
+    * keep/update/insert label the survivors) so the clause routing
+    * itself is what the oracle checks.
+    *
+    * Spark has native MERGE INTO only for v2/transactional tables, so
+    * over parquet the operator IS the relational expansion: two
+    * partial-aggregable compactions + ONE full-outer equi-join on the
+    * key — both sides shuffle once on (user_id, event_type) and
+    * co-partition, the clause routing is map-side CASE logic after the
+    * join. DuckDB 1.0.0 has no MERGE statement either (parser error,
+    * measured), so the oracle spells the identical semantics in
+    * portable SQL: same two compactions, same FULL OUTER JOIN, same
+    * CASE routing. */
+  def sqlMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val key = latestTsIdKey(col("ts"), col("event_id"))
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(col("event_id"), key).as("event_id"),
+          max_by(col("ts"), key).as("ts"),
+          round(max_by(col("value"), key), 2).as("value"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    val target = latest(ev.where(col("event_id") % 2 === 0))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("t_id"), col("ts").as("t_ts"),
+        col("value").as("t_v"))
+    val source = latest(ev.where(col("event_id") % 2 === 1))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("s_id"), col("ts").as("s_ts"),
+        col("value").as("s_v"),
+        when(col("event_id") % 5 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"))
+    target.join(source, Seq("user_id", "event_type"), "full_outer")
+      // matched-delete drops the key; an unmatched tombstone is a no-op
+      .where(col("op").isNull || col("op") === "U")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("s_id"), col("t_id")).as("event_id"),
+        coalesce(col("s_ts"), col("t_ts")).as("ts"),
+        coalesce(col("s_v"), col("t_v")).as("value"),
+        when(col("op").isNull, lit("keep"))
+          .when(col("t_id").isNotNull, lit("update"))
+          .otherwise(lit("insert")).as("action"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Minimizing this key == (max count, then lexicographically min value).
     * Base = Long.MaxValue so the inversion stays non-negative (and the pad
     * fixed-width, hence order-preserving) for ANY possible count — a 1e6

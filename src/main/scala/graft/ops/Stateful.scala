@@ -521,6 +521,17 @@ object Stateful {
     * mid-day/day-boundary split parity are pinned in Round13Spec. */
   def hwStream(events: Dataset[Event]): Dataset[HwOut] = {
     import events.sparkSession.implicits._
+    // hwFold buckets days via floorDiv(epoch-micros, 1 day) = UTC days,
+    // while the batch twin (Quant.tsHoltWinters) and the shared DuckDB
+    // oracle bucket via CAST(ts AS DATE) in the SESSION timezone. The
+    // bit-equality pin is only sound when the two agree, i.e. the session
+    // runs UTC (Bench/Verify/all specs pin it); fail loudly rather than
+    // silently re-bucketing days in a non-UTC session (ADVICE r13).
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+      s"hwStream requires spark.sql.session.timeZone=UTC (found '$tz'): " +
+        "its epoch-day bucketing matches the batch/oracle CAST(ts AS DATE) " +
+        "only in UTC")
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -571,11 +582,16 @@ object Stateful {
     var open = st
     sorted.foreach { e =>
       open.foreach { o =>
-        if (micros(e.ts) < micros(o.validFrom))
+        // full (ts, event_id) tuple — mirrors the intra-chunk sort key, so
+        // a same-timestamp event with a SMALLER id (which the batch lead()
+        // form would order BEFORE the open version) also trips the guard
+        // instead of silently appending a divergent version (ADVICE r13)
+        if (micros(e.ts) < micros(o.validFrom) ||
+            (micros(e.ts) == micros(o.validFrom) && e.event_id < o.eventId))
           throw new IllegalStateException(
             s"scd2Fold: event ${e.event_id} at ${e.ts} precedes user $u's " +
-              s"open version from ${o.validFrom} — ordering precondition " +
-              "violated; a closed row is immutable")
+              s"open version (${o.eventId} from ${o.validFrom}) — ordering " +
+              "precondition violated; a closed row is immutable")
         out += Scd2Out(u, o.eventId, o.eventType, o.validFrom,
           Some(e.ts), 0)
       }

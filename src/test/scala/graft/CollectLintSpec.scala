@@ -70,6 +70,10 @@ class CollectLintSpec extends AnyFunSuite {
     ("Quant.scala", "pipelineSmoothingReport") ->
       ("5-row (method, count, error-sum) aggregate — the report table " +
         "is method-count metadata; the per-user folds stay distributed"),
+    ("Analytics.scala", "sccLabelRows") ->
+      ("the (part, scc_id) label array — part-CATALOG (dimension) sized, " +
+        "the Boruvka union-find adjudication; memoized so condensation " +
+        "stops double-running the SCC fixpoint"),
     ("Analytics.scala", "pipelineGraphReport") ->
       ("one-row aggregates + the two top-50 Adamic-Adar pair sets — " +
         "the report table is metric-count metadata; the kernels stay " +
