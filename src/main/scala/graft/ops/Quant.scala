@@ -1210,9 +1210,15 @@ object Quant {
     * shared cohort, determinism (Round13Spec). */
   def pipelineSmoothingReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val errs = smoothingErrs(s, d)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 5-row (method, count, error-sum) readout memoized per corpus
+    // fingerprint (graft.Memo; r13 verdict task 6) — the shared fold is
+    // deterministic by pin, the first run in a session still pays it
+    val errs = graft.Memo.getOrCompute("pipeline_smoothing_report",
+      graft.Memo.fingerprint(d, "events.parquet")) {
+      smoothingErrs(s, d)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
     // metadata-sized assembly: 5 rows, beats_naive needs the cross-row
     // naive anchor
     val mae = errs.map { case (m, nu, sa0) =>

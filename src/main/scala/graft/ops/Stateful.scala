@@ -698,4 +698,90 @@ object Stateful {
       .toDF()
       .orderBy(col("user_id"), col("session_idx"))
   }
+
+  /** [[graft.ops.Relational.sqlMergeUpsert]]'s MERGE view lifted to the
+    * arriving-data shape — how a warehouse MAINTAINS a merge target
+    * under a change stream instead of recomputing the two compactions
+    * and the full-outer join over all history: state per (user, type)
+    * key is the pair of latest-wins CANDIDATES (best even-id target
+    * row, best odd-id source row by the (ts, event_id) total order);
+    * each micro-batch folds its events into the candidates and emits
+    * the key's CURRENT merge view — update-mode semantics, downstream
+    * reads the latest row per key. Unlike the scd2/Holt folds this
+    * fold is an ORDER-FREE max (candidate selection is a commutative
+    * tuple-max), so it carries NO cross-batch ordering precondition —
+    * late or reordered events converge to the same view.
+    *
+    * A key whose view transitions to DELETED after a live row was
+    * published emits one `action='delete'` tombstone (carrying the
+    * deleting source event's identity) so downstream latest-per-key
+    * reads retract it; repeated deletes re-emit nothing. In BATCH mode
+    * (one chunk = all history, nothing pre-published) tombstones never
+    * fire and the emissions are exactly sqlMergeUpsert's rows — so the
+    * key shares its DuckDB oracle verbatim, plus Round14Spec pins the
+    * fold's order-freeness, split-replay equality, and the tombstone
+    * protocol. */
+  case class MuCand(evId: Long, ts: Timestamp, v: Double)
+  case class MuState(t: Option[MuCand], s: Option[MuCand], emitted: Boolean)
+  case class MuOut(user_id: Long, event_type: String, event_id: Long,
+      ts: Timestamp, value: Double, action: String)
+
+  private def muBetter(cur: Option[MuCand], e: Event): Option[MuCand] =
+    cur match {
+      case Some(c) if micros(c.ts) > micros(e.ts) ||
+          (micros(c.ts) == micros(e.ts) && c.evId >= e.event_id) => cur
+      case _ => Some(MuCand(e.event_id, e.ts, e.value))
+    }
+
+  private[graft] def muFold(evs: Array[Event], st: MuState): MuState = {
+    var t = st.t
+    var s = st.s
+    evs.foreach { e =>
+      if (e.event_id % 2 == 0) t = muBetter(t, e) else s = muBetter(s, e)
+    }
+    MuState(t, s, st.emitted)
+  }
+
+  private def r2c(v: Double): Double = math.floor(v * 100 + 0.5) / 100.0
+
+  /** Current MERGE view of one key; None ⇔ the key is deleted/absent. */
+  private[graft] def muView(
+      u: Long, et: String, st: MuState): Option[MuOut] =
+    st.s match {
+      case None => st.t.map(c => MuOut(u, et, c.evId, c.ts, r2c(c.v), "keep"))
+      case Some(c) if c.evId % 5 == 0 => None
+      case Some(c) =>
+        Some(MuOut(u, et, c.evId, c.ts, r2c(c.v),
+          if (st.t.isDefined) "update" else "insert"))
+    }
+
+  def muStream(events: Dataset[Event]): Dataset[MuOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: (Long, String), it: Iterator[Event], state: GroupState[MuState]) =>
+          val st = muFold(it.toArray,
+            state.getOption.getOrElse(MuState(None, None, emitted = false)))
+          val view = muView(k._1, k._2, st)
+          val out: Seq[MuOut] = view match {
+            case Some(row) => Seq(row)
+            case None if st.emitted =>
+              st.s.map(c =>
+                MuOut(k._1, k._2, c.evId, c.ts, r2c(c.v), "delete")).toSeq
+            case None => Seq.empty
+          }
+          state.update(st.copy(emitted = view.isDefined))
+          out.iterator
+      }
+  }
+
+  /** Query key entry — oracle-GATED: batch mode emits exactly
+    * sqlMergeUpsert's rows, sharing its SQL twin verbatim. */
+  def streamMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    muStream(Tables.events(s, d).as[Event])
+      .toDF()
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }

@@ -56,6 +56,37 @@ object OracleSql {
       "ORDER BY r.user_id"
   }
 
+  /** MERGE INTO routing over parquet, shared verbatim by the batch key
+    * (sql_merge_upsert) and its stateful twin (stream_merge_upsert,
+    * whose batch mode emits the identical rows — the stream_scd2/
+    * stream_holt_winters shared-twin precedent). DuckDB 1.0.0 has no
+    * MERGE statement (parser error, measured), so the oracle is the
+    * identical relational expansion. */
+  private val mergeUpsertSql: String =
+    ("WITH k AS (SELECT user_id, event_type, event_id, ts, value, " +
+      "lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0') AS kk " +
+      "FROM events), " +
+      "t AS (SELECT user_id, event_type, arg_max(event_id, kk) AS t_id, " +
+      "arg_max(ts, kk) AS t_ts, " +
+      "floor(arg_max(value, kk) * 100 + 0.5) / 100.0 AS t_v " +
+      "FROM k WHERE event_id % 2 = 0 GROUP BY 1, 2), " +
+      "s AS (SELECT user_id, event_type, arg_max(event_id, kk) AS s_id, " +
+      "arg_max(ts, kk) AS s_ts, " +
+      "floor(arg_max(value, kk) * 100 + 0.5) / 100.0 AS s_v " +
+      "FROM k WHERE event_id % 2 = 1 GROUP BY 1, 2), " +
+      "so AS (SELECT *, CASE WHEN s_id % 5 = 0 THEN 'D' ELSE 'U' END AS op FROM s) " +
+      "SELECT coalesce(t.user_id, so.user_id) AS user_id, " +
+      "coalesce(t.event_type, so.event_type) AS event_type, " +
+      "coalesce(so.s_id, t.t_id) AS event_id, " +
+      "coalesce(so.s_ts, t.t_ts) AS ts, " +
+      "coalesce(so.s_v, t.t_v) AS value, " +
+      "CASE WHEN so.op IS NULL THEN 'keep' " +
+      "WHEN t.t_id IS NOT NULL THEN 'update' ELSE 'insert' END AS action " +
+      "FROM t FULL OUTER JOIN so " +
+      "ON t.user_id = so.user_id AND t.event_type = so.event_type " +
+      "WHERE so.op IS NULL OR so.op = 'U' " +
+      "ORDER BY 1, 2")
+
   val sql: Map[String, String] = {
     val base: Map[String, String] = Map(
 
@@ -829,30 +860,11 @@ object OracleSql {
     // statement — parser error, measured — so the oracle is the
     // identical relational expansion: latest-wins compactions of the
     // even/odd event halves, FULL OUTER JOIN, CASE clause routing)
-    "sql_merge_upsert" ->
-      ("WITH k AS (SELECT user_id, event_type, event_id, ts, value, " +
-        "lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0') AS kk " +
-        "FROM events), " +
-        "t AS (SELECT user_id, event_type, arg_max(event_id, kk) AS t_id, " +
-        "arg_max(ts, kk) AS t_ts, " +
-        "floor(arg_max(value, kk) * 100 + 0.5) / 100.0 AS t_v " +
-        "FROM k WHERE event_id % 2 = 0 GROUP BY 1, 2), " +
-        "s AS (SELECT user_id, event_type, arg_max(event_id, kk) AS s_id, " +
-        "arg_max(ts, kk) AS s_ts, " +
-        "floor(arg_max(value, kk) * 100 + 0.5) / 100.0 AS s_v " +
-        "FROM k WHERE event_id % 2 = 1 GROUP BY 1, 2), " +
-        "so AS (SELECT *, CASE WHEN s_id % 5 = 0 THEN 'D' ELSE 'U' END AS op FROM s) " +
-        "SELECT coalesce(t.user_id, so.user_id) AS user_id, " +
-        "coalesce(t.event_type, so.event_type) AS event_type, " +
-        "coalesce(so.s_id, t.t_id) AS event_id, " +
-        "coalesce(so.s_ts, t.t_ts) AS ts, " +
-        "coalesce(so.s_v, t.t_v) AS value, " +
-        "CASE WHEN so.op IS NULL THEN 'keep' " +
-        "WHEN t.t_id IS NOT NULL THEN 'update' ELSE 'insert' END AS action " +
-        "FROM t FULL OUTER JOIN so " +
-        "ON t.user_id = so.user_id AND t.event_type = so.event_type " +
-        "WHERE so.op IS NULL OR so.op = 'U' " +
-        "ORDER BY 1, 2"),
+    "sql_merge_upsert" -> mergeUpsertSql,
+    // the stateful twin's batch mode emits the identical rows (no
+    // tombstone can fire with nothing pre-published), so it shares the
+    // twin verbatim — the stream_scd2/stream_holt_winters precedent
+    "stream_merge_upsert" -> mergeUpsertSql,
 
     "cdc_upsert_latest" ->
       ("SELECT user_id, event_type, " +

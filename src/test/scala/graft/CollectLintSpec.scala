@@ -70,6 +70,10 @@ class CollectLintSpec extends AnyFunSuite {
     ("Quant.scala", "pipelineSmoothingReport") ->
       ("5-row (method, count, error-sum) aggregate — the report table " +
         "is method-count metadata; the per-user folds stay distributed"),
+    ("LlmPipeline.scala", "hnswSearchAll") ->
+      ("DECLARED broadcast tier (the knnCosine reference matrix) + the " +
+        "M0*n link-id adjacency — index METADATA, the ivfCentroids " +
+        "adjudication; knn_sharded is the beyond-broadcast twin"),
     ("Analytics.scala", "sccLabelRows") ->
       ("the (part, scc_id) label array — part-CATALOG (dimension) sized, " +
         "the Boruvka union-find adjudication; memoized so condensation " +

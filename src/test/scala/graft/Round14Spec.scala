@@ -156,6 +156,121 @@ class Round14Spec extends SparkSpec {
       "alternating clip mean delta is the full luma swing")
   }
 
+  // ------------------------------------------ stream_merge_upsert
+
+  test("stream_merge_upsert: batch mode == sql_merge_upsert bit-for-bit") {
+    import spark.implicits._
+    val a = ops.Stateful.streamMergeUpsert(spark, sf001)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"), col("action"))
+      .as[(Long, String, Long, java.sql.Timestamp, Double, String)]
+      .collect().toSet
+    val b = ops.Relational.sqlMergeUpsert(spark, sf001)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"), col("action"))
+      .as[(Long, String, Long, java.sql.Timestamp, Double, String)]
+      .collect().toSet
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("stream_merge_upsert fold: order-free, split-replay exact, tombstone protocol") {
+    import ops.Stateful.{Event, MuState, muFold, muView}
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    def ev(id: Long, sec: Long, v: Double) =
+      Event(id, ts(sec), 1L, "click", v, "{}")
+    val empty = MuState(None, None, emitted = false)
+    val evs = Array(ev(2, 10, 1.0), ev(11, 20, 9.0), ev(7, 15, 8.0),
+      ev(4, 25, 3.5), ev(9, 5, 2.0))
+    // order-free: the candidate fold is a commutative tuple-max, so ANY
+    // permutation and ANY chunking converge to the same state (unlike
+    // scd2/Holt there is no cross-batch ordering precondition)
+    val whole = muFold(evs, empty)
+    evs.permutations.take(24).foreach { p =>
+      assert(muFold(p, empty) === whole, s"permutation ${p.map(_.event_id).toSeq}")
+      val (c1, c2) = p.splitAt(2)
+      assert(muFold(c2, muFold(c1, empty)) === whole,
+        s"split replay ${p.map(_.event_id).toSeq}")
+    }
+    // view: target = id 4 (ts 25 latest even), source = id 11 (ts 20
+    // latest odd, op U) -> update with source values
+    val v0 = muView(1L, "click", whole)
+    assert(v0.exists(r => r.action === "update" && r.event_id === 11L &&
+      r.value === 9.0))
+    // tombstone protocol: a newer deleting source (id 25, %5==0) after a
+    // published row -> one delete emission; further deletes emit nothing
+    val del = muFold(Array(ev(25, 30, 0.0)), whole.copy(emitted = true))
+    assert(muView(1L, "click", del).isEmpty)
+    // muStream's emission rule: view None + emitted -> tombstone once
+    assert(del.emitted, "fold must not clear the emitted flag itself")
+    val again = muFold(Array(ev(35, 40, 0.0)), del.copy(emitted = false))
+    assert(muView(1L, "click", again).isEmpty && !again.emitted)
+  }
+
+  // ------------------------------------ cluster_hierarchical_cut
+
+  test("cluster_hierarchical_cut == driver CC of the FULL thresholded graph (MST equivalence)") {
+    import spark.implicits._
+    // independent driver check of the single-linkage <-> MST-cut
+    // equivalence: CC of the whole co-order graph at cnt >= 3, computed
+    // by union-find over the full edge set (never the forest)
+    val full = ops.Analytics.coOrderPairs(spark, sf01)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect()
+    val nodes = full.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    full.filter(e => e._3 >= 3 && e._1 != e._2).foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = ops.Analytics.clusterHierarchicalCut(spark, sf01)
+      .select(col("part"), col("cluster_id"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val gotUniverse = got.map(_._1).toSet
+    // every op row must agree with the full-graph CC label
+    got.foreach { case (p, cid, _) =>
+      assert(expected(p) === cid, s"part $p: forest cut label $cid != full-graph CC ${expected(p)}")
+    }
+    // and the op's universe is exactly the forest-spanned node set
+    // (every node with at least one co-order edge)
+    assert(gotUniverse === nodes.toSet)
+    // cluster sizes self-consistent
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.forall(_._3 === rows.length.toLong), s"cluster $cid size")
+    }
+    val nClusters = got.map(_._2).toSet.size
+    info(s"sf0.01: ${got.length} parts in $nClusters single-linkage clusters at t=3")
+    assert(nClusters > 1, "cut produced one giant cluster — threshold uninformative")
+  }
+
+  test("cluster_hierarchical_cut splits a synthetic chain at its weak link") {
+    import spark.implicits._
+    // parts 1-2-3 strongly co-ordered (3 orders each pair), 3-4 weak
+    // (2 orders), 4-5 strong: the cut must split {1,2,3} | {4,5}
+    def orders(o0: Long, a: Long, b: Long, n: Int) =
+      (0 until n).flatMap(i => Seq((o0 + i, 1, a), (o0 + i, 2, b)))
+    val rows = orders(100, 1, 2, 3) ++ orders(200, 2, 3, 3) ++
+      orders(300, 3, 4, 2) ++ orders(400, 4, 5, 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slink14").toString
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = ops.Analytics.clusterHierarchicalCut(spark, tmp)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(Set(1L, 2L, 3L).map(got(_)._1).size === 1, "strong triple must stay together")
+    assert(Set(4L, 5L).map(got(_)._1).size === 1, "strong pair must stay together")
+    assert(got(1L)._1 !== got(4L)._1, "weak link must be cut")
+    assert(got(1L)._2 === 3L && got(4L)._2 === 2L)
+  }
+
   // ------------------------------------------------ scc label memo
 
   test("scc labeling memo: producer/consumer share labels per corpus; fingerprint sees overwrites") {

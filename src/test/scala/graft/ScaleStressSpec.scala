@@ -361,7 +361,11 @@ class ScaleStressSpec extends SparkSpec {
     // video framestats 1.1x (map-only byte loop, the audio tier)
     ("knn_hnsw", 10.0, 25.0),
     ("sql_merge_upsert", 10.0, 20.0),
-    ("multimodal_video_framestats", 10.0, 20.0))
+    ("multimodal_video_framestats", 10.0, 20.0),
+    // 2.4x at 16x: Boruvka's halving rounds + fragment-bounded CC
+    ("cluster_hierarchical_cut", 15.0, 30.0),
+    // 1.0x at 16x: per-key constant-state fold, one shuffle
+    ("stream_merge_upsert", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
