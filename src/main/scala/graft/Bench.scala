@@ -128,7 +128,9 @@ object Bench {
         // the scc labeling memo: the producer (graph_scc, which always
         // recomputes) must run before the consumer (graph_condensation)
         // within each pass so the pair's costs separate cleanly
-        ("graph_scc", "graph_condensation"))
+        ("graph_scc", "graph_condensation"),
+        // same rule for the Boruvka forest memo and its single-linkage cut
+        ("graph_mst_boruvka", "cluster_hierarchical_cut"))
       var o = selected.keys.toSeq.sorted
       deps.foreach { case (prod, cons) =>
         if (o.contains(prod) && o.contains(cons)) {

@@ -3012,6 +3012,21 @@ object Analytics {
     * forest identity |F| = n − #components (Round13Spec). */
   def graphMstBoruvka(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // producer of the shared forest memo (the scc-label recipe): the key
+    // that OWNS the build cost always recomputes and refreshes; only the
+    // derived single-linkage cut reads it. Forest rows are <= n-1 over
+    // the part CATALOG — dimension-sized, the union-find adjudication.
+    val rows = graft.Memo.refresh("mst_forest",
+      graft.Memo.fingerprint(d, "lineitem.parquet"))(boruvkaForest(s, d))
+    rows.toSeq.toDF("p1", "p2", "cnt", "round")
+      .orderBy(col("p1"), col("p2"))
+  }
+
+  /** The Borůvka rounds themselves; see [[graphMstBoruvka]] for the
+    * algorithm/scale/determinism story. */
+  private def boruvkaForest(
+      s: SparkSession, d: String): Array[(Long, Long, Long, Int)] = {
+    import s.implicits._
     val e0 = coOrderPairs(s, d)
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
       .as[(Long, Long, Long)]
@@ -3061,8 +3076,7 @@ object Analytics {
     if (!done) throw new IllegalStateException(
       s"graphMstBoruvka: no fixpoint in $round rounds — component count " +
         "must at least halve per round, so this is a contraction bug")
-    out.toSeq.toDF("p1", "p2", "cnt", "round")
-      .orderBy(col("p1"), col("p2"))
+    out.toArray
   }
 
   /** Query key `cluster_hierarchical_cut`: single-linkage clusters from
@@ -3080,7 +3094,9 @@ object Analytics {
     * rung that actually fragments the fixture.
     *
     * Scale: composes the forest build (its scale story — one reduced
-    * job per halving round) + one filter + [[graft.ops.LlmPipeline
+    * job per halving round; served from the shared forest memo when
+    * graph_mst_boruvka already built this corpus in-session, rebuilt
+    * fresh otherwise) + one filter + [[graft.ops.LlmPipeline
     * .minLabelCc]] over the KEPT fragments (diameter-bounded per
     * fragment, forest-sized input) + one label window; cluster ids are
     * min member ids (deterministic). Oracle-exempt (iterative
@@ -3088,7 +3104,13 @@ object Analytics {
     * sf0.01 and a synthetic weak-link split. */
   def clusterHierarchicalCut(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val forest = graphMstBoruvka(s, d)
+    // consumer of the shared forest memo: a session that already built
+    // graph_mst_boruvka's forest for this corpus reuses it (producer
+    // always recomputes — the scc-label/BPE rule)
+    val rows = graft.Memo.getOrCompute("mst_forest",
+      graft.Memo.fingerprint(d, "lineitem.parquet"))(boruvkaForest(s, d))
+    val forest = rows.toSeq
+      .toDF("p1", "p2", "cnt", "round")
       .select(col("p1"), col("p2"), col("cnt")).localCheckpoint()
     // universe: the forest spans every non-isolated co-order node
     val nodes = forest.select(col("p1").as("v"))
