@@ -82,7 +82,7 @@ class CollectLintSpec extends AnyFunSuite {
       ("one-row aggregates + the two top-50 Adamic-Adar pair sets — " +
         "the report table is metric-count metadata; the kernels stay " +
         "distributed"),
-    ("Analytics.scala", "graphMstBoruvka") ->
+    ("Analytics.scala", "boruvkaForest") ->
       ("part-CATALOG union-find (dimension-sized, the knn_cosine " +
         "broadcast adjudication): node ids once, then per-round best " +
         "cut edges — <= live components, halving, <= 2(n-1) rows total " +
