@@ -2256,6 +2256,52 @@ object Analytics {
       .orderBy(col("part"))
   }
 
+  /** Query key `graph_harmonic_centrality`: sampled HARMONIC centrality
+    * — the fourth readout of the shared seed-BFS scaffolding
+    * (closeness / eccentricity / betweenness ride the same
+    * [[bfsLevels]] kernel): H(v) = Σ_seeds 1/d(seed, v), the
+    * centrality closeness breaks on DISCONNECTED graphs (an
+    * unreachable seed poisons a mean distance but contributes exactly
+    * 0 to a reciprocal sum — the Boldi–Vigna argument for harmonic as
+    * the right centrality under disconnection, and this co-order
+    * graph IS disconnected). Determinism: each reciprocal enters as
+    * the EXACT integer ⌊10⁹/d⌋ (d is a small exact BIGINT level, so
+    * the double divide before the floor is exact), per-node sums are
+    * order-free longs under any partitioning, one final descale.
+    *
+    * Scale: the bfsLevels story — K = 16 hash-ranked seeds, one edge
+    * join + one keyed groupBy per level for ALL seeds jointly; the
+    * readout is one keyed aggregate. K is a budget knob independent
+    * of graph size. Oracle-exempt (seed choice rides the engine's
+    * xxhash64); Round14Spec pins exact equality with a driver BFS
+    * replay from the same seeds plus the all-seeds star identity. */
+  def graphHarmonicCentrality(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderPairs(s, d)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    harmonicFrom(und, k = 16)
+  }
+
+  private[graft] def harmonicFrom(und: DataFrame, k: Int): DataFrame =
+    bfsLevels(und, k).zipWithIndex
+      // level 0 is the seeds themselves: no reciprocal to contribute,
+      // and its LITERAL d = 0 would constant-fold into a plan-time
+      // divide-by-zero under ANSI before any filter could drop it
+      .drop(1)
+      .map { case (df, dist) =>
+        df.select(col("seed"), col("v")).withColumn("d", lit(dist.toLong)) }
+      .reduce(_ unionAll _)
+      .withColumn("r", floor(lit(1e9) / col("d")).cast("long"))
+      .groupBy(col("v"))
+      .agg(sum(col("r")).as("r_sum"), count(lit(1)).as("n_reached"))
+      .select(col("v").as("part"), col("n_reached"),
+        graft.Det.round(col("r_sum").cast("double") / lit(1e9), 6)
+          .as("harmonic_est"))
+      .orderBy(col("part"))
+
   /** Sampled ECCENTRICITY + diameter lower bound — the third readout of
     * the seed-BFS scaffolding: ecc(s) = max distance reached from seed
     * s (exact per seed), and max over seeds is the classic iFUB-style

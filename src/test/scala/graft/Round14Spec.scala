@@ -271,6 +271,69 @@ class Round14Spec extends SparkSpec {
     assert(got(1L)._2 === 3L && got(4L)._2 === 2L)
   }
 
+  // ------------------------------------- graph_harmonic_centrality
+
+  test("graph_harmonic_centrality == driver BFS replay from the same seeds at sf0.01") {
+    import spark.implicits._
+    // the op's own edge derivation, collected for the driver replay
+    val edges = ops.Analytics.coOrderPairs(spark, sf01)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("p1"), col("p2"))
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    // same seed rule as bfsLevels: k=16 smallest (xxhash64, id)
+    val seeds = edges.flatMap(e => Seq(e._1, e._2)).distinct.toSeq.toDF("v")
+      .withColumn("h", xxhash64(col("v")))
+      .orderBy(col("h"), col("v")).limit(16)
+      .select(col("v")).as[Long].collect()
+    val rsum = scala.collection.mutable.Map.empty[Long, Long]
+    val nre = scala.collection.mutable.Map.empty[Long, Long]
+    seeds.foreach { s0 =>
+      val dist = scala.collection.mutable.Map(s0 -> 0L)
+      var frontier = List(s0)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil).filter { n =>
+          if (dist.contains(n)) false else { dist(n) = dist(v) + 1; true }
+        })
+      }
+      dist.foreach { case (v, d0) =>
+        if (v != s0) {
+          rsum(v) = rsum.getOrElse(v, 0L) + math.floor(1e9 / d0).toLong
+          nre(v) = nre.getOrElse(v, 0L) + 1L
+        }
+      }
+    }
+    val got = ops.Analytics.graphHarmonicCentrality(spark, sf01)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (p, n, h) =>
+      assert(n === nre(p), s"part $p n_reached")
+      assert(h === math.floor(rsum(p).toDouble / 1e9 * 1e6 + 0.5) / 1e6,
+        s"part $p harmonic")
+    }
+    assert(got.map(_._1).toSet === nre.keySet, "row universe mismatch")
+  }
+
+  test("graph_harmonic_centrality: all-seeds star identity") {
+    import spark.implicits._
+    // star 0-(1..9), each spoke co-ordered twice; k=16 > n makes every
+    // node a seed: H(center) = 9, H(leaf) = 1 + 8 * 0.5 = 5
+    val rows = (1L to 9L).flatMap { i =>
+      Seq((i * 10, 1, 0L), (i * 10, 2, i), (i * 10 + 1, 1, 0L), (i * 10 + 1, 2, i))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-harm14").toString
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = ops.Analytics.graphHarmonicCentrality(spark, tmp)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) === ((9L, 9.0)), "star center")
+    (1L to 9L).foreach(i => assert(got(i) === ((9L, 5.0)), s"leaf $i"))
+  }
+
   // ------------------------------------------------ scc label memo
 
   test("scc labeling memo: producer/consumer share labels per corpus; fingerprint sees overwrites") {

@@ -369,7 +369,10 @@ class ScaleStressSpec extends SparkSpec {
     // ceiling still traps a quadratic fragment build
     ("cluster_hierarchical_cut", 24.0, 30.0),
     // 1.0x at 16x: per-key constant-state fold, one shuffle
-    ("stream_merge_upsert", 10.0, 20.0))
+    ("stream_merge_upsert", 10.0, 20.0),
+    // 0.7x at 16x: the seed-BFS family's JOB-COUNT-bound shape (16
+    // disjoint copies spread K=16 seeds thinner per copy)
+    ("graph_harmonic_centrality", 10.0, 20.0))
 
   /** Declared exclusions for the >=1 s meta-gate below: keys whose
     * sf0.1 bench cost crosses 1 s but whose complexity class is
