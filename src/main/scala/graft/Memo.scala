@@ -63,16 +63,17 @@ object Memo {
   }
 
   /** Consumer side: the cached value when the fingerprint is fresh, else
-    * compute (and store, so sibling consumers share one computation). */
+    * compute (and store, so sibling consumers share one computation).
+    * Atomic via computeIfAbsent: two concurrent consumers of the same
+    * (kernel, fingerprint) observe exactly ONE computation — the second
+    * blocks on the map bin until the first finishes (ADVICE round-14;
+    * the prior check-then-put could run compute twice under a race). */
   def getOrCompute[T <: AnyRef](kernel: String, fp: Option[String])(
       compute: => T): T =
     fp match {
       case Some(f) =>
-        val k = kernel + ":" + f
-        Option(cache.get(k)) match {
-          case Some(v) => v.asInstanceOf[T]
-          case None => val v = compute; cache.put(k, v); v
-        }
+        cache.computeIfAbsent(kernel + ":" + f, _ => compute)
+          .asInstanceOf[T]
       case None => compute
     }
 

@@ -2285,12 +2285,21 @@ object Analytics {
     harmonicFrom(und, k = 16)
   }
 
-  private[graft] def harmonicFrom(und: DataFrame, k: Int): DataFrame =
-    bfsLevels(und, k).zipWithIndex
+  private[graft] def harmonicFrom(und: DataFrame, k: Int): DataFrame = {
+    val reached = bfsLevels(und, k).zipWithIndex
       // level 0 is the seeds themselves: no reciprocal to contribute,
       // and its LITERAL d = 0 would constant-fold into a plan-time
       // divide-by-zero under ANSI before any filter could drop it
       .drop(1)
+    // Edgeless graph: every BFS stops at level 0, so the dropped seq is
+    // empty and reduce would throw empty.reduce — degrade to an empty
+    // (part, n_reached, harmonic_est) frame like closenessFrom does
+    // (ADVICE round-14).
+    if (reached.isEmpty)
+      return und.select(col("src").as("part")).where(lit(false))
+        .withColumn("n_reached", lit(0L))
+        .withColumn("harmonic_est", lit(0.0))
+    reached
       .map { case (df, dist) =>
         df.select(col("seed"), col("v")).withColumn("d", lit(dist.toLong)) }
       .reduce(_ unionAll _)
@@ -2301,6 +2310,7 @@ object Analytics {
         graft.Det.round(col("r_sum").cast("double") / lit(1e9), 6)
           .as("harmonic_est"))
       .orderBy(col("part"))
+  }
 
   /** Sampled ECCENTRICITY + diameter lower bound — the third readout of
     * the seed-BFS scaffolding: ecc(s) = max distance reached from seed
@@ -2475,25 +2485,34 @@ object Analytics {
     * ladder lifted to ALS) — and each solved coordinate floor-snaps to
     * 1e-6 so the next half-step starts from grid values on any engine.
     * Accumulation runs through [[AlsNormalEq]] (partial aggregation
-    * map-side; the shuffle ships 44-long states, not rating pairs). */
-  private def alsHalfStep(
-      ratings: org.apache.spark.sql.Dataset[(Long, Long, Double)],
-      fixed: org.apache.spark.sql.Dataset[(Long, Array[Double])],
-      solveUsers: Boolean): org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
-    val s = ratings.sparkSession
+    * map-side; the shuffle ships 44-long states, not rating pairs).
+    *
+    * `keyed` is a PRE-PARTITIONED (fid, sid, r) frame — hash-partitioned
+    * by fid and localCheckpointed ONCE by the caller (r14 verdict task 1:
+    * the prior form re-mapped and re-shuffled the full ratings table
+    * inside every half-step; with the keyed forms materialized up front,
+    * EnsureRequirements sees HashPartitioning(fid, N) already satisfied
+    * and only the factor side exchanges — the ratings-side shuffle
+    * vanishes from all 2·rounds half-steps). Integer-grid sums keep the
+    * result bit-identical to any other partitioning.
+    *
+    * The aggregation stays RELATIONAL: [[AlsNormalEq]] rides
+    * `functions.udaf` under a plain groupBy, so the per-row path is one
+    * struct deserialization per rating instead of the groupByKey form's
+    * full DeserializeToObject → key-function → re-serialize chain
+    * (measured ~35% of the half-step CPU at sf0.1), and partial
+    * aggregation (map-side 44-long combines) still applies. `fixed` is a
+    * plain (id, q) frame for the same reason. */
+  private def alsHalfStep(keyed: DataFrame, fixed: DataFrame): DataFrame = {
+    val s = keyed.sparkSession
     import s.implicits._
-    // (fid, sid, r): fid indexes the FIXED factor table, sid the side
-    // being re-solved — items are fixed when solving users and vice versa
-    val joinKeyed = ratings
-      .map { case (u, i, r) => if (solveUsers) (i, u, r) else (u, i, r) }
-      .toDF("fid", "sid", "r")
-      .join(fixed.toDF("fid", "q"), "fid")
-      .select(col("sid"), col("r"), col("q"))
-      .as[(Long, Double, Array[Double])]
-    joinKeyed
-      .groupByKey(_._1)
-      .agg(AlsNormalEq.toColumn)
-      .map { case (sid, v) => (sid, v.x) }
+    val eq = udaf(AlsNormalEq,
+      implicitly[org.apache.spark.sql.Encoder[(Long, Double, Array[Double])]])
+    keyed
+      .join(fixed.select(col("id").as("fid"), col("q")), "fid")
+      .groupBy(col("sid"))
+      .agg(eq(col("sid"), col("r"), col("q")).as("v"))
+      .select(col("sid").as("id"), col("v.x").as("q"))
   }
 
   /** Query key `recommend_als`: implicit-feedback matrix factorization
@@ -2516,12 +2535,18 @@ object Analytics {
     * EXACT equality with a single-node replay, partitioning invariance,
     * and a monotonically decreasing regularized objective.
     *
-    * Scale: ratings shuffle once per half-step keyed by the solve side;
-    * factor tables shuffle by id and are never broadcast or collected
-    * (|C| and |P| both scale past memory); the candidate join rides the
-    * thresholded co-order graph exactly like graph_adamic_adar, so the
-    * readout is wedge-bounded, not |C|·|P|. Oracle-exempt (iterative
-    * multi-join fixpoint). */
+    * Scale: ratings materialize ONCE per join side (hash-partitioned by
+    * item and by user up front — r14 verdict task 1), so no half-step
+    * re-exchanges the ratings table: each step shuffles only the
+    * factor-side join input and the 44-long normal-equation partials
+    * (map-side combined). Factor tables shuffle by id and are never
+    * broadcast or collected (|C| and |P| both scale past memory); the
+    * candidate join rides the thresholded co-order graph exactly like
+    * graph_adamic_adar, so the readout is wedge-bounded, not |C|·|P|.
+    * Measured at sf0.1 (contended host, r15): parity with the re-shuffle
+    * form — at this SF the loop is task-overhead-bound, the win is the
+    * 100× scale path where the ratings exchange dominates.
+    * Oracle-exempt (iterative multi-join fixpoint). */
   def recommendAls(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ratings = Tables.orders(s, d)
@@ -2534,14 +2559,35 @@ object Analytics {
       .localCheckpoint()
     val items0 = ratings.map(_._2).distinct()
       .map(i => (i, Array.tabulate(AlsK)(f => alsInit(i, f))))
+      .toDF("id", "q")
       .localCheckpoint()
-    var userF: org.apache.spark.sql.Dataset[(Long, Array[Double])] = null
-    var itemF = items0
+    // Materialize the two keyed ratings forms ONCE (fid = the fixed side
+    // of each half-step), hash-partitioned to the session shuffle width.
+    // localCheckpoint preserves outputPartitioning, so every subsequent
+    // half-step join satisfies its distribution requirement without
+    // re-exchanging the ratings — 2 upfront shuffles replace 2·AlsRounds
+    // in-loop ones (r14 verdict task 1).
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val rdf0 = ratings.toDF("user", "item", "r")
+    val byItem = rdf0
+      .select(col("item").as("fid"), col("user").as("sid"), col("r"))
+      .repartition(shuffleN, col("fid")).localCheckpoint()
+    val byUser = rdf0
+      .select(col("user").as("fid"), col("item").as("sid"), col("r"))
+      .repartition(shuffleN, col("fid")).localCheckpoint()
+    // Lazy checkpoints: each half-step still truncates lineage (the
+    // returned frame is a LogicalRDD either way), but materialization
+    // folds into the NEXT half-step's job instead of paying a dedicated
+    // eager count per step — 8 driver jobs and their AQE stage overhead
+    // drop out of the loop. The last userF/itemF materialize inside the
+    // readout join.
+    var userF: DataFrame = null
+    var itemF: DataFrame = items0
     for (_ <- 1 to AlsRounds) {
-      userF = alsHalfStep(ratings, itemF, solveUsers = true)
-        .localCheckpoint()
-      itemF = alsHalfStep(ratings, userF, solveUsers = false)
-        .localCheckpoint()
+      userF = alsHalfStep(byItem, itemF)
+        .localCheckpoint(eager = false)
+      itemF = alsHalfStep(byUser, userF)
+        .localCheckpoint(eager = false)
     }
     // 2-hop candidates: parts co-ordered (cnt >= 2) with a part the
     // customer bought, minus what they already bought
@@ -2558,8 +2604,8 @@ object Analytics {
     // dot product in a typed JVM map (Catalyst HOF lambdas run
     // interpreted — the CDC-chunker lesson), r4-snapped
     val scored = cands
-      .join(userF.toDF("user", "p"), "user")
-      .join(itemF.toDF("item", "q"), "item")
+      .join(userF.select(col("id").as("user"), col("q").as("p")), "user")
+      .join(itemF.select(col("id").as("item"), col("q")), "item")
       .select(col("user"), col("item"), col("p"), col("q"))
       .as[(Long, Long, Array[Double], Array[Double])]
       .map { case (u, i, p, q) =>
