@@ -365,6 +365,123 @@ object Formats {
       .orderBy(col("event_type"))
   }
 
+  /** Query key `source_avro`: Avro container-file roundtrip over orders —
+    * the row-oriented interchange format of the Kafka/Kinesis ecosystem,
+    * done with the raw avro-1.12.1 runtime (present in the Spark jars
+    * dir; no spark-avro DATASOURCE jar ships in this container, so the
+    * write and decode ride the public org.apache.avro API directly).
+    *
+    * Write: each input partition appends its rows to ONE
+    * `part_<pid>.avro` container (GenericDatumWriter + DataFileWriter,
+    * snappy-less null codec — codec jars are environment-dependent),
+    * through the same scheme-dispatched stream the binaryFile stage uses
+    * (java.nio locally, Hadoop FS on a shared store). The staging dir is
+    * wiped first: container files are named by partition id, so a
+    * previous run with a different partition count would otherwise leave
+    * stale shards for the glob to double-read.
+    *
+    * Read: `binaryFile` lifts each container to one row (the natural
+    * split grain for right-sized Avro files), and a typed flatMap decodes
+    * it with DataFileStream — header schema read from the FILE, the
+    * reader-schema evolution point. Timestamps ride the
+    * timestamp-micros logical type (a long on the wire), re-lifted with
+    * timestamp_micros() — µs-exact both directions.
+    *
+    * The oracle aggregates the ORIGINAL parquet, so a hash match
+    * certifies field-level fidelity of the whole encode→stage→scan→decode
+    * loop (binary long zig-zag, UTF-8 strings, IEEE doubles, µs
+    * timestamps), not just row counts. */
+  def sourceAvro(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmpDir("avro", d)
+    val orders = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      col("o_totalprice"),
+      // o_orderdate is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the
+      // session is pinned UTC so the cast is value-identity
+      unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"))
+    val schemaJson =
+      """{"type":"record","name":"Order","fields":[
+        |{"name":"o_orderkey","type":"long"},
+        |{"name":"o_custkey","type":"long"},
+        |{"name":"o_orderpriority","type":"string"},
+        |{"name":"o_totalprice","type":"double"},
+        |{"name":"odate_us","type":{"type":"long","logicalType":"timestamp-micros"}}
+        |]}""".stripMargin
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    // wipe + recreate driver-side (stale partition shards must not
+    // survive a re-run with a different partition count)
+    val basePath = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = basePath.getFileSystem(serConf.value)
+    driverFs.delete(basePath, true)
+    driverFs.mkdirs(basePath)
+    orders.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(serConf.value)
+        val name = s"part_$pid.avro"
+        // scheme dispatch (the binaryFile-stage lesson): Hadoop's local
+        // wrapper costs 20-50x per file vs java.nio
+        val out: java.io.OutputStream =
+          if (fs.getUri.getScheme == "file") {
+            new java.io.File(dir).mkdirs()
+            java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(dir, name))
+          } else fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.create(schema, out)
+        try it.foreach { r =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("o_orderkey", r.getLong(0))
+          rec.put("o_custkey", r.getLong(1))
+          rec.put("o_orderpriority", r.getString(2))
+          rec.put("o_totalprice", r.getDouble(3))
+          rec.put("odate_us", r.getLong(4))
+          w.append(rec)
+        } finally w.close() // closes `out` too
+      }
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro")
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val stream = new org.apache.avro.file.DataFileStream(
+          new java.io.ByteArrayInputStream(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, String, Double, Long)]
+          while (stream.hasNext) {
+            val rec = stream.next()
+            buf += ((rec.get("o_orderkey").asInstanceOf[Long],
+              rec.get("o_custkey").asInstanceOf[Long],
+              rec.get("o_orderpriority").toString,
+              rec.get("o_totalprice").asInstanceOf[Double],
+              rec.get("odate_us").asInstanceOf[Long]))
+          }
+          buf
+        } finally stream.close()
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+        "odate_us")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.round(sum(col("o_totalprice")), 2).as("sum_price"),
+        max(col("o_orderkey")).as("max_key"),
+        expr("timestamp_micros(max(odate_us))").cast("timestamp_ntz")
+          .as("max_date"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** binaryFile roundtrip — the MULTIMODAL ingestion path: opaque payload
     * files land on storage, `format("binaryFile")` lifts them into (path,
     * length, content) rows, and identity joins on a key parsed from the

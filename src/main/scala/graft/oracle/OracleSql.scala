@@ -129,6 +129,15 @@ object OracleSql {
         "max(ts) AS max_ts, count(DISTINCT user_id) AS n_users " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    // Avro container roundtrip: same convention — oracle aggregates the
+    // original parquet, a hash match certifies the binary encode/decode
+    "source_avro" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price, " +
+        "max(o_orderkey) AS max_key, " +
+        "max(o_orderdate) AS max_date " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
     "source_orc" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty, " +
