@@ -27,6 +27,20 @@ object Memo {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  // Kernels SERVED from cache since the last drain — the bench reads this
+  // per timed run to mark memo-served keys in BENCH_FULL.json, so a
+  // ~100× "speedup" on a consumer key is self-describing in the artifact
+  // (ADVICE round-14) instead of needing VERDICT prose.
+  private val served =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Kernel names served from cache since the last call; clears the set. */
+  private[graft] def drainServed(): Set[String] = {
+    val s = served.asScala.toSet
+    served.clear()
+    s
+  }
+
   /** Corpus identity for `dir/table`: SHA-256 over the sorted (relative
     * path, size, mtime) listing for local paths; a shared-store URI
     * (hdfs://, s3a://) falls back to the raw path string — path-keyed
@@ -72,8 +86,11 @@ object Memo {
       compute: => T): T =
     fp match {
       case Some(f) =>
-        cache.computeIfAbsent(kernel + ":" + f, _ => compute)
-          .asInstanceOf[T]
+        var computed = false
+        val v = cache.computeIfAbsent(kernel + ":" + f,
+          _ => { computed = true; compute })
+        if (!computed) served.add(kernel)
+        v.asInstanceOf[T]
       case None => compute
     }
 
