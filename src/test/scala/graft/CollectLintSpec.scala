@@ -78,6 +78,11 @@ class CollectLintSpec extends AnyFunSuite {
       ("the (part, scc_id) label array — part-CATALOG (dimension) sized, " +
         "the Boruvka union-find adjudication; memoized so condensation " +
         "stops double-running the SCC fixpoint"),
+    ("Analytics.scala", "sccFrom") ->
+      ("the hybrid tail's remainder core — collected ONLY behind the " +
+        "size gate (<= 16384 nodes and <= 1M edges, both counted first), " +
+        "after the first full distributed round; the Boruvka driver " +
+        "union-find adjudication applied to the SCC finisher"),
     ("Analytics.scala", "pipelineGraphReport") ->
       ("one-row aggregates + the two top-50 Adamic-Adar pair sets — " +
         "the report table is metric-count metadata; the kernels stay " +

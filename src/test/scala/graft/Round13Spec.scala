@@ -432,10 +432,11 @@ class Round13Spec extends SparkSpec {
     val report = LlmPipeline.pipelineAnnReport(spark, sf001).collect()
       .map(r => r.getString(0) ->
         (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
-    // r14 added the hnsw_fp32 rung (its recall/exact-score/frac pins
-    // live in Round14Spec; recall is recomputed below like the others)
+    // r14 added the hnsw_fp32 rung, r15 hnsw_sharded (their
+    // recall/exact-score/frac pins live in Round14Spec/Round15Spec;
+    // recall is recomputed below like the others)
     assert(report.keySet == Set("brute_fp32", "int8", "pq_adc", "ivf_fp32",
-      "ivf_pq", "binary_sign", "hnsw_fp32"))
+      "ivf_pq", "binary_sign", "hnsw_fp32", "hnsw_sharded"))
     // independent recall recompute from the kernels' own outputs (the
     // Round12Spec definition)
     val brute = LlmPipeline.knnCosine(spark, sf001).collect()
@@ -457,6 +458,10 @@ class Round13Spec extends SparkSpec {
     assert(report("hnsw_fp32")._1 == recall(LlmPipeline.knnHnsw(spark, sf001)))
     assert(report("hnsw_fp32")._2 == 384L) // fp32 vectors + M0 link ids
     assert(report("hnsw_fp32")._3 > 0.0)
+    assert(report("hnsw_sharded")._1 ==
+      recall(LlmPipeline.knnHnswSharded(spark, sf001)))
+    assert(report("hnsw_sharded")._2 == 384L)
+    assert(report("hnsw_sharded")._3 > 0.0)
     // bytes per vector: the stored representation each rung scans (d=64)
     assert(report("brute_fp32")._2 == 256L && report("ivf_fp32")._2 == 256L)
     assert(report("int8")._2 == 68L)
