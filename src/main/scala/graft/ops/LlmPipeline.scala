@@ -4895,23 +4895,36 @@ object LlmPipeline {
     * totals and units-per-word for whitespace, the trained BPE
     * ([[corpusBpeTokenize]]), and the trained unigram LM
     * ([[corpusUnigramTokenize]]), as one (tokenizer, n_units,
-    * units_per_word) frame. Pure plan-level composition of the two
-    * apply passes (each map-side with its broadcast tokenizer) + one
-    * global integer aggregate each. Oracle-exempt (both trainers are);
-    * Round11dSpec pins the rows against independent aggregates of the
-    * two tokenize outputs and the ≥1 units-per-word envelope. */
+    * units_per_word, build_sec) frame — each tokenize pass is map-side
+    * with its broadcast tokenizer + one global integer aggregate.
+    * build_sec (r14 verdict task 7) is the measured wall seconds of THIS
+    * assembly's train+apply pass per tokenizer, so the table prices a
+    * vocabulary choice next to its compression: on a cold session the
+    * BPE/unigram rows carry their training cost; once the two-layer
+    * merges cache is warm they price the apply pass — exactly the cost a
+    * user of the staged artifact pays (whitespace trains nothing, 0.0 by
+    * definition). Oracle-exempt (both trainers are); Round11dSpec pins
+    * the quality columns against independent aggregates of the two
+    * tokenize outputs and the ≥1 units-per-word envelope. */
   def pipelineTokenizerReport(s: SparkSession, d: String): DataFrame = {
-    def upw(units: org.apache.spark.sql.Column,
-        words: org.apache.spark.sql.Column) =
-      floor(units.cast("double") / words.cast("double") * 1e4 + 0.5) / 1e4
-    val bpe = corpusBpeTokenize(s, d).agg(
-      sum(col("n_words")).as("w"), sum(col("n_bpe_tokens")).as("u"))
-    val uni = corpusUnigramTokenize(s, d).agg(
-      sum(col("n_words")).as("w"), sum(col("n_pieces")).as("u"))
-    bpe.select(lit("1_whitespace").as("tokenizer"), col("w").as("n_units"),
-        lit(1.0).as("units_per_word"))
-      .unionAll(bpe.select(lit("2_bpe"), col("u"), upw(col("u"), col("w"))))
-      .unionAll(uni.select(lit("3_unigram"), col("u"), upw(col("u"), col("w"))))
+    import s.implicits._
+    def upw(units: Long, words: Long): Double =
+      math.floor(units.toDouble / words.toDouble * 1e4 + 0.5) / 1e4
+    def timed(df: DataFrame): (org.apache.spark.sql.Row, Double) = {
+      val t0 = System.nanoTime()
+      val r = df.first()
+      (r, math.floor((System.nanoTime() - t0) / 1e9 * 1000 + 0.5) / 1000)
+    }
+    val (bpe, tBpe) = timed(corpusBpeTokenize(s, d).agg(
+      sum(col("n_words")).as("w"), sum(col("n_bpe_tokens")).as("u")))
+    val (uni, tUni) = timed(corpusUnigramTokenize(s, d).agg(
+      sum(col("n_words")).as("w"), sum(col("n_pieces")).as("u")))
+    s.createDataset(Seq(
+        ("1_whitespace", bpe.getLong(0), 1.0, 0.0),
+        ("2_bpe", bpe.getLong(1), upw(bpe.getLong(1), bpe.getLong(0)), tBpe),
+        ("3_unigram", uni.getLong(1), upw(uni.getLong(1), uni.getLong(0)),
+          tUni)))
+      .toDF("tokenizer", "n_units", "units_per_word", "build_sec")
       .orderBy(col("tokenizer"))
   }
 
@@ -5872,18 +5885,33 @@ object LlmPipeline {
     val memoRows = graft.Memo.getOrCompute("pipeline_ann_report", fpAnn) {
       annReportRows(s, d)
     }
+    // build_sec (r14 verdict task 7): seconds measured while THIS
+    // assembly materialized each rung's kernel — so the decision table
+    // prices build/run cost next to recall and scan bytes. A memo-served
+    // report reproduces the FIRST assembly's measured numbers (the only
+    // nondeterministic column, frozen at build time by the memo).
     s.createDataset(memoRows)
-      .toDF("method", "recall_at3", "bytes_per_vec", "cand_frac")
+      .toDF("method", "recall_at3", "bytes_per_vec", "cand_frac",
+        "build_sec")
       .orderBy(col("method"))
   }
 
   private def annReportRows(
-      s: SparkSession, d: String): Seq[(String, Double, Long, Double)] = {
+      s: SparkSession, d: String): Seq[(String, Double, Long, Double, Double)] = {
     import s.implicits._
     val v = vecs(s, d).localCheckpoint()
     val nVec = v.count()
     val dim = v.first()._2.length
-    val brutePairs = knnCosine(s, d).select(col("vec_id"), col("b_id"))
+    // per-rung build/run cost: wall seconds to materialize the rung's
+    // kernel output in this assembly (r14 verdict task 7 — the price
+    // column next to the quality columns; 3 dp, floor)
+    def timedCk(df: => DataFrame): (DataFrame, Double) = {
+      val t0 = System.nanoTime()
+      val ck = df.localCheckpoint()
+      (ck, math.floor((System.nanoTime() - t0) / 1e9 * 1000 + 0.5) / 1000)
+    }
+    val (bruteFull, tBrute) = timedCk(knnCosine(s, d))
+    val brutePairs = bruteFull.select(col("vec_id"), col("b_id"))
       .localCheckpoint()
     val nq = brutePairs.select(col("vec_id")).distinct().count()
     def recallOf(df: DataFrame): Double = {
@@ -5935,19 +5963,24 @@ object LlmPipeline {
       else math.floor(r.getLong(0).toDouble /
         (r.getLong(1).toDouble * (nVec - 1).toDouble) * 10000 + 0.5) / 10000
     }
-    val hnswAll = hnswSearchAll(s, d).localCheckpoint()
-    val hnswShardedAll = hnswShardedSearchAll(s, d).localCheckpoint()
+    val (int8Ck, tInt8) = timedCk(knnQuantized(s, d))
+    val (pqCk, tPq) = timedCk(knnPq(s, d))
+    val (ivfCk, tIvf) = timedCk(knnIvf(s, d))
+    val (ivfPqCk, tIvfPq) = timedCk(knnIvfPq(s, d))
+    val (binCk, tBin) = timedCk(knnBinaryHamming(s, d))
+    val (hnswAll, tHnsw) = timedCk(hnswSearchAll(s, d))
+    val (hnswShardedAll, tHnswSh) = timedCk(hnswShardedSearchAll(s, d))
     val rows = Seq(
-      ("brute_fp32", recallOf(knnCosine(s, d)), 4L * dim, 1.0),
-      ("int8", recallOf(knnQuantized(s, d)), dim + 4L, 1.0),
-      ("pq_adc", recallOf(knnPq(s, d)), 8L, 1.0),
-      ("ivf_fp32", recallOf(knnIvf(s, d)), 4L * dim, ivfFrac),
-      ("ivf_pq", recallOf(knnIvfPq(s, d)), 8L, ivfFrac),
-      ("binary_sign", recallOf(knnBinaryHamming(s, d)), dim / 8L, 1.0),
+      ("brute_fp32", recallOf(bruteFull), 4L * dim, 1.0, tBrute),
+      ("int8", recallOf(int8Ck), dim + 4L, 1.0, tInt8),
+      ("pq_adc", recallOf(pqCk), 8L, 1.0, tPq),
+      ("ivf_fp32", recallOf(ivfCk), 4L * dim, ivfFrac, tIvf),
+      ("ivf_pq", recallOf(ivfPqCk), 8L, ivfFrac, tIvfPq),
+      ("binary_sign", recallOf(binCk), dim / 8L, 1.0, tBin),
       ("hnsw_fp32", recallOf(hnswAll), 4L * dim + 8L * HnswM0,
-        fracOf(hnswAll)),
+        fracOf(hnswAll), tHnsw),
       ("hnsw_sharded", recallOf(hnswShardedAll), 4L * dim + 8L * HnswM0,
-        fracOf(hnswShardedAll)))
+        fracOf(hnswShardedAll), tHnswSh))
     rows
   }
 }
