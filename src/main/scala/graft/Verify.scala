@@ -50,8 +50,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {{SF_DIR}} lets an oracle address a fixture FILE directly (DuckDB
+    // parquet_metadata() takes a path, not a view) — substituted with
+    // this run's sfDir at dump time, so the driver's DuckDB pass and
+    // tools/check.py both read a concrete path.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{SF_DIR}}", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

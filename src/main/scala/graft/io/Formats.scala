@@ -482,6 +482,60 @@ object Formats {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Query key `source_parquet_footer`: parquet FOOTER introspection —
+    * the metadata pass every 100 TB table-maintenance job runs before
+    * touching data (compaction planners read row-group sizes, pruning
+    * auditors read per-column value counts; the footer IS the table's
+    * layout contract). One row per (row group, column chunk) of the
+    * lineitem fixture: value count, compressed/uncompressed bytes,
+    * statistics null count — read through parquet-hadoop's
+    * ParquetFileReader with data pages never opened.
+    *
+    * Scale: file paths enumerate driver-side (a listing, not a read) and
+    * footers decode ON EXECUTORS via a typed flatMap — cost is
+    * footer-count-bounded, independent of table bytes. The oracle is
+    * DuckDB's parquet_metadata() over the SAME file (via the {{SF_DIR}}
+    * substitution in Verify's oracle dump), so a hash match certifies
+    * both engines read identical footer physics — row-group row counts,
+    * chunk byte sizes, null-count statistics — not a re-aggregation. */
+  def sourceParquetFooter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"$d/lineitem.parquet"
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(serConf.value)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted.toSeq
+      else Seq(root)
+    files.toDS()
+      .repartition(math.min(files.size, 32))
+      .flatMap { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), serConf.value))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+            case (b, rg) =>
+              b.getColumns.asScala.toSeq.map { c =>
+                (rg.toLong, c.getPath.toDotString, b.getRowCount,
+                  c.getValueCount, c.getTotalSize,
+                  c.getTotalUncompressedSize,
+                  Option(c.getStatistics).map(_.getNumNulls).getOrElse(-1L))
+              }
+          }
+        } finally reader.close()
+      }
+      .toDF("row_group_id", "path_in_schema", "row_group_num_rows",
+        "num_values", "total_compressed_size", "total_uncompressed_size",
+        "null_count")
+      .orderBy(col("row_group_id"), col("path_in_schema"))
+  }
+
   /** binaryFile roundtrip — the MULTIMODAL ingestion path: opaque payload
     * files land on storage, `format("binaryFile")` lifts them into (path,
     * length, content) rows, and identity joins on a key parsed from the

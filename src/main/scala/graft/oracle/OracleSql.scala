@@ -138,6 +138,19 @@ object OracleSql {
         "max(o_orderdate) AS max_date " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
+    // Footer introspection: both engines read the SAME parquet footer —
+    // the oracle is DuckDB's parquet_metadata() over the file itself
+    // ({{SF_DIR}} resolves at Verify dump time)
+    "source_parquet_footer" ->
+      ("SELECT row_group_id::BIGINT AS row_group_id, path_in_schema, " +
+        "row_group_num_rows::BIGINT AS row_group_num_rows, " +
+        "num_values::BIGINT AS num_values, " +
+        "total_compressed_size::BIGINT AS total_compressed_size, " +
+        "total_uncompressed_size::BIGINT AS total_uncompressed_size, " +
+        "coalesce(stats_null_count, -1)::BIGINT AS null_count " +
+        "FROM parquet_metadata('{{SF_DIR}}/lineitem.parquet') " +
+        "ORDER BY row_group_id, path_in_schema"),
+
     "source_orc" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty, " +
