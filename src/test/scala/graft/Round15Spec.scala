@@ -122,6 +122,28 @@ class Round15Spec extends SparkSpec {
     } finally dirs.close()
   }
 
+  // ------------------------------------------- harmonic edgeless guard
+
+  test("harmonicFrom: an edgeless graph yields an empty frame, not empty.reduce") {
+    import spark.implicits._
+    val und = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    val out = ops.Analytics.harmonicFrom(und, k = 16)
+    assert(out.columns.toSeq == Seq("part", "n_reached", "harmonic_est"))
+    assert(out.count() == 0)
+  }
+
+  // ------------------------------------------- report build_sec
+
+  test("ann report: build_sec present and the brute anchor's is positive") {
+    Memo.clear() // force a fresh assembly so build_sec is THIS measurement
+    val rep = ops.LlmPipeline.pipelineAnnReport(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rep.keySet.size == 8)
+    assert(rep.values.forall(_ >= 0.0))
+    assert(rep("brute_fp32") > 0.0,
+      "brute anchor materialization cannot measure as free")
+  }
+
   // ------------------------------------------- Memo contract
 
   test("Memo: concurrent consumers share ONE computation; serves are marked for the bench") {
