@@ -1329,11 +1329,15 @@ object Analytics {
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("p1"), col("p2"))
       .localCheckpoint()
+    // the fixed frames below checkpoint LAZILY (r15): each still
+    // truncates lineage and stores exactly once — the first loop round
+    // (or m's count, for e) forces it — without paying a dedicated
+    // driver job per frame up front
     val und1 = e.select(col("p1").as("src"), col("p2").as("dst"), lit(1L).as("w"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst"), lit(1L).as("w")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val deg1 = und1.groupBy(col("src")).agg(sum(col("w")).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val m = e.count().toDouble
     // phase 1: local moves on the original graph
     val comm1 = louvainMoves(und1, deg1, m, rounds = 4)
@@ -1350,19 +1354,19 @@ object Analytics {
       .select(least(col("c1"), col("c2")).as("a"),
         greatest(col("c1"), col("c2")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val selfW = superE.where(col("a") === col("b"))
       .select(col("a").as("src"), col("w").as("selfw"))
     val undS = superE.where(col("a") =!= col("b"))
     val und2 = undS.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(undS.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val deg2 = und2.groupBy(col("src")).agg(sum(col("w")).as("ext"))
       .join(selfW, Seq("src"), "full_outer")
       .select(col("src"),
         (coalesce(col("ext"), lit(0L)) +
           lit(2L) * coalesce(col("selfw"), lit(0L))).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val comm2 = louvainMoves(und2, deg2, m, rounds = 4)
     // unfold: original node → phase-1 community → phase-2 community
     val commFinal = comm1
@@ -2029,10 +2033,16 @@ object Analytics {
       // checkpoint h BEFORE deriving a from it: a's chain then reads the
       // materialized h blocks instead of replaying the h join — without
       // this the a-side checkpoint recomputes the h half-round a second
-      // time (measured 1.7× on the fixture graph)
+      // time (measured 1.7× on the fixture graph). The h checkpoint is
+      // LAZY (r15): it still stores-once — the eager a-side job is the
+      // first thing that computes it — so each round costs ONE driver
+      // job instead of two at the same replay-free semantics (paired
+      // A/B at sf0.1 measured neutral: the job saved is overlapped by
+      // the a-job's longer chain at this scale; kept for the barrier
+      // count, which is what a 1000-executor round pays).
       val hN = renorm(
         e.join(a, "dst").groupBy(col("src")).agg(sum(col("am")).as("hm")),
-        "src", "hm").localCheckpoint()
+        "src", "hm").localCheckpoint(eager = false)
       val aN = renorm(
         e.join(hN, "src").groupBy(col("dst")).agg(sum(col("hm")).as("am")),
         "dst", "am").localCheckpoint()
@@ -2090,13 +2100,19 @@ object Analytics {
       // frontier is a checkpointed LogicalRDD — Catalyst has no stats
       // for it and will NOT auto-broadcast; without the explicit hint
       // every step re-shuffles the graph-sized adjacency (measured 8 s
-      // of pure exchange at sf0.01)
+      // of pure exchange at sf0.01). Intermediate checkpoints are LAZY
+      // (each still truncates lineage and caches once); only the LAST
+      // step is eager, which materializes the whole chain — every
+      // earlier frontier is in its lineage — in ONE driver job instead
+      // of one per step (r15, measured −10% paired on the key; the rest
+      // of its time is the adjacency build), and leaves the adjacency
+      // safe to free below because nothing remains lazy.
       frontier = broadcast(frontier).join(adj, frontier("node") === adj("src"))
         .where(col("r") === pmod(
           xxhash64(col("node"), lit(t.toLong), col("walk_id")),
           col("deg")) + 1)
         .select(col("walk_id"), col("dst").as("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = t == steps)
       out = out.unionAll(
         frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
     }
@@ -2759,7 +2775,7 @@ object Analytics {
     import s.implicits._
     val fp = graft.Memo.fingerprint(d, "lineitem.parquet")
     lazy val fresh: Array[(Long, Long)] =
-      sccFrom(directedPartEdges(s, d))
+      sccFrom(sccEdgeRows(s, d, producer))
         .select(col("part"), col("scc_id"))
         .as[(Long, Long)]
         .collect()
@@ -2767,6 +2783,25 @@ object Analytics {
       if (producer) graft.Memo.refresh("scc_labels", fp)(fresh)
       else graft.Memo.getOrCompute("scc_labels", fp)(fresh)
     s.createDataset(rows.toIndexedSeq).toDF("part", "scc_id")
+  }
+
+  /** The directed (src, dst) edge set shared by the same producer/
+    * consumer pair (r15): the wedge self-join that derives it is the
+    * single largest phase of BOTH keys, and the result is the same
+    * dimension-sized class as the label array (part-catalog wedge pairs
+    * surviving the cnt ≥ 2 threshold — 4.2k rows at sf0.1), so it rides
+    * the same memo: graph_scc always rebuilds and refreshes, the
+    * condensation reads. */
+  private[graft] def sccEdgeRows(
+      s: SparkSession, d: String, producer: Boolean): DataFrame = {
+    import s.implicits._
+    val fp = graft.Memo.fingerprint(d, "lineitem.parquet")
+    lazy val fresh: Array[(Long, Long)] =
+      directedPartEdges(s, d).as[(Long, Long)].collect()
+    val rows =
+      if (producer) graft.Memo.refresh("scc_edges", fp)(fresh)
+      else graft.Memo.getOrCompute("scc_edges", fp)(fresh)
+    s.createDataset(rows.toIndexedSeq).toDF("src", "dst")
   }
 
   /** Iterative driver-side Tarjan over a REMAINDER core that already
@@ -2995,9 +3030,10 @@ object Analytics {
     * Pinned EXACT against a driver recompute from the Round13Spec
     * Tarjan (condensation edges + topological DP) at sf0.01. */
   def graphCondensation(s: SparkSession, d: String): DataFrame = {
-    val e = directedPartEdges(s, d).localCheckpoint()
-    // consumer of the shared labeling: memo hit when graph_scc (or an
-    // earlier condensation) already labeled this corpus in-session
+    // consumer of the shared labeling AND edge set: memo hit when
+    // graph_scc (or an earlier condensation) already derived them for
+    // this corpus in-session — a hit skips the wedge self-join entirely
+    val e = sccEdgeRows(s, d, producer = false).localCheckpoint()
     val comp = sccLabelRows(s, d, producer = false)
     val sizes = comp.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
     val ce = e

@@ -78,6 +78,11 @@ class CollectLintSpec extends AnyFunSuite {
       ("the (part, scc_id) label array — part-CATALOG (dimension) sized, " +
         "the Boruvka union-find adjudication; memoized so condensation " +
         "stops double-running the SCC fixpoint"),
+    ("Analytics.scala", "sccEdgeRows") ->
+      ("the thresholded directed wedge-pair edge set shared by the same " +
+        "producer/consumer pair — the same dimension-sized class as the " +
+        "label array (4.2k rows at sf0.1); graph_scc always rebuilds " +
+        "and refreshes, only the condensation reads"),
     ("Analytics.scala", "sccFrom") ->
       ("the hybrid tail's remainder core — collected ONLY behind the " +
         "size gate (<= 16384 nodes and <= 1M edges, both counted first), " +
