@@ -2573,24 +2573,28 @@ object Analytics {
       .agg(count(lit(1)).cast("double").as("r"))
       .as[(Long, Long, Double)]
       .localCheckpoint()
-    val items0 = ratings.map(_._2).distinct()
-      .map(i => (i, Array.tabulate(AlsK)(f => alsInit(i, f))))
-      .toDF("id", "q")
-      .localCheckpoint()
     // Materialize the two keyed ratings forms ONCE (fid = the fixed side
     // of each half-step), hash-partitioned to the session shuffle width.
     // localCheckpoint preserves outputPartitioning, so every subsequent
     // half-step join satisfies its distribution requirement without
     // re-exchanging the ratings — 2 upfront shuffles replace 2·AlsRounds
-    // in-loop ones (r14 verdict task 1).
+    // in-loop ones (r14 verdict task 1). Both are LAZY (r15): the first
+    // half-step's job stores each exactly once.
     val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
     val rdf0 = ratings.toDF("user", "item", "r")
     val byItem = rdf0
       .select(col("item").as("fid"), col("user").as("sid"), col("r"))
-      .repartition(shuffleN, col("fid")).localCheckpoint()
+      .repartition(shuffleN, col("fid")).localCheckpoint(eager = false)
     val byUser = rdf0
       .select(col("user").as("fid"), col("item").as("sid"), col("r"))
-      .repartition(shuffleN, col("fid")).localCheckpoint()
+      .repartition(shuffleN, col("fid")).localCheckpoint(eager = false)
+    // Item init rides byItem: distinct over its partitioning key needs
+    // NO exchange (byItem is already hash-partitioned by fid), where the
+    // prior ratings.map(_._2).distinct paid one (r15).
+    val items0 = byItem.select(col("fid")).distinct().as[Long]
+      .map(i => (i, Array.tabulate(AlsK)(f => alsInit(i, f))))
+      .toDF("id", "q")
+      .localCheckpoint(eager = false)
     // Lazy checkpoints: each half-step still truncates lineage (the
     // returned frame is a LogicalRDD either way), but materialization
     // folds into the NEXT half-step's job instead of paying a dedicated
