@@ -73,15 +73,24 @@ object Bench {
     // regression is visible in the artifact itself instead of hiding
     // inside machine drift (r14 verdict task 5: bpe_train's +20% took
     // judge archaeology to surface through a 14% calib shift).
-    val prior: Option[(Map[String, Double], Double)] =
+    // The comparison base is stamped into the emitted artifact as
+    // "delta_norm_prior_id" (content hash) + total/nq (ADVICE round-15):
+    // two back-to-back runs re-baseline on each other by construction
+    // here, and the stamp makes that auditable — a close whose prior-id
+    // is not the committed artifact's hash declares itself re-based.
+    val prior: Option[(Map[String, Double], Double, String, Double)] =
       try {
         val p = java.nio.file.Paths.get("BENCH_FULL.json")
         if (!java.nio.file.Files.exists(p)) None
         else {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val id = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(bytes).take(8).map(b => f"$b%02x").mkString
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+          val root = om.readTree(bytes)
           val cm = Option(root.get("calib_min")).orElse(
             Option(root.get("calib_sec"))).map(_.asDouble).getOrElse(0.0)
+          val pTotal = Option(root.get("value")).map(_.asDouble).getOrElse(0.0)
           val m = scala.collection.mutable.Map.empty[String, Double]
           Option(root.get("queries")).foreach { qs =>
             val it = qs.fields()
@@ -90,7 +99,7 @@ object Bench {
             }
           }
           if (m.isEmpty || cm <= 0) None
-          else Some((m.toMap, math.max(cm, 1e-3)))
+          else Some((m.toMap, math.max(cm, 1e-3), id, pTotal))
         }
       } catch { case _: Throwable => None }
     val runs = math.max(1,
@@ -184,16 +193,83 @@ object Bench {
     val sampleMap = scala.collection.mutable.LinkedHashMap.empty[
       String, scala.collection.mutable.ArrayBuffer[Double]]
     val firstErr = scala.collection.mutable.Map.empty[String, String]
-    var qIdx = 0
-    for (_ <- 1 to runs; name <- order) {
-      once(name, selected(name)) match {
-        case Right(t) =>
-          sampleMap.getOrElseUpdate(
-            name, scala.collection.mutable.ArrayBuffer.empty) += t
-        case Left(m) => if (!firstErr.contains(name)) firstErr(name) = m
+    // PAIRED mode (r15 verdict task 3): SPARK_GRAFT_PAIRED_REF points at a
+    // BUILT git worktree of the reference commit. After each in-process
+    // pass, one child JVM runs that worktree's graft.Bench over the same
+    // key set (RUNS=1, cwd = the worktree), so old/new samples of a key
+    // come from adjacent contention windows — the manual interleaved
+    // worktree protocol that was the only trustworthy signal on the
+    // contended r15 host, built in. The artifact gains "paired_ratio"
+    // (min(new samples) / min(old samples), the protocol's paired-mins
+    // estimator) plus the raw old samples; the quiet-close band test
+    // prefers paired_ratio over delta_norm when a key has one.
+    val pairedRef = sys.env.get("SPARK_GRAFT_PAIRED_REF")
+    val oldSampleMap = scala.collection.mutable.LinkedHashMap.empty[
+      String, scala.collection.mutable.ArrayBuffer[Double]]
+    def refPass(ref: String): Unit =
+      try {
+        val refDir = java.nio.file.Paths.get(ref).toAbsolutePath
+        val here = java.nio.file.Paths.get("").toAbsolutePath.toString
+        // the ref worktree's compiled classes REPLACE this repo's on the
+        // child classpath; everything else (spark jars, scala library)
+        // is shared — no version mixing, the graft namespace resolves
+        // only from the ref build
+        val cp = (refDir.resolve("target/scala-2.13/classes").toString +:
+          System.getProperty("java.class.path")
+            .split(java.io.File.pathSeparator).toSeq
+            .filterNot(_.startsWith(here + java.io.File.separator))
+            .filterNot(_ == here)).mkString(java.io.File.pathSeparator)
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val modOpts = org.apache.spark.launcher.JavaModuleOptions
+          .defaultModuleOptions().split("\\s+").filter(_.nonEmpty).toSeq
+        val xmx = "-Xmx" + (Runtime.getRuntime.maxMemory() >> 20) + "m"
+        val cmd = new java.util.ArrayList[String]()
+        (Seq(javaBin, xmx) ++ modOpts ++ Seq("-cp", cp, "graft.Bench"))
+          .foreach(cmd.add)
+        val pb = new ProcessBuilder(cmd)
+        pb.directory(refDir.toFile)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(java.lang.ProcessBuilder.Redirect.appendTo(
+          refDir.resolve("bench_paired_child.log").toFile))
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_RUNS", "1")
+        env.put("SPARK_GRAFT_CPUS", cpus)
+        env.put("SPARK_GRAFT_ONLY", order.mkString(","))
+        env.remove("SPARK_GRAFT_PAIRED_REF") // never recurse
+        val rc = pb.start().waitFor()
+        if (rc == 0) {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(java.nio.file.Files.readAllBytes(
+            refDir.resolve("BENCH_FULL.json")))
+          Option(root.get("queries")).foreach { qs =>
+            val it = qs.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              oldSampleMap.getOrElseUpdate(e.getKey,
+                scala.collection.mutable.ArrayBuffer.empty) +=
+                e.getValue.asDouble
+            }
+          }
+        } else System.err.println(
+          s"[bench] paired ref pass failed rc=$rc — see bench_paired_child.log")
+      } catch { case e: Throwable =>
+        System.err.println("[bench] paired ref pass error: " + e)
       }
-      qIdx += 1
-      if (qIdx % CalibEvery == 0) calibSeries += ((qIdx, calibOnce()))
+    var qIdx = 0
+    for (pass <- 1 to runs) {
+      for (name <- order) {
+        once(name, selected(name)) match {
+          case Right(t) =>
+            sampleMap.getOrElseUpdate(
+              name, scala.collection.mutable.ArrayBuffer.empty) += t
+          case Left(m) => if (!firstErr.contains(name)) firstErr(name) = m
+        }
+        qIdx += 1
+        if (qIdx % CalibEvery == 0) calibSeries += ((qIdx, calibOnce()))
+      }
+      pairedRef.foreach(refPass)
     }
     val results: Map[String, Either[String, Double]] = order.map { name =>
       name -> (sampleMap.get(name) match {
@@ -245,17 +321,34 @@ object Bench {
     // than the prior close after machine-speed normalization); prior
     // calib included so the ratio is reproducible from the two files.
     val deltaJson = prior match {
-      case Some((pq, pcal)) =>
+      case Some((pq, pcal, pid, pTotal)) =>
         val entries = ok.toSeq.sortBy(_._1).flatMap { case (k, v) =>
           pq.get(k).filter(_ > 0).map { pv =>
             "\"" + k + "\":" + fmt((v / calibMin) / (pv / pcal)) }
         }.mkString("{", ",", "}")
-        s""","delta_norm":$entries,"delta_norm_prior_calib_min":${fmt(pcal)}"""
+        s""","delta_norm":$entries,"delta_norm_prior_calib_min":${fmt(pcal)}""" +
+          s""","delta_norm_prior_id":"$pid","delta_norm_prior_total":${fmt(pTotal)}"""
       case None => ""
     }
     val memoJson = memoServed.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_min":${fmt(calibMin)},"value_per_calib":${fmt(totalPerCalib)},"calib_series":$calibJson,"queries":$fullQs,"samples":$fullSamples,"spread":$fullSpread,"memo_served":$memoJson$deltaJson,"errors":$fullEs,"n_err":${errs.size},"runs_per_query":$runs,"interleaved":true,"sf":"$sfDir"}"""
+    val pairedJson =
+      if (pairedRef.isEmpty || oldSampleMap.isEmpty) ""
+      else {
+        val ratios = order.flatMap { k =>
+          for {
+            ns <- sampleMap.get(k)
+            os <- oldSampleMap.get(k)
+            if ns.nonEmpty && os.nonEmpty
+          } yield "\"" + k + "\":" + fmt(ns.min / math.max(os.min, 1e-4))
+        }.mkString("{", ",", "}")
+        val oldS = oldSampleMap.toSeq.sortBy(_._1).map { case (k, ss) =>
+          "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        s""","paired_ratio":$ratios,"paired_old":$oldS""" +
+          s""","paired_ref":"${esc(pairedRef.get)}""""
+      }
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${ok.size},"calib_sec":${fmt(calib)},"calib_min":${fmt(calibMin)},"value_per_calib":${fmt(totalPerCalib)},"calib_series":$calibJson,"queries":$fullQs,"samples":$fullSamples,"spread":$fullSpread,"memo_served":$memoJson$deltaJson$pairedJson,"errors":$fullEs,"n_err":${errs.size},"runs_per_query":$runs,"interleaved":true,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not kill the bench

@@ -24,8 +24,15 @@ package graft
 object Memo {
   import scala.jdk.CollectionConverters._
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  // Values are CompletableFutures so the compute itself runs OUTSIDE the
+  // ConcurrentHashMap bin lock (ADVICE round-15): computeIfAbsent only
+  // installs the (cheap) future, then the installer completes it after
+  // the map call returns. A nested getOrCompute from inside a compute —
+  // sccLabelRows' consumer path re-entering for "scc_edges" — is then an
+  // ordinary map lookup, never a CHM "Recursive update", and concurrent
+  // callers on a shared bin never block behind a running Spark job.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[AnyRef]]()
 
   // Kernels SERVED from cache since the last drain — the bench reads this
   // per timed run to mark memo-served keys in BENCH_FULL.json, so a
@@ -78,19 +85,35 @@ object Memo {
 
   /** Consumer side: the cached value when the fingerprint is fresh, else
     * compute (and store, so sibling consumers share one computation).
-    * Atomic via computeIfAbsent: two concurrent consumers of the same
-    * (kernel, fingerprint) observe exactly ONE computation — the second
-    * blocks on the map bin until the first finishes (ADVICE round-14;
-    * the prior check-then-put could run compute twice under a race). */
+    * Exactly ONE caller per (kernel, fingerprint) installs a future and
+    * runs the compute — outside the map's bin lock; everyone else awaits
+    * that future. A failed compute removes its future so a later call
+    * retries instead of caching the exception forever. */
   def getOrCompute[T <: AnyRef](kernel: String, fp: Option[String])(
       compute: => T): T =
     fp match {
       case Some(f) =>
-        var computed = false
-        val v = cache.computeIfAbsent(kernel + ":" + f,
-          _ => { computed = true; compute })
-        if (!computed) served.add(kernel)
-        v.asInstanceOf[T]
+        val key = kernel + ":" + f
+        var mine: java.util.concurrent.CompletableFuture[AnyRef] = null
+        val fut = cache.computeIfAbsent(key, _ => {
+          mine = new java.util.concurrent.CompletableFuture[AnyRef]()
+          mine
+        })
+        if (mine ne null) {
+          try mine.complete(compute)
+          catch {
+            case e: Throwable =>
+              cache.remove(key, mine); mine.completeExceptionally(e); throw e
+          }
+          mine.join().asInstanceOf[T]
+        } else {
+          served.add(kernel)
+          try fut.join().asInstanceOf[T]
+          catch { // unwrap the installer's failure for a clean rethrow
+            case e: java.util.concurrent.CompletionException
+                if e.getCause != null => throw e.getCause
+          }
+        }
       case None => compute
     }
 
@@ -99,7 +122,8 @@ object Memo {
   def refresh[T <: AnyRef](kernel: String, fp: Option[String])(
       compute: => T): T = {
     val v = compute
-    fp.foreach(f => cache.put(kernel + ":" + f, v))
+    fp.foreach(f => cache.put(kernel + ":" + f,
+      java.util.concurrent.CompletableFuture.completedFuture(v: AnyRef)))
     v
   }
 

@@ -419,18 +419,27 @@ object Formats {
     orders.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(serConf.value)
         val name = s"part_$pid.avro"
+        // Write attempt-unique, rename into place on success (ADVICE
+        // round-15): a zombie first attempt under retry/speculation then
+        // writes its own temp file instead of interleaving into the
+        // container a later attempt is producing; the atomic replace
+        // makes the last finishing attempt the single deterministic
+        // winner the binaryFile pass decodes.
+        val tmpName = s".part_${pid}_attempt_${tc.taskAttemptId()}.avro.tmp"
+        val isLocal = fs.getUri.getScheme == "file"
         // scheme dispatch (the binaryFile-stage lesson): Hadoop's local
         // wrapper costs 20-50x per file vs java.nio
         val out: java.io.OutputStream =
-          if (fs.getUri.getScheme == "file") {
+          if (isLocal) {
             new java.io.File(dir).mkdirs()
             java.nio.file.Files.newOutputStream(
-              java.nio.file.Paths.get(dir, name))
-          } else fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+              java.nio.file.Paths.get(dir, tmpName))
+          } else fs.create(new org.apache.hadoop.fs.Path(base, tmpName), true)
         val w = new org.apache.avro.file.DataFileWriter(
           new org.apache.avro.generic.GenericDatumWriter[
             org.apache.avro.generic.GenericRecord](schema))
@@ -444,6 +453,19 @@ object Formats {
           rec.put("odate_us", r.getLong(4))
           w.append(rec)
         } finally w.close() // closes `out` too
+        if (isLocal) {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(dir, tmpName),
+            java.nio.file.Paths.get(dir, name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        } else {
+          val dst = new org.apache.hadoop.fs.Path(base, name)
+          fs.delete(dst, false)
+          fs.rename(new org.apache.hadoop.fs.Path(base, tmpName), dst)
+          ()
+        }
       }
     }
     s.read.format("binaryFile")

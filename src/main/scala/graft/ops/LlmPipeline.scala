@@ -5705,10 +5705,15 @@ object LlmPipeline {
     * centroid dot (the family's own coarse quantizer as the router —
     * exactly the knnIvf probe rule with a wider P), giving one
     * (cell, query) row per probe: an EQUI-join shape for the cogroup, no
-    * Cartesian. Shards are disjoint (one home cell per vector), so the
-    * global merge is the plain mergeable top-3 under the shared [[Top3]]
-    * rule — ids + scores only, exact doubles computed in-shard, never a
-    * second pass over vectors.
+    * Cartesian. Shard membership is REPLICATED — every vector soft-
+    * assigns to its top-[[HnswShardRepl]] cells (recall insurance at the
+    * cell boundary), so the same neighbor can surface from two shards;
+    * the global merge therefore dedups candidates by (id, exact score)
+    * BEFORE ranking — the duplicate's score is the same exact double
+    * from both shards, so the pair-dedup collapses it to one slot — and
+    * only then applies the shared mergeable [[Top3]] rule — ids + scores
+    * only, exact doubles computed in-shard, never a second pass over
+    * vectors.
     *
     * Every (query, shard) visit emits ONE carrier row with that shard's
     * n_scored even when the in-shard top-3 is empty (the ADVICE-r14

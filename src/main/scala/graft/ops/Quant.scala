@@ -281,12 +281,7 @@ object Quant {
     * the pin the whole coOrderPairs pipeline re-executes ~5×. */
   private[graft] def adamicAdarScored(
       s: SparkSession, d: String, sampled: Boolean): DataFrame = {
-    val edges = Analytics.coOrderPairs(s, d)
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .where(col("n_orders") >= 2)
-      .select(col("p1"), col("p2"))
-      .persist()
+    val edges = Analytics.coEdges(s, d).persist()
     // TRUE degrees from the full edge set — cheap (O(m) aggregate) and
     // required for an unbiased 1/ln(deg) weight under edge sampling
     val nbrs = edges.select(col("p1").as("u"), col("p2").as("v"))
@@ -330,10 +325,7 @@ object Quant {
   }
 
   def graphDegreeStats(s: SparkSession, d: String): DataFrame = {
-    val edges = Analytics.coOrderPairs(s, d)
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .where(col("n_orders") >= 2)
+    val edges = Analytics.coEdges(s, d)
     // ONE reference to the pair subtree: a union of two aliased selects
     // re-executes the collect_set pair kernel twice (alias-renamed copies
     // defeat exchange reuse — measured on triangle_count in r6); the
@@ -693,10 +685,8 @@ object Quant {
     // would otherwise re-run the lineitem scan + distinct twice
     val perPart = dl.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
       .persist()
-    val pairs = Analytics.coOrderPairs(s, d)
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= 2)
+    val pairs = Analytics.coPairCounts(s, d)
+      .select(col("p1"), col("p2"), col("cnt").as("n_ab"))
     pairs
       .join(broadcast(perPart.select(col("l_partkey").as("p1"),
         col("n_p").as("n_a"))), Seq("p1"))

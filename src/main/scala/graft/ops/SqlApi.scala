@@ -281,9 +281,7 @@ object SqlApi {
     // DuckDB materializes multi-referenced CTEs once, so the oracle twin
     // keeps the same edges as a CTE — identical relation, different
     // caching idiom, and the recursion core below is shared verbatim.
-    val e0 = Analytics.coOrderPairs(s, d)
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    val e0 = Analytics.coPairCounts(s, d)
     // the bench harness owns this cache entry (it clears the SQL cache
     // between queries); the op keeps it alive for the whole recursion
     e0.select(col("p1").as("src"), col("p2").as("dst"))

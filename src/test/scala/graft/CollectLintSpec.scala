@@ -83,6 +83,12 @@ class CollectLintSpec extends AnyFunSuite {
         "producer/consumer pair — the same dimension-sized class as the " +
         "label array (4.2k rows at sf0.1); graph_scc always rebuilds " +
         "and refreshes, only the condensation reads"),
+    ("Analytics.scala", "coPairCounts") ->
+      ("the canonical thresholded co-order pair-count kernel (3.6k rows " +
+        "at sf0.1), memoized for the whole graph family behind the same " +
+        "1M-row broadcast-tier gate as sccEdgeRows (per-partition " +
+        "take(gate+1) keeps the check inside the one collect job); " +
+        "assoc_pairs is the producer and always rebuilds"),
     ("Analytics.scala", "sccFrom") ->
       ("the hybrid tail's remainder core — collected ONLY behind the " +
         "size gate (<= 16384 nodes and <= 1M edges, both counted first), " +
