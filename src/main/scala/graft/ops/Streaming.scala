@@ -293,4 +293,89 @@ object Streaming {
     * exact per-cell distincts. */
   def streamKmvDistinct(s: SparkSession, d: String): DataFrame =
     kmvDistinctReadout(kmvDistinctTransform(Tables.events(s, d)))
+
+  /** Kinesis reshard assignment, shared by the batch twin and the replay
+    * test: the feed starts on two shards (shard = user_id % 2 — the
+    * partition-key hash role), and at the midpoint of the fixture's time
+    * range shard 1 SPLITS into children 2 and 3 (the next key bit,
+    * user_id >> 1, divides the parent's hash range — exactly how a
+    * Kinesis split partitions the parent's hash-key interval). Shard 0
+    * is untouched by the reshard and keeps its id in the child era, so
+    * the output also exercises the not-split case. Era membership is a
+    * pure function of the event time against the (min, max) epoch-second
+    * bounds — integer arithmetic on the floor grid
+    * (`unix_timestamp` floors; the oracle writes `floor(epoch(...))`),
+    * so both engines and the streaming replay agree on every boundary
+    * row. The one-row bounds frame enters via broadcast crossJoin — a
+    * scalar subquery, never a shuffle. */
+  def reshardAssign(events: DataFrame): DataFrame = {
+    val e = events.withColumn("sec", unix_timestamp(col("ts")))
+    val bounds = e.agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    e.crossJoin(broadcast(bounds))
+      .transform(df => shardCols(df, col("sec") < col("mn") +
+        floor((col("mx") - col("mn")) / 2).cast("long")))
+      .drop("sec", "mn", "mx")
+  }
+
+  /** Streaming-usable variant: the split second arrives precomputed (a
+    * real consumer learns the split boundary from the reshard control
+    * event, it never infers it from the feed — and a streaming frame
+    * cannot crossJoin its own min/max aggregate anyway). */
+  def reshardAssignAt(events: DataFrame, splitSec: Long): DataFrame =
+    shardCols(events, unix_timestamp(col("ts")) < lit(splitSec))
+
+  private def shardCols(df: DataFrame, isParent: Column): DataFrame = {
+    val p = col("user_id") % 2
+    df.withColumn("era", when(isParent, lit("parent")).otherwise(lit("child")))
+      .withColumn("shard_id",
+        when(col("era") === "parent", p)
+          .otherwise(when(p === 1,
+            lit(2L) + shiftright(col("user_id"), 1) % 2).otherwise(lit(0L))))
+  }
+
+  /** Per-(shard, era) profile of the resharded feed: row and distinct-
+    * user counts, value sum, time bounds. The era split makes the
+    * reshard visible in the output: shard 1 carries only parent-era
+    * rows (it closed at the split), shards 2/3 only child-era rows
+    * (they opened at it), shard 0 carries both. */
+  def reshardTransform(events: DataFrame): DataFrame =
+    reshardAssign(events)
+      .groupBy(col("shard_id"), col("era"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+
+  /** The STREAMABLE subset of the reshard profile — exact distinct
+    * counting is not a streaming aggregate, so the maintained table
+    * carries everything but n_users (which the batch twin and the
+    * oracle gate); Round16Spec compares on these columns. */
+  def reshardStreamAgg(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard_id"), col("era"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+
+  /** Query key `stream_reshard_replay`: Kinesis shard split/merge
+    * semantics on the replay stand-in (SURVEY.md §2.28). A long-lived
+    * Kinesis feed WILL hit a reshard, and the one ordering contract the
+    * plain replay did not model is that a child shard's records are
+    * consumed only after the parent is fully drained (per-key order
+    * across the split). This batch twin computes the post-reshard
+    * per-(shard, era) profile; Round16Spec drives the SAME
+    * [[reshardTransform]] from a two-phase replay — parent-era files
+    * drained to checkpoint FIRST, child-era files only then made
+    * visible, restart continuing from the same checkpoint — and pins
+    * (a) drain 1 consumed exactly the parent era (children gated),
+    * (b) every split-shard user's child-era rows land in a strictly
+    * later micro-batch than all their parent-era rows (the Kinesis
+    * contract), (c) the final maintained table equals this batch twin
+    * row-for-row.
+    *
+    * Scale: one broadcast bounds row + one (shard, era) aggregate —
+    * map-side combined, |shards| × 2 result rows; nothing about the
+    * assignment shuffles the feed. */
+  def streamReshardReplay(s: SparkSession, d: String): DataFrame =
+    reshardTransform(Tables.events(s, d))
+      .orderBy(col("shard_id"), col("era"))
 }
