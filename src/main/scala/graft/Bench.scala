@@ -194,15 +194,21 @@ object Bench {
       String, scala.collection.mutable.ArrayBuffer[Double]]
     val firstErr = scala.collection.mutable.Map.empty[String, String]
     // PAIRED mode (r15 verdict task 3): SPARK_GRAFT_PAIRED_REF points at a
-    // BUILT git worktree of the reference commit. After each in-process
-    // pass, one child JVM runs that worktree's graft.Bench over the same
-    // key set (RUNS=1, cwd = the worktree), so old/new samples of a key
-    // come from adjacent contention windows — the manual interleaved
-    // worktree protocol that was the only trustworthy signal on the
-    // contended r15 host, built in. The artifact gains "paired_ratio"
-    // (min(new samples) / min(old samples), the protocol's paired-mins
-    // estimator) plus the raw old samples; the quiet-close band test
-    // prefers paired_ratio over delta_norm when a key has one.
+    // BUILT git worktree of the reference commit. After the FIRST
+    // in-process pass, ONE child JVM runs that worktree's graft.Bench
+    // over the same key set with the SAME number of interleaved passes
+    // (cwd = the worktree), so the old block is sandwiched between the
+    // new side's pass 1 and passes 2..N — adjacent contention windows,
+    // the manual interleaved worktree protocol that was the only
+    // trustworthy signal on the contended r15 host, built in. One child
+    // with its own warm passes (NOT a fresh JVM per pass) keeps JIT
+    // parity: both sides' mins come from within-JVM warm runs — a
+    // per-pass RUNS=1 child design measured 2.5-5x inflation on
+    // UNTOUCHED keys purely from per-sample cold JVMs. The artifact
+    // gains "paired_ratio" (min(new samples) / min(old samples), the
+    // protocol's paired-mins estimator) plus the raw old samples; the
+    // quiet-close band test prefers paired_ratio over delta_norm when a
+    // key has one.
     val pairedRef = sys.env.get("SPARK_GRAFT_PAIRED_REF")
     val oldSampleMap = scala.collection.mutable.LinkedHashMap.empty[
       String, scala.collection.mutable.ArrayBuffer[Double]]
@@ -234,7 +240,7 @@ object Bench {
           refDir.resolve("bench_paired_child.log").toFile))
         val env = pb.environment()
         env.put("SPARK_GRAFT_SF_DIR", sfDir)
-        env.put("SPARK_GRAFT_RUNS", "1")
+        env.put("SPARK_GRAFT_RUNS", runs.toString)
         env.put("SPARK_GRAFT_CPUS", cpus)
         env.put("SPARK_GRAFT_ONLY", order.mkString(","))
         env.remove("SPARK_GRAFT_PAIRED_REF") // never recurse
@@ -243,13 +249,19 @@ object Bench {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val root = om.readTree(java.nio.file.Files.readAllBytes(
             refDir.resolve("BENCH_FULL.json")))
-          Option(root.get("queries")).foreach { qs =>
+          // prefer the child's raw per-pass samples (so paired_old shows
+          // the old side's full distribution); fall back to the min map
+          // for ref builds predating the samples field
+          val node = Option(root.get("samples")).getOrElse(root.get("queries"))
+          Option(node).foreach { qs =>
             val it = qs.fields()
             while (it.hasNext) {
               val e = it.next()
-              oldSampleMap.getOrElseUpdate(e.getKey,
-                scala.collection.mutable.ArrayBuffer.empty) +=
-                e.getValue.asDouble
+              val buf = oldSampleMap.getOrElseUpdate(e.getKey,
+                scala.collection.mutable.ArrayBuffer.empty)
+              if (e.getValue.isArray)
+                e.getValue.forEach(v => buf += v.asDouble)
+              else buf += e.getValue.asDouble
             }
           }
         } else System.err.println(
@@ -269,7 +281,7 @@ object Bench {
         qIdx += 1
         if (qIdx % CalibEvery == 0) calibSeries += ((qIdx, calibOnce()))
       }
-      pairedRef.foreach(refPass)
+      if (pass == 1) pairedRef.foreach(refPass)
     }
     val results: Map[String, Either[String, Double]] = order.map { name =>
       name -> (sampleMap.get(name) match {

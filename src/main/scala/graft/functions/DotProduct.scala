@@ -11,15 +11,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: dot product of two float32 vectors in
-  * double precision, left-to-right fold.
+/** Native Catalyst expression: dot product of two float32 (or float64)
+  * vectors in double precision, left-to-right fold — both operands must
+  * share an element type.
   *
   * This is the (b) rung of the custom-operator ladder (SURVEY.md §2.10 /
   * build brief): a codegen'd `Expression` — the generated Java loop runs
   * inside WholeStageCodegen with no per-row boxing, where a Scala UDF
   * would deserialize each array into a WrappedArray and box every
-  * element. The fold order matches DuckDB's list_sum, so results are
-  * oracle-comparable after Det rounding.
+  * element. The fold order matches DuckDB's list_sum AND the typed-map
+  * while-loop the ALS readout previously used, so results are
+  * oracle-comparable after Det rounding and the double path is
+  * bit-identical to the JVM fold (Round13Spec's replay pin holds
+  * unchanged).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,14 +31,22 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  private def isDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   // ExpectsInputTypes is private[sql] in Spark 4 — validate directly.
   override def checkInputDataTypes(): TypeCheckResult =
     Seq(left, right).map(_.dataType) match {
       case Seq(ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case Seq(ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(
-          s"graft_dot expects (array<float>, array<float>), got $other")
+          s"graft_dot expects (array<float>, array<float>) or " +
+            s"(array<double>, array<double>), got $other")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -43,7 +55,10 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    if (isDouble)
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    else
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     s
   }
 
@@ -52,11 +67,13 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val term = if (isDouble) s"$a.getDouble($i) * $b.getDouble($i)"
+        else s"(double) $a.getFloat($i) * (double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += $term;
          |}
          |${ev.value} = $acc;
        """.stripMargin

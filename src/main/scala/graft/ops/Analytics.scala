@@ -2617,30 +2617,44 @@ object Analytics {
       itemF = alsHalfStep(byUser, userF)
         .localCheckpoint(eager = false)
     }
-    // 2-hop candidates: parts co-ordered (cnt >= 2) with a part the
-    // customer bought, minus what they already bought
+    // Readout (r16 exchange pass): everything downstream of the loop
+    // rides ONE user-hash partitioning. The purchase pairs repartition
+    // by user ONCE; the 2-hop expansion joins the (memo-tier, tiny)
+    // co-order edge table on the stream side, so candidate generation,
+    // the already-bought pruning, and the user-factor join all see
+    // HashPartitioning(user) already satisfied. Already-bought pruning
+    // is a per-user set-containment filter (bought sets are
+    // basket-bounded) instead of a (user, item) anti join — the
+    // composite-key anti join forced BOTH sides to re-exchange on the
+    // pair. The dot product is the codegen'd graft_dot expression
+    // (double branch — identical left-to-right fold, so Round13Spec's
+    // bit-identity replay pin holds) rather than a typed map: the
+    // score column stays inside WholeStageCodegen and the top-k
+    // partial prunes to <= 5 rows per (user, partition) before the
+    // final result-sized exchange. Net: the 5 readout exchanges drop
+    // to the repartition, the item-factor join, and that pruned top-k
+    // merge.
+    graft.functions.DotProduct.register(s)
     val co = coEdges(s, d)
     val coSym = co.union(co.select(col("p2"), col("p1"))).toDF("item", "cand")
-    val rdf = ratings.toDF("user", "item", "r")
-    val cands = rdf.select(col("user"), col("item"))
+    val rdfU = ratings.toDF("user", "item", "r")
+      .select(col("user"), col("item"))
+      .repartition(shuffleN, col("user"))
+      .localCheckpoint(eager = false)
+    val bought = rdfU.groupBy(col("user"))
+      .agg(collect_set(col("item")).as("bought"))
+    val cands = rdfU
       .join(coSym, "item")
       .select(col("user"), col("cand").as("item")).distinct()
-      .join(rdf.select(col("user"), col("item")), Seq("user", "item"),
-        "left_anti")
-    // dot product in a typed JVM map (Catalyst HOF lambdas run
-    // interpreted — the CDC-chunker lesson), r4-snapped
+      .join(bought, "user")
+      .where(!array_contains(col("bought"), col("item")))
+      .select(col("user"), col("item"))
     val scored = cands
       .join(userF.select(col("id").as("user"), col("q").as("p")), "user")
       .join(itemF.select(col("id").as("item"), col("q")), "item")
-      .select(col("user"), col("item"), col("p"), col("q"))
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (u, i, p, q) =>
-        var acc = 0.0
-        var f = 0
-        while (f < p.length) { acc += p(f) * q(f); f += 1 }
-        (u, i, math.floor(acc * 10000 + 0.5) / 10000)
-      }
-      .toDF("user", "item", "score")
+      .select(col("user"), col("item"),
+        (floor(call_function("graft_dot", col("p"), col("q")) * 10000 + 0.5) /
+          10000).as("score"))
     graft.plans.TopKPerGroup.topK(scored, "user", "score", "item", 5)
       .select(col("user").as("c_custkey"), col("rn"),
         col("item").as("l_partkey"), col("score"))

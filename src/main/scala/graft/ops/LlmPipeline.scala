@@ -5666,24 +5666,34 @@ object LlmPipeline {
   // member of the graph-index family
   // ------------------------------------------------------------------
 
-  /** Sharded-rung knobs, tuned by MEASUREMENT at sf0.1 (recall@3 /
-    * candidate fraction vs the broadcast hnsw rung's 0.8982 / 0.3594):
-    *  - cells = HnswShardCellsMult × the IVF default: finer routing
-    *    cells improve the coverage/candidate-fraction trade (plain IVF
-    *    geometry) — mult 4 / probe 16 measured 0.8668 @ 0.517, mult 8 /
-    *    probe 32 measured 0.9127 @ 0.517;
+  /** Sharded-rung knobs, set by a MEASURED frontier sweep at sf0.1
+    * (graft.HnswSweep, r16 — 28 points over cellsMult {4,8,16} × repl
+    * {2,3,4} × probe {8..64}; recall@3 / candidate fraction vs the
+    * broadcast hnsw rung's 0.8982 / 0.3594):
+    *  - cells = HnswShardCellsMult × the IVF default. The sweep's
+    *    headline: at a FIXED candidate fraction, more + smaller cells
+    *    win — at frac 0.388, mult 4 / repl 3 / probe 8 → 0.799,
+    *    mult 8 / repl 2 / probe 24 → 0.859, mult 16 / repl 2 /
+    *    probe 48 → 0.9228 (finer routing spends the same scored
+    *    candidates closer to the query; in-shard HNSW quality does not
+    *    degrade measurably down to ~30-member shards);
     *  - every vector is SOFT-ASSIGNED to its top-[[HnswShardRepl]] cells
     *    (replicated shard membership: a neighbor straddling a cell
     *    boundary stays findable from both sides — the multi-assignment
-    *    trick of IVF spill lists; hard assignment measured 0.686);
+    *    trick of IVF spill lists; hard assignment measured 0.686 in
+    *    r15). repl 3 at the same frac is a wash (16/3/32 → 0.9180)
+    *    while paying 1.5× build replication, so repl stays 2;
     *  - each query probes its top-[[HnswShardProbes]] cells.
-    * Net: recall ≥ the broadcast rung at a sub-full candidate fraction
-    * (Round15Spec pins both at sf0.1 — the sub-full property needs the
-    * 2000-vector fixture; at 500 vectors probe×repl legitimately covers
-    * everything, the knn_hnsw beam-width precedent). */
-  private val HnswShardCellsMult = 8
+    * The shipped point (16, 2, 48): recall 0.9228 at frac 0.3884 —
+    * strictly dominating the r15 default (8, 2, 32)'s 0.9127 @ 0.5174
+    * and meeting the r15-verdict target (≥0.90 recall at ≤0.40 frac).
+    * Round15Spec pins recall ≥ broadcast AND frac ≤ 0.45 at sf0.1 (the
+    * sub-full property needs the 2000-vector fixture; at 500 vectors
+    * probe×repl legitimately covers everything, the knn_hnsw beam-width
+    * precedent). */
+  private val HnswShardCellsMult = 16
   private val HnswShardRepl = 2
-  private val HnswShardProbes = 32
+  private val HnswShardProbes = 48
 
   /** The sharded HNSW search kernel: (vec_id, rn, b_id, score, n_scored).
     *
@@ -5727,16 +5737,19 @@ object LlmPipeline {
     * shard — partitioning-invariant by construction (Round15Spec pins
     * identical output under different shuffle widths). */
   private[graft] def hnswShardedSearchAll(
-      s: SparkSession, d: String): DataFrame = {
+      s: SparkSession, d: String,
+      cellsMult: Int = HnswShardCellsMult,
+      repl: Int = HnswShardRepl,
+      probes: Int = HnswShardProbes): DataFrame = {
     import s.implicits._
     val v = vecs(s, d).localCheckpoint()
     val nVec = v.count()
-    val nCells = HnswShardCellsMult *
+    val nCells = cellsMult *
       math.max(8, math.ceil(math.sqrt(nVec.toDouble / 8)).toInt)
     val cents = ivfCentroids(v, nCells)
     val bcC = graft.Broadcasts.track(s.sparkContext.broadcast(cents))
-    val nProbe = math.min(HnswShardProbes, cents.length)
-    val nRepl = math.min(HnswShardRepl, cents.length)
+    val nProbe = math.min(probes, cents.length)
+    val nRepl = math.min(repl, cents.length)
     val shards = v
       .flatMap { case (id, e) =>
         bcC.value.map { case (cid, c) => (cid, dot(e, c)) }

@@ -88,8 +88,11 @@ class Round15Spec extends SparkSpec {
     info(f"sharded recall=$rS%.4f vs broadcast=$rB%.4f; cand frac=$frac%.4f")
     assert(rS >= rB,
       f"sharded recall $rS%.4f fell below the broadcast rung $rB%.4f")
-    assert(frac < 1.0,
-      f"sharded rung scored $frac%.2f of the collection — not sub-full")
+    // r16 knob sweep shipped (16, 2, 48): 0.9228 recall at frac 0.3884 —
+    // the band below holds the swept frontier, not just sub-fullness
+    assert(frac <= 0.45,
+      f"sharded rung scored $frac%.2f of the collection — above the " +
+        "swept frontier band (<= 0.45)")
   }
 
   // ------------------------------------------- source_avro
