@@ -294,50 +294,63 @@ object Streaming {
   def streamKmvDistinct(s: SparkSession, d: String): DataFrame =
     kmvDistinctReadout(kmvDistinctTransform(Tables.events(s, d)))
 
-  /** Kinesis reshard assignment, shared by the batch twin and the replay
-    * test: the feed starts on two shards (shard = user_id % 2 — the
-    * partition-key hash role), and at the midpoint of the fixture's time
-    * range shard 1 SPLITS into children 2 and 3 (the next key bit,
-    * user_id >> 1, divides the parent's hash range — exactly how a
-    * Kinesis split partitions the parent's hash-key interval). Shard 0
-    * is untouched by the reshard and keeps its id in the child era, so
-    * the output also exercises the not-split case. Era membership is a
-    * pure function of the event time against the (min, max) epoch-second
-    * bounds — integer arithmetic on the floor grid
-    * (`unix_timestamp` floors; the oracle writes `floor(epoch(...))`),
-    * so both engines and the streaming replay agree on every boundary
-    * row. The one-row bounds frame enters via broadcast crossJoin — a
-    * scalar subquery, never a shuffle. */
+  /** Kinesis reshard assignment — one SPLIT and one MERGE — shared by
+    * the batch twin and the replay test. The feed starts on two shards
+    * (shard = user_id % 2 — the partition-key hash role); at the first
+    * third of the fixture's time range shard 1 SPLITS into children 2
+    * and 3 (the next key bit, user_id >> 1, divides the parent's hash
+    * range — exactly how a Kinesis split partitions the parent's
+    * hash-key interval); at the second third, 2 and 3 MERGE into shard
+    * 4 (adjacent hash ranges re-join — the Kinesis merge, whose child
+    * is gated on BOTH parents draining). Shard 0 is untouched
+    * throughout, so the output also exercises the not-resharded case.
+    * Era membership is a pure function of the event time against the
+    * (min, max) epoch-second bounds — integer arithmetic on the floor
+    * grid (`unix_timestamp` floors; the oracle writes
+    * `floor(epoch(...))`), so both engines and the streaming replay
+    * agree on every boundary row. The one-row bounds frame enters via
+    * broadcast crossJoin — a scalar subquery, never a shuffle. */
   def reshardAssign(events: DataFrame): DataFrame = {
     val e = events.withColumn("sec", unix_timestamp(col("ts")))
     val bounds = e.agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    val span = col("mx") - col("mn")
     e.crossJoin(broadcast(bounds))
-      .transform(df => shardCols(df, col("sec") < col("mn") +
-        floor((col("mx") - col("mn")) / 2).cast("long")))
+      .transform(df => shardCols(df,
+        col("sec") < col("mn") + floor(span / 3).cast("long"),
+        col("sec") < col("mn") + floor(span * 2 / 3).cast("long")))
       .drop("sec", "mn", "mx")
   }
 
-  /** Streaming-usable variant: the split second arrives precomputed (a
-    * real consumer learns the split boundary from the reshard control
-    * event, it never infers it from the feed — and a streaming frame
-    * cannot crossJoin its own min/max aggregate anyway). */
-  def reshardAssignAt(events: DataFrame, splitSec: Long): DataFrame =
-    shardCols(events, unix_timestamp(col("ts")) < lit(splitSec))
+  /** Streaming-usable variant: the split/merge seconds arrive
+    * precomputed (a real consumer learns reshard boundaries from the
+    * reshard control events, it never infers them from the feed — and a
+    * streaming frame cannot crossJoin its own min/max aggregate
+    * anyway). */
+  def reshardAssignAt(
+      events: DataFrame, splitSec: Long, mergeSec: Long): DataFrame =
+    shardCols(events, unix_timestamp(col("ts")) < lit(splitSec),
+      unix_timestamp(col("ts")) < lit(mergeSec))
 
-  private def shardCols(df: DataFrame, isParent: Column): DataFrame = {
+  private def shardCols(
+      df: DataFrame, isParent: Column, preMerge: Column): DataFrame = {
     val p = col("user_id") % 2
-    df.withColumn("era", when(isParent, lit("parent")).otherwise(lit("child")))
+    val child = lit(2L) + shiftright(col("user_id"), 1) % 2
+    df.withColumn("era",
+      when(isParent, lit("parent"))
+        .when(preMerge, lit("split")).otherwise(lit("merged")))
       .withColumn("shard_id",
         when(col("era") === "parent", p)
-          .otherwise(when(p === 1,
-            lit(2L) + shiftright(col("user_id"), 1) % 2).otherwise(lit(0L))))
+          .when(col("era") === "split",
+            when(p === 1, child).otherwise(lit(0L)))
+          .otherwise(when(p === 1, lit(4L)).otherwise(lit(0L))))
   }
 
   /** Per-(shard, era) profile of the resharded feed: row and distinct-
-    * user counts, value sum, time bounds. The era split makes the
-    * reshard visible in the output: shard 1 carries only parent-era
-    * rows (it closed at the split), shards 2/3 only child-era rows
-    * (they opened at it), shard 0 carries both. */
+    * user counts, value sum, time bounds. The era column makes both
+    * reshard events visible in the output: shard 1 carries only
+    * parent-era rows (it closed at the split), shards 2/3 only
+    * split-era rows (they opened at the split and closed at the merge),
+    * shard 4 only merged-era rows, and shard 0 spans all three eras. */
   def reshardTransform(events: DataFrame): DataFrame =
     reshardAssign(events)
       .groupBy(col("shard_id"), col("era"))
@@ -356,21 +369,22 @@ object Streaming {
         round(sum(col("value")), 2).as("sum_value"),
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
 
-  /** Query key `stream_reshard_replay`: Kinesis shard split/merge
+  /** Query key `stream_reshard_replay`: Kinesis shard split AND merge
     * semantics on the replay stand-in (SURVEY.md §2.28). A long-lived
-    * Kinesis feed WILL hit a reshard, and the one ordering contract the
+    * Kinesis feed WILL hit reshards, and the one ordering contract the
     * plain replay did not model is that a child shard's records are
-    * consumed only after the parent is fully drained (per-key order
-    * across the split). This batch twin computes the post-reshard
-    * per-(shard, era) profile; Round16Spec drives the SAME
-    * [[reshardTransform]] from a two-phase replay — parent-era files
-    * drained to checkpoint FIRST, child-era files only then made
-    * visible, restart continuing from the same checkpoint — and pins
-    * (a) drain 1 consumed exactly the parent era (children gated),
-    * (b) every split-shard user's child-era rows land in a strictly
-    * later micro-batch than all their parent-era rows (the Kinesis
-    * contract), (c) the final maintained table equals this batch twin
-    * row-for-row.
+    * consumed only after its parent(s) fully drain — one parent for a
+    * split, BOTH parents for a merge (per-key order across the
+    * reshard). This batch twin computes the post-reshard per-(shard,
+    * era) profile; Round16Spec drives the SAME [[reshardTransform]]
+    * from a three-phase replay — parent-era files drained to checkpoint
+    * FIRST, split-era files only then made visible, merged-era files
+    * only after the split era drains, each restart continuing from the
+    * same checkpoint — and pins (a) each drain consumed exactly its
+    * era (children gated on parent drain; the merged shard gated on
+    * both parents), (b) every user's rows land in strictly later
+    * micro-batches era over era (the Kinesis contract), (c) the final
+    * maintained table equals this batch twin row-for-row.
     *
     * Scale: one broadcast bounds row + one (shard, era) aggregate —
     * map-side combined, |shards| × 2 result rows; nothing about the

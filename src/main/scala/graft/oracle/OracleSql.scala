@@ -1124,18 +1124,23 @@ object OracleSql {
     "stream_dedup_watermark" ->
       ("SELECT event_id, user_id, event_type FROM events ORDER BY event_id"),
 
-    // Kinesis reshard stand-in: shard 1 splits into 2/3 at the midpoint
-    // of the fixture's time range; era membership on the floor-epoch grid
-    // (Spark unix_timestamp floors; DuckDB epoch() rounds, hence floor())
+    // Kinesis reshard stand-in: shard 1 splits into 2/3 at the first
+    // third of the fixture's time range, 2/3 merge into 4 at the second
+    // third; era membership on the floor-epoch grid (Spark
+    // unix_timestamp floors; DuckDB epoch() rounds, hence floor())
     "stream_reshard_replay" ->
       ("WITH b AS (SELECT min(floor(epoch(ts))::BIGINT) AS mn, " +
         "max(floor(epoch(ts))::BIGINT) AS mx FROM events), " +
         "e AS (SELECT user_id, value, ts, floor(epoch(ts))::BIGINT AS sec, " +
         "user_id % 2 AS p FROM events), " +
         "a AS (SELECT user_id, value, ts, " +
-        "CASE WHEN sec < mn + (mx - mn) // 2 THEN 'parent' ELSE 'child' END AS era, " +
-        "CASE WHEN sec < mn + (mx - mn) // 2 THEN p " +
-        "WHEN p = 1 THEN 2 + ((user_id >> 1) % 2) ELSE 0 END AS shard_id " +
+        "CASE WHEN sec < mn + (mx - mn) // 3 THEN 'parent' " +
+        "WHEN sec < mn + (2 * (mx - mn)) // 3 THEN 'split' " +
+        "ELSE 'merged' END AS era, " +
+        "CASE WHEN sec < mn + (mx - mn) // 3 THEN p " +
+        "WHEN sec < mn + (2 * (mx - mn)) // 3 THEN " +
+        "(CASE WHEN p = 1 THEN 2 + ((user_id >> 1) % 2) ELSE 0 END) " +
+        "ELSE (CASE WHEN p = 1 THEN 4 ELSE 0 END) END AS shard_id " +
         "FROM e, b) " +
         "SELECT shard_id, era, count(*) AS n_events, " +
         "count(DISTINCT user_id) AS n_users, " +
