@@ -855,7 +855,11 @@ class PlanSpec extends SparkSpec {
       // stream_drift_psi's class; the composed report inherits it
       "privacy_t_closeness", "pipeline_privacy_report",
       // one-row p10 boundary fold (analytics_pareto's recipe)
-      "embedding_outlier_knn")
+      "embedding_outlier_knn",
+      // r16: the reshard assignment folds the one-row (min, max)
+      // epoch-second bounds back over the feed — the scalar fold-back
+      // idiom; shard/era routing itself is pure column arithmetic
+      "stream_reshard_replay")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

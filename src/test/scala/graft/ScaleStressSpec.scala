@@ -361,13 +361,18 @@ class ScaleStressSpec extends SparkSpec {
     // video framestats 1.1x (map-only byte loop, the audio tier)
     ("knn_hnsw", 10.0, 25.0),
     // r15 new keys, measured at 16x the round they ship: hnsw_sharded
-    // 1.7x (cell count grows as sqrt(n) so shards thicken slowly; the
+    // 1.7x (re-measured 1.9x after the r16 knob sweep's finer cells —
+    // cell count grows as sqrt(n) so shards thicken slowly; the
     // in-shard O(size^2) build is the watched term — the 15x tier traps
     // it going quadratic); avro 1.4x (row-linear encode/decode, one
     // container per partition)
     ("knn_hnsw_sharded", 15.0, 25.0),
     ("source_avro", 10.0, 20.0),
     ("sql_merge_upsert", 10.0, 20.0),
+    // r16 new key, measured at 16x the round it ships: reshard replay
+    // 1.2x (one broadcast bounds row + a map-side-combined (shard, era)
+    // aggregate — row-linear with a fixed 10-row output)
+    ("stream_reshard_replay", 10.0, 20.0),
     ("multimodal_video_framestats", 10.0, 20.0),
     // min-of-2 times the CONSUMER path here (run 1 builds + stores the
     // forest memo, run 2 serves it), so the ratio measures the cut's own
