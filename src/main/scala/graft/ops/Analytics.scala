@@ -2577,50 +2577,69 @@ object Analytics {
     * Oracle-exempt (iterative multi-join fixpoint). */
   def recommendAls(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ratings = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
-      .agg(count(lit(1)).cast("double").as("r"))
-      .as[(Long, Long, Double)]
-      .localCheckpoint()
-    // Materialize the two keyed ratings forms ONCE (fid = the fixed side
-    // of each half-step), hash-partitioned to the session shuffle width.
-    // localCheckpoint preserves outputPartitioning, so every subsequent
-    // half-step join satisfies its distribution requirement without
-    // re-exchanging the ratings — 2 upfront shuffles replace 2·AlsRounds
-    // in-loop ones (r14 verdict task 1). Both are LAZY (r15): the first
-    // half-step's job stores each exactly once.
+    // The WHOLE factorization chain (ratings build, keyed forms, init, 8
+    // half-steps) compiles with AQE OFF (restored before the readout
+    // compiles): the loop's plan shapes are fixed and already
+    // co-partitioned, so adaptive re-planning buys nothing here but
+    // charges a query-stage materialization barrier per shuffle per
+    // half-step — measured 23% of the key's warm time at sf0.1 (paired
+    // windows, 7.00 s -> 5.42 s). Static compile keeps the identical
+    // exchange structure (EnsureRequirements sees the same
+    // HashPartitioning(fid) inputs); results are bit-identical (the
+    // integer-grid sums are partitioning-free) — Round13Spec's replay
+    // and invariance pins run unchanged. Safe to toggle session conf
+    // here: the engine's execution surfaces (Verify, Bench, the test
+    // suites in the forked JVM) run queries sequentially.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.get(aqeKey, "true")
     val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val rdf0 = ratings.toDF("user", "item", "r")
-    val byItem = rdf0
-      .select(col("item").as("fid"), col("user").as("sid"), col("r"))
-      .repartition(shuffleN, col("fid")).localCheckpoint(eager = false)
-    val byUser = rdf0
-      .select(col("user").as("fid"), col("item").as("sid"), col("r"))
-      .repartition(shuffleN, col("fid")).localCheckpoint(eager = false)
-    // Item init rides byItem: distinct over its partitioning key needs
-    // NO exchange (byItem is already hash-partitioned by fid), where the
-    // prior ratings.map(_._2).distinct paid one (r15).
-    val items0 = byItem.select(col("fid")).distinct().as[Long]
-      .map(i => (i, Array.tabulate(AlsK)(f => alsInit(i, f))))
-      .toDF("id", "q")
-      .localCheckpoint(eager = false)
-    // Lazy checkpoints: each half-step still truncates lineage (the
-    // returned frame is a LogicalRDD either way), but materialization
-    // folds into the NEXT half-step's job instead of paying a dedicated
-    // eager count per step — 8 driver jobs and their AQE stage overhead
-    // drop out of the loop. The last userF/itemF materialize inside the
-    // readout join.
     var userF: DataFrame = null
-    var itemF: DataFrame = items0
-    for (_ <- 1 to AlsRounds) {
-      userF = alsHalfStep(byItem, itemF)
+    var itemF: DataFrame = null
+    var ratings: org.apache.spark.sql.Dataset[(Long, Long, Double)] = null
+    try {
+      s.conf.set(aqeKey, "false")
+      ratings = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(count(lit(1)).cast("double").as("r"))
+        .as[(Long, Long, Double)]
+        .localCheckpoint()
+      // Materialize the two keyed ratings forms ONCE (fid = the fixed
+      // side of each half-step), hash-partitioned to the session shuffle
+      // width. localCheckpoint preserves outputPartitioning, so every
+      // subsequent half-step join satisfies its distribution requirement
+      // without re-exchanging the ratings — 2 upfront shuffles replace
+      // 2·AlsRounds in-loop ones (r14 verdict task 1). Both are LAZY
+      // (r15): the first half-step's job stores each exactly once.
+      val rdf0 = ratings.toDF("user", "item", "r")
+      val byItem = rdf0
+        .select(col("item").as("fid"), col("user").as("sid"), col("r"))
+        .repartition(shuffleN, col("fid")).localCheckpoint(eager = false)
+      val byUser = rdf0
+        .select(col("user").as("fid"), col("item").as("sid"), col("r"))
+        .repartition(shuffleN, col("fid")).localCheckpoint(eager = false)
+      // Item init rides byItem: distinct over its partitioning key needs
+      // NO exchange (byItem is already hash-partitioned by fid), where
+      // the prior ratings.map(_._2).distinct paid one (r15).
+      val items0 = byItem.select(col("fid")).distinct().as[Long]
+        .map(i => (i, Array.tabulate(AlsK)(f => alsInit(i, f))))
+        .toDF("id", "q")
         .localCheckpoint(eager = false)
-      itemF = alsHalfStep(byUser, userF)
-        .localCheckpoint(eager = false)
-    }
+      // Lazy checkpoints: each half-step still truncates lineage (the
+      // returned frame is a LogicalRDD either way), but materialization
+      // folds into the NEXT half-step's job instead of paying a
+      // dedicated eager count per step. The last userF/itemF materialize
+      // inside the readout join.
+      itemF = items0
+      for (_ <- 1 to AlsRounds) {
+        userF = alsHalfStep(byItem, itemF)
+          .localCheckpoint(eager = false)
+        itemF = alsHalfStep(byUser, userF)
+          .localCheckpoint(eager = false)
+      }
+    } finally s.conf.set(aqeKey, aqePrev)
     // Readout (r16 exchange pass): everything downstream of the loop
     // rides ONE user-hash partitioning. The purchase pairs repartition
     // by user ONCE; the 2-hop expansion joins the (memo-tier, tiny)
