@@ -1144,6 +1144,44 @@ object Quant {
           (acc, x) => acc + x.getField("term")), 6).as("kl_uniform"))
   }
 
+  /** Query key `corpus_temperature_sample`: temperature-weighted
+    * multilingual sampling — the standard low-resource upweighting
+    * formula of multilingual LM training (q_l ∝ p_l^α with α = 0.3; the
+    * mT5/XLM-R recipe): high-resource languages are downsampled
+    * sub-linearly so the tail survives without exploding its epoch
+    * count. Output per language: observed share p, temperature share q,
+    * the integer per-10k-documents sampling quota, and the boost factor
+    * q/p (> 1 = upweighted). The normalizer Z = Σ p^α is an inexact
+    * double sum, so it accumulates LEFT-TO-RIGHT IN LANG ORDER through
+    * one sorted-array `aggregate` fold ([[corpusKlBalance]]'s recipe —
+    * the same IEEE addition sequence as the oracle's running window);
+    * the quota floors the 6-dp-rounded q so both engines floor the same
+    * double.
+    *
+    * Scale: |langs| rows after one partial-aggregable count; the two
+    * one-row folds (total, Z) ride broadcast crossJoins — nothing about
+    * the corpus size reaches the driver. */
+  def corpusTemperatureSample(s: SparkSession, d: String): DataFrame = {
+    val alpha = 0.3
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).as("n"))))
+      .withColumn("p", col("n_docs").cast("double") / col("n").cast("double"))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+    val z = counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("pa")))).as("a"))
+      .select(aggregate(col("a"), lit(0.0),
+        (acc, x) => acc + x.getField("pa")).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 6).as("p"),
+        round(col("pa") / col("z"), 6).as("q"),
+        floor(round(col("pa") / col("z"), 6) * 1e4).cast("long").as("per_10k"),
+        round(col("pa") / col("z") / col("p"), 4).as("boost"))
+      .orderBy(col("lang"))
+  }
+
   /** Query key `ts_stl_decompose`: STL-lite seasonal/trend decomposition
     * of the per-event-type daily series — the DECOMPOSITION companion of
     * the smoothing ladder (Holt–Winters FORECASTS through learned

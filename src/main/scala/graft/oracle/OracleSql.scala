@@ -3211,6 +3211,24 @@ object OracleSql {
         "floor(kl_run * 1000000 + 0.5) / 1000000.0 AS kl_uniform " +
         "FROM w WHERE rn = k"),
 
+    // temperature sampling: Z = sum(p^0.3) folds left-to-right in lang
+    // order (running window == the engine's sorted-array aggregate)
+    "corpus_temperature_sample" ->
+      ("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "t AS (SELECT lang, n_docs, (SELECT count(*) FROM documents) AS n FROM c), " +
+        "x AS (SELECT lang, n_docs, n_docs::DOUBLE / n::DOUBLE AS p, " +
+        "pow(n_docs::DOUBLE / n::DOUBLE, 0.3) AS pa FROM t), " +
+        "w AS (SELECT *, sum(pa) OVER (ORDER BY lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z_run, " +
+        "count(*) OVER () AS k, row_number() OVER (ORDER BY lang) AS rn FROM x), " +
+        "z AS (SELECT z_run AS z FROM w WHERE rn = k) " +
+        "SELECT lang, n_docs, " +
+        "floor(p * 1000000 + 0.5) / 1000000.0 AS p, " +
+        "floor(pa / z * 1000000 + 0.5) / 1000000.0 AS q, " +
+        "floor((floor(pa / z * 1000000 + 0.5) / 1000000.0) * 10000)::BIGINT AS per_10k, " +
+        "floor(pa / z / p * 10000 + 0.5) / 10000.0 AS boost " +
+        "FROM x, z ORDER BY lang"),
+
     // two-way seasonal residual: exact cent sums per weekday/hour/global,
     // one affine double chain spelled identically
     "ts_seasonal_residual" ->

@@ -859,7 +859,10 @@ class PlanSpec extends SparkSpec {
       // r16: the reshard assignment folds the one-row (min, max)
       // epoch-second bounds back over the feed — the scalar fold-back
       // idiom; shard/era routing itself is pure column arithmetic
-      "stream_reshard_replay")
+      "stream_reshard_replay",
+      // r16: two one-row folds (corpus total, temperature normalizer Z)
+      // over the |langs|-row aggregate — corpus_kl_balance's class
+      "corpus_temperature_sample")
     val found = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
