@@ -431,6 +431,21 @@ object Analytics {
   private[graft] def coPairCounts(
       s: SparkSession, d: String, producer: Boolean = false): DataFrame = {
     import s.implicits._
+    coPairArr(s, d, producer) match {
+      case Some(rows) =>
+        s.createDataset(rows.toIndexedSeq).toDF("p1", "p2", "cnt")
+      case None => coPairCountsBuild(s, d)
+    }
+  }
+
+  /** The gated driver-side form of the thresholded pair counts — the
+    * memo value itself (r16 split so the graph loops can derive their
+    * static compile width from the edge count the memo already has;
+    * see [[graft.LoopConf]]). */
+  private[graft] def coPairArr(
+      s: SparkSession, d: String, producer: Boolean = false)
+      : Option[Array[(Long, Long, Long)]] = {
+    import s.implicits._
     val fp = graft.Memo.fingerprint(d, "lineitem.parquet")
     val gate = 1000000
     lazy val fresh: Option[Array[(Long, Long, Long)]] = {
@@ -439,15 +454,23 @@ object Analytics {
       if (arr.length > gate) None
       else Some(arr.sortBy(t => (t._1, t._2)))
     }
-    val memo =
-      if (producer) graft.Memo.refresh("co_edges_w", fp)(fresh)
-      else graft.Memo.getOrCompute("co_edges_w", fp)(fresh)
-    memo match {
-      case Some(rows) =>
-        s.createDataset(rows.toIndexedSeq).toDF("p1", "p2", "cnt")
-      case None => coPairCountsBuild(s, d)
-    }
+    if (producer) graft.Memo.refresh("co_edges_w", fp)(fresh)
+    else graft.Memo.getOrCompute("co_edges_w", fp)(fresh)
   }
+
+  /** Static-compile width for a co-order-family loop: derived from the
+    * memoized edge count when the gate passed; None above the gate
+    * (callers then keep the session width + AQE — the 100 TB path). */
+  private def coLoopWidth(s: SparkSession, d: String): Option[Int] =
+    coPairArr(s, d).map(a => graft.LoopConf.width(a.length.toLong))
+
+  /** Compile a co-order-family loop statically narrow when the edge
+    * set is gate-tier, else unchanged (see [[graft.LoopConf]]). */
+  private def coLoopStatic[T](s: SparkSession, d: String)(body: => T): T =
+    coLoopWidth(s, d) match {
+      case Some(w) => graft.LoopConf.static(s, w)(body)
+      case None    => body
+    }
 
   /** The unweighted thresholded co-order edge set — the form most graph
     * keys consume (see [[coPairCounts]] for the memo discipline). */
@@ -1054,9 +1077,12 @@ object Analytics {
     * could wobble the result. Labels join the edge list by node id
     * (|V|-row sides, shuffle or broadcast as the planner sizes them). */
   def graphModularity(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d)
-      .localCheckpoint() // one pair build feeds BOTH the LPA loop and the scoring joins
-    val lab = lpaLabels(e)
+    val (e, lab) = coLoopStatic(s, d) {
+      // one pair build feeds BOTH the LPA loop and the scoring joins;
+      // static narrow compile per graft.LoopConf (r16)
+      val e0 = coEdges(s, d).localCheckpoint()
+      (e0, lpaLabels(e0))
+    }
     val withL = e
       .join(lab.select(col("p").as("p1"), col("label").as("l1")), Seq("p1"))
       .join(lab.select(col("p").as("p2"), col("label").as("l2")), Seq("p2"))
@@ -1117,7 +1143,7 @@ object Analytics {
     * not preserve outputPartitioning through the LogicalRDD, so the
     * up-front repartition is a pure extra shuffle — single-key A/B at
     * sf0.1 read ~10% slower with it.) */
-  def graphCoreness(s: SparkSession, d: String): DataFrame = {
+  def graphCoreness(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
     val e = coEdges(s, d)
     val und = e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
@@ -1169,7 +1195,8 @@ object Analytics {
     * broadcast budget; both paths produce identical cores (Round9Spec
     * pins parity with threshold 0, which forces the shuffled path). */
   private[graft] def graphKcoreImpl(
-      s: SparkSession, d: String, bcPeelThreshold: Long): DataFrame = {
+      s: SparkSession, d: String, bcPeelThreshold: Long): DataFrame =
+    coLoopStatic(s, d) {
     val k = 3
     def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.logical.collectFirst {
@@ -1220,7 +1247,7 @@ object Analytics {
       .groupBy(col("p")).agg(count(lit(1)).as("core_deg"))
       .orderBy(col("p"))
     out
-  }
+    }
 
   /** Community detection on the co-order part graph by synchronous label
     * propagation: every node starts labeled with itself; each round a
@@ -1239,8 +1266,11 @@ object Analytics {
     * Round8Spec pins exact equality with driver-side brute propagation
     * under the same rule. */
   def graphLabelPropagation(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d)
-    lpaLabels(e)
+    // static narrow loop compile at the data-derived width (r16,
+    // graft.LoopConf); the community-size readout compiles after
+    // restore, so it keeps AQE
+    val lab = coLoopStatic(s, d) { lpaLabels(coEdges(s, d)) }
+    lab
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("label"))))
       .orderBy(col("p"))
@@ -1355,7 +1385,13 @@ object Analytics {
   }
 
   private[graft] def louvainComm(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      s: SparkSession, d: String): (DataFrame, DataFrame) = coLoopStatic(s, d) {
+    // static narrow compile (r16, graft.LoopConf): the two 4-round move
+    // phases ran ~99 AQE stage-materialization driver jobs over
+    // edge-count-sized frames; compiled statically at the data-derived
+    // width the whole invocation is a handful of jobs. Results are
+    // width-free (min_by on a total order; integer gains) — the
+    // Round9bSpec determinism/modularity pins run unchanged.
     val e = coEdges(s, d)
       .localCheckpoint()
     // the fixed frames below checkpoint LAZILY (r15): each still
@@ -1471,7 +1507,8 @@ object Analytics {
     * join, all shuffles on node id; frontier size is bounded by the
     * graph's expansion, rounds by the cap. localCheckpoint per round
     * truncates the growing lineage (graphKcore's eager-free convention). */
-  def graphBfsFrontier(s: SparkSession, d: String): DataFrame = {
+  def graphBfsFrontier(s: SparkSession, d: String): DataFrame =
+    coLoopStatic(s, d) {
     val maxHops = 12
     def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.logical.collectFirst {
@@ -1503,7 +1540,7 @@ object Analytics {
       frontier = next
     }
     visited.orderBy(col("p"))
-  }
+    }
 
   /** Neighborhood function of the co-order graph — the HyperANF/ANF
     * shape (Palmer et al. 2002; Boldi et al. 2011): N(t) = Σ_v
@@ -1543,7 +1580,7 @@ object Analytics {
     val e = coEdges(s, d)
     val und = e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
-    val counts = neighborhoodCounts(und, maxT)
+    val counts = coLoopStatic(s, d) { neighborhoodCounts(und, maxT) }
     val horizon = counts.last.toDouble
     val nv = counts.head
     // pad early-exit rounds: a saturated ball stays saturated
@@ -1578,7 +1615,7 @@ object Analytics {
     val e = coEdges(s, d)
     val und = e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
-    val ests = neighborhoodHllEst(und, maxT)
+    val ests = coLoopStatic(s, d) { neighborhoodHllEst(und, maxT) }
     val full = (0 to maxT).map(i => ests(math.min(i, ests.size - 1)))
     val horizon = full.last
     full.zipWithIndex.map { case (np, i) =>
@@ -2028,8 +2065,27 @@ object Analytics {
       df.queryExecution.logical.collectFirst {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       }
+    // STATIC NARROW LOOP COMPILE + keyed edge forms (r16, graft.LoopConf).
+    // Under AQE, pre-partitioning the edge set measured 1.12× SLOWER
+    // (AQE broadcasts the catalog-sized score side per half-round AND
+    // Spark 4.1's localCheckpoint does not preserve outputPartitioning
+    // through an adaptive plan — the coreness note); under the static
+    // compile both properties hold, so the ALS r14 keyed-ratings move
+    // works here: the edge list materializes once per join side,
+    // partitioned AND sorted on its key, and each half-round streams it
+    // with no exchange and no sort — only the catalog-sized score side
+    // exchanges. Integer micro-unit sums keep scores bit-identical
+    // under any width (the Round11dSpec replay pin).
+    val s0 = edges.sparkSession
     val e = edges.toDF("src", "dst").localCheckpoint()
-    val auths = e.select(col("dst")).distinct()
+    val w0 = graft.LoopConf.width(e.count())
+    graft.LoopConf.static(s0, w0) {
+    val eByDst = e.repartition(w0, col("dst"))
+      .sortWithinPartitions("dst").localCheckpoint(eager = false)
+    val eBySrc = e.repartition(w0, col("src"))
+      .sortWithinPartitions("src").localCheckpoint(eager = false)
+    // distinct over eByDst's own partitioning key needs no new exchange
+    val auths = eByDst.select(col("dst")).distinct()
     // scores in micro-units; init authorities uniform at 1.0 — the first
     // normalization rescales, so the starting constant only needs to be
     // identical everywhere
@@ -2061,10 +2117,10 @@ object Analytics {
       // the a-job's longer chain at this scale; kept for the barrier
       // count, which is what a 1000-executor round pays).
       val hN = renorm(
-        e.join(a, "dst").groupBy(col("src")).agg(sum(col("am")).as("hm")),
+        eByDst.join(a, "dst").groupBy(col("src")).agg(sum(col("am")).as("hm")),
         "src", "hm").localCheckpoint(eager = false)
       val aN = renorm(
-        e.join(hN, "src").groupBy(col("dst")).agg(sum(col("hm")).as("am")),
+        eBySrc.join(hN, "src").groupBy(col("dst")).agg(sum(col("hm")).as("am")),
         "dst", "am").localCheckpoint()
       if (lastH != null) pinnedRdd(lastH).foreach(_.unpersist(blocking = false))
       pinnedRdd(lastA).foreach(_.unpersist(blocking = false))
@@ -2075,8 +2131,10 @@ object Analytics {
         (col("hm").cast("double") / lit(1e6)).as("score"))
       .unionAll(a.select(lit("auth").as("kind"), col("dst").as("id"),
         (col("am").cast("double") / lit(1e6)).as("score")))
-    pinnedRdd(e).foreach(_.unpersist(blocking = false))
+    Seq(e, eByDst, eBySrc)
+      .foreach(df => pinnedRdd(df).foreach(_.unpersist(blocking = false)))
     out
+    }
   }
 
   /** Random-walk corpus sampling over an undirected edge set — the
@@ -2101,6 +2159,13 @@ object Analytics {
       df.queryExecution.logical.collectFirst {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       }
+    // static narrow compile (r16, graft.LoopConf): the adjacency window
+    // exchange sizes itself off the edge count instead of paying AQE
+    // stage barriers per step; the step joins stay explicit broadcasts,
+    // and walk choices are pure xxhash64 functions, so the walk set is
+    // width-free
+    val s0 = edges.sparkSession
+    graft.LoopConf.static(s0, graft.LoopConf.width(edges.count())) {
     val adj = edges.toDF("src", "dst")
       .withColumn("r", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("dst"))))
@@ -2138,6 +2203,7 @@ object Analytics {
     }
     pinnedRdd(adj).foreach(_.unpersist(blocking = false))
     out
+    }
   }
 
   /** Query key `graph_random_walk_sample`: 2 deterministic 8-step walks
@@ -2148,7 +2214,10 @@ object Analytics {
     * (64·2 walks × steps 0..8), a driver XXH64 replay on a synthetic
     * graph, and determinism. */
   def graphRandomWalkSample(s: SparkSession, d: String): DataFrame = {
-    val pairs = coOrderPairs(s, d).distinct()
+    // checkpoint before the symmetrizing union (r16): the distinct
+    // pair build (un-thresholded, ~1.2M rows at sf0.1 — no memo tier)
+    // otherwise executes once per union branch
+    val pairs = coOrderPairs(s, d).distinct().localCheckpoint()
     val edges = pairs.union(pairs.select(col("p2"), col("p1"))).toDF("src", "dst")
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node")).limit(64)
@@ -2199,7 +2268,7 @@ object Analytics {
     * level. Oracle-exempt (iterative multi-join fixpoint); Round12Spec
     * pins exact equality with a driver-side brute Brandes from the
     * same seeds on the same grid, plus the star-center sanity. */
-  def graphBetweennessApprox(s: SparkSession, d: String): DataFrame = {
+  def graphBetweennessApprox(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
     val e = coEdges(s, d)
     val und = e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
@@ -2220,7 +2289,7 @@ object Analytics {
     * floor-rounded. Oracle-exempt (seed choice rides the engine's
     * xxhash64); Round12Spec pins exact equality with a driver BFS
     * replay from the same seeds. */
-  def graphClosenessApprox(s: SparkSession, d: String): DataFrame = {
+  def graphClosenessApprox(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
     val e = coEdges(s, d)
     val und = e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
@@ -2307,7 +2376,7 @@ object Analytics {
     * of graph size. Oracle-exempt (seed choice rides the engine's
     * xxhash64); Round14Spec pins exact equality with a driver BFS
     * replay from the same seeds plus the all-seeds star identity. */
-  def graphHarmonicCentrality(s: SparkSession, d: String): DataFrame = {
+  def graphHarmonicCentrality(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
     val e = coEdges(s, d)
     val und = e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
@@ -2352,7 +2421,7 @@ object Analytics {
     * Oracle-exempt (xxhash64 seed choice); Round12Spec pins exact
     * equality with a driver BFS replay and the path-graph identity
     * (ecc of an endpoint seed = n−1). */
-  def graphEccentricitySample(s: SparkSession, d: String): DataFrame = {
+  def graphEccentricitySample(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
     val e = coEdges(s, d)
     val und = e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
@@ -2592,7 +2661,8 @@ object Analytics {
     // suites in the forked JVM) run queries sequentially.
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = s.conf.get(aqeKey, "true")
-    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val partKey = "spark.sql.shuffle.partitions"
+    val shuffleN = s.conf.get(partKey).toInt
     var userF: DataFrame = null
     var itemF: DataFrame = null
     var ratings: org.apache.spark.sql.Dataset[(Long, Long, Double)] = null
@@ -2606,20 +2676,47 @@ object Analytics {
         .agg(count(lit(1)).cast("double").as("r"))
         .as[(Long, Long, Double)]
         .localCheckpoint()
+      // SCALE-ADAPTIVE loop width (r16): with AQE compiled out of the
+      // loop, every half-step exchange would otherwise run at the
+      // session width (32 reduce tasks here) over factor tables that are
+      // tiny at this scale — ~1000 near-empty tasks across the 8
+      // half-steps, pure scheduler overhead (the AQE-coalescing job the
+      // static compile gave up, done once by hand). The width derives
+      // from the MATERIALIZED ratings count (~256k rows per partition),
+      // so it is a function of the data, not of the local core count:
+      // sf0.1 (~0.5M ratings) compiles the loop 2-wide, a 100 TB
+      // ratings table gets thousands of partitions. Results are
+      // width-independent by construction (1e-9-grid integer sums;
+      // Round13Spec pins replay + partitioning invariance, and
+      // Round16OptSpec re-runs the key under a different session width).
+      // stride 64Ki rows (¼ of LoopConf's): the half-step UDAF is the
+      // loop's real compute (44 fused grid terms per rating row), so ALS
+      // wants more in-flight tasks per exchange than the join-shaped
+      // graph loops — measured below as the knee of width vs task
+      // overhead at this SF ladder
+      val loopN = math.max(1L, math.min(1L << 20,
+        (ratings.count() + 65535L) / 65536L)).toInt
+      s.conf.set(partKey, loopN)
       // Materialize the two keyed ratings forms ONCE (fid = the fixed
-      // side of each half-step), hash-partitioned to the session shuffle
-      // width. localCheckpoint preserves outputPartitioning, so every
-      // subsequent half-step join satisfies its distribution requirement
-      // without re-exchanging the ratings — 2 upfront shuffles replace
-      // 2·AlsRounds in-loop ones (r14 verdict task 1). Both are LAZY
-      // (r15): the first half-step's job stores each exactly once.
+      // side of each half-step), hash-partitioned to the loop width AND
+      // sorted by fid within partitions: localCheckpoint preserves both
+      // outputPartitioning and outputOrdering, so every half-step's
+      // sort-merge join sees its ratings side already distributed and
+      // SORTED — without the upfront sort each of the 8 half-steps
+      // re-sorted the full ratings side inside the join (measured ~10 s
+      // of the key's time at sf0.1 once the loop compiled narrow; the
+      // 32-wide form paid the same sorts, hidden by parallelism). Only
+      // the factor-table side exchanges + sorts per step. Both forms
+      // are LAZY (r15): the first half-step's job stores each once.
       val rdf0 = ratings.toDF("user", "item", "r")
       val byItem = rdf0
         .select(col("item").as("fid"), col("user").as("sid"), col("r"))
-        .repartition(shuffleN, col("fid")).localCheckpoint(eager = false)
+        .repartition(loopN, col("fid")).sortWithinPartitions("fid")
+        .localCheckpoint(eager = false)
       val byUser = rdf0
         .select(col("user").as("fid"), col("item").as("sid"), col("r"))
-        .repartition(shuffleN, col("fid")).localCheckpoint(eager = false)
+        .repartition(loopN, col("fid")).sortWithinPartitions("fid")
+        .localCheckpoint(eager = false)
       // Item init rides byItem: distinct over its partitioning key needs
       // NO exchange (byItem is already hash-partitioned by fid), where
       // the prior ratings.map(_._2).distinct paid one (r15).
@@ -2639,7 +2736,10 @@ object Analytics {
         itemF = alsHalfStep(byUser, userF)
           .localCheckpoint(eager = false)
       }
-    } finally s.conf.set(aqeKey, aqePrev)
+    } finally {
+      s.conf.set(aqeKey, aqePrev)
+      s.conf.set(partKey, shuffleN)
+    }
     // Readout (r16 exchange pass): everything downstream of the loop
     // rides ONE user-hash partitioning. The purchase pairs repartition
     // by user ONCE; the 2-hop expansion joins the (memo-tier, tiny)
@@ -2820,16 +2920,45 @@ object Analytics {
   private[graft] def sccLabelRows(
       s: SparkSession, d: String, producer: Boolean): DataFrame = {
     import s.implicits._
+    s.createDataset(sccLabelArr(s, d, producer).toIndexedSeq)
+      .toDF("part", "scc_id")
+  }
+
+  /** The (part, scc_id) label array itself — always dimension-sized
+    * (part catalog), always driver-resident (the memo value); see
+    * [[sccLabelRows]]. */
+  private[graft] def sccLabelArr(
+      s: SparkSession, d: String, producer: Boolean): Array[(Long, Long)] = {
+    import s.implicits._
     val fp = graft.Memo.fingerprint(d, "lineitem.parquet")
+    // Metadata-tier finisher at ROUND 0 (r16): the gated collect that
+    // feeds the scc_edges memo has ALREADY moved the whole edge set to
+    // the driver whenever it fits the broadcast tier (≤ 1M edges — the
+    // same gate the in-loop Tarjan tail uses), so running the
+    // distributed trim/color/extract fixpoint on a re-parallelized copy
+    // of driver-resident rows bought ~60 near-empty driver jobs and
+    // nothing else (measured 5.1 s of the key's 5.8 s close time at
+    // sf0.1). Tarjan on the collected set IS the adjudicated hybrid
+    // tail, applied before the first round instead of after it; labels
+    // are identical by the shared min-member-id rule (Round13Spec pins
+    // graphScc against a driver Tarjan at fixture scale, and
+    // Round16OptSpec pins this path against the distributed sccFrom).
+    // Above the gate the memo is skipped and the full distributed
+    // fixpoint runs unchanged — the 100 TB path.
     lazy val fresh: Array[(Long, Long)] =
-      sccFrom(sccEdgeRows(s, d, producer))
-        .select(col("part"), col("scc_id"))
-        .as[(Long, Long)]
-        .collect()
-    val rows =
-      if (producer) graft.Memo.refresh("scc_labels", fp)(fresh)
-      else graft.Memo.getOrCompute("scc_labels", fp)(fresh)
-    s.createDataset(rows.toIndexedSeq).toDF("part", "scc_id")
+      sccEdgeArr(s, d, producer) match {
+        case Some(arr) =>
+          val nodes = arr.iterator
+            .flatMap(t => Iterator(t._1, t._2)).toArray.distinct.sorted
+          tarjanDriver(nodes, arr)
+        case None =>
+          sccFrom(directedPartEdges(s, d).toDF("src", "dst"))
+            .select(col("part"), col("scc_id"))
+            .as[(Long, Long)]
+            .collect()
+      }
+    if (producer) graft.Memo.refresh("scc_labels", fp)(fresh)
+    else graft.Memo.getOrCompute("scc_labels", fp)(fresh)
   }
 
   /** The directed (src, dst) edge set shared by the same producer/
@@ -2841,6 +2970,19 @@ object Analytics {
     * condensation reads. */
   private[graft] def sccEdgeRows(
       s: SparkSession, d: String, producer: Boolean): DataFrame = {
+    import s.implicits._
+    sccEdgeArr(s, d, producer) match {
+      case Some(rows) => s.createDataset(rows.toIndexedSeq).toDF("src", "dst")
+      case None       => directedPartEdges(s, d).toDF("src", "dst")
+    }
+  }
+
+  /** The gated driver-side form of the shared directed edge set — the
+    * memo value itself (r16 split so [[sccLabelRows]] can finish
+    * driver-side on the rows the memo already collected). */
+  private[graft] def sccEdgeArr(
+      s: SparkSession, d: String, producer: Boolean)
+      : Option[Array[(Long, Long)]] = {
     import s.implicits._
     val fp = graft.Memo.fingerprint(d, "lineitem.parquet")
     // The memoized value is a driver-side array, so the collect rides the
@@ -2857,13 +2999,8 @@ object Analytics {
         .mapPartitions(_.take(gate + 1)).collect()
       if (arr.length > gate) None else Some(arr)
     }
-    val memo =
-      if (producer) graft.Memo.refresh("scc_edges", fp)(fresh)
-      else graft.Memo.getOrCompute("scc_edges", fp)(fresh)
-    memo match {
-      case Some(rows) => s.createDataset(rows.toIndexedSeq).toDF("src", "dst")
-      case None       => directedPartEdges(s, d).toDF("src", "dst")
-    }
+    if (producer) graft.Memo.refresh("scc_edges", fp)(fresh)
+    else graft.Memo.getOrCompute("scc_edges", fp)(fresh)
   }
 
   /** Iterative driver-side Tarjan over a REMAINDER core that already
@@ -3092,6 +3229,66 @@ object Analytics {
     * Pinned EXACT against a driver recompute from the Round13Spec
     * Tarjan (condensation edges + topological DP) at sf0.01. */
   def graphCondensation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Metadata-tier finisher (r16, the sccLabelRows recipe): when the
+    // shared edge set rode the gated collect (≤ 1M edges — it is then
+    // driver-resident either way, memo-served or freshly collected), the
+    // contraction, the longest-path DP, and the degree counts run as one
+    // driver pass over those rows — Kahn topological order + DP, exactly
+    // the recompute Round13Spec pins the distributed relaxation against —
+    // instead of ~10 relaxation-round driver jobs over component-count-
+    // sized frames. Above the gate the distributed Bellman-Ford path
+    // below runs unchanged (the 100 TB shape).
+    sccEdgeArr(s, d, producer = false) match {
+      case Some(earr) =>
+        val labels = sccLabelArr(s, d, producer = false)
+        val comp = labels.toMap
+        val sizes = labels.groupMapReduce(_._2)(_ => 1L)(_ + _)
+        val ce = earr.iterator
+          .map { case (a, b) => (comp(a), comp(b)) }
+          .filter(t => t._1 != t._2).toArray.distinct
+        val nodes = sizes.keys.toArray.sorted
+        val indeg = scala.collection.mutable.Map.empty[Long, Int]
+        val outAdj = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        ce.foreach { case (u, v) =>
+          indeg(v) = indeg.getOrElse(v, 0) + 1
+          outAdj.getOrElseUpdate(
+            u, scala.collection.mutable.ArrayBuffer.empty) += v
+        }
+        val depth = scala.collection.mutable.Map.empty[Long, Long]
+        val queue = scala.collection.mutable.Queue(
+          nodes.filter(v => indeg.getOrElse(v, 0) == 0): _*)
+        var processed = 0
+        while (queue.nonEmpty) {
+          val u = queue.dequeue()
+          processed += 1
+          outAdj.get(u).foreach(_.foreach { v =>
+            val cand = depth.getOrElse(u, 0L) + 1L
+            if (cand > depth.getOrElse(v, 0L)) depth(v) = cand
+            indeg(v) -= 1
+            if (indeg(v) == 0) queue += v
+          })
+        }
+        if (processed != nodes.length) throw new IllegalStateException(
+          "graphCondensation: contracted graph is not a DAG")
+        val outDeg = ce.groupMapReduce(_._1)(_ => 1L)(_ + _)
+        val inDeg = ce.groupMapReduce(_._2)(_ => 1L)(_ + _)
+        s.createDataset(nodes.map(v => (v, sizes(v),
+            depth.getOrElse(v, 0L), outDeg.getOrElse(v, 0L),
+            inDeg.getOrElse(v, 0L))).toIndexedSeq)
+          .toDF("scc_id", "scc_size", "depth", "out_deg", "in_deg")
+          .orderBy(col("scc_id"))
+      case None => condensationDistributed(s, d)
+    }
+  }
+
+  /** The distributed condensation (contraction joins + Bellman-Ford
+    * longest-path relaxation) — the above-gate path of
+    * [[graphCondensation]], named so Round16OptSpec can pin the driver
+    * DP against it on the fixture. */
+  private[graft] def condensationDistributed(
+      s: SparkSession, d: String): DataFrame = {
     // consumer of the shared labeling AND edge set: memo hit when
     // graph_scc (or an earlier condensation) already derived them for
     // this corpus in-session — a hit skips the wedge self-join entirely
@@ -3345,6 +3542,11 @@ object Analytics {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
     var round = 1
     var done = false
+    // static narrow compile for the rounds (r16, graft.LoopConf): each
+    // best-cut-edge job otherwise pays AQE stage barriers + a session-
+    // width exchange of per-component partials; the reduce is a strict
+    // total order, so the chosen forest is width-free (the Kruskal pin)
+    graft.LoopConf.static(s, graft.LoopConf.width(e0.count())) {
     while (!done && round <= 34) {
       val roots = ids.map(i => i -> uf.find(i)).toMap
       val bc = graft.Broadcasts.track(s.sparkContext.broadcast(roots))
@@ -3379,6 +3581,7 @@ object Analytics {
           }
         round += 1
       }
+    }
     }
     if (!done) throw new IllegalStateException(
       s"graphMstBoruvka: no fixpoint in $round rounds — component count " +

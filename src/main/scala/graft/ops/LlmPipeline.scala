@@ -87,8 +87,13 @@ object LlmPipeline {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${k - 1}), i -> " +
           s"concat_ws(' ', slice(ws, i, $k)))")).as("gram"))
-    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
-    grams.join(counts, Seq("gram"))
+    // ONE gram-keyed exchange (r16): the per-gram occurrence count rides
+    // a window over the same partitioning instead of a groupBy + join
+    // back, which re-exchanged the full gram stream a second time —
+    // identical counts (the window's count over the whole partition IS
+    // the groupBy count), one less data-sized shuffle.
+    grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         count(when(col("n") >= 2, 1)).as("dup_windows"))
@@ -2785,7 +2790,13 @@ object LlmPipeline {
     * what materializes the round's LAZY checkpoint (1 job/round). */
   private[graft] def minLabelCc(
       labels0: DataFrame, edgesSym: DataFrame): DataFrame = {
+    val s = labels0.sparkSession
     var labels = labels0.localCheckpoint()
+    // static narrow loop compile (r16, graft.LoopConf): width from the
+    // materialized label/edge counts; min-propagation is order-free, so
+    // the narrow compile cannot change any label
+    val w = graft.LoopConf.width(math.max(labels.count(), edgesSym.count()))
+    graft.LoopConf.static(s, w) {
     def lblSum(df: DataFrame): Long =
       df.agg(sum(col("lbl"))).head().getLong(0)
     var prevSum = lblSum(labels)
@@ -2825,6 +2836,7 @@ object LlmPipeline {
         s"minLabelCc: min-label propagation did not converge in " +
           s"$maxRounds rounds — non-converged labels would be wrong")
     labels
+    }
   }
 
   /** Fuzzy-dedup CLUSTERING over the minhash candidate graph — the
@@ -2888,34 +2900,53 @@ object LlmPipeline {
       .localCheckpoint()
     pinnedRdd(e).foreach(_.unpersist(blocking = false))
     val n = verts.count().toDouble
-    var pr = verts.select(col("vec_id"), lit(1.0 / n).as("pr")).localCheckpoint()
-    var lastCp = pr
-    for (i <- 0 until iters) {
-      // dangling mass folds in as a broadcast ONE-ROW cross join — fully
-      // lazy, so an iteration costs zero driver actions; only every 3rd
-      // iteration materializes a checkpoint (truncating the 3-deep lazy
-      // plan), cutting the job count from 2/iter to 1 per 3 iters
-      val dang = pr.join(danglingVerts, Seq("vec_id"), "left_semi")
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
-      val contrib = links.join(pr, links("src") === pr("vec_id"))
-        .select(col("dst"), (col("pr") / col("deg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      var next = verts.join(contrib, verts("vec_id") === contrib("dst"), "left_outer")
-        .crossJoin(broadcast(dang))
-        .select(verts("vec_id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("dang") / lit(n))).as("pr"))
-      if ((i + 1) % 3 == 0 || i == iters - 1) {
-        next = next.localCheckpoint()
-        pinnedRdd(lastCp).foreach(_.unpersist(blocking = false))
-        lastCp = next
+    // STATIC NARROW LOOP COMPILE (r16, graft.LoopConf): the ten
+    // iterations ran ~60 AQE stage-materialization driver jobs; with
+    // the width derived from the materialized link/vertex counts and
+    // the loop-invariant sides pre-partitioned AND pre-sorted on their
+    // join keys (LogicalRDD preserves both under the static compile),
+    // each iteration is the one contribution exchange the algorithm
+    // fundamentally needs — every other join streams co-partitioned,
+    // already-sorted inputs.
+    val w = graft.LoopConf.width(math.max(n.toLong, links.count()))
+    graft.LoopConf.static(s, w) {
+      val linksK = links.repartition(w, col("src"))
+        .sortWithinPartitions("src").localCheckpoint(eager = false)
+      val vertsK = verts.repartition(w, col("vec_id"))
+        .sortWithinPartitions("vec_id").localCheckpoint(eager = false)
+      val dangK = danglingVerts.repartition(w, col("vec_id"))
+        .sortWithinPartitions("vec_id").localCheckpoint(eager = false)
+      var pr = vertsK.select(col("vec_id"), lit(1.0 / n).as("pr"))
+        .localCheckpoint()
+      var lastCp = pr
+      for (i <- 0 until iters) {
+        // dangling mass folds in as a broadcast ONE-ROW cross join — fully
+        // lazy, so an iteration costs zero driver actions; only every 3rd
+        // iteration materializes a checkpoint (truncating the 3-deep lazy
+        // plan), cutting the job count from 2/iter to 1 per 3 iters
+        val dang = pr.join(dangK, Seq("vec_id"), "left_semi")
+          .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+        val contrib = linksK.join(pr, linksK("src") === pr("vec_id"))
+          .select(col("dst"), (col("pr") / col("deg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        var next = vertsK
+          .join(contrib, vertsK("vec_id") === contrib("dst"), "left_outer")
+          .crossJoin(broadcast(dang))
+          .select(vertsK("vec_id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                col("dang") / lit(n))).as("pr"))
+        if ((i + 1) % 3 == 0 || i == iters - 1) {
+          next = next.localCheckpoint()
+          pinnedRdd(lastCp).foreach(_.unpersist(blocking = false))
+          lastCp = next
+        }
+        pr = next
       }
-      pr = next
+      Seq(links, danglingVerts, linksK, vertsK, dangK)
+        .foreach(df => pinnedRdd(df).foreach(_.unpersist(blocking = false)))
+      pr
     }
-    pinnedRdd(links).foreach(_.unpersist(blocking = false))
-    pinnedRdd(danglingVerts).foreach(_.unpersist(blocking = false))
-    pr
   }
 
   /** Query key: PageRank over the cosine-threshold similarity graph (the
@@ -2924,6 +2955,9 @@ object LlmPipeline {
     * connectivity rather than min-id. 10 iterations, d = 0.85. Scores
     * rounded 6 dp for a stable dump; total order by vec_id. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    // (r16 note: a pairs localCheckpoint before the symmetrizing union
+    // measured NEUTRAL-to-worse here — simThreshold ends in a sort
+    // exchange, so both union branches already read ONE ReusedExchange)
     val pairs = simThreshold(s, d).select(col("a_id"), col("b_id"))
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
     val verts = Tables.embeddings(s, d).select(col("vec_id"))
@@ -4534,6 +4568,16 @@ object LlmPipeline {
       .empty[(Int, String, String, String, Long)]
     var rank = 1
     var done = false
+    // STATIC NARROW LOOP COMPILE (r16, graft.LoopConf): the 12 merge
+    // rounds ran ~39 driver jobs (AQE stage materializations of the
+    // per-round pair aggregate); with the width derived from the
+    // materialized vocab count the loop is one job per round again.
+    // The count below doubles as the cache materializer, so the
+    // "first top job fills the persist" trick is simply moved to it.
+    // Merge picks are width-free (exact integer freq sums, total-order
+    // tiebreak), so the trained table is unchanged.
+    val nVocab = words.count()
+    graft.LoopConf.static(s, graft.LoopConf.width(nVocab)) {
     // ONE Spark job per merge round: the top-pair aggregate below both
     // picks the merge AND (as a side effect of reading `words`) fills
     // the current round's persist — so the PREDECESSOR round's cache is
@@ -4581,6 +4625,7 @@ object LlmPipeline {
     lagFree.foreach(_.unpersist(blocking = false))
     words.unpersist(blocking = false)
     merges.toArray
+    }
   }
 
   /** BPE tokenization — the APPLY half of [[corpusBpeTrain]]: load the
