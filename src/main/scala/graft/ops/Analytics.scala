@@ -2818,9 +2818,12 @@ object Analytics {
         Seq("neighbor"))
       .withColumn("sim", round(col("cooc").cast("double") /
         sqrt((col("na") * col("nb")).cast("double")), 4))
-    val w = Window.partitionBy(col("part"))
-      .orderBy(col("sim").desc, col("neighbor").asc)
-    sim.withColumn("rn", row_number().over(w).cast("int"))
+    // native top-k (r16): the window form shuffled EVERY sim row to its
+    // part's reducer and sorted the full group to keep 5; TopKPerGroup
+    // plans partial → exchange → final (identical (sim DESC, neighbor
+    // ASC) rank, the operator's oracle-gated contract), so the exchange
+    // carries ≤ 5 rows per (part, partition)
+    graft.plans.TopKPerGroup.topK(sim, "part", "sim", "neighbor", 5)
       .where(col("rn") <= 5)
       .select(col("part"), col("rn"), col("neighbor"), col("sim"),
         col("cooc"))

@@ -2199,24 +2199,39 @@ object LlmPipeline {
       s: SparkSession, d: String, dir: String): Unit = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val corpusDocs = docs.where(col("doc_id") % 2 === 0)
-    minhashBandsOf(corpusDocs)
-      .write.mode("overwrite").parquet(s"$dir/minhash_bands.parquet")
-    docShingleHashesOf(corpusDocs, 3)
-      .write.mode("overwrite").parquet(s"$dir/minhash_shingles.parquet")
-    curateBoundsOf(corpusDocs)
-      .write.mode("overwrite").parquet(s"$dir/curate_bounds.parquet")
-    curateDigestIndexOf(corpusDocs)
-      .write.mode("overwrite").parquet(s"$dir/digest_index.parquet")
     graft.functions.DHash.register(s)
-    phashBandsOf(corpusDocs.where(length(col("text")) >= 1)
-        .select(col("doc_id"), expr("graft_dhash(text)").as("phash")))
-      .write.mode("overwrite").parquet(s"$dir/phash_bands.parquet")
     val corpusVecs = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .where(col("vec_id") % 2 === 0)
-    embeddingCellsOf(s, corpusVecs, embeddingCellBits(corpusVecs.count()))
-      .toDF("cell", "corpus_id")
-      .write.mode("overwrite").parquet(s"$dir/embedding_cells.parquet")
+    val cellBits = embeddingCellBits(corpusVecs.count())
+    // The six index writes are INDEPENDENT jobs to separate paths, so
+    // they overlap on a small thread pool (guide §2.6: the next job's
+    // tasks back-fill executors freed by the current job's tail) — each
+    // write's content is unchanged; only the submission order stops
+    // being sequential. Await rethrows the first failure.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val writes = Seq[() => Unit](
+        () => minhashBandsOf(corpusDocs)
+          .write.mode("overwrite").parquet(s"$dir/minhash_bands.parquet"),
+        () => docShingleHashesOf(corpusDocs, 3)
+          .write.mode("overwrite").parquet(s"$dir/minhash_shingles.parquet"),
+        () => curateBoundsOf(corpusDocs)
+          .write.mode("overwrite").parquet(s"$dir/curate_bounds.parquet"),
+        () => curateDigestIndexOf(corpusDocs)
+          .write.mode("overwrite").parquet(s"$dir/digest_index.parquet"),
+        () => phashBandsOf(corpusDocs.where(length(col("text")) >= 1)
+            .select(col("doc_id"), expr("graft_dhash(text)").as("phash")))
+          .write.mode("overwrite").parquet(s"$dir/phash_bands.parquet"),
+        () => embeddingCellsOf(s, corpusVecs, cellBits)
+          .toDF("cell", "corpus_id")
+          .write.mode("overwrite").parquet(s"$dir/embedding_cells.parquet"))
+      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+      ()
+    } finally pool.shutdown()
   }
 
   /** Restart probes: identical kernels to the in-session incremental

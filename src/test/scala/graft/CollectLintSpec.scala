@@ -74,16 +74,16 @@ class CollectLintSpec extends AnyFunSuite {
       ("DECLARED broadcast tier (the knnCosine reference matrix) + the " +
         "M0*n link-id adjacency — index METADATA, the ivfCentroids " +
         "adjudication; knn_sharded is the beyond-broadcast twin"),
-    ("Analytics.scala", "sccLabelRows") ->
+    ("Analytics.scala", "sccLabelArr") ->
       ("the (part, scc_id) label array — part-CATALOG (dimension) sized, " +
         "the Boruvka union-find adjudication; memoized so condensation " +
         "stops double-running the SCC fixpoint"),
-    ("Analytics.scala", "sccEdgeRows") ->
+    ("Analytics.scala", "sccEdgeArr") ->
       ("the thresholded directed wedge-pair edge set shared by the same " +
         "producer/consumer pair — the same dimension-sized class as the " +
         "label array (4.2k rows at sf0.1); graph_scc always rebuilds " +
         "and refreshes, only the condensation reads"),
-    ("Analytics.scala", "coPairCounts") ->
+    ("Analytics.scala", "coPairArr") ->
       ("the canonical thresholded co-order pair-count kernel (3.6k rows " +
         "at sf0.1), memoized for the whole graph family behind the same " +
         "1M-row broadcast-tier gate as sccEdgeRows (per-partition " +
