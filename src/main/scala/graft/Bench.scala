@@ -219,11 +219,20 @@ object Bench {
         // the ref worktree's compiled classes REPLACE this repo's on the
         // child classpath; everything else (spark jars, scala library)
         // is shared — no version mixing, the graft namespace resolves
-        // only from the ref build
+        // only from the ref build. This repo's classes are dropped by
+        // NAME (an sbt-forked run stages EVERY classpath entry under
+        // target/bg-jobs/, so a startsWith(repoDir) filter would strip
+        // the scala/spark jars too — r17 fix; the project's own code
+        // arrives either as the staged project jar or as the classes
+        // dir, both matched here).
+        val projJar = "trainingfeedkinesisspark"
         val cp = (refDir.resolve("target/scala-2.13/classes").toString +:
           System.getProperty("java.class.path")
             .split(java.io.File.pathSeparator).toSeq
-            .filterNot(_.startsWith(here + java.io.File.separator))
+            .filterNot(p => new java.io.File(p).getName.startsWith(projJar))
+            .filterNot(p => p.replace('\\', '/')
+              .endsWith("target/scala-2.13/classes") &&
+              p.startsWith(here + java.io.File.separator))
             .filterNot(_ == here)).mkString(java.io.File.pathSeparator)
         val javaBin = java.nio.file.Paths.get(
           System.getProperty("java.home"), "bin", "java").toString

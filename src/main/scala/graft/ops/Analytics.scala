@@ -2521,7 +2521,15 @@ object Analytics {
     * associative and commutative, so the finished sums and the Cholesky
     * solve on them are BIT-IDENTICAL to the sequential fold under any
     * partitioning (the Round13Spec replay + invariance pins hold
-    * unchanged). */
+    * unchanged).
+    *
+    * KEPT over a declarative 44-sum HashAggregate (r17 negative result,
+    * measured): 44 separate `sum(floor(q[a]*q[b]*1e9))` aggregates
+    * ballooned the generated code and the per-stage task binary to
+    * ~2 MB ("Broadcasting large task binary" per half-step), adding
+    * driver-side plan/codegen cost per round that cost more wall time
+    * than the UDAF's per-row tuple deserialization — 7.3 s → 8.8 s at
+    * sf0.1/32 cores. The typed Aggregator's one compact closure wins. */
   private object AlsNormalEq
       extends org.apache.spark.sql.expressions.Aggregator[
         (Long, Double, Array[Double]), AlsBuf, AlsVec] {
@@ -2663,11 +2671,23 @@ object Analytics {
     val aqePrev = s.conf.get(aqeKey, "true")
     val partKey = "spark.sql.shuffle.partitions"
     val shuffleN = s.conf.get(partKey).toInt
+    // Readout inputs that do not depend on the factors, built before the
+    // static region: the memo-tier co-order edges (the producer path runs
+    // its own jobs — keep them under the caller's AQE setting).
+    graft.functions.DotProduct.register(s)
+    val co = coEdges(s, d)
+    val coSym = co.union(co.select(col("p2"), col("p1"))).toDF("item", "cand")
     var userF: DataFrame = null
     var itemF: DataFrame = null
+    var cands: DataFrame = null
+    var candsJob: graft.Pools.SpawnedJob = null
     var ratings: org.apache.spark.sql.Dataset[(Long, Long, Double)] = null
     try {
       s.conf.set(aqeKey, "false")
+      // LAZY checkpoint + count (r17): the count that derives the loop
+      // width materializes the checkpoint inside its own job — the r16
+      // eager form paid one job to store the blocks and a SECOND full
+      // decode pass to count them (measured 4.4 s runMs of pure re-read).
       ratings = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
@@ -2675,7 +2695,7 @@ object Analytics {
         .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
         .agg(count(lit(1)).cast("double").as("r"))
         .as[(Long, Long, Double)]
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // SCALE-ADAPTIVE loop width (r16): with AQE compiled out of the
       // loop, every half-step exchange would otherwise run at the
       // session width (32 reduce tasks here) over factor tables that are
@@ -2724,6 +2744,39 @@ object Analytics {
         .map(i => (i, Array.tabulate(AlsK)(f => alsInit(i, f))))
         .toDF("id", "q")
         .localCheckpoint(eager = false)
+      // Candidate generation does not depend on the factors, so it runs
+      // as an OVERLAPPED job while the half-step loop's narrow stages
+      // leave executors idle (guide §2.6) — the plan is forced on THIS
+      // thread (localCheckpoint(eager=false) plans eagerly), every
+      // exchange in it is explicit at shuffleN, and the job is awaited
+      // in the finally so no submitted work can outlive this call.
+      // Shape (r17): per-user candidate SETS via collect_set +
+      // array_except(cs, bought) — set-equal to the r16
+      // distinct + anti-contains form (array_except dedups), but the
+      // groupBys and the set join all reuse rdfU's one user-hash
+      // exchange, where distinct() paid a (user, item) exchange plus a
+      // user re-exchange.
+      val rdfU = ratings.toDF("user", "item", "r")
+        .select(col("user"), col("item"))
+        .repartition(shuffleN, col("user"))
+        .localCheckpoint(eager = false)
+      // Overlap rdfU's materialization with the narrow half-step loop
+      // (guide §2.6): the count triggers the lazy checkpoint's
+      // repartition job on idle cores; the readout then reads stored
+      // blocks. Awaited in the finally — no job outlives this call.
+      candsJob = graft.Pools.spawn("graft-als-cands") {
+        s.sparkContext.setJobDescription("als: overlapped candidate input")
+        rdfU.count()
+        ()
+      }
+      val bought = rdfU.groupBy(col("user"))
+        .agg(collect_set(col("item")).as("bought"))
+      cands = rdfU
+        .join(coSym, "item")
+        .groupBy(col("user")).agg(collect_set(col("cand")).as("cs"))
+        .join(bought, "user")
+        .select(col("user"),
+          explode(array_except(col("cs"), col("bought"))).as("item"))
       // Lazy checkpoints: each half-step still truncates lineage (the
       // returned frame is a LogicalRDD either way), but materialization
       // folds into the NEXT half-step's job instead of paying a
@@ -2739,39 +2792,17 @@ object Analytics {
     } finally {
       s.conf.set(aqeKey, aqePrev)
       s.conf.set(partKey, shuffleN)
+      // never-throwing await: the overlapped job must not outlive the
+      // call even when the loop fails; its own failure surfaces below
+      if (candsJob != null) candsJob.awaitDone()
     }
-    // Readout (r16 exchange pass): everything downstream of the loop
-    // rides ONE user-hash partitioning. The purchase pairs repartition
-    // by user ONCE; the 2-hop expansion joins the (memo-tier, tiny)
-    // co-order edge table on the stream side, so candidate generation,
-    // the already-bought pruning, and the user-factor join all see
-    // HashPartitioning(user) already satisfied. Already-bought pruning
-    // is a per-user set-containment filter (bought sets are
-    // basket-bounded) instead of a (user, item) anti join — the
-    // composite-key anti join forced BOTH sides to re-exchange on the
-    // pair. The dot product is the codegen'd graft_dot expression
-    // (double branch — identical left-to-right fold, so Round13Spec's
-    // bit-identity replay pin holds) rather than a typed map: the
-    // score column stays inside WholeStageCodegen and the top-k
-    // partial prunes to <= 5 rows per (user, partition) before the
-    // final result-sized exchange. Net: the 5 readout exchanges drop
-    // to the repartition, the item-factor join, and that pruned top-k
-    // merge.
-    graft.functions.DotProduct.register(s)
-    val co = coEdges(s, d)
-    val coSym = co.union(co.select(col("p2"), col("p1"))).toDF("item", "cand")
-    val rdfU = ratings.toDF("user", "item", "r")
-      .select(col("user"), col("item"))
-      .repartition(shuffleN, col("user"))
-      .localCheckpoint(eager = false)
-    val bought = rdfU.groupBy(col("user"))
-      .agg(collect_set(col("item")).as("bought"))
-    val cands = rdfU
-      .join(coSym, "item")
-      .select(col("user"), col("cand").as("item")).distinct()
-      .join(bought, "user")
-      .where(!array_contains(col("bought"), col("item")))
-      .select(col("user"), col("item"))
+    if (candsJob != null) candsJob.await() // rethrow a background failure
+    // Readout: the candidate table was built (and materialized) by the
+    // overlapped job above; what remains is the factor joins, the
+    // codegen'd graft_dot score (double branch — identical left-to-right
+    // fold, so Round13Spec's bit-identity replay pin holds), and the
+    // native top-k whose partial prunes to <= 5 rows per (user,
+    // partition) before the final result-sized exchange.
     val scored = cands
       .join(userF.select(col("id").as("user"), col("q").as("p")), "user")
       .join(itemF.select(col("id").as("item"), col("q")), "item")
@@ -2824,7 +2855,6 @@ object Analytics {
     // ASC) rank, the operator's oracle-gated contract), so the exchange
     // carries ≤ 5 rows per (part, partition)
     graft.plans.TopKPerGroup.topK(sim, "part", "sim", "neighbor", 5)
-      .where(col("rn") <= 5)
       .select(col("part"), col("rn"), col("neighbor"), col("sim"),
         col("cooc"))
       .orderBy(col("part"), col("rn"))

@@ -2208,30 +2208,29 @@ object LlmPipeline {
     // they overlap on a small thread pool (guide §2.6: the next job's
     // tasks back-fill executors freed by the current job's tail) — each
     // write's content is unchanged; only the submission order stops
-    // being sequential. Await rethrows the first failure.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val writes = Seq[() => Unit](
-        () => minhashBandsOf(corpusDocs)
-          .write.mode("overwrite").parquet(s"$dir/minhash_bands.parquet"),
-        () => docShingleHashesOf(corpusDocs, 3)
-          .write.mode("overwrite").parquet(s"$dir/minhash_shingles.parquet"),
-        () => curateBoundsOf(corpusDocs)
-          .write.mode("overwrite").parquet(s"$dir/curate_bounds.parquet"),
-        () => curateDigestIndexOf(corpusDocs)
-          .write.mode("overwrite").parquet(s"$dir/digest_index.parquet"),
-        () => phashBandsOf(corpusDocs.where(length(col("text")) >= 1)
-            .select(col("doc_id"), expr("graft_dhash(text)").as("phash")))
-          .write.mode("overwrite").parquet(s"$dir/phash_bands.parquet"),
-        () => embeddingCellsOf(s, corpusVecs, cellBits)
-          .toDF("cell", "corpus_id")
-          .write.mode("overwrite").parquet(s"$dir/embedding_cells.parquet"))
-      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
-      ()
-    } finally pool.shutdown()
+    // being sequential. ALL writes are awaited to completion (success or
+    // failure) before the first failure rethrows: Future.sequence alone
+    // rethrows early while sibling writes keep running on pool threads,
+    // and an orphaned write job racing a session teardown aborts with
+    // "Task rejected from ThreadPoolExecutor[Terminated]" (r16 driver
+    // test tail). The finally additionally awaits pool termination so no
+    // submitted work can outlive this call.
+    val writes = Seq[() => Unit](
+      () => minhashBandsOf(corpusDocs)
+        .write.mode("overwrite").parquet(s"$dir/minhash_bands.parquet"),
+      () => docShingleHashesOf(corpusDocs, 3)
+        .write.mode("overwrite").parquet(s"$dir/minhash_shingles.parquet"),
+      () => curateBoundsOf(corpusDocs)
+        .write.mode("overwrite").parquet(s"$dir/curate_bounds.parquet"),
+      () => curateDigestIndexOf(corpusDocs)
+        .write.mode("overwrite").parquet(s"$dir/digest_index.parquet"),
+      () => phashBandsOf(corpusDocs.where(length(col("text")) >= 1)
+          .select(col("doc_id"), expr("graft_dhash(text)").as("phash")))
+        .write.mode("overwrite").parquet(s"$dir/phash_bands.parquet"),
+      () => embeddingCellsOf(s, corpusVecs, cellBits)
+        .toDF("cell", "corpus_id")
+        .write.mode("overwrite").parquet(s"$dir/embedding_cells.parquet"))
+    graft.Pools.runAll("graft-idx-write", 3, writes)
   }
 
   /** Restart probes: identical kernels to the in-session incremental

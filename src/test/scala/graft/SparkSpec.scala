@@ -26,7 +26,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  override def afterAll(): Unit = { /* keep the shared session alive */ }
+  override def afterAll(): Unit = {
+    // keep the shared session alive, but assert no overlapped-job pool
+    // thread outlived its call (r16 driver-test abort: an orphaned index
+    // write raced a session teardown) — Pools.runAll awaits termination,
+    // so anything still alive here is a leak.
+    val live = Pools.liveWorkerNames()
+    assert(live.isEmpty, s"graft pool threads outlived their call: $live")
+  }
 }
 
 object SparkSpec {
