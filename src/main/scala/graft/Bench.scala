@@ -175,7 +175,11 @@ object Bench {
         // within each pass so the pair's costs separate cleanly
         ("graph_scc", "graph_condensation"),
         // same rule for the Boruvka forest memo and its single-linkage cut
-        ("graph_mst_boruvka", "cluster_hierarchical_cut"))
+        ("graph_mst_boruvka", "cluster_hierarchical_cut"),
+        // the sim-pair memo (r17): sim_threshold owns the O(n²) pair
+        // kernel; placing it before its alphabetically FIRST consumer
+        // puts it before all of pagerank/dbscan/cluster_cc in the pass
+        ("sim_threshold", "cluster_dbscan"))
       var o = selected.keys.toSeq.sorted
       deps.foreach { case (prod, cons) =>
         if (o.contains(prod) && o.contains(cons)) {

@@ -42,8 +42,14 @@ class CollectLintSpec extends AnyFunSuite {
         "METADATA shared by knnPq and knnIvfPq, trained on executors"),
     ("LlmPipeline.scala", "knnCosine") ->
       "DECLARED broadcast-matrix tier; knn_sharded is the beyond-broadcast twin",
-    ("LlmPipeline.scala", "simThreshold") ->
+    ("LlmPipeline.scala", "simPairsBuild") ->
       "DECLARED broadcast-matrix tier; LSH pair path is the scale twin",
+    ("LlmPipeline.scala", "simPairArr") ->
+      ("the thresholded cosine pair set memoized for the sim-graph " +
+        "consumers (pagerank/dbscan/cluster_cc) behind the same 1M-row " +
+        "broadcast-tier gate as coPairArr (per-partition take(gate+1) " +
+        "keeps the check inside the one collect job); sim_threshold is " +
+        "the producer and always rebuilds"),
     ("LlmPipeline.scala", "dedupEmbeddingCosine") ->
       "broadcast-matrix verdict kernel; dedup_embedding_lsh is the scale twin",
     ("LlmPipeline.scala", "dedupEmbeddingLsh") ->
