@@ -2269,12 +2269,63 @@ object Analytics {
     * pins exact equality with a driver-side brute Brandes from the
     * same seeds on the same grid, plus the star-center sanity. */
   def graphBetweennessApprox(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
+    val und = coUnd(s, d)
+    val levels = bfsLevels(und, k = 16)
+    // PRODUCER of the shared seed-BFS memo (r17, verdict task 5): the
+    // four sampled-centrality keys each rebuilt the identical 16-seed
+    // level frames (~0.5 s each at sf0.1); betweenness — the only
+    // reader that also needs the sigma-carrying frames and the backward
+    // pass — always builds them fresh and refreshes the flattened
+    // (seed, v, dist) rows for the three distance-only readouts.
+    graft.Memo.refresh("bfs_flat_16",
+      graft.Memo.fingerprint(d, "lineitem.parquet"))(bfsFlatArr(levels.toSeq))
+    betweennessFinish(und, levels.toSeq, k = 16)
+  }
+
+  /** The symmetric checkpointed co-order edge frame the seed-BFS keys
+    * share. */
+  private def coUnd(s: SparkSession, d: String): DataFrame = {
     val e = coEdges(s, d)
-    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
+    e.select(col("p1").as("src"), col("p2").as("dst"))
       .union(e.select(col("p2").as("src"), col("p1").as("dst")))
       .localCheckpoint()
-    betweennessFrom(und, k = 16)
   }
+
+  /** Gated driver-side flattening of the BFS level frames to (seed, v,
+    * dist) rows — the `bfs_flat_16` memo value (K·|V| rows, data-sized,
+    * so the collect rides the 1M-row broadcast-tier gate exactly like
+    * coPairArr; None past the gate keeps every key on the distributed
+    * build). Rows sort by (d, seed, v) so consumer input order is a
+    * pure function of the data. */
+  private def bfsFlatArr(
+      levels: Seq[DataFrame]): Option[Array[(Long, Long, Long)]] = {
+    val s = levels.head.sparkSession
+    import s.implicits._
+    val gate = 1000000
+    val arr = bfsFlatOf(levels.zipWithIndex)
+      .select(col("seed"), col("v"), col("d"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(_.take(gate + 1)).collect()
+    if (arr.length > gate) None
+    else Some(arr.sortBy(t => (t._3, t._1, t._2)))
+  }
+
+  /** Memo-served flattened (seed, v, d) BFS rows for the distance-only
+    * readouts; None on a memo miss-above-gate or fingerprint failure —
+    * callers then run the distributed build. */
+  private def bfsFlatMemo(s: SparkSession, d: String): Option[DataFrame] = {
+    import s.implicits._
+    graft.Memo.getOrCompute("bfs_flat_16",
+      graft.Memo.fingerprint(d, "lineitem.parquet")) {
+      bfsFlatArr(bfsLevels(coUnd(s, d), k = 16).toSeq)
+    }.map(rows => s.createDataset(rows.toIndexedSeq).toDF("seed", "v", "d"))
+  }
+
+  /** Union the (seed, v) level frames with their BFS distance. */
+  private def bfsFlatOf(levels: Seq[(DataFrame, Int)]): DataFrame =
+    levels.map { case (df, dist) =>
+      df.select(col("seed"), col("v")).withColumn("d", lit(dist.toLong))
+    }.reduce(_ unionAll _)
 
   /** Approximate CLOSENESS centrality — the Eppstein–Wang companion of
     * [[graphBetweennessApprox]]: exact BFS distances from the SAME
@@ -2290,11 +2341,10 @@ object Analytics {
     * xxhash64); Round12Spec pins exact equality with a driver BFS
     * replay from the same seeds. */
   def graphClosenessApprox(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
-    val e = coEdges(s, d)
-    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
-      .localCheckpoint()
-    closenessFrom(und, k = 16)
+    bfsFlatMemo(s, d) match {
+      case Some(flat) => closenessReadout(flat)
+      case None => closenessFrom(coUnd(s, d), k = 16)
+    }
   }
 
   /** Shared forward pass of the three sampled-seed BFS readouts
@@ -2342,11 +2392,11 @@ object Analytics {
 
   /** Sampled-closeness core over a symmetric (src, dst) edge list; see
     * [[graphClosenessApprox]]. */
-  private[graft] def closenessFrom(und: DataFrame, k: Int): DataFrame = {
-    bfsLevels(und, k).zipWithIndex
-      .map { case (df, dist) =>
-        df.select(col("seed"), col("v")).withColumn("d", lit(dist.toLong)) }
-      .reduce(_ unionAll _)
+  private[graft] def closenessFrom(und: DataFrame, k: Int): DataFrame =
+    closenessReadout(bfsFlatOf(bfsLevels(und, k).zipWithIndex.toSeq))
+
+  private def closenessReadout(flat: DataFrame): DataFrame =
+    flat
       .where(col("v") =!= col("seed")) // own distance 0 carries no signal
       .groupBy(col("v"))
       .agg(sum(col("d")).as("dist_sum"),
@@ -2355,7 +2405,6 @@ object Analytics {
         (floor(col("n_reached").cast("double") /
           col("dist_sum").cast("double") * 1e6) / 1e6).as("closeness_est"))
       .orderBy(col("part"))
-  }
 
   /** Query key `graph_harmonic_centrality`: sampled HARMONIC centrality
     * — the fourth readout of the shared seed-BFS scaffolding
@@ -2377,11 +2426,10 @@ object Analytics {
     * xxhash64); Round14Spec pins exact equality with a driver BFS
     * replay from the same seeds plus the all-seeds star identity. */
   def graphHarmonicCentrality(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
-    val e = coEdges(s, d)
-    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
-      .localCheckpoint()
-    harmonicFrom(und, k = 16)
+    bfsFlatMemo(s, d) match {
+      case Some(flat) => harmonicReadout(flat)
+      case None => harmonicFrom(coUnd(s, d), k = 16)
+    }
   }
 
   private[graft] def harmonicFrom(und: DataFrame, k: Int): DataFrame = {
@@ -2389,6 +2437,8 @@ object Analytics {
       // level 0 is the seeds themselves: no reciprocal to contribute,
       // and its LITERAL d = 0 would constant-fold into a plan-time
       // divide-by-zero under ANSI before any filter could drop it
+      // (the memo path's d is a data column, so its d >= 1 filter has
+      // no folding hazard)
       .drop(1)
     // Edgeless graph: every BFS stops at level 0, so the dropped seq is
     // empty and reduce would throw empty.reduce — degrade to an empty
@@ -2398,10 +2448,12 @@ object Analytics {
       return und.select(col("src").as("part")).where(lit(false))
         .withColumn("n_reached", lit(0L))
         .withColumn("harmonic_est", lit(0.0))
-    reached
-      .map { case (df, dist) =>
-        df.select(col("seed"), col("v")).withColumn("d", lit(dist.toLong)) }
-      .reduce(_ unionAll _)
+    harmonicReadout(bfsFlatOf(reached.toSeq))
+  }
+
+  private def harmonicReadout(flat: DataFrame): DataFrame =
+    flat
+      .where(col("d") >= 1)
       .withColumn("r", floor(lit(1e9) / col("d")).cast("long"))
       .groupBy(col("v"))
       .agg(sum(col("r")).as("r_sum"), count(lit(1)).as("n_reached"))
@@ -2409,7 +2461,6 @@ object Analytics {
         graft.Det.round(col("r_sum").cast("double") / lit(1e9), 6)
           .as("harmonic_est"))
       .orderBy(col("part"))
-  }
 
   /** Sampled ECCENTRICITY + diameter lower bound — the third readout of
     * the seed-BFS scaffolding: ecc(s) = max distance reached from seed
@@ -2422,22 +2473,21 @@ object Analytics {
     * equality with a driver BFS replay and the path-graph identity
     * (ecc of an endpoint seed = n−1). */
   def graphEccentricitySample(s: SparkSession, d: String): DataFrame = coLoopStatic(s, d) {
-    val e = coEdges(s, d)
-    val und = e.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(e.select(col("p2").as("src"), col("p1").as("dst")))
-      .localCheckpoint()
-    eccentricityFrom(und, k = 16)
+    bfsFlatMemo(s, d) match {
+      case Some(flat) => eccentricityReadout(flat)
+      case None => eccentricityFrom(coUnd(s, d), k = 16)
+    }
   }
 
   /** Per-seed BFS eccentricities over a symmetric edge list; see
     * [[graphEccentricitySample]]. The seed = −1 summary row coalesces
     * the zero-row aggregate to 0 so an empty edge list yields (−1, 0,
     * 0) rather than a NULL ecc a Long reader would NPE on. */
-  private[graft] def eccentricityFrom(und: DataFrame, k: Int): DataFrame = {
-    val perSeed = bfsLevels(und, k).zipWithIndex
-      .map { case (df, dist) =>
-        df.select(col("seed"), col("v")).withColumn("d", lit(dist.toLong)) }
-      .reduce(_ unionAll _)
+  private[graft] def eccentricityFrom(und: DataFrame, k: Int): DataFrame =
+    eccentricityReadout(bfsFlatOf(bfsLevels(und, k).zipWithIndex.toSeq))
+
+  private def eccentricityReadout(flat: DataFrame): DataFrame = {
+    val perSeed = flat
       .groupBy(col("seed"))
       .agg(max(col("d")).as("ecc"), count(lit(1)).as("n_reached"))
     perSeed
@@ -3678,8 +3728,14 @@ object Analytics {
     * dependency Σ_seeds δ_seed(v) on the 1e-6 grid; `bc_est` rescales
     * by n/(2K) — the unbiased estimate of the classic undirected
     * betweenness (each unordered pair counted once). */
-  private[graft] def betweennessFrom(und: DataFrame, k: Int): DataFrame = {
-    val levels = bfsLevels(und, k)
+  private[graft] def betweennessFrom(und: DataFrame, k: Int): DataFrame =
+    betweennessFinish(und, bfsLevels(und, k).toSeq, k)
+
+  /** Backward dependency accumulation over already-built level frames
+    * (split from [[betweennessFrom]] so the query key can refresh the
+    * shared BFS memo from the levels it builds anyway). */
+  private def betweennessFinish(
+      und: DataFrame, levels: Seq[DataFrame], k: Int): DataFrame = {
     val maxD = levels.length - 1
     val nD = und.select(col("src")).distinct().count().toDouble
     // backward: at loop entry `deltas` is the FINAL (seed, v, sigma, dl)

@@ -89,6 +89,11 @@ class CollectLintSpec extends AnyFunSuite {
         "producer/consumer pair — the same dimension-sized class as the " +
         "label array (4.2k rows at sf0.1); graph_scc always rebuilds " +
         "and refreshes, only the condensation reads"),
+    ("Analytics.scala", "bfsFlatArr") ->
+      ("the flattened 16-seed BFS (seed, v, dist) rows (K·|V| bounded, " +
+        "~56k at sf0.1) memoized for the three distance-only centrality " +
+        "readouts behind the same 1M-row gate as coPairArr; " +
+        "graph_betweenness_approx is the producer and always rebuilds"),
     ("Analytics.scala", "coPairArr") ->
       ("the canonical thresholded co-order pair-count kernel (3.6k rows " +
         "at sf0.1), memoized for the whole graph family behind the same " +
