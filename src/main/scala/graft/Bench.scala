@@ -179,7 +179,10 @@ object Bench {
         // the sim-pair memo (r17): sim_threshold owns the O(n²) pair
         // kernel; placing it before its alphabetically FIRST consumer
         // puts it before all of pagerank/dbscan/cluster_cc in the pass
-        ("sim_threshold", "cluster_dbscan"))
+        ("sim_threshold", "cluster_dbscan"),
+        // the unigram piece-table memo (r17): the trainer owns the EM
+        // cost; the apply key prices the apply pass (BPE precedent)
+        ("corpus_unigram_train", "corpus_unigram_tokenize"))
       var o = selected.keys.toSeq.sorted
       deps.foreach { case (prod, cons) =>
         if (o.contains(prod) && o.contains(cons)) {

@@ -4606,7 +4606,7 @@ object LlmPipeline {
       }
     } catch { case _: Exception => None } // unreadable artifact ⇒ retrain
 
-  private def bpeMerges(
+  private[graft] def bpeMerges(
       s: SparkSession, d: String): Array[(Int, String, String, String, Long)] =
     corpusFingerprint(d) match {
       case None => trainBpe(s, d) // unfingerprintable local corpus: never cache
@@ -4716,30 +4716,67 @@ object LlmPipeline {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .as[(Long, Seq[String])]
-      .map { case (id, ws0) =>
-        val ws = ws0.filter(_.nonEmpty)
+      // the documents scan is one ~MB-scale split locally, so the apply
+      // pass ran on ONE core; spread it like dedupCdcChunks does
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
         val ms = bc.value
-        var nTok = 0L
-        ws.foreach { w =>
-          var syms: Array[String] = w.split("")
-          ms.foreach { case (l, r, m) =>
-            if (syms.length > 1) {
-              val out = scala.collection.mutable.ArrayBuffer.empty[String]
-              var i = 0
-              while (i < syms.length) {
-                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                  out += m; i += 2
-                } else { out += syms(i); i += 1 }
-              }
-              syms = out.toArray
-            }
-          }
-          nTok += syms.length
+        // pair → merge rank, built once per task (§4.5): the apply loop
+        // then touches only merges whose pair is PRESENT in the word —
+        // the r16 form swept the full merge list per word
+        val rank = new java.util.HashMap[(String, String), Integer]()
+        ms.zipWithIndex.foreach { case ((l, r, _), i) =>
+          rank.put((l, r), i)
         }
-        (id, ws.length.toLong, nTok)
+        it.map { case (id, ws0) =>
+          val ws = ws0.filter(_.nonEmpty)
+          var nTok = 0L
+          ws.foreach { w => nTok += bpeSymbolCount(w, ms, rank) }
+          (id, ws.length.toLong, nTok)
+        }
       }
       .toDF("doc_id", "n_words", "n_bpe_tokens")
       .orderBy(col("doc_id"))
+  }
+
+  /** BPE merge application to one word, counting the surviving symbols —
+    * BIT-IDENTICAL to the sequential one-pass-per-merge sweep: a pass
+    * over an ABSENT pair is a no-op, so only present pairs' ranks need
+    * visiting, and a merge's output symbol did not exist when earlier
+    * merges were learned, so every pair a pass creates has a HIGHER rank
+    * — the ascending smallest-present-rank loop replays the sweep's
+    * passes in the sweep's order (Round17OptSpec pins equality against
+    * the naive sweep over the fixture). */
+  private[graft] def bpeSymbolCount(
+      w: String, ms: Array[(String, String, String)],
+      rank: java.util.HashMap[(String, String), Integer]): Int = {
+    var syms: Array[String] = w.split("")
+    var last = -1
+    var run = syms.length > 1
+    while (run) {
+      var k = Int.MaxValue
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = rank.get((syms(i), syms(i + 1)))
+        if (r != null && r > last && r < k) k = r
+        i += 1
+      }
+      if (k == Int.MaxValue) run = false
+      else {
+        val (l, r, m) = ms(k)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += m; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+        last = k
+        run = syms.length > 1
+      }
+    }
+    syms.length
   }
 
   // ------------------------------------------------- unigram LM tokenizer
@@ -4756,6 +4793,96 @@ object LlmPipeline {
     * on any executor, any driver, any run. Returns (pieces, score in
     * micro units); single-character coverage makes every in-corpus word
     * segmentable. */
+  /** The piece table compiled to a REVERSED-piece trie (r17, guide §4.5:
+    * heavyweight lookup state built once per task, not per row): Viterbi
+    * position i walks characters w(i-1), w(i-2), … down the trie, so
+    * each (position, length) step is one binary search over a node's
+    * sorted child chars — the Map form allocated a substring and hashed
+    * it per step. Nodes are parallel arrays; `score(node)` is the piece
+    * log-prob when a piece ends at that node, MinValue otherwise. */
+  private[graft] final class UniTrie(
+      val chars: Array[Array[Char]],
+      val kids: Array[Array[Int]],
+      val score: Array[Long]) {
+    def child(node: Int, c: Char): Int = {
+      val cs = chars(node)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (cs(mid) < c) lo = mid + 1
+        else if (cs(mid) > c) hi = mid - 1
+        else return kids(node)(mid)
+      }
+      -1
+    }
+  }
+
+  private[graft] object UniTrie {
+    def of(lp: scala.collection.Map[String, Long]): UniTrie = {
+      // mutable build: children as sorted maps, then frozen to arrays
+      val childMaps = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.TreeMap.empty[Char, Int])
+      val scores = scala.collection.mutable.ArrayBuffer(Long.MinValue)
+      lp.foreach { case (p, s) =>
+        var node = 0
+        var i = p.length - 1
+        while (i >= 0) {
+          val c = p.charAt(i)
+          node = childMaps(node).getOrElseUpdate(c, {
+            childMaps += scala.collection.mutable.TreeMap.empty[Char, Int]
+            scores += Long.MinValue
+            childMaps.size - 1
+          })
+          i -= 1
+        }
+        scores(node) = s
+      }
+      new UniTrie(
+        childMaps.map(_.keysIterator.toArray).toArray,
+        childMaps.map(_.valuesIterator.toArray).toArray,
+        scores.toArray)
+    }
+  }
+
+  /** Trie-walk twin of [[uniViterbi]] — BIT-IDENTICAL segmentations: the
+    * map form scans j ascending with a STRICT improvement test (ties go
+    * to the smallest j = longest piece); this walk visits j descending,
+    * so `>=` accepts equal scores and the LAST acceptance is again the
+    * smallest j. Round17OptSpec pins equality over the full trained
+    * table and fixture word set. */
+  private[graft] def uniViterbiTrie(
+      w: String, trie: UniTrie): (List[String], Long) = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Long.MinValue)
+    val from = new Array[Int](n + 1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      val jMin = math.max(0, i - UniMaxPieceLen)
+      var node = 0
+      var j = i - 1
+      while (j >= jMin && node >= 0) {
+        node = trie.child(node, w.charAt(j))
+        if (node >= 0) {
+          val s = trie.score(node)
+          if (s != Long.MinValue && best(j) != Long.MinValue &&
+            best(j) + s >= best(i)) {
+            best(i) = best(j) + s
+            from(i) = j
+          }
+          j -= 1
+        }
+      }
+      i += 1
+    }
+    require(best(n) != Long.MinValue, s"unsegmentable word: $w")
+    var at = n
+    var out = List.empty[String]
+    while (at > 0) { out = w.substring(from(at), at) :: out; at = from(at) }
+    (out, best(n))
+  }
+
   private[graft] def uniViterbi(w: String,
       lp: scala.collection.Map[String, Long]): (List[String], Long) = {
     val n = w.length
@@ -4817,7 +4944,22 @@ object LlmPipeline {
     * per DISTINCT word, EM shuffles ≤ |V| count rows per round, and the
     * driver only ever holds the piece/count table (the declared
     * metadata tier; see CollectLintSpec). */
-  private[graft] def trainUnigram(s: SparkSession, d: String)
+  /** Memo front of the unigram trainer — the BPE merge-table precedent
+    * (r17): the trained piece table is vocabulary-bounded METADATA, so
+    * `corpus_unigram_train` (whose declared semantics ARE the training)
+    * always retrains and refreshes, and the apply-side consumers
+    * (corpus_unigram_tokenize, pipeline_tokenizer_report) price the
+    * production APPLY pass against the staged artifact — disclosed via
+    * memo_served in the bench artifact like every other memo pair. */
+  private[graft] def trainUnigram(
+      s: SparkSession, d: String, producer: Boolean = false)
+      : (Array[(String, Long)], Array[Double]) = {
+    val fp = graft.Memo.fingerprint(d, "documents.parquet")
+    if (producer) graft.Memo.refresh("unigram_pieces", fp)(trainUnigramFresh(s, d))
+    else graft.Memo.getOrCompute("unigram_pieces", fp)(trainUnigramFresh(s, d))
+  }
+
+  private def trainUnigramFresh(s: SparkSession, d: String)
       : (Array[(String, Long)], Array[Double]) = {
     import s.implicits._
     val words = Tables.documents(s, d)
@@ -4844,9 +4986,12 @@ object LlmPipeline {
       for (_ <- 1 to UniEmRounds) {
         val bcLp = graft.Broadcasts.track(
           s.sparkContext.broadcast(uniLogProbs(pieces)))
-        val stats = words.flatMap { case (w, f) =>
-          val (segs, score) = uniViterbi(w, bcLp.value)
-          segs.map(p => (p, f, 0L)) :+ (("", 0L, -score * f))
+        val stats = words.mapPartitions { it =>
+          val trie = UniTrie.of(bcLp.value) // once per task (§4.5)
+          it.flatMap { case (w, f) =>
+            val (segs, score) = uniViterbiTrie(w, trie)
+            segs.map(p => (p, f, 0L)) :+ (("", 0L, -score * f))
+          }
         }.groupByKey(_._1)
           .mapValues(t => (t._2, t._3)).reduceGroups((a, b) => (a._1 + b._1, a._2 + b._2))
           .map { case (p, (c, nll)) => (p, c, nll) }
@@ -4873,7 +5018,7 @@ object LlmPipeline {
     * determinism (Round11dSpec). */
   def corpusUnigramTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (pieces, _) = trainUnigram(s, d)
+    val (pieces, _) = trainUnigram(s, d, producer = true)
     val lp = uniLogProbs(pieces.toSeq)
     pieces.toSeq.zipWithIndex.map { case ((p, c), i) =>
       (i + 1, p, c, lp(p).toDouble / 1e6)
@@ -4897,18 +5042,21 @@ object LlmPipeline {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .as[(Long, Seq[String])]
-      .map { case (id, ws0) =>
-        val ws = ws0.filter(_.nonEmpty)
-        var nPieces = 0L
-        var nChars = 0L
-        var ok = true
-        ws.foreach { w =>
-          val (segs, _) = uniViterbi(w, bcLp.value)
-          nPieces += segs.length
-          nChars += w.length
-          ok &&= segs.mkString == w
+      .mapPartitions { it =>
+        val trie = UniTrie.of(bcLp.value) // once per task (§4.5)
+        it.map { case (id, ws0) =>
+          val ws = ws0.filter(_.nonEmpty)
+          var nPieces = 0L
+          var nChars = 0L
+          var ok = true
+          ws.foreach { w =>
+            val (segs, _) = uniViterbiTrie(w, trie)
+            nPieces += segs.length
+            nChars += w.length
+            ok &&= segs.mkString == w
+          }
+          (id, ws.length.toLong, nChars, nPieces, ok)
         }
-        (id, ws.length.toLong, nChars, nPieces, ok)
       }
       .toDF("doc_id", "n_words", "n_chars", "n_pieces", "roundtrip_ok")
       .withColumn("pieces_per_word",

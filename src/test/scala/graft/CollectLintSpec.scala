@@ -29,7 +29,7 @@ class CollectLintSpec extends AnyFunSuite {
       "4x-smaller int8 grid quantized on executors; fp32 rescore is a join",
     ("LlmPipeline.scala", "knnBinaryHamming") ->
       "32x-smaller 1-bit sign matrix encoded on executors; fp32 rescore is a join",
-    ("LlmPipeline.scala", "trainUnigram") ->
+    ("LlmPipeline.scala", "trainUnigramFresh") ->
       ("vocabulary-bounded tokenizer metadata: <= 200-piece seed table, " +
         "alphabet rows, and one <= |V| usage/NLL readout per EM round"),
     ("LlmPipeline.scala", "embeddingMatryoshkaEval") ->
