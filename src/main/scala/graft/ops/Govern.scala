@@ -353,28 +353,69 @@ object Govern {
     * Every per-row term floors onto an integer grid BEFORE the sum, so
     * the aggregate is order-independent — the whole reason a replay
     * can be bit-exact. */
-  private def newtonRow(feats: DataFrame, w: Array[Double]): Row = {
-    val xs: Seq[Column] = lit(1.0) +: FeatNames.tail.map(col)
-    // z left-assoc: (((x0·w0) + x1·w1) + ...) — replayed in the same
-    // order by the spec's single-node trainer, so IEEE-identical.
-    val z = xs.zip(w).map { case (x, wi) => x * lit(wi) }.reduceLeft(_ + _)
-    val p0 = lit(1.0) / (lit(1.0) + exp(-z))
-    val p = least(greatest(p0, lit(1e-12)), lit(1.0 - 1e-12))
-    val r = p * (lit(1.0) - p)
-    val hs = for (j <- xs.indices; k <- j until xs.size) yield
-      sum(floor(r * xs(j) * xs(k) * 1e8).cast("bigint")).as(s"h${j}_$k")
-    val gs = xs.zipWithIndex.map { case (x, j) =>
-      sum(floor((col("label") - p) * x * 1e8).cast("bigint")).as(s"g$j")
+  /** One IRLS iteration's sums as a single long array, laid out
+    * [d(d+1)/2 Hessian | d score | n | loss | correct]. Computed by a
+    * per-partition typed fold whose weights live in the CLOSURE (r17):
+    * the r16 declarative aggregate embedded the round's weights as
+    * LITERALS, so every Newton round generated different codegen source
+    * and paid a fresh Janino compile — 12 compiles of a 30-aggregate
+    * class were most of the key's wall time at sf0.1 (2.7 s wall over
+    * 1.6 s of executor work). The per-row arithmetic below replays the
+    * old aggregate's expression tree term by term, left-associated, on
+    * the same grid (SQL floor(double) IS math.floor(x).toLong; exp/log
+    * ARE Math.exp/Math.log), and per-partition exact-integer partials
+    * merge on the driver — order-free, so the Round11cSpec replay and
+    * repartition-invariance pins hold unchanged. The collect is
+    * P·(d(d+1)/2 + d + 3) longs — dimension-bounded metadata, the
+    * hessianScoreReadout adjudication. */
+  private def newtonReadout(
+      feats: org.apache.spark.sql.Dataset[
+        (Long, Double, Double, Double, Double, Double, Double)],
+      w: Array[Double]): Array[Long] = {
+    val s = feats.sparkSession
+    import s.implicits._
+    val dDim = w.length
+    val tri = dDim * (dDim + 1) / 2
+    val wv = w.clone()
+    val parts = feats.mapPartitions { it =>
+      val acc = new Array[Long](tri + dDim + 3)
+      val xs = new Array[Double](6)
+      it.foreach { case (_, x1, x2, x3, x4, x5, label) =>
+        xs(0) = 1.0; xs(1) = x1; xs(2) = x2; xs(3) = x3; xs(4) = x4
+        xs(5) = x5
+        var z = xs(0) * wv(0)
+        var j = 1
+        while (j < dDim) { z += xs(j) * wv(j); j += 1 }
+        val p = math.min(math.max(1.0 / (1.0 + math.exp(-z)), 1e-12),
+          1.0 - 1e-12)
+        val r = p * (1.0 - p)
+        var idx = 0
+        j = 0
+        while (j < dDim) {
+          var k = j
+          while (k < dDim) {
+            acc(idx) += math.floor(r * xs(j) * xs(k) * 1e8).toLong
+            idx += 1
+            k += 1
+          }
+          acc(tri + j) += math.floor((label - p) * xs(j) * 1e8).toLong
+          j += 1
+        }
+        acc(tri + dDim) += 1L
+        acc(tri + dDim + 1) += math.floor(
+          -(label * math.log(p) + (1.0 - label) * math.log(1.0 - p)) * 1e6)
+          .toLong
+        if ((p >= 0.5) == (label >= 0.5)) acc(tri + dDim + 2) += 1L
+      }
+      Iterator.single(acc)
+    }.collect()
+    val total = new Array[Long](tri + dDim + 3)
+    parts.foreach { a =>
+      var i = 0
+      while (i < a.length) { total(i) += a(i); i += 1 }
     }
-    val lossT = -(col("label") * log(p) + (lit(1.0) - col("label")) * log(lit(1.0) - p))
-    val extra = Seq(
-      count(lit(1)).as("n"),
-      sum(floor(lossT * 1e6).cast("bigint")).as("loss"),
-      sum(((p >= 0.5) === (col("label") >= 0.5)).cast("bigint")).as("correct"))
-    val all = hs ++ gs ++ extra
-    feats.agg(all.head, all.tail: _*).head()
+    total
   }
-  private type Row = org.apache.spark.sql.Row
 
   /** Gaussian elimination with partial pivoting on the (dense, tiny)
     * d×d normal system — a fixed IEEE op sequence on inputs that are
@@ -443,18 +484,27 @@ object Govern {
     * single-node replay. */
   private[graft] def trainLoop(
       featurized: DataFrame): (Array[Double], Double, Double, Long) = {
-    val feats = featurized.cache()
+    val s = featurized.sparkSession
+    import s.implicits._
+    val feats = featurized
+      .select(col("doc_id"), col("len_norm"), col("stopword_ratio"),
+        col("ttr"), col("mean_word_len"), col("queryish_ratio"),
+        col("label"))
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .cache()
     try {
-      val w = Array.fill(FeatNames.size)(0.0)
+      val dDim = FeatNames.size
+      val tri = dDim * (dDim + 1) / 2
+      val w = Array.fill(dDim)(0.0)
       var lastLoss = 0.0; var lastAcc = 0.0; var n = 0L
       for (_ <- 1 to Iters) {
-        val r = newtonRow(feats, w)
-        n = r.getAs[Long]("n")
+        val t = newtonReadout(feats, w)
+        n = t(tri + dDim)
         newtonStep(w, n,
-          (j, k) => r.getAs[Long](s"h${j}_$k"),
-          j => r.getAs[Long](s"g$j"))
-        lastLoss = r.getAs[Long]("loss").toDouble / 1e6 / n
-        lastAcc = r.getAs[Long]("correct").toDouble / n
+          (j, k) => t(j * dDim - j * (j - 1) / 2 + (k - j)),
+          j => t(tri + j))
+        lastLoss = t(tri + dDim + 1).toDouble / 1e6 / n
+        lastAcc = t(tri + dDim + 2).toDouble / n
       }
       (w, lastLoss, lastAcc, n)
     } finally feats.unpersist()
