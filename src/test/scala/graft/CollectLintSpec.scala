@@ -63,6 +63,10 @@ class CollectLintSpec extends AnyFunSuite {
     ("LlmPipeline.scala", "kmeansCentroids") ->
       ("k-row (k=8) grid-summed centroid table per Lloyd round — " +
         "row-count-independent metadata"),
+    ("Govern.scala", "newtonReadout") ->
+      ("P·(d(d+1)/2 + d + 3) snapped-integer long accumulators per IRLS " +
+        "round (d = 6) — dimension-bounded, row-count-independent " +
+        "metadata; the dense twin of hessianScoreReadout"),
     ("Govern.scala", "hessianScoreReadout") ->
       ("P·(d² + d) snapped-integer long accumulators per Newton round " +
         "(d = 65; P·d with the Hessian loop off for the L-BFGS tier) — " +
