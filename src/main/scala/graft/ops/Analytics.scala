@@ -2077,7 +2077,9 @@ object Analytics {
     // exchanges. Integer micro-unit sums keep scores bit-identical
     // under any width (the Round11dSpec replay pin).
     val s0 = edges.sparkSession
-    val e = edges.toDF("src", "dst").localCheckpoint()
+    // lazy + count (r17): the width count materializes the checkpoint in
+    // its own job instead of paying a store job AND a re-read pass
+    val e = edges.toDF("src", "dst").localCheckpoint(eager = false)
     val w0 = graft.LoopConf.width(e.count())
     graft.LoopConf.static(s0, w0) {
     val eByDst = e.repartition(w0, col("dst"))

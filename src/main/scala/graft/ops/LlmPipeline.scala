@@ -2958,12 +2958,13 @@ object LlmPipeline {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // static per-iteration inputs, both materialized BEFORE the edge
     // checkpoint is freed (deg is a lazy plan over e — unpersisting e
-    // while anything still resolves through deg would lose the blocks)
-    val links = e.join(deg, "src").localCheckpoint()
+    // while anything still resolves through deg would lose the blocks).
+    // links is LAZY (r17): the width count below materializes it in the
+    // same job instead of a store job plus a re-read pass.
+    val links = e.join(deg, "src").localCheckpoint(eager = false)
     val danglingVerts = verts
       .join(deg, verts("vec_id") === deg("src"), "left_anti")
       .localCheckpoint()
-    pinnedRdd(e).foreach(_.unpersist(blocking = false))
     val n = verts.count().toDouble
     // STATIC NARROW LOOP COMPILE (r16, graft.LoopConf): the ten
     // iterations ran ~60 AQE stage-materialization driver jobs; with
@@ -2974,6 +2975,8 @@ object LlmPipeline {
     // fundamentally needs — every other join streams co-partitioned,
     // already-sorted inputs.
     val w = graft.LoopConf.width(math.max(n.toLong, links.count()))
+    // free e only once links (lazy) has materialized via the count
+    pinnedRdd(e).foreach(_.unpersist(blocking = false))
     graft.LoopConf.static(s, w) {
       val linksK = links.repartition(w, col("src"))
         .sortWithinPartitions("src").localCheckpoint(eager = false)
