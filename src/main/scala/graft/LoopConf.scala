@@ -46,7 +46,17 @@ object LoopConf {
   /** Run `body` (the loop's plan-construction AND in-loop actions)
     * with AQE off and the shuffle width pinned to `w`; always restores
     * both. The frame a caller RETURNS compiles after restore, so the
-    * downstream readout keeps AQE. */
+    * downstream readout keeps AQE.
+    *
+    * THREAD-CONFINEMENT INVARIANT (ADVICE r16): this mutates SESSION
+    * conf, so while a static block is open, no OTHER thread may compile
+    * a plan against the same session — it would silently plan AQE-off
+    * at the narrow width. The engine's execution surfaces run queries
+    * sequentially, and the one overlapped background job that coexists
+    * with a static region (recommendAls' candidate input) forces its
+    * plan on the calling thread BEFORE spawning; any new Pools.spawn
+    * site must do the same (pre-force queryExecution.executedPlan, or
+    * spawn only plans already compiled). */
   def static[T](s: SparkSession, w: Int)(body: => T): T = {
     val aqeKey = "spark.sql.adaptive.enabled"
     val partKey = "spark.sql.shuffle.partitions"

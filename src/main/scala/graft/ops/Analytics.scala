@@ -2815,10 +2815,15 @@ object Analytics {
       // Overlap rdfU's materialization with the narrow half-step loop
       // (guide §2.6): the count triggers the lazy checkpoint's
       // repartition job on idle cores; the readout then reads stored
-      // blocks. Awaited in the finally — no job outlives this call.
+      // blocks. The count's plan is forced HERE so the background
+      // thread never compiles against the session conf this method
+      // mutates (the LoopConf thread-confinement invariant); it is
+      // awaited in the finally — no job outlives this call.
+      val rdfUCount = rdfU.groupBy().count()
+      rdfUCount.queryExecution.executedPlan
       candsJob = graft.Pools.spawn("graft-als-cands") {
         s.sparkContext.setJobDescription("als: overlapped candidate input")
-        rdfU.count()
+        rdfUCount.collect()
         ()
       }
       val bought = rdfU.groupBy(col("user"))
