@@ -93,6 +93,10 @@ class CollectLintSpec extends AnyFunSuite {
         "producer/consumer pair — the same dimension-sized class as the " +
         "label array (4.2k rows at sf0.1); graph_scc always rebuilds " +
         "and refreshes, only the condensation reads"),
+    ("Analytics.scala", "recommendAls") ->
+      ("the overlapped candidate-input job's ONE-ROW count readout " +
+        "(pre-planned on the main thread, awaited in the finally) — " +
+        "row-count metadata, never data"),
     ("Analytics.scala", "bfsFlatArr") ->
       ("the flattened 16-seed BFS (seed, v, dist) rows (K·|V| bounded, " +
         "~56k at sf0.1) memoized for the three distance-only centrality " +
